@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One declared engine query: name, Spark implementation, and (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL over
+  * the same parquet tables. Queries without an oracle are covered by
+  * unit/property tests instead (SURVEY.md §5.2).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Table loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * `events.ts` is physically INT64 TIMESTAMP(NANOS) which Spark's parquet
+  * reader rejects by default; we read it as a raw nanos long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive
+  *   - `ts_ms`  epoch milliseconds (long)   — cheap, codegen-friendly key
+  *   - `ts_t`   TimestampType (micros, UTC) — for window()/session_window()
+  * Truncation nanos→micros→millis is floor-composable, so bucket math on
+  * any of the three representations agrees with DuckDB's `epoch_ms(ts)`.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,397 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY.md §2B): scans, filters,
+  * ordered picks (the reference's R3 semantics,
+  * CephFSEventReader.java:105-158), sorts, top-k, joins, aggregations,
+  * grouping sets, and set operations.
+  *
+  * Every query is total-ordered and rounds derived doubles to 4dp so the
+  * driver's DuckDB hash compare is deterministic (SURVEY.md §7.4-4/5).
+  * Scale notes (100 TB design) are on each query.
+  */
+object Relational {
+
+  /** Full scan + projection (ref R1/R4). Columns are pruned at the parquet
+    * scan (ReadSchema shows only the 4 selected columns); the sort is the
+    * only shuffle. */
+  private val qScanProject = Q(
+    "q_scan_project",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** The reference's candidate-file predicate (R2,
+    * CephFSEventReader.java:111-121) transliterated onto a synthesized name
+    * column: excludes completed-suffix names, dot-hidden names, and an
+    * ignorePattern regex (which the reference documents but never applies —
+    * we enforce it as documented, README.md:26). Pure narrow filter: pushed
+    * to the scan, no shuffle. */
+  private val qFilterCandidates = Q(
+    "q_filter_candidates",
+    (s, dir) => {
+      val named = Tables.documents(s, dir).withColumn(
+        "fname",
+        expr("""CASE WHEN doc_id % 13 = 0 THEN concat('.hidden_', cast(doc_id AS STRING))
+                     WHEN doc_id % 7 = 0  THEN concat('f', cast(doc_id AS STRING), '.COMPLETED')
+                     WHEN doc_id % 11 = 0 THEN concat('f', cast(doc_id AS STRING), '.tmp')
+                     ELSE concat('f', cast(doc_id AS STRING), '.dat') END"""))
+      named
+        .filter(!col("fname").endsWith(".COMPLETED") &&
+          !col("fname").startsWith(".") &&
+          !col("fname").rlike("\\.tmp$"))
+        .select("doc_id", "fname")
+        .orderBy("doc_id")
+    },
+    Some("""WITH named AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN '.hidden_' || CAST(doc_id AS VARCHAR)
+                     WHEN doc_id % 7 = 0  THEN 'f' || CAST(doc_id AS VARCHAR) || '.COMPLETED'
+                     WHEN doc_id % 11 = 0 THEN 'f' || CAST(doc_id AS VARCHAR) || '.tmp'
+                     ELSE 'f' || CAST(doc_id AS VARCHAR) || '.dat' END AS fname
+              FROM documents)
+            SELECT doc_id, fname FROM named
+            WHERE NOT ends_with(fname, '.COMPLETED')
+              AND NOT starts_with(fname, '.')
+              AND NOT regexp_matches(fname, '\.tmp$')
+            ORDER BY doc_id""")
+  )
+
+  /** Ordered top-1 pick, OLDEST (ref R3, CephFSEventReader.java:146-156):
+    * min by timestamp with lexicographic tiebreak (:161-166), plus key
+    * tiebreak for total determinism. Spark plans this as
+    * TakeOrderedAndProject — per-partition top-1 then driver merge, no full
+    * sort/shuffle, which is exactly the scalable form of the reference's
+    * O(n) scan-per-pick. */
+  private val qPickOldest = Q(
+    "q_pick_oldest",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id", "ts_ms", "event_type")
+        .orderBy(asc("ts_ms"), asc("event_type"), asc("event_id"))
+        .limit(1),
+    Some("""SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+            ORDER BY ts_ms, event_type, event_id LIMIT 1""")
+  )
+
+  /** Ordered top-1 pick, YOUNGEST (ref R3, CephFSEventReader.java:135-145);
+    * tie still goes to the lexicographically smallest name (:139-140). */
+  private val qPickYoungest = Q(
+    "q_pick_youngest",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id", "ts_ms", "event_type")
+        .orderBy(desc("ts_ms"), asc("event_type"), asc("event_id"))
+        .limit(1),
+    Some("""SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+            ORDER BY ts_ms DESC, event_type, event_id LIMIT 1""")
+  )
+
+  /** Top-k generalization of R3: TakeOrderedAndProject, no global sort. */
+  private val qTopK = Q(
+    "q_topk",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
+  )
+
+  /** Multi-key mixed-direction sort; filter is pushed to the scan so the
+    * range-partitioned sort only sees ~1% of rows. */
+  private val qSortMulti = Q(
+    "q_sort_multi",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 97 === 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .orderBy(asc("l_returnflag"), desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+            FROM lineitem WHERE l_orderkey % 97 = 0
+            ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""")
+  )
+
+  /** The reference's CSV-record projection (R4,
+    * CephFSEventReader.java:89-94) incl. the deliberately non-padded
+    * `yyyy-MM-dd H:m:s` timestamp format (:230-235). Narrow map-only plan. */
+  private val qProjectDerived = Q(
+    "q_project_derived",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          concat_ws(",",
+            concat(lit("ev_"), col("event_id").cast("string")),
+            concat(lit("/data/"), col("event_type"), lit("/"), col("event_id").cast("string")),
+            date_format(col("ts_t"), "yyyy-MM-dd H:m:s")).as("body"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+              'ev_' || CAST(event_id AS VARCHAR) || ',' ||
+              '/data/' || event_type || '/' || CAST(event_id AS VARCHAR) || ',' ||
+              strftime(ts, '%Y-%m-%d %-H:%-M:%-S') AS body
+            FROM events ORDER BY event_id""")
+  )
+
+  // ---- joins -------------------------------------------------------------
+
+  /** Fact-to-dim equi-join + aggregate. orders⋈customer shuffles on the
+    * join key (sort-merge/shuffled-hash at scale, AQE picks); the tiny
+    * nation dim is broadcast explicitly — no shuffle for it at any scale. */
+  private val qJoinInner = Q(
+    "q_join_inner",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_cnt"), round(sum("o_totalprice"), 4).as("total_price"))
+        .orderBy("n_name"),
+    Some("""SELECT n_name, count(*) AS order_cnt, round(sum(o_totalprice), 4) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name""")
+  )
+
+  /** Small-dim broadcast join: zero shuffle regardless of fact size. */
+  private val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY r_name, n_name""")
+  )
+
+  /** Left outer join + count of matches (null-preserving). */
+  private val qJoinLeft = Q(
+    "q_join_left",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS order_cnt
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey""")
+  )
+
+  /** Left-semi join: existence check without row duplication — far cheaper
+    * than join+distinct at scale (right side reduced to keys). */
+  private val qJoinSemi = Q(
+    "q_join_semi",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey""")
+  )
+
+  /** Left-anti join: customers with no pending ('P') orders. */
+  private val qJoinAnti = Q(
+    "q_join_anti",
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+            ORDER BY c_custkey""")
+  )
+
+  /** Interval/range join done scale-correctly. A naive theta-join
+    * (e.ts BETWEEN p.ts AND p.ts+10min) is a broadcast-nested-loop —
+    * O(|P|·|E|), hopeless at 100 TB. Instead we bucket time into
+    * window-sized bins: each purchase's half-open 10-minute window spans
+    * exactly 2 bins, each error sits in 1, so an equi-join on the bin key
+    * followed by the exact range filter produces every match exactly once
+    * with a plain shuffle-hash join. Unmatched purchases are restored with
+    * a cheap left join against the aggregated counts. */
+  private val qJoinRange = Q(
+    "q_join_range",
+    (s, dir) => {
+      val W = 600000L // 10 minutes in ms
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_ms").as("p_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts_ms").as("e_ts"))
+      val pB = purchases.withColumn("bucket",
+        explode(array(expr(s"p_ts div $W"), expr(s"p_ts div $W") + 1)))
+      val eB = errors.withColumn("bucket", expr(s"e_ts div $W"))
+      val counts = pB.join(eB, "bucket")
+        .filter(col("e_ts") >= col("p_ts") && col("e_ts") < col("p_ts") + W)
+        .groupBy("p_id").agg(count(lit(1)).as("err_cnt"))
+      purchases.join(counts, Seq("p_id"), "left")
+        .select(col("p_id").as("event_id"),
+          coalesce(col("err_cnt"), lit(0L)).as("err_cnt"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, count(e.event_id) AS err_cnt
+            FROM events p LEFT JOIN events e
+              ON e.event_type = 'error'
+             AND epoch_ms(e.ts) >= epoch_ms(p.ts)
+             AND epoch_ms(e.ts) <  epoch_ms(p.ts) + 600000
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id""")
+  )
+
+  // ---- aggregation -------------------------------------------------------
+
+  /** Flagship (SURVEY.md §7.2, TPC-H Q1 shape): scan → pushed filter →
+    * two-phase hash aggregate (map-side partial combine shrinks the shuffle
+    * to |groups|·partitions rows) → tiny sort. */
+  private val qAggPricing = Q(
+    "q_agg_pricing",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              count(*) AS cnt
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** count(DISTINCT) — Spark expands to a two-shuffle plan (distinct on
+    * (group, key) then count); exact, unlike q_approx_distinct's sketch. */
+  private val qAggDistinct = Q(
+    "q_agg_distinct",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("cust_cnt"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS cust_cnt
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** ROLLUP grouping sets. NULLS FIRST made explicit: Spark's ASC default
+    * is nulls-first, DuckDB's is nulls-last (SURVEY.md §7.4-5). */
+  private val qAggRollup = Q(
+    "q_agg_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  )
+
+  /** CUBE grouping sets over a derived year column. */
+  private val qAggCube = Q(
+    "q_agg_cube",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), year(col("ts_t")).cast("long").as("yr"), col("value"))
+        .cube("event_type", "yr")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("yr")),
+    Some("""WITH e AS (SELECT event_type, year(ts) AS yr, value FROM events)
+            SELECT event_type, yr, count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM e GROUP BY CUBE(event_type, yr)
+            ORDER BY event_type NULLS FIRST, yr NULLS FIRST""")
+  )
+
+  /** HyperLogLog++ approximate distinct (north-star scale op): one pass,
+    * fixed memory per group vs count(DISTINCT)'s shuffle of every key.
+    * Approximate → no SQL oracle; accuracy property-tested vs exact
+    * (RelationalSpec). */
+  private val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+    None
+  )
+
+  // ---- set operations ----------------------------------------------------
+
+  private val qUnionAll = Q(
+    "q_union_all",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error").select("event_id", "event_type")
+        .unionAll(ev.filter(col("event_type") === "purchase" && col("value") > 50)
+          .select("event_id", "event_type"))
+        .orderBy("event_id", "event_type")
+    },
+    Some("""SELECT event_id, event_type FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT event_id, event_type FROM events WHERE event_type = 'purchase' AND value > 50
+            ORDER BY event_id, event_type""")
+  )
+
+  /** INTERSECT (distinct semantics in both engines): users active in both
+    * halves of the month. */
+  private val qIntersect = Q(
+    "q_intersect",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mid = 1705276800000L // 2024-01-15 UTC epoch ms
+      ev.filter(col("ts_ms") < mid).select("user_id")
+        .intersect(ev.filter(col("ts_ms") >= mid).select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE epoch_ms(ts) < 1705276800000
+            INTERSECT
+            SELECT user_id FROM events WHERE epoch_ms(ts) >= 1705276800000
+            ORDER BY user_id""")
+  )
+
+  /** EXCEPT (distinct): users who hit errors but never made a high-value
+    * purchase. */
+  private val qExcept = Q(
+    "q_except",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase" && col("value") > 90).select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'error'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+            ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
+    qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
+    qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
+    qAggCube, qApproxDistinct, qUnionAll, qIntersect, qExcept)
+}

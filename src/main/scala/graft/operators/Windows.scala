@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytic (row) windows and time windows — tumbling / sliding / session
+  * (SURVEY.md §2B). Time windows are the batch-equivalent of the streaming
+  * queries in graft.streaming; both use the same epoch-aligned bucket
+  * semantics so batch ≡ streaming replay (property-tested).
+  *
+  * Scale: every window here partitions by a key (user_id / custkey /
+  * bucket), so state is distributed by hash — no single-partition global
+  * window anywhere (a `Window.orderBy` without partitionBy collapses to one
+  * task and is banned in this codebase).
+  */
+object Windows {
+
+  /** rank() within customer; window order made total with the key tiebreak
+    * so rank is deterministic. */
+  private val qWindowRank = Q(
+    "q_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+    Some("""WITH r AS (SELECT o_custkey, o_orderkey,
+              CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+            FROM orders)
+            SELECT o_custkey, o_orderkey, rnk FROM r WHERE rnk <= 3
+            ORDER BY o_custkey, rnk, o_orderkey""")
+  )
+
+  /** lag() per user ordered by event time: per-user value deltas. */
+  private val qWindowLag = Q(
+    "q_window_lag",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts_ms"), asc("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag("value", 1).over(w), 4).as("delta"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+              round(value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id), 4) AS delta
+            FROM events ORDER BY user_id, event_id""")
+  )
+
+  /** Explicit frame spec: running sum, rowsBetween(unboundedPreceding,
+    * currentRow). Sequential accumulation order is identical in both
+    * engines, so doubles match bit-for-bit before rounding. */
+  private val qWindowFrame = Q(
+    "q_window_frame",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts_ms"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          round(sum("value").over(w), 4).as("run_sum"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+            FROM events ORDER BY user_id, event_id""")
+  )
+
+  /** 5-minute tumbling window (ref R6's poll cadence generalized). Spark's
+    * window() is epoch-aligned, so the oracle is plain integer bucket math.
+    * Plans as a regular hash aggregate on the derived bucket — partial
+    * combine applies, shuffle carries only |buckets| rows. */
+  private val qWindowTumbling = Q(
+    "q_window_tumbling",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts_t"), "5 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"), col("cnt"), col("sum_value"))
+        .orderBy("win_start_ms"),
+    Some("""SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms,
+              count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY win_start_ms ORDER BY win_start_ms""")
+  )
+
+  /** 10-minute windows sliding by 5: every event lands in exactly two
+    * epoch-aligned windows (starts b5 and b5-5min). */
+  private val qWindowSliding = Q(
+    "q_window_sliding",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts_t"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"), col("cnt"), col("sum_value"))
+        .orderBy("win_start_ms"),
+    Some("""WITH b AS (SELECT (epoch_ms(ts) // 300000) * 300000 AS b5, value FROM events),
+                 w AS (SELECT unnest([b5, b5 - 300000]) AS win_start_ms, value FROM b)
+            SELECT win_start_ms, count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM w GROUP BY win_start_ms ORDER BY win_start_ms""")
+  )
+
+  /** Per-user session windows, 30-minute gap. Spark merges an event into
+    * the open session iff ts < prev_ts + gap (half-open [start, last+gap));
+    * the oracle replays that rule with lag + break-flag + running sum —
+    * computed in MICROseconds to match Spark's internal precision exactly
+    * (ms-truncated gap math can disagree within 1ms of the boundary). */
+  private val qSessionWindow = Q(
+    "q_session_window",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          col("cnt"), col("sum_value"))
+        .orderBy("user_id", "session_start_ms"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+                 l AS (SELECT user_id, tu, value,
+                         lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS prev FROM e),
+                 f AS (SELECT user_id, tu, value,
+                         CASE WHEN prev IS NULL OR tu - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+                 s AS (SELECT user_id, tu, value,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+            SELECT user_id, min(tu) // 1000 AS session_start_ms,
+              count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms""")
+  )
+
+  val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
+    qWindowTumbling, qWindowSliding, qSessionWindow)
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare graft.Verify's
+parquet dumps against DuckDB running SparkEntry.oracleSql on the same
+tables. Usage: verify_local.py <sfDir> <verifyOutDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)."""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fail = ok = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out_dir}/{name}"
+    files = glob.glob(f"{spark_dir}/*.parquet")
+    if not files:
+        print(f"MISSING spark output: {name}")
+        fail += 1
+        continue
+    sdf = pq.read_table(files[0]).to_pandas()
+    try:
+        ddf = con.execute(sql).df()
+    except Exception as e:
+        print(f"ORACLE ERROR {name}: {e}")
+        fail += 1
+        continue
+    sdf = sdf[sorted(sdf.columns)]
+    ddf = ddf[sorted(ddf.columns)]
+    if list(sdf.columns) != list(ddf.columns):
+        print(f"COLUMN MISMATCH {name}: spark={list(sdf.columns)} duck={list(ddf.columns)}")
+        fail += 1
+        continue
+    if len(sdf) != len(ddf):
+        print(f"ROWCOUNT MISMATCH {name}: spark={len(sdf)} duck={len(ddf)}")
+        fail += 1
+        continue
+    bad = False
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        try:
+            eq = (a.values == b.values) | (pd.isna(a.values) & pd.isna(b.values))
+        except Exception:
+            eq = a.astype(str).values == b.astype(str).values
+        if not eq.all():
+            idx = (~eq).nonzero()[0][:3]
+            print(f"VALUE MISMATCH {name}.{c} at rows {list(idx)}: "
+                  f"spark={[a.iloc[i] for i in idx]} duck={[b.iloc[i] for i in idx]} "
+                  f"dtypes spark={a.dtype} duck={b.dtype}")
+            bad = True
+    if bad:
+        fail += 1
+    else:
+        ok += 1
+        print(f"OK {name} ({len(sdf)} rows)")
+print(f"\n{ok} ok, {fail} failed")
+sys.exit(1 if fail else 0)
