@@ -11,7 +11,11 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++
       operators.Windows.all ++
-      functions.Scalars.all
+      functions.Scalars.all ++
+      operators.TextOps.all ++
+      operators.Dedup.all ++
+      operators.VectorOps.all ++
+      operators.Multimodal.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

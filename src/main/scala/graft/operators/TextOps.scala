@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star surface,
+  * SURVEY.md §2B ext): token stats, language ID, quality scoring, token
+  * counting, fingerprinting, and multimodal metadata plumbing. All narrow
+  * map-side transforms except the token-frequency aggregate — at 100 TB
+  * each is a single scan with partial aggregation where grouping exists.
+  */
+object TextOps {
+
+  /** Token frequency via explode (Generator) → two-phase hash aggregate →
+    * top-k (TakeOrderedAndProject). The explode multiplies rows ~60× but
+    * map-side combine collapses them before the shuffle. */
+  private val qTextStats = Q(
+    "q_text_stats",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+        .limit(20),
+    Some("""SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 20""")
+  )
+
+  /** Language ID by stopword-set hits — the classic cheap n-gram/dictionary
+    * heuristic, fully codegen'd (array_intersect on a broadcast literal).
+    * Ties resolve by fixed priority en>es>de>fr; no hits → 'und'. */
+  private val qLangId = Q(
+    "q_lang_id",
+    (s, dir) => {
+      val en = "array('the','a','of','and','to')"
+      val es = "array('el','la','de','que','y')"
+      val de = "array('der','die','und','das','ist')"
+      val fr = "array('le','la','et','les','un')"
+      Tables.documents(s, dir)
+        .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+        .withColumn("s_en", expr(s"size(array_intersect(toks, $en))"))
+        .withColumn("s_es", expr(s"size(array_intersect(toks, $es))"))
+        .withColumn("s_de", expr(s"size(array_intersect(toks, $de))"))
+        .withColumn("s_fr", expr(s"size(array_intersect(toks, $fr))"))
+        .withColumn("pred_lang", expr(
+          """CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END"""))
+        .select("doc_id", "pred_lang")
+        .orderBy("doc_id")
+    },
+    Some("""WITH sc AS (SELECT doc_id,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to'])) AS s_en,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y'])) AS s_es,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','und','das','ist'])) AS s_de,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','et','les','un'])) AS s_fr
+            FROM documents)
+            SELECT doc_id,
+              CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                   WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de >= s_fr THEN 'de'
+                   ELSE 'fr' END AS pred_lang
+            FROM sc ORDER BY doc_id""")
+  )
+
+  /** Quality scoring: length saturation, type-token ratio, and average
+    * token length blended into [0,1]. Pure per-row math. */
+  private val qQualityScore = Q(
+    "q_quality_score",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("ttr",
+          size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+        .withColumn("avg_tok_len",
+          (length(col("text")).cast("double") - (col("n_tok") - 1)) / col("n_tok"))
+        .select(
+          col("doc_id"), col("n_tok"), round(col("ttr"), 4).as("ttr"),
+          round(least(lit(1.0), col("n_tok") / 50.0) * 0.4
+            + col("ttr") * 0.4
+            + least(lit(1.0), col("avg_tok_len") / 8.0) * 0.2, 4).as("quality"))
+        .orderBy("doc_id"),
+    Some("""WITH m AS (SELECT doc_id,
+              len(string_split(text,' ')) AS n_tok,
+              CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+              (CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS avg_tok_len
+            FROM documents)
+            SELECT doc_id, n_tok, round(ttr, 4) AS ttr,
+              round(least(1.0, n_tok / 50.0) * 0.4 + ttr * 0.4
+                    + least(1.0, avg_tok_len / 8.0) * 0.2, 4) AS quality
+            FROM m ORDER BY doc_id""")
+  )
+
+  /** Token counting: whitespace split and a BPE-ish regex lexer
+    * (letter-runs | digit-runs | single punctuation). */
+  private val qTokenCount = Q(
+    "q_token_count",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Document fingerprint: MD5 of whitespace-normalized lowercase text —
+    * the content-addressable key for exact dedup across shards. */
+  private val qFingerprint = Q(
+    "q_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Multimodal metadata plumbing: treat content as an opaque binary
+    * column with typed metadata (byte length, content hash, and
+    * stub-decoded dimensions). The "decode" is a clearly-marked
+    * deterministic fake (real image/audio libs are absent in this
+    * environment); the Spark-side plumbing — binary column, schema,
+    * per-row extraction — is real. See Multimodal for the typed
+    * mapPartitions variant. */
+  private val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bin", col("text").cast("binary"))
+        .withColumn("byte_len", length(col("bin")).cast("long"))
+        .select(
+          col("doc_id"), col("byte_len"),
+          sha2(col("bin"), 256).as("content_sha"),
+          (col("byte_len") % 640).as("fake_width"),
+          ((col("byte_len") * 7) % 480).as("fake_height"),
+          (col("byte_len") % 16 + 1).as("fake_frames"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+              sha256(text) AS content_sha,
+              octet_length(encode(text)) % 640 AS fake_width,
+              (octet_length(encode(text)) * 7) % 480 AS fake_height,
+              octet_length(encode(text)) % 16 + 1 AS fake_frames
+            FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
+    qFingerprint, qMultimodalMeta)
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (Array[Float], dim 64):
+  * brute-force cosine top-k (the exact baseline), exact near-dup pairs,
+  * and an LSH-bucketed ANN variant (the 100 TB scale path).
+  *
+  * Scale design: top-k against a probe is map-side only — the probe is
+  * broadcast, each partition computes local similarities, and the global
+  * top-k is a TakeOrderedAndProject (no shuffle of the corpus). The
+  * pairwise query is quadratic by definition and only run on the small
+  * fixed documents/embeddings corpus; at scale the ANN path (bucket →
+  * in-bucket exact) replaces it.
+  */
+object VectorOps {
+
+  /** dot(a,b) with per-element promotion to double — left-fold order
+    * matches DuckDB's list_sum for bit-exact oracle agreement. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-10 against probe vec_id=0. Broadcast probe →
+    * map-side similarity → TakeOrderedAndProject. */
+  private val qSimilarityTopK = Q(
+    "q_similarity_topk",
+    (s, dir) => {
+      val em = Tables.embeddings(s, dir)
+      val probe = em.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+      em.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), round(cosine(col("embedding"), col("pe")), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+                 sc AS (SELECT vec_id,
+                   list_sum(list_transform(list_zip(embedding, pe),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+                   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+                   sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+                 FROM embeddings, p WHERE vec_id <> 0)
+            SELECT vec_id, round(dot / (na * nb), 4) AS sim FROM sc
+            ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  /** Exact embedding-cosine near-dup pairs (threshold 0.4). Quadratic —
+    * correctness baseline for the ANN path; corpus is fixed-small. */
+  private val qEmbedNearDup = Q(
+    "q_embed_neardup",
+    (s, dir) => {
+      val em = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val a = em.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = em.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cs", cosine(col("ea"), col("eb")))
+        .filter(col("cs") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cs"), 4).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""WITH pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+                   sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+                   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS cos_sim
+            FROM pr WHERE dot / (na * nb) >= 0.4 ORDER BY vec_a, vec_b""")
+  )
+
+  /** Deterministic ±1 random-hyperplane matrix (16 planes × 64 dims) from
+    * a fixed multiplicative hash — identical on every executor/run. */
+  private[operators] def planes: Seq[Seq[Double]] =
+    (0 until 16).map { p =>
+      (0 until 64).map { d =>
+        val x = (p * 1000003L + d * 7919L + 12345L) * 2654435761L
+        if (((x >> 17) & 1L) == 0L) -1.0 else 1.0
+      }
+    }
+
+  /** LSH-bucketed approximate nearest neighbors: 16 sign bits from random
+    * hyperplanes, 4 bands of 4 bits; candidates share ≥1 band with the
+    * probe, then exact cosine re-rank → top 10. At 100 TB the band join
+    * touches only colliding buckets instead of the whole corpus.
+    * Approximate (recall < 1) → no SQL oracle; recall property-tested vs
+    * the exact baseline in VectorOpsSpec. */
+  private val qAnnLsh = Q(
+    "q_ann_lsh",
+    (s, dir) => {
+      val em = Tables.embeddings(s, dir)
+        .withColumn("planes", typedLit(planes))
+        .withColumn("sig", expr(
+          """transform(planes, pl ->
+               CASE WHEN aggregate(zip_with(embedding, pl, (x, y) -> CAST(x AS DOUBLE) * y),
+                                   0D, (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"""))
+        .withColumn("bands", expr(
+          """transform(sequence(0, 3), b -> concat_ws(':', cast(b AS STRING),
+               cast(sig[b*4] AS STRING), cast(sig[b*4+1] AS STRING),
+               cast(sig[b*4+2] AS STRING), cast(sig[b*4+3] AS STRING)))"""))
+        .select(col("vec_id"), col("embedding"), explode(col("bands")).as("band"))
+      val probeBands = em.filter(col("vec_id") === 0)
+        .select(col("band"), col("embedding").as("pe"))
+      em.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeBands), "band")
+        .select(col("vec_id"), col("embedding"), col("pe")).distinct()
+        .select(col("vec_id"), round(cosine(col("embedding"), col("pe")), 4).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh)
+}
