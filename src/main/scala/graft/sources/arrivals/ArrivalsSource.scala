@@ -1,0 +1,345 @@
+package graft.sources.arrivals
+
+import java.util
+import java.nio.charset.Charset
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `arrivals` — a Structured Streaming source that watches a directory and
+  * emits one row of file METADATA per newly-arrived file, then marks the
+  * file consumed by renaming it with a completed suffix. A Spark-native
+  * rebuild of the reference's Flume directory source (CephFsSource.java /
+  * CephFSEventReader.java), with its semantics preserved and its defects
+  * fixed:
+  *
+  *   - schema `{file_name, file_path, last_modified, body}` — the typed
+  *     form of the reference's 3-field CSV event
+  *     (CephFSEventReader.java:89-94); `body` carries the exact CSV bytes
+  *     (non-padded `yyyy-MM-dd H:m:s` timestamp, CephFSEventReader.java:
+  *     230-235) encoded in the configured charset (:94).
+  *   - candidate filter (CephFSEventReader.java:111-121): skips dirs,
+  *     completed-suffix files, dot-hidden files — and ENFORCES
+  *     `ignorePattern`, which the reference documents (README.md:26) but
+  *     never applies (dead config in its accept()).
+  *   - consumeOrder OLDEST|YOUNGEST|RANDOM (CephFsSourceConfigrationConstants
+  *     .java:26-30) with the lexicographic tiebreak (CephFSEventReader.java:
+  *     161-166), applied to the whole pending set per micro-batch: list
+  *     once, sort once, take N — O(n log n) per batch vs the reference's
+  *     O(n²) drain (re-list per file, README.md:31 warns about it).
+  *   - commit-by-rename happens in `commit(offset)` AFTER the micro-batch
+  *     is durably committed — the reference renames BEFORE delivery
+  *     (CephFSEventReader.java:96 before CephFsSource.java:148) and loses
+  *     the event if the channel put fails. Rename is idempotent on replay
+  *     (dest-exists with source gone = already committed, SURVEY.md §7.4-1);
+  *     a genuine collision (source AND dest exist) still throws, matching
+  *     CephFSEventReader.java:189-192.
+  *   - startup canary (CephFSEventReader.java:52-66): create/write/read/
+  *     delete a probe file, failing fast if the directory isn't read-write.
+  *
+  * Scale: the driver only LISTS the directory (one RPC-ish listing per
+  * trigger) and ships plain metadata; executors never touch the
+  * filesystem — partitions carry their rows. Uses the Hadoop FileSystem
+  * API, so `path` may be any supported scheme (file://, hdfs://, ...; a
+  * CephFS mount is just file:// as in the reference, README.md:3).
+  * Backpressure is `maxFilesPerTrigger` admission control — Structured
+  * Streaming pulls per trigger, so the reference's channel-full
+  * exponential backoff (CephFsSource.java:149-160) has no analog.
+  */
+class ArrivalsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "arrivals"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    ArrivalsOptions.from(options.asScala.toMap) // eager option validation
+    ArrivalsTable.schema
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ArrivalsTable(ArrivalsOptions.from(properties.asScala.toMap))
+}
+
+/** Parsed, validated options — mirrors CephFsSourceConfigrationConstants
+  * .java:7-30 (path ⇔ cephFS dir, fileSuffix, ignorePattern, inputCharset,
+  * consumeOrder, plus maxFilesPerTrigger for batch admission). */
+final case class ArrivalsOptions(
+    path: String,
+    fileSuffix: String,
+    ignorePattern: String,
+    inputCharset: String,
+    consumeOrder: String,
+    maxFilesPerTrigger: Int) {
+  require(path.nonEmpty, "option 'path' is required")
+  require(Set("OLDEST", "YOUNGEST", "RANDOM").contains(consumeOrder),
+    s"consumeOrder must be OLDEST|YOUNGEST|RANDOM, got '$consumeOrder'")
+  Charset.forName(inputCharset) // fail fast on bad charset
+  if (ignorePattern.nonEmpty) ignorePattern.r // fail fast on bad regex
+}
+
+object ArrivalsOptions {
+  def from(m: Map[String, String]): ArrivalsOptions = {
+    val norm = m.map { case (k, v) => k.toLowerCase(java.util.Locale.ENGLISH) -> v }
+    ArrivalsOptions(
+      path = norm.getOrElse("path", ""),
+      fileSuffix = norm.getOrElse("filesuffix", ".COMPLETED"),
+      ignorePattern = norm.getOrElse("ignorepattern", ""),
+      inputCharset = norm.getOrElse("inputcharset", "UTF-8"),
+      consumeOrder = norm.getOrElse("consumeorder", "OLDEST").toUpperCase(java.util.Locale.ENGLISH),
+      maxFilesPerTrigger = norm.getOrElse("maxfilespertrigger", "1000").toInt)
+  }
+}
+
+object ArrivalsTable {
+  val schema: StructType = StructType(Seq(
+    StructField("file_name", StringType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("last_modified", TimestampType, nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+}
+
+class ArrivalsTable(opts: ArrivalsOptions) extends Table with SupportsRead {
+  override def name(): String = s"arrivals(${opts.path})"
+  override def schema(): StructType = ArrivalsTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ArrivalsTable.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ArrivalsMicroBatchStream(opts)
+      }
+    }
+}
+
+/** One pending file's metadata — the unit of both offsets and rows. */
+final case class FileMeta(path: String, mtimeMs: Long) extends Serializable {
+  def name: String = path.substring(path.lastIndexOf('/') + 1)
+}
+
+/** Offset = (monotonic batch seq, the exact file set of that batch).
+  * Self-contained: replay after restart re-emits rows from the offset log
+  * alone, never from a re-listing (the files may already be renamed).
+  *
+  * Encoding MUST be a single line — Spark's offset log is line-oriented
+  * (one line per source); a raw newline here is parsed as a second source
+  * and fails the restart with "N sources in the checkpoint offsets".
+  * Records are -separated, fields \t-separated, with \\ \n \t 
+  * escaped in paths (file paths are arbitrary byte-ish strings). */
+final case class ArrivalsOffset(seq: Long, files: Seq[FileMeta]) extends Offset {
+  override def json(): String =
+    (seq.toString +: files.map(f => s"${f.mtimeMs}\t${ArrivalsOffset.esc(f.path)}"))
+      .mkString("")
+}
+
+object ArrivalsOffset {
+  def esc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"; case '\n' => "\\n"; case '\t' => "\\t"
+      case '' => "\\1"; case c => c.toString
+    }
+  def unesc(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); case 't' => b.append('\t')
+          case '1' => b.append(''); case '\\' => b.append('\\')
+          case other => b.append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+  def fromJson(json: String): ArrivalsOffset = {
+    val recs = json.split("", -1)
+    val files = recs.drop(1).filter(_.nonEmpty).map { l =>
+      val tab = l.indexOf('\t')
+      FileMeta(unesc(l.substring(tab + 1)), l.substring(0, tab).toLong)
+    }
+    ArrivalsOffset(recs.head.toLong, files.toSeq)
+  }
+}
+
+class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
+  private val dirPath = new Path(opts.path)
+  private val fs: FileSystem = dirPath.getFileSystem(new Configuration())
+  private val ignoreRe = if (opts.ignorePattern.nonEmpty) Some(opts.ignorePattern.r) else None
+  @volatile private var lastOffset: ArrivalsOffset = ArrivalsOffset(0L, Nil)
+  // Files already handed out in an offset but not yet renamed by commit().
+  // The engine may call the next latestOffset() BEFORE committing the
+  // previous batch; without this exclusion the still-unrenamed files would
+  // be re-batched (duplicate rows).
+  private val inFlight = scala.collection.mutable.HashSet.empty[String]
+
+  // Startup canary (ref R9, CephFSEventReader.java:42-66): directory must
+  // exist, be a directory, and be read-write — probed with a real file.
+  {
+    require(fs.exists(dirPath), s"arrivals path does not exist: ${opts.path}")
+    require(fs.getFileStatus(dirPath).isDirectory, s"arrivals path is not a directory: ${opts.path}")
+    val canary = new Path(dirPath, s".arrivals-canary-${java.util.UUID.randomUUID()}")
+    try {
+      val out = fs.create(canary, false)
+      out.write("canary".getBytes("UTF-8")); out.close()
+      val in = fs.open(canary)
+      val buf = new Array[Byte](6); in.readFully(buf); in.close()
+      require(new String(buf, "UTF-8") == "canary", "canary read-back mismatch")
+    } catch {
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"Directory ${opts.path} failed read/write probe: ${e.getMessage}", e)
+    } finally {
+      if (fs.exists(canary)) fs.delete(canary, false)
+    }
+  }
+
+  /** Candidate predicate (ref R2, CephFSEventReader.java:111-121) with
+    * ignorePattern enforced as documented (fixing the dead config). */
+  private def isCandidate(st: FileStatus): Boolean = {
+    val n = st.getPath.getName
+    st.isFile && !n.endsWith(opts.fileSuffix) && !n.startsWith(".") &&
+      ignoreRe.forall(_.findFirstIn(n).isEmpty)
+  }
+
+  /** List once, order the whole pending set (ref R3 semantics batched:
+    * SURVEY.md §7.4-3), admit up to maxFilesPerTrigger. */
+  private def pending(): Seq[FileMeta] = {
+    val cand = fs.listStatus(dirPath).toSeq.filter(isCandidate)
+      .map(st => FileMeta(st.getPath.toUri.getPath, st.getModificationTime))
+      .filterNot(f => inFlight.synchronized(inFlight.contains(f.path)))
+    val ordered = opts.consumeOrder match {
+      case "OLDEST" => cand.sortBy(f => (f.mtimeMs, f.name))
+      case "YOUNGEST" => cand.sortBy(f => (-f.mtimeMs, f.name))
+      case "RANDOM" => cand // listing order, explicitly unordered
+    }
+    ordered.take(opts.maxFilesPerTrigger)
+  }
+
+  override def initialOffset(): Offset = ArrivalsOffset(0L, Nil)
+
+  override def latestOffset(): Offset = {
+    // Batches are strictly sequential: by the time the engine asks for the
+    // next offset, every previously-returned offset's batch has completed
+    // and is durably logged — so the previous batch's files can be marked
+    // consumed NOW. (The engine's own commit() callback only fires when a
+    // LATER batch runs, which would leave the final batch's files
+    // unrenamed indefinitely on a quiet directory.) Replay stays safe
+    // either way: rows are materialized from the offset log, never from
+    // re-reading the files.
+    renameConsumed(lastOffset.files)
+    val p = pending()
+    if (p.isEmpty) lastOffset
+    else {
+      lastOffset = ArrivalsOffset(lastOffset.seq + 1, p)
+      inFlight.synchronized(inFlight ++= p.map(_.path))
+      lastOffset
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = ArrivalsOffset.fromJson(json)
+    // keep the in-memory cursor monotonic across restart, and protect the
+    // replayed batch's files from re-batching until its commit lands
+    if (o.seq > lastOffset.seq) {
+      lastOffset = o
+      inFlight.synchronized(inFlight ++= o.files.map(_.path))
+    }
+    o
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ArrivalsOffset]
+    val e = end.asInstanceOf[ArrivalsOffset]
+    // A batch emits exactly end.files MINUS start.files: the start offset's
+    // files were already emitted by the previous batch. This must NOT
+    // compare seq numbers — on restart the engine may call latestOffset()
+    // on a fresh instance BEFORE deserializeOffset(), so an in-memory seq
+    // can collide with the checkpointed one (observed: the collision made
+    // a seq-equality check plan an empty batch while the offset advanced —
+    // silent data loss). Set difference is also what makes the
+    // crash-window replay safe: files already in the start offset are
+    // never re-emitted, and engine-driven no-data batches (start == end)
+    // naturally plan nothing.
+    val startSet = s.files.toSet
+    val batchFiles = e.files.filterNot(startSet.contains)
+    if (batchFiles.isEmpty) Array.empty
+    else {
+      // rows come from the offset itself — executors never list/read the
+      // FS, so replay is deterministic even after files were renamed
+      val slices = math.min(batchFiles.size, 32)
+      batchFiles.zipWithIndex.groupBy(_._2 % slices).values
+        .map(g => ArrivalsPartition(g.map(_._1), opts.inputCharset): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new ArrivalsPartitionReader(partition.asInstanceOf[ArrivalsPartition])
+    }
+
+  /** Commit-by-rename (ref R5) AFTER durable checkpoint commit — idempotent
+    * for replay, loud for genuine name collisions. */
+  override def commit(end: Offset): Unit =
+    renameConsumed(end.asInstanceOf[ArrivalsOffset].files)
+
+  private def renameConsumed(files: Seq[FileMeta]): Unit = {
+    files.foreach { f =>
+      val src = new Path(f.path)
+      val dst = new Path(f.path + opts.fileSuffix)
+      val srcExists = fs.exists(src)
+      val dstExists = fs.exists(dst)
+      if (srcExists && dstExists) {
+        // matches the reference's refusal to overwrite (CephFSEventReader
+        // .java:189-192): a different file reused a consumed name
+        throw new IllegalStateException(
+          s"Name re-used: both ${f.path} and $dst exist; refusing to overwrite")
+      } else if (srcExists) {
+        if (!fs.rename(src, dst)) {
+          throw new IllegalStateException(s"Failed to rename ${f.path} to $dst")
+        }
+      }
+      // !srcExists && dstExists: already committed (post-crash replay) — ok
+      // neither exists: file vanished externally; nothing to mark
+      inFlight.synchronized(inFlight -= f.path)
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+final case class ArrivalsPartition(files: Seq[FileMeta], charset: String)
+  extends InputPartition
+
+class ArrivalsPartitionReader(p: ArrivalsPartition) extends PartitionReader[InternalRow] {
+  // Non-padded H:m:s (ref CephFSEventReader.java:230-235); UTC to match the
+  // harness session timezone, so `body` ≡ concat_ws over the typed columns.
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd H:m:s").withZone(ZoneOffset.UTC)
+  private val cs = Charset.forName(p.charset)
+  private val it = p.files.iterator
+  private var cur: FileMeta = _
+  override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+  override def get(): InternalRow = {
+    val body = s"${cur.name},${cur.path},${fmt.format(Instant.ofEpochMilli(cur.mtimeMs))}"
+    InternalRow(
+      UTF8String.fromString(cur.name),
+      UTF8String.fromString(cur.path),
+      cur.mtimeMs * 1000L, // TimestampType micros
+      body.getBytes(cs))
+  }
+  override def close(): Unit = ()
+}

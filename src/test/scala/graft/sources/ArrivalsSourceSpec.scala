@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.sources.arrivals._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+/** Integration + unit tests for the `arrivals` streaming source —
+  * mirrors and exceeds the reference's TestCephSource.java end-to-end
+  * tests (FIXTURES.md §2): content fidelity, rename-commit, consumeOrder
+  * incl. tiebreaks, filtering, empty dir, restart exactly-once, collision,
+  * charset, lifecycle, offset round-trip.
+  */
+class ArrivalsSourceSpec extends SparkTestBase {
+
+  private var seq = 0
+  private def tmpDir(): File = {
+    seq += 1
+    val d = Files.createTempDirectory(s"arrivals-$seq-").toFile
+    d.deleteOnExit(); d
+  }
+
+  private def write(dir: File, name: String, content: String, mtime: Long): File = {
+    val f = new File(dir, name)
+    Files.write(f.toPath, content.getBytes("UTF-8"))
+    assert(f.setLastModified(mtime))
+    f
+  }
+
+  /** Poll until cond holds (source `commit` — the rename — runs at the
+    * NEXT trigger after a batch is durably committed, so tests must keep
+    * the query alive briefly past processAllAvailable). */
+  private def awaitCond(cond: => Boolean, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond, "condition not met within timeout")
+  }
+
+  /** Run the arrivals stream on dir until drained; return collected rows
+    * in arrival order from a memory sink. */
+  private def runStream(dir: File, queryName: String,
+      options: Map[String, String] = Map.empty,
+      awaitRenamed: Seq[String] = Nil): DataFrame = {
+    var reader = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load().writeStream.format("memory").queryName(queryName)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      awaitCond(awaitRenamed.forall(n => new File(dir, n).exists()))
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Run the arrivals stream into a parquet sink (supports checkpoint
+    * recovery, unlike the memory sink) for restart/lifecycle tests. */
+  private def runToParquet(dir: File, out: String, cp: String,
+      awaitRenamed: Seq[String] = Nil): Unit = {
+    val q = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+      .load().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      awaitCond(awaitRenamed.forall(n => new File(dir, n).exists()))
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
+  test("basic: one file → one row with exact CSV body bytes, renamed .COMPLETED") {
+    val dir = tmpDir()
+    // 2024-01-01 09:05:07 UTC — exercises the NON-padded H:m:s format
+    val mtime = 1704099907000L
+    write(dir, "file1", "seven\nlines\nof\ntext\nhere\nnow\nok\n", mtime)
+    val rows = runStream(dir, "t_basic", awaitRenamed = Seq("file1.COMPLETED")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("file_name") == "file1")
+    val expectedPath = new File(dir, "file1").getAbsolutePath
+    assert(r.getAs[String]("file_path") == expectedPath)
+    assert(r.getAs[java.sql.Timestamp]("last_modified").getTime == mtime)
+    val expectedBody = s"file1,$expectedPath,2024-01-01 9:5:7".getBytes("UTF-8")
+    assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("body"), expectedBody))
+    assert(!new File(dir, "file1").exists())
+    assert(new File(dir, "file1.COMPLETED").exists())
+  }
+
+  test("consumeOrder OLDEST: mtime asc, tie → lexicographically smallest") {
+    val dir = tmpDir()
+    val t0 = 1704000000000L; val t1 = 1704000060000L
+    write(dir, "c.dat", "x", t1); write(dir, "b.dat", "x", t1); write(dir, "a.dat", "x", t0)
+    val rows = runStream(dir, "t_oldest", Map("maxFilesPerTrigger" -> "1")).collect()
+    assert(rows.map(_.getAs[String]("file_name")).toSeq == Seq("a.dat", "b.dat", "c.dat"))
+  }
+
+  test("consumeOrder YOUNGEST: mtime desc, tie still → smallest name") {
+    val dir = tmpDir()
+    val t0 = 1704000000000L; val t1 = 1704000060000L
+    write(dir, "c.dat", "x", t1); write(dir, "b.dat", "x", t1); write(dir, "a.dat", "x", t0)
+    val rows = runStream(dir, "t_youngest",
+      Map("maxFilesPerTrigger" -> "1", "consumeOrder" -> "YOUNGEST")).collect()
+    assert(rows.map(_.getAs[String]("file_name")).toSeq == Seq("b.dat", "c.dat", "a.dat"))
+  }
+
+  test("filtering: dirs, completed-suffix, dot-files, and ignorePattern excluded") {
+    val dir = tmpDir()
+    val t = 1704000000000L
+    write(dir, "keep.dat", "x", t)
+    write(dir, ".hidden", "x", t)
+    write(dir, "done.dat.COMPLETED", "x", t)
+    write(dir, "skip.tmp", "x", t)
+    assert(new File(dir, "d").mkdir())
+    val rows = runStream(dir, "t_filtered", Map("ignorePattern" -> ".*\\.tmp$"),
+      awaitRenamed = Seq("keep.dat.COMPLETED")).collect()
+    assert(rows.map(_.getAs[String]("file_name")).toSeq == Seq("keep.dat"))
+    assert(new File(dir, "keep.dat.COMPLETED").exists())
+    assert(new File(dir, "skip.tmp").exists()) // ignored, not consumed
+    assert(new File(dir, ".hidden").exists())
+  }
+
+  test("empty dir: zero rows, no nulls (vs reference's null-event bug)") {
+    val dir = tmpDir()
+    val rows = runStream(dir, "t_empty").collect()
+    assert(rows.isEmpty)
+  }
+
+  test("restart from checkpoint: committed files not re-emitted, new files picked up") {
+    val dir = tmpDir()
+    val cp = Files.createTempDirectory("arrivals-cp-").toString
+    val out = Files.createTempDirectory("arrivals-out-").toString
+    write(dir, "f1", "x", 1704000000000L)
+    runToParquet(dir, out, cp, awaitRenamed = Seq("f1.COMPLETED"))
+    write(dir, "f2", "x", 1704000060000L)
+    runToParquet(dir, out, cp, awaitRenamed = Seq("f2.COMPLETED"))
+    // exactly-once across restart: each file appears exactly once in the sink
+    val names = spark.read.parquet(out).collect().map(_.getAs[String]("file_name")).sorted
+    assert(names.toSeq == Seq("f1", "f2"))
+  }
+
+  // ---- unit-level semantics on the stream object -------------------------
+
+  private def stream(dir: File, extra: Map[String, String] = Map.empty): ArrivalsMicroBatchStream =
+    new ArrivalsMicroBatchStream(ArrivalsOptions.from(
+      Map("path" -> dir.getAbsolutePath) ++ extra))
+
+  test("commit is idempotent on replay (post-crash double commit)") {
+    val dir = tmpDir()
+    write(dir, "x", "x", 1704000000000L)
+    val st = stream(dir)
+    val off = st.latestOffset()
+    st.commit(off)
+    assert(new File(dir, "x.COMPLETED").exists())
+    st.commit(off) // replay after crash: source gone, dest exists → no-op
+    assert(new File(dir, "x.COMPLETED").exists())
+  }
+
+  test("commit collision: source AND dest exist → IllegalStateException (ref semantics)") {
+    val dir = tmpDir()
+    write(dir, "x", "x", 1704000000000L)
+    val st = stream(dir)
+    val off = st.latestOffset()
+    write(dir, "x.COMPLETED", "pre-existing", 1704000000000L)
+    assertThrows[IllegalStateException](st.commit(off))
+  }
+
+  test("replay plans rows from the offset alone, even after external rename") {
+    val dir = tmpDir()
+    val f = write(dir, "gone", "x", 1704000000000L)
+    val st = stream(dir)
+    val off = st.latestOffset().asInstanceOf[ArrivalsOffset]
+    // simulate: crash after offset log write; file externally renamed
+    assert(f.renameTo(new File(dir, "gone.COMPLETED")))
+    val st2 = stream(dir)
+    val replayed = st2.deserializeOffset(off.json()).asInstanceOf[ArrivalsOffset]
+    val parts = st2.planInputPartitions(ArrivalsOffset(0, Nil), replayed)
+    val names = parts.flatMap(_.asInstanceOf[ArrivalsPartition].files.map(_.name))
+    assert(names.toSeq == Seq("gone"))
+  }
+
+  test("offset json round-trips hostile paths (tabs, newlines, backslashes)") {
+    val off = ArrivalsOffset(7, Seq(
+      FileMeta("/a/b\tc", 123L), FileMeta("/a/line\nbreak", 456L),
+      FileMeta("/a/back\\slash", 789L), FileMeta("/a/ctlsep", 999L)))
+    assert(ArrivalsOffset.fromJson(off.json()) == off)
+    // the offset log is line-oriented: a multi-line offset corrupts it
+    assert(!off.json().contains('\n'))
+  }
+
+  test("empty-dir latestOffset is stable (no spurious batches)") {
+    val dir = tmpDir()
+    val st = stream(dir)
+    val o1 = st.latestOffset(); val o2 = st.latestOffset()
+    assert(o1.asInstanceOf[ArrivalsOffset].seq == 0)
+    assert(o2.asInstanceOf[ArrivalsOffset].seq == 0)
+  }
+
+  test("charset: body encoded per inputCharset (UTF-16 vs UTF-8 bytes differ)") {
+    // the test JVM's sun.jnu.encoding can't create non-ASCII filenames, so
+    // prove charset application with UTF-16 (distinct bytes even for ASCII)
+    val dir = tmpDir()
+    val mtime = 1704099907000L
+    write(dir, "data1", "x", mtime)
+    val st = stream(dir, Map("inputCharset" -> "UTF-16"))
+    val off = st.latestOffset().asInstanceOf[ArrivalsOffset]
+    val parts = st.planInputPartitions(ArrivalsOffset(0, Nil), off)
+    val reader = new ArrivalsPartitionReader(parts.head.asInstanceOf[ArrivalsPartition])
+    assert(reader.next())
+    val body = reader.get().getBinary(3)
+    val path = new File(dir, "data1").getAbsolutePath
+    val expected = s"data1,$path,2024-01-01 9:5:7".getBytes("UTF-16")
+    assert(java.util.Arrays.equals(body, expected))
+    assert(!java.util.Arrays.equals(body,
+      s"data1,$path,2024-01-01 9:5:7".getBytes("UTF-8")))
+  }
+
+  test("option validation fails fast: missing path, bad order, bad regex, bad charset") {
+    assertThrows[IllegalArgumentException](ArrivalsOptions.from(Map.empty))
+    assertThrows[IllegalArgumentException](
+      ArrivalsOptions.from(Map("path" -> "/tmp", "consumeOrder" -> "NEWEST")))
+    intercept[Exception](ArrivalsOptions.from(Map("path" -> "/tmp", "ignorePattern" -> "[")))
+    intercept[Exception](ArrivalsOptions.from(Map("path" -> "/tmp", "inputCharset" -> "NOPE")))
+  }
+
+  test("canary: nonexistent directory fails fast at stream init") {
+    intercept[Exception](stream(new File("/nonexistent-arrivals-dir")))
+  }
+
+  test("lifecycle: start/stop ×10 with a shared checkpoint stays clean") {
+    val dir = tmpDir()
+    val cp = Files.createTempDirectory("arrivals-lc-").toString
+    val out = Files.createTempDirectory("arrivals-lcout-").toString
+    (1 to 10).foreach { _ => runToParquet(dir, out, cp) }
+  }
+}
