@@ -128,6 +128,19 @@ final case class FileMeta(path: String, mtimeMs: Long) extends Serializable {
   def name: String = path.substring(path.lastIndexOf('/') + 1)
 }
 
+/** consumeOrder semantics as a pure function (ref R3,
+  * CephFSEventReader.java:127-157): OLDEST = mtime asc, YOUNGEST = mtime
+  * desc, tie in both → lexicographically smallest name (:139-140,:150-151,
+  * :161-166); RANDOM = input (listing) order. Property-tested equal to the
+  * reference's repeated single-pick on a quiescent directory. */
+object ConsumeOrder {
+  def order(files: Seq[FileMeta], mode: String): Seq[FileMeta] = mode match {
+    case "OLDEST" => files.sortBy(f => (f.mtimeMs, f.name))
+    case "YOUNGEST" => files.sortBy(f => (-f.mtimeMs, f.name))
+    case "RANDOM" => files
+  }
+}
+
 /** Offset = (monotonic batch seq, the exact file set of that batch).
   * Self-contained: replay after restart re-emits rows from the offset log
   * alone, never from a re-listing (the files may already be renamed).
@@ -220,12 +233,7 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
     val cand = fs.listStatus(dirPath).toSeq.filter(isCandidate)
       .map(st => FileMeta(st.getPath.toUri.getPath, st.getModificationTime))
       .filterNot(f => inFlight.synchronized(inFlight.contains(f.path)))
-    val ordered = opts.consumeOrder match {
-      case "OLDEST" => cand.sortBy(f => (f.mtimeMs, f.name))
-      case "YOUNGEST" => cand.sortBy(f => (-f.mtimeMs, f.name))
-      case "RANDOM" => cand // listing order, explicitly unordered
-    }
-    ordered.take(opts.maxFilesPerTrigger)
+    ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
   }
 
   override def initialOffset(): Offset = ArrivalsOffset(0L, Nil)

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import graft.sources.arrivals.{ConsumeOrder, FileMeta}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests (SURVEY.md §5.2-3): consumeOrder selection equals the
+  * reference's repeated single-pick model; sketch/LSH operators stay within
+  * their accuracy contracts vs exact baselines.
+  */
+class OperatorPropertiesSpec extends SparkTestBase {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val fileGen: Gen[FileMeta] = for {
+    name <- Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12))
+    mtime <- Gen.chooseNum(0L, 1000L)
+  } yield FileMeta(s"/d/$name", mtime)
+
+  test("property: OLDEST ordering ≡ repeatedly picking min(mtime, name) (ref R3)") {
+    check(Prop.forAll(Gen.listOf(fileGen)) { files =>
+      val dedup = files.distinctBy(_.path)
+      // reference model: repeatedly scan for the single best candidate
+      // (CephFSEventReader.java:146-156) from the remaining set
+      def drain(rem: List[FileMeta], acc: List[FileMeta]): List[FileMeta] =
+        if (rem.isEmpty) acc.reverse
+        else {
+          val best = rem.minBy(f => (f.mtimeMs, f.name))
+          drain(rem.filterNot(_ eq best), best :: acc)
+        }
+      ConsumeOrder.order(dedup, "OLDEST").toList == drain(dedup.toList, Nil)
+    })
+  }
+
+  test("property: YOUNGEST ordering ≡ repeated max-pick with smallest-name tiebreak") {
+    check(Prop.forAll(Gen.listOf(fileGen)) { files =>
+      val dedup = files.distinctBy(_.path)
+      def drain(rem: List[FileMeta], acc: List[FileMeta]): List[FileMeta] =
+        if (rem.isEmpty) acc.reverse
+        else {
+          // max mtime; tie → lexicographically SMALLEST name
+          // (CephFSEventReader.java:135-145 + smallerLexicographical)
+          val best = rem.minBy(f => (-f.mtimeMs, f.name))
+          drain(rem.filterNot(_ eq best), best :: acc)
+        }
+      ConsumeOrder.order(dedup, "YOUNGEST").toList == drain(dedup.toList, Nil)
+    })
+  }
+
+  test("approx_count_distinct within configured rsd of exact (2% → assert 5%)") {
+    val approx = graft.SparkEntry.queries("q_approx_distinct")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u")).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
+  test("minhash-LSH recovers every exact near-dup pair with jaccard ≥ 0.7") {
+    val exact = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.7)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val mh = graft.SparkEntry.queries("q_dedup_minhash")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.subsetOf(mh), s"missed pairs: ${exact -- mh}")
+  }
+
+  test("ann-lsh returns true cosine values and finds the exact top-1") {
+    val exact = graft.SparkEntry.queries("q_similarity_topk")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    val ann = graft.SparkEntry.queries("q_ann_lsh")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim"))
+    // any ANN result present in the exact top-10 must carry the same sim
+    ann.foreach { case (id, sim) => exact.get(id).foreach(es => assert(es == sim)) }
+    val top1 = graft.SparkEntry.queries("q_similarity_topk")(spark, sfDir)
+      .collect().head.getAs[Long]("vec_id")
+    assert(ann.map(_._1).contains(top1), "ANN missed the exact nearest neighbor")
+  }
+
+  test("simhash block-LSH is complete for hamming ≤ 3 (pigeonhole)") {
+    // recompute signatures directly and brute-force all pairs ≤ 3
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("array_distinct(split(text,' '))").as("t"))
+      .withColumn("bits", expr(
+        """aggregate(transform(t, x -> xxhash64(x)), array_repeat(0L, 64),
+             (acc, h) -> zip_with(acc,
+               transform(sequence(0, 63), j -> (shiftright(h, j) & 1) * 2 - 1),
+               (a, b) -> a + b))"""))
+      .withColumn("simhash", expr(
+        "aggregate(transform(sequence(0, 63), j -> IF(bits[j] >= 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"))
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b)).toSet
+    val lsh = graft.SparkEntry.queries("q_dedup_simhash")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+  }
+
+  test("exact dedup ≡ window-based keep-min formulation") {
+    val viaGroup = graft.SparkEntry.queries("q_dedup_exact")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val viaWindow = Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text").orderBy("doc_id")))
+      .filter(col("rn") === 1).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(viaGroup == viaWindow)
+  }
+
+  test("multimodal stub decode is deterministic and matches its contract") {
+    val m1 = Multimodal.stubDecode(7L, "hello world".getBytes("UTF-8"))
+    val m2 = Multimodal.stubDecode(7L, "hello world".getBytes("UTF-8"))
+    assert(m1 == m2)
+    assert(m1.width == 11 % 640 && m1.height == (11 * 7) % 480 && m1.n_frames == 11 % 16 + 1)
+  }
+
+  test("flagship entry() returns rows (driver t1 smoke)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}

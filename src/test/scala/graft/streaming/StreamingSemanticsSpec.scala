@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-semantics tests (SURVEY.md §5.2-3/4): the time-window queries
+  * computed in batch must equal the same aggregation computed by replaying
+  * the events table through a stream, and watermarks must drop late data
+  * per Spark's contract.
+  */
+class StreamingSemanticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
+
+  private def eventRows(): Seq[(Long, Long, Long, Double)] =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+  test("batch tumbling window ≡ streaming replay of events") {
+    val rows = eventRows()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "value")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("ts_t"), "5 minutes"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"), col("cnt"), col("sum_value"))
+      .writeStream.format("memory").queryName("s_tumble").outputMode("complete")
+      .start()
+    try {
+      // replay in three chunks (out of order within the stream is fine for
+      // complete-mode aggregation)
+      rows.grouped(400).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val streaming = spark.table("s_tumble").orderBy("win_start_ms").collect().toSeq
+    val batch = graft.SparkEntry.queries("q_window_tumbling")(spark, sfDir).collect().toSeq
+    assert(streaming == batch)
+  }
+
+  test("watermark drops late rows (append mode, 10 min watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val q = mem.toDF().toDF("event_id", "ts_us")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"), col("cnt"))
+      .writeStream.format("memory").queryName("s_late").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, base)) // window [00:00, 00:05)
+      q.processAllAvailable()
+      // advance event time far past watermark: max_ts - 10min > 00:05 closes w0
+      mem.addData((2L, base + 30L * 60 * 1000000))
+      q.processAllAvailable()
+      // late row for the already-closed [00:00,00:05) window → dropped
+      mem.addData((3L, base + 1000000L))
+      q.processAllAvailable()
+      // one more advance to flush anything appendable
+      mem.addData((4L, base + 60L * 60 * 1000000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("s_late").collect()
+      .map(r => (r.getAs[Long]("win_start_ms"), r.getAs[Long]("cnt"))).toMap
+    // the closed first window must count only the on-time row
+    assert(out(1704067200000L) == 1L, s"late row leaked into closed window: $out")
+  }
+
+  test("streaming session windows merge per gap on replayed events") {
+    val rows = eventRows()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = mem.toDF().toDF("event_id", "ts_us", "user_id", "value")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"), unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("cnt"), col("sum_value"))
+      .writeStream.format("memory").queryName("s_session").outputMode("complete")
+      .start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("s_session").orderBy("user_id", "session_start_ms").collect().toSeq
+    val batch = graft.SparkEntry.queries("q_session_window")(spark, sfDir).collect().toSeq
+    assert(streaming == batch)
+  }
+
+  test("windowed aggregation runs end-to-end on the arrivals source") {
+    val dir = java.nio.file.Files.createTempDirectory("arrivals-win-").toFile
+    def put(n: String, t: Long): Unit = {
+      val f = new java.io.File(dir, n)
+      java.nio.file.Files.write(f.toPath, "x".getBytes)
+      assert(f.setLastModified(t))
+    }
+    // three files across two 5-minute windows
+    put("a", 1704067200000L); put("b", 1704067260000L); put("c", 1704067500000L)
+    val q = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+      .load()
+      .withWatermark("last_modified", "10 minutes")
+      .groupBy(window(col("last_modified"), "5 minutes"))
+      .agg(count(lit(1)).as("files"))
+      .select(unix_millis(col("window.start")).as("w"), col("files"))
+      .writeStream.format("memory").queryName("s_arr_win").outputMode("complete")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("s_arr_win").collect()
+      .map(r => (r.getAs[Long]("w"), r.getAs[Long]("files"))).toMap
+    assert(out == Map(1704067200000L -> 2L, 1704067500000L -> 1L))
+  }
+}
