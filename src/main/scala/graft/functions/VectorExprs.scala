@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector / hashing hot paths.
+  *
+  * Why: Spark's higher-order functions (`aggregate`, `zip_with`,
+  * `transform`) are interpreted per-element with boxed lambdas, and
+  * Catalyst's projection collapse inlines a referenced column's whole
+  * expression tree into EVERY reference — a 64-bit signature built from a
+  * `bits` array referenced 64 times re-evaluated the entire token fold
+  * 64× per row (measured: 222 s for 500 docs at sf0.1 bench). These
+  * expressions compute the same values in one tight primitive loop.
+  *
+  * Hash-family compatibility: both hash expressions use
+  * [[XxHash64Function]] — the exact implementation behind the built-in
+  * `xxhash64(...)` (seed 42) — so signatures are deterministic across
+  * executors, runs, and releases.
+  */
+object VectorExprs {
+
+  /** dot(a, b) over float/double arrays, accumulated left-to-right with
+    * per-element promotion to double — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS
+    * DOUBLE)), 0D, (s,x) -> s+x)` and to DuckDB's list_sum fold, which is
+    * what keeps the oracle hash-compare exact. */
+  case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression) = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left) && ok(right)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects two float/double arrays, got ${left.dataType} / ${right.dataType}")
+    }
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      val lf = elemType(left) == FloatType; val rf = elemType(right) == FloatType
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val la = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+      val ra = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ((double) $a.$la($i)) * ((double) $b.$ra($i));
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 64-bit SimHash of a token array: per-token xxhash64 (seed 42, same
+    * family as the built-in), signed bit votes, sign → bit. One pass,
+    * primitive arrays, no per-bit re-evaluation. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sig = 0L; var j = 0
+      while (j < 64) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature (k=32) of a shingle array: min over shingles of
+    * xxhash64 with per-function seed j. Returns array<bigint> of length
+    * 32. */
+  case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFallback {
+    private val K = 32
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = Array.fill(K)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < K) {
+          val h = XxHash64Function.hash(s, StringType, j.toLong)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Idempotently register graft functions on a session so `expr("...")`
+    * and SQL can call them (vec_dot, graft_simhash, graft_minhash). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VectorDot(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es.head), "internal")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSig(es.head), "internal")
+  }
+}

@@ -88,16 +88,21 @@ object Dedup {
   private val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => {
+      graft.functions.VectorExprs.register(s)
       val docSh = shingles(s, dir).groupBy("doc_id").agg(collect_list("s").as("shs"))
-      val sig = docSh.withColumn("sig", expr(
-        "transform(sequence(0, 31), j -> array_min(transform(shs, x -> xxhash64(concat(cast(j AS STRING), ':', x)))))"))
-      val bands = sig.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 7), b -> named_struct(
-             'band_id', b,
-             'bh', xxhash64(concat_ws(',', cast(b AS STRING),
-                    cast(sig[b*4] AS STRING), cast(sig[b*4+1] AS STRING),
-                    cast(sig[b*4+2] AS STRING), cast(sig[b*4+3] AS STRING)))))""")).as("band"))
-        .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bh").as("bh"))
+      // native one-pass signature (k=32, xxhash64 family, per-function
+      // seed) — the higher-order-function formulation re-evaluated the
+      // whole fold per reference after projection collapse
+      val sig = docSh.select(col("doc_id"), expr("graft_minhash(shs)").as("sig"))
+      // explode FIRST, derive the band hash above the Generate: projection
+      // collapse cannot cross Generate, so the signature is evaluated once
+      // per doc instead of once per band reference
+      val bands = sig
+        .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 7)")).as("band_id"))
+        .select(col("doc_id"), col("band_id"), expr(
+          """xxhash64(concat_ws(',', cast(band_id AS STRING),
+               cast(sig[band_id*4] AS STRING), cast(sig[band_id*4+1] AS STRING),
+               cast(sig[band_id*4+2] AS STRING), cast(sig[band_id*4+3] AS STRING)))""").as("bh"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
@@ -124,19 +129,18 @@ object Dedup {
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
+      graft.functions.VectorExprs.register(s)
+      // native one-pass signature: the higher-order formulation (bits
+      // array referenced 64×) re-evaluated the whole token fold per bit
+      // after projection collapse — 222 s for 500 docs; this is <1 s
       val sig = Tables.documents(s, dir)
-        .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("t"))
-        .withColumn("bits", expr(
-          """aggregate(transform(t, x -> xxhash64(x)), array_repeat(0L, 64),
-               (acc, h) -> zip_with(acc,
-                 transform(sequence(0, 63), j -> (shiftright(h, j) & 1) * 2 - 1),
-                 (a, b) -> a + b))"""))
-        .withColumn("simhash", expr(
-          "aggregate(transform(sequence(0, 63), j -> IF(bits[j] >= 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"))
-        .select("doc_id", "simhash")
-      val blocks = sig.select(col("doc_id"), col("simhash"), explode(expr(
-        "transform(sequence(0, 3), k -> named_struct('k', k, 'blk', shiftright(simhash, k*16) & 65535))")).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.k").as("k"), col("b.blk").as("blk"))
+        .select(col("doc_id"),
+          expr("graft_simhash(array_distinct(split(text, ' ')))").as("simhash"))
+      // explode-first so simhash evaluates once per doc (see minhash note)
+      val blocks = sig
+        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
+        .select(col("doc_id"), col("simhash"), col("k"),
+          expr("shiftright(simhash, k*16) & 65535").as("blk"))
       blocks.as("a")
         .join(blocks.as("b"),
           col("a.k") === col("b.k") && col("a.blk") === col("b.blk") &&

@@ -17,14 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** dot(a,b) with per-element promotion to double — left-fold order
-    * matches DuckDB's list_sum for bit-exact oracle agreement. */
+  /** dot(a,b) via the codegen'd native expression — left-fold with
+    * per-element double promotion, bit-identical to DuckDB's list_sum
+    * fold (see VectorExprs.VectorDot). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -33,6 +32,7 @@ object VectorOps {
   private val qSimilarityTopK = Q(
     "q_similarity_topk",
     (s, dir) => {
+      graft.functions.VectorExprs.register(s)
       val em = Tables.embeddings(s, dir)
       val probe = em.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
       em.filter(col("vec_id") =!= 0)
@@ -53,15 +53,19 @@ object VectorOps {
   )
 
   /** Exact embedding-cosine near-dup pairs (threshold 0.4). Quadratic —
-    * correctness baseline for the ANN path; corpus is fixed-small. */
+    * correctness baseline for the ANN path; corpus is fixed-small. Norms
+    * are precomputed per vector (not per pair), so each pair costs one
+    * codegen'd dot product. */
   private val qEmbedNearDup = Q(
     "q_embed_neardup",
     (s, dir) => {
-      val em = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val a = em.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = em.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      graft.functions.VectorExprs.register(s)
+      val em = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val a = em.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = em.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cs", cosine(col("ea"), col("eb")))
+        .withColumn("cs", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cs") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cs"), 4).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
@@ -99,18 +103,21 @@ object VectorOps {
   private val qAnnLsh = Q(
     "q_ann_lsh",
     (s, dir) => {
+      graft.functions.VectorExprs.register(s)
       val sigd = Tables.embeddings(s, dir)
         .withColumn("planes", typedLit(planes))
         .withColumn("sig", expr(
-          """transform(planes, pl ->
-               CASE WHEN aggregate(zip_with(embedding, pl, (x, y) -> CAST(x AS DOUBLE) * y),
-                                   0D, (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END)"""))
-      // corpus side: one exact key per band: "b:bit0 bit1 bit2 bit3"
+          "transform(planes, pl -> CASE WHEN vec_dot(embedding, pl) >= 0 THEN 1 ELSE 0 END)"))
+      // corpus side: one exact key per band ("b:bit0 bit1 bit2 bit3").
+      // explode-first: projection collapse cannot cross the Generate, so
+      // the 16-dot signature evaluates once per vector, not per reference
       val corpus = sigd.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"), explode(expr(
-          """transform(sequence(0, 3), b -> concat_ws(':', cast(b AS STRING),
+        .select(col("vec_id"), col("embedding"), col("sig"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .select(col("vec_id"), col("embedding"), expr(
+          """concat_ws(':', cast(b AS STRING),
                cast(sig[b*4] AS STRING), cast(sig[b*4+1] AS STRING),
-               cast(sig[b*4+2] AS STRING), cast(sig[b*4+3] AS STRING)))""")).as("band"))
+               cast(sig[b*4+2] AS STRING), cast(sig[b*4+3] AS STRING))""").as("band"))
       // probe side: exact key + the 4 hamming-1 variants per band
       val probeBands = sigd.filter(col("vec_id") === 0)
         .select(col("embedding").as("pe"), explode(expr(

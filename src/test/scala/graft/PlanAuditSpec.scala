@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan audits: the plan shapes the 100 TB design depends on must
+  * hold, not just the results. Each assertion pins a property called out
+  * in ARCHITECTURE.md — filter pushdown to the parquet scan, column
+  * pruning, broadcast joins for dims, TakeOrderedAndProject for top-k,
+  * two-phase hash aggregation, and no BroadcastNestedLoopJoin anywhere a
+  * bucketed strategy exists.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_agg_pricing: filter pushed to parquet scan + two-phase hash aggregate") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate\n" + p)
+  }
+
+  test("q_scan_project: column pruning reaches the scan (4 columns only)") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("q_topk / q_pick_oldest: TakeOrderedAndProject, no global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"), plan("q_topk"))
+    assert(plan("q_pick_oldest").contains("TakeOrderedAndProject"), plan("q_pick_oldest"))
+  }
+
+  test("q_join_broadcast: dim side broadcast, no shuffle join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_inner: nation dim broadcast even in the 3-way join") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"), plan("q_join_inner"))
+  }
+
+  test("q_join_range: bucketed equi-join — BroadcastNestedLoopJoin banned") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join degenerated to BNLJ\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_filter_candidates: whole-stage codegen covers the filter") {
+    // AQE's pre-execution plan string hides codegen nodes; ask for the
+    // codegen explain explicitly
+    val cg = SparkEntry.queries("q_filter_candidates")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(cg.contains("WholeStageCodegen"), cg)
+  }
+
+  test("q_similarity_topk: probe broadcast + TakeOrderedAndProject (corpus never shuffles)") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+}

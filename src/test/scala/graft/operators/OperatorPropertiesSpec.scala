@@ -85,7 +85,9 @@ class OperatorPropertiesSpec extends SparkTestBase {
   }
 
   test("simhash block-LSH is complete for hamming ≤ 3 (pigeonhole)") {
-    // recompute signatures directly and brute-force all pairs ≤ 3
+    // recompute signatures via the reference higher-order-function
+    // formulation (independent of the native graft_simhash expression the
+    // query uses) and brute-force all pairs ≤ 3
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), expr("array_distinct(split(text,' '))").as("t"))
       .withColumn("bits", expr(
