@@ -1,0 +1,95 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable similarity-search operators over an embedding column
+  * (`array<float>` or `array<double>`) — the library surface behind the
+  * `q_similarity_*` / `q_ann_*` / `q_embed_*` queries. Dot products run
+  * through the codegen'd `vec_dot` native expression.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def reg(df: DataFrame): Unit =
+    graft.functions.VectorExprs.register(df.sparkSession)
+
+  /** Exact cosine top-k neighbors of one probe row. The probe is
+    * broadcast; the corpus is scanned map-side and reduced via
+    * per-partition top-k (TakeOrderedAndProject) — no corpus shuffle.
+    * Returns (id, sim) ordered by sim desc (4dp-rounded), id asc. */
+  def cosineTopK(corpus: DataFrame, idCol: String, embCol: String,
+      probeId: Long, k: Int = 10): DataFrame = {
+    reg(corpus)
+    val probe = corpus.filter(col(idCol) === probeId).select(col(embCol).as("pe"))
+    corpus.filter(col(idCol) =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol).as("id"), round(cosine(col(embCol), col("pe")), 4).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+
+  /** Exact cosine near-dup pairs ≥ threshold. Quadratic — the
+    * correctness baseline; use [[annTopK]]'s bucket index at scale.
+    * Norms are precomputed per vector. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    reg(corpus)
+    val em = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
+      norm(col(embCol)).as("nrm"))
+    val a = em.select(col("id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = em.select(col("id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Deterministic ±1 random-hyperplane matrix (nPlanes × dim). */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val x = (p * 1000003L + d * 7919L + 12345L) * 2654435761L
+        if (((x >> 17) & 1L) == 0L) -1.0 else 1.0
+      }
+    }
+
+  /** Approximate cosine top-k via random-hyperplane LSH with multi-probe:
+    * corpus indexed under `bands` sign-bit band keys; the probe also
+    * queries every band key at Hamming distance 1; candidates are
+    * re-ranked with exact cosine. Index cost: `bands` rows/vector. */
+  def annTopK(corpus: DataFrame, idCol: String, embCol: String,
+      probeId: Long, k: Int = 10, nPlanes: Int = 16, bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    reg(corpus)
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val w = nPlanes / bands
+    val sigd = corpus
+      .withColumn("planes", typedLit(hyperplanes(nPlanes, dim)))
+      .withColumn("sig", expr(
+        s"transform(planes, pl -> CASE WHEN vec_dot($embCol, pl) >= 0 THEN 1 ELSE 0 END)"))
+    def key(bitExprs: Seq[String]): String =
+      s"concat_ws(':', cast(b AS STRING), ${bitExprs.mkString(", ")})"
+    val exactBits = (0 until w).map(r => s"cast(sig[b*$w+$r] AS STRING)")
+    val corpusIdx = sigd.filter(col(idCol) =!= probeId)
+      .select(col(idCol).as("id"), col(embCol).as("e"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("b"))
+      .select(col("id"), col("e"), expr(key(exactBits)).as("band"))
+    val probeKeys = sigd.filter(col(idCol) === probeId)
+      .select(col(embCol).as("pe"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("b"))
+      .select(col("pe"), col("sig"), col("b"),
+        explode(expr(s"sequence(-1, ${w - 1})")).as("fl"))
+      .select(col("pe"), expr(key((0 until w).map(r =>
+        s"cast(IF(fl = $r, 1 - sig[b*$w+$r], sig[b*$w+$r]) AS STRING)"))).as("band"))
+    corpusIdx
+      .join(broadcast(probeKeys), "band")
+      .select(col("id"), col("e"), col("pe")).distinct()
+      .select(col("id"), round(cosine(col("e"), col("pe")), 4).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable deduplication operators for text corpora — the parameterized
+  * library surface behind the `q_dedup_*` queries. All operators are
+  * generic over (idCol: long-ish, textCol: string) and follow the scale
+  * rules in ARCHITECTURE.md: no all-pairs joins, deterministic hashing,
+  * candidate generation by inverted index or LSH bucket, exact
+  * verification of candidates.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(t) >= $n
+                THEN transform(sequence(0, size(t) - $n),
+                       i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))
+                ELSE array() END""")).as("shingle"))
+      .distinct()
+
+  /** Exact dedup: one surviving id per distinct text (the smallest).
+    * Returns (id). For very large documents pass a fingerprinted column
+    * (see [[fingerprint]]) so the shuffle key is 32 bytes, not the text. */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol)).agg(min(col(idCol)).as("id")).select("id")
+
+  /** MD5 fingerprint of whitespace-normalized lowercase text — the
+    * content-address for exact dedup across shards. */
+  def fingerprint(textCol: Column): Column =
+    md5(lower(regexp_replace(textCol, "\\s+", " ")))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    * Returns (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b.
+    * `maxShingleDf` drops shingles occurring in more than that many docs
+    * before the join (stop-shingle skew guard; 0 disables). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
+    val shRaw = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxShingleDf <= 0) shRaw
+      else {
+        val hot = shRaw.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("shingle")
+        shRaw.join(hot, Seq("shingle"), "left_anti")
+      }
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs: 32 deterministic hash functions banded
+    * `bands` × (32/bands); candidates sharing a band bucket are verified
+    * with EXACT Jaccard over shingle sets (precision 1.0, recall governed
+    * by the banding curve). Returns (id_a, id_b, jaccard) ≥ threshold. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, bands: Int = 8): DataFrame = {
+    require(32 % bands == 0, "bands must divide 32")
+    val rows = 32 / bands
+    val spark = df.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val docSh = shingles(df, idCol, textCol, n)
+      .groupBy("id").agg(collect_list("shingle").as("shs"))
+    val sig = docSh.select(col("id"), expr("graft_minhash(shs)").as("sig"))
+    val bandKeys = sig
+      .select(col("id"), col("sig"), explode(expr(s"sequence(0, ${bands - 1})")).as("band_id"))
+      .select(col("id"), col("band_id"), expr(
+        s"""xxhash64(concat_ws(',', cast(band_id AS STRING),
+             ${(0 until rows).map(r => s"cast(sig[band_id*$rows+$r] AS STRING)").mkString(", ")}))""").as("bh"))
+    val cand = bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(docSh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(docSh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 64/blocks − 1 for the
+    * pigeonhole completeness guarantee; default 4 blocks → complete for
+    * distance ≤ 3). Returns (id_a, id_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val w = 64 / blocks
+    val mask = (1L << w) - 1
+    val spark = df.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val sig = df.select(col(idCol).as("id"),
+      expr(s"graft_simhash(array_distinct(split($textCol, ' ')))").as("simhash"))
+    val blk = sig
+      .select(col("id"), col("simhash"), explode(expr(s"sequence(0, ${blocks - 1})")).as("k"))
+      .select(col("id"), col("simhash"), col("k"),
+        expr(s"shiftright(simhash, k*$w) & $mask").as("blk"))
+    blk.as("a")
+      .join(blk.as("b"),
+        col("a.k") === col("b.k") && col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable event-time operators — the library surface behind the
+  * `q_window_*` / `q_session_window` / `q_join_range` queries. Works on
+  * both batch and streaming frames (the window forms lower to the same
+  * plans; sessionization in streaming uses the state store).
+  */
+object TimeSeries {
+
+  /** Epoch-aligned tumbling window aggregation. `aggs` are applied per
+    * window; output carries win_start_ms. */
+  def tumbling(df: DataFrame, tsCol: String, width: String,
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), width))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("win_start_ms", unix_millis(col("window.start")))
+      .drop("window")
+
+  /** Sliding windows (width, slide). */
+  def sliding(df: DataFrame, tsCol: String, width: String, slide: String,
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("win_start_ms", unix_millis(col("window.start")))
+      .drop("window")
+
+  /** Per-key session windows with a fixed gap. */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String, gap: String,
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start_ms", unix_millis(col("session_window.start")))
+      .drop("session_window")
+
+  /** Scale-correct interval join: count/collect right-side events whose
+    * `rightTsMs` falls in [leftTsMs, leftTsMs + windowMs). Implemented as
+    * a bucketed equi-join (each left window spans ≤2 buckets of width
+    * windowMs, each right point sits in 1) + exact residual filter —
+    * never a BroadcastNestedLoopJoin (ARCHITECTURE.md). Returns the left
+    * frame's `leftIdCol` with `match_cnt` (0 for unmatched). */
+  def intervalJoinCount(left: DataFrame, leftIdCol: String, leftTsMsCol: String,
+      right: DataFrame, rightTsMsCol: String, windowMs: Long): DataFrame = {
+    val l = left.select(col(leftIdCol).as("__lid"), col(leftTsMsCol).as("__lts"))
+    val r = right.select(col(rightTsMsCol).as("__rts"))
+    val lB = l.withColumn("__bucket",
+      explode(array(expr(s"__lts div $windowMs"), expr(s"__lts div $windowMs") + 1)))
+    val rB = r.withColumn("__bucket", expr(s"__rts div $windowMs"))
+    val counts = lB.join(rB, "__bucket")
+      .filter(col("__rts") >= col("__lts") && col("__rts") < col("__lts") + windowMs)
+      .groupBy("__lid").agg(count(lit(1)).as("match_cnt"))
+    l.join(counts, Seq("__lid"), "left")
+      .select(col("__lid").as(leftIdCol),
+        coalesce(col("match_cnt"), lit(0L)).as("match_cnt"))
+  }
+}

@@ -226,21 +226,12 @@ object Relational {
   private val qJoinRange = Q(
     "q_join_range",
     (s, dir) => {
-      val W = 600000L // 10 minutes in ms
       val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("ts_ms").as("p_ts"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("e_id"), col("ts_ms").as("e_ts"))
-      val pB = purchases.withColumn("bucket",
-        explode(array(expr(s"p_ts div $W"), expr(s"p_ts div $W") + 1)))
-      val eB = errors.withColumn("bucket", expr(s"e_ts div $W"))
-      val counts = pB.join(eB, "bucket")
-        .filter(col("e_ts") >= col("p_ts") && col("e_ts") < col("p_ts") + W)
-        .groupBy("p_id").agg(count(lit(1)).as("err_cnt"))
-      purchases.join(counts, Seq("p_id"), "left")
-        .select(col("p_id").as("event_id"),
-          coalesce(col("err_cnt"), lit(0L)).as("err_cnt"))
+      graft.api.TimeSeries.intervalJoinCount(
+          ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms",
+          ev.filter(col("event_type") === "error"), "ts_ms",
+          windowMs = 600000L)
+        .withColumnRenamed("match_cnt", "err_cnt")
         .orderBy("event_id")
     },
     Some("""SELECT p.event_id, count(e.event_id) AS err_cnt

@@ -17,12 +17,7 @@ object TextOps {
   private val qTextStats = Q(
     "q_text_stats",
     (s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("token"))
-        .limit(20),
+      graft.api.TextAnalysis.tokenFrequencies(Tables.documents(s, dir), "text", topK = 20),
     Some("""SELECT token, count(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
             GROUP BY token ORDER BY cnt DESC, token LIMIT 20""")
@@ -33,26 +28,10 @@ object TextOps {
     * Ties resolve by fixed priority en>es>de>fr; no hits → 'und'. */
   private val qLangId = Q(
     "q_lang_id",
-    (s, dir) => {
-      val en = "array('the','a','of','and','to')"
-      val es = "array('el','la','de','que','y')"
-      val de = "array('der','die','und','das','ist')"
-      val fr = "array('le','la','et','les','un')"
-      Tables.documents(s, dir)
-        .withColumn("toks", expr("array_distinct(split(text, ' '))"))
-        .withColumn("s_en", expr(s"size(array_intersect(toks, $en))"))
-        .withColumn("s_es", expr(s"size(array_intersect(toks, $es))"))
-        .withColumn("s_de", expr(s"size(array_intersect(toks, $de))"))
-        .withColumn("s_fr", expr(s"size(array_intersect(toks, $fr))"))
-        .withColumn("pred_lang", expr(
-          """CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
-                  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-                  WHEN s_de >= s_fr THEN 'de'
-                  ELSE 'fr' END"""))
+    (s, dir) =>
+      graft.api.TextAnalysis.languageId(Tables.documents(s, dir), "text")
         .select("doc_id", "pred_lang")
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""WITH sc AS (SELECT doc_id,
               len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to'])) AS s_en,
               len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y'])) AS s_es,
@@ -73,18 +52,8 @@ object TextOps {
   private val qQualityScore = Q(
     "q_quality_score",
     (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
-        .withColumn("ttr",
-          size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
-        .withColumn("avg_tok_len",
-          (length(col("text")).cast("double") - (col("n_tok") - 1)) / col("n_tok"))
-        .select(
-          col("doc_id"), col("n_tok"), round(col("ttr"), 4).as("ttr"),
-          round(least(lit(1.0), col("n_tok") / 50.0) * 0.4
-            + col("ttr") * 0.4
-            + least(lit(1.0), col("avg_tok_len") / 8.0) * 0.2, 4).as("quality"))
+      graft.api.TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_tok", "ttr", "quality")
         .orderBy("doc_id"),
     Some("""WITH m AS (SELECT doc_id,
               len(string_split(text,' ')) AS n_tok,
@@ -102,12 +71,8 @@ object TextOps {
   private val qTokenCount = Q(
     "q_token_count",
     (s, dir) =>
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-          size(regexp_extract_all(col("text"),
-            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"))
+      graft.api.TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+        .select("doc_id", "ws_tokens", "re_tokens")
         .orderBy("doc_id"),
     Some("""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
@@ -120,8 +85,7 @@ object TextOps {
     "q_fingerprint",
     (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .select(col("doc_id"), graft.api.TextDedup.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id""")

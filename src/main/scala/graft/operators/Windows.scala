@@ -75,10 +75,9 @@ object Windows {
   private val qWindowTumbling = Q(
     "q_window_tumbling",
     (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(window(col("ts_t"), "5 minutes"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
-        .select(unix_millis(col("window.start")).as("win_start_ms"), col("cnt"), col("sum_value"))
+      graft.api.TimeSeries.tumbling(Tables.events(s, dir), "ts_t", "5 minutes",
+          Seq(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")))
+        .select("win_start_ms", "cnt", "sum_value")
         .orderBy("win_start_ms"),
     Some("""SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms,
               count(*) AS cnt, round(sum(value), 4) AS sum_value
@@ -90,10 +89,9 @@ object Windows {
   private val qWindowSliding = Q(
     "q_window_sliding",
     (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(window(col("ts_t"), "10 minutes", "5 minutes"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
-        .select(unix_millis(col("window.start")).as("win_start_ms"), col("cnt"), col("sum_value"))
+      graft.api.TimeSeries.sliding(Tables.events(s, dir), "ts_t", "10 minutes", "5 minutes",
+          Seq(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")))
+        .select("win_start_ms", "cnt", "sum_value")
         .orderBy("win_start_ms"),
     Some("""WITH b AS (SELECT (epoch_ms(ts) // 300000) * 300000 AS b5, value FROM events),
                  w AS (SELECT unnest([b5, b5 - 300000]) AS win_start_ms, value FROM b)
@@ -109,12 +107,9 @@ object Windows {
   private val qSessionWindow = Q(
     "q_session_window",
     (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
-        .select(col("user_id"),
-          unix_millis(col("session_window.start")).as("session_start_ms"),
-          col("cnt"), col("sum_value"))
+      graft.api.TimeSeries.sessionize(Tables.events(s, dir), "ts_t", "user_id", "30 minutes",
+          Seq(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")))
+        .select("user_id", "session_start_ms", "cnt", "sum_value")
         .orderBy("user_id", "session_start_ms"),
     Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
                  l AS (SELECT user_id, tu, value,
