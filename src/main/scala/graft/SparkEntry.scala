@@ -11,6 +11,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++
       operators.Windows.all ++
+      operators.Extras.all ++
       functions.Scalars.all ++
       operators.TextOps.all ++
       operators.Dedup.all ++

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second wave of analytics operators rounding out the engine surface:
+  * pivot, exact percentiles, statistical moments, ordered string
+  * aggregation, positional explode, additional ranking functions,
+  * distinct set union, cross join, and struct-ordered argmax. All
+  * oracle-checked, all following the determinism rules (total order +
+  * 4dp rounding).
+  */
+object Extras {
+
+  /** Pivot (groupBy.pivot.agg) — Spark pivots into one column per key;
+    * oracle is the equivalent CASE-sum formulation. */
+  private val qPivot = Q(
+    "q_pivot",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 4))
+        .orderBy("yr"),
+    Some("""SELECT year(o_orderdate) AS yr,
+              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+              round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+              round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+            FROM orders GROUP BY yr ORDER BY yr""")
+  )
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). The approx path is q_approx_distinct's HLL cousin
+    * (`percentile_approx`) — not oracled, same contract. */
+  private val qAggPercentile = Q(
+    "q_agg_percentile",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+              round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** Statistical moments + correlation (sample semantics both engines). */
+  private val qAggStats = Q(
+    "q_agg_stats",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              round(stddev_samp(l_quantity), 4) AS sd_qty,
+              round(var_samp(l_quantity), 4) AS var_qty,
+              round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+              round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** Ordered string aggregation (listagg): sort inside the group for
+    * determinism. */
+  private val qAggListagg = Q(
+    "q_agg_listagg",
+    (s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name"),
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name""")
+  )
+
+  /** Positional explode (posexplode Generator). */
+  private val qPosexplode = Q(
+    "q_posexplode",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 20),
+                 ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks)
+            SELECT doc_id, p - 1 AS pos, t[CAST(p AS INT)] AS token
+            FROM ix ORDER BY doc_id, pos""")
+  )
+
+  /** dense_rank + ntile with a totally-ordered window. */
+  private val qWindowNtile = Q(
+    "q_window_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dense_rank().over(w).cast("long").as("dr"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("o_orderkey") % 37 === 0)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderstatus,
+              CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS dr,
+              CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+            FROM orders)
+            SELECT o_orderkey, o_orderstatus, dr, quartile FROM r
+            WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""")
+  )
+
+  /** UNION with distinct semantics (vs q_union_all). */
+  private val qUnionDistinct = Q(
+    "q_union_distinct",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error").select("user_id")
+        .union(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .distinct()
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'error'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id""")
+  )
+
+  /** Explicit cross join (small × small — bounded by construction). */
+  private val qJoinCross = Q(
+    "q_join_cross",
+    (s, dir) =>
+      Tables.region(s, dir).select("r_name")
+        .crossJoin(Tables.orders(s, dir).select("o_orderstatus").distinct())
+        .orderBy("r_name", "o_orderstatus"),
+    Some("""SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+            ORDER BY r_name, o_orderstatus""")
+  )
+
+  /** Deterministic argmax via struct-ordered max: the top order per
+    * customer (highest price, tie → smallest orderkey) in ONE aggregate —
+    * no window, no second shuffle. */
+  private val qArgmax = Q(
+    "q_argmax",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice").as("p"), (-col("o_orderkey")).as("nk"))).as("m"))
+        .select(col("o_custkey"), (-col("m.nk")).cast("long").as("top_orderkey"),
+          round(col("m.p"), 4).as("top_price"))
+        .orderBy("o_custkey"),
+    Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+            SELECT o_custkey, o_orderkey AS top_orderkey, round(o_totalprice, 4) AS top_price
+            FROM r WHERE rn = 1 ORDER BY o_custkey""")
+  )
+
+  val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qAggListagg,
+    qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax)
+}

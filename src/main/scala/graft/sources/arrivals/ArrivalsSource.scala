@@ -112,14 +112,46 @@ class ArrivalsTable(opts: ArrivalsOptions) extends Table with SupportsRead {
   override def name(): String = s"arrivals(${opts.path})"
   override def schema(): StructType = ArrivalsTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ArrivalsTable.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ArrivalsMicroBatchStream(opts)
+        // Batch mode: a read-only snapshot of the current pending set
+        // (same candidate filter + consumeOrder + cap); nothing is
+        // renamed — consumption semantics belong to the stream.
+        override def toBatch(): Batch = new ArrivalsBatch(opts)
       }
+    }
+}
+
+class ArrivalsBatch(opts: ArrivalsOptions) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dirPath = new Path(opts.path)
+    val fs = dirPath.getFileSystem(new Configuration())
+    val ignoreRe = if (opts.ignorePattern.nonEmpty) Some(opts.ignorePattern.r) else None
+    val cand = fs.listStatus(dirPath).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.endsWith(opts.fileSuffix) && !n.startsWith(".") &&
+          ignoreRe.forall(_.findFirstIn(n).isEmpty)
+      }
+      .map(st => FileMeta(st.getPath.toUri.getPath, st.getModificationTime))
+    val files = ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
+    if (files.isEmpty) Array.empty
+    else {
+      val slices = math.min(files.size, 32)
+      files.zipWithIndex.groupBy(_._2 % slices).values
+        .map(g => ArrivalsPartition(g.map(_._1), opts.inputCharset): InputPartition)
+        .toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new ArrivalsPartitionReader(partition.asInstanceOf[ArrivalsPartition])
     }
 }
 

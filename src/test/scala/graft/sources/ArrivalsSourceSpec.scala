@@ -229,6 +229,22 @@ class ArrivalsSourceSpec extends SparkTestBase {
     intercept[Exception](stream(new File("/nonexistent-arrivals-dir")))
   }
 
+  test("batch read: snapshot of pending files, ordered, nothing renamed") {
+    val dir = tmpDir()
+    val t0 = 1704000000000L
+    write(dir, "b", "x", t0 + 1000); write(dir, "a", "x", t0)
+    write(dir, "done.COMPLETED", "x", t0); write(dir, ".h", "x", t0)
+    val rows = spark.read.format("arrivals").option("path", dir.getAbsolutePath)
+      .load().collect()
+    assert(rows.map(_.getAs[String]("file_name")).toSeq == Seq("a", "b"))
+    // read-only: files still present, unrenamed
+    assert(new File(dir, "a").exists() && new File(dir, "b").exists())
+    // second batch read sees the same snapshot (no consumption)
+    val again = spark.read.format("arrivals").option("path", dir.getAbsolutePath)
+      .load().count()
+    assert(again == 2)
+  }
+
   test("lifecycle: start/stop ×10 with a shared checkpoint stays clean") {
     val dir = tmpDir()
     val cp = Files.createTempDirectory("arrivals-lc-").toString

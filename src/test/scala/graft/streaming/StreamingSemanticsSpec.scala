@@ -94,6 +94,38 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(streaming == batch)
   }
 
+  test("streaming exact dedup (dropDuplicates) over replayed documents ≡ batch distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("text").as[String].collect().toSeq
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("text")
+      .dropDuplicates("text")
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append")
+      .start()
+    try {
+      // replay twice: duplicates across batches must be suppressed by state
+      mem.addData(docs); q.processAllAvailable()
+      mem.addData(docs.take(100)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_dedup").count()
+    val batch = Tables.documents(spark, sfDir).select("text").distinct().count()
+    assert(streamed == batch)
+  }
+
+  test("salted aggregation equals plain aggregation (skew utility)") {
+    import org.apache.spark.sql.functions._
+    val plain = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    val salted = graft.api.Skew.saltedAggregate(
+        Tables.events(spark, sfDir), Seq("event_type"), 16, col("event_id"))(
+        partial = Seq(count(lit(1)).as("c"), sum("value").as("s")),
+        fin = Seq(sum("c").as("cnt"), round(sum("s"), 4).as("sum_value")))
+      .orderBy("event_type").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("windowed aggregation runs end-to-end on the arrivals source") {
     val dir = java.nio.file.Files.createTempDirectory("arrivals-win-").toFile
     def put(n: String, t: Long): Unit = {
