@@ -35,6 +35,33 @@ object TimeSeries {
       .withColumn("session_start_ms", unix_millis(col("session_window.start")))
       .drop("session_window")
 
+  /** As-of join: for each left row, the most recent right-side timestamp
+    * at-or-before it within the same key. Implemented with the
+    * union-window formulation — tag both sides, union, running max of the
+    * right timestamp over (key, ts) — which costs ONE shuffle by key and
+    * no join at all (the classic scalable as-of plan; a naive approach is
+    * a per-row correlated scan). Ties: a right row at exactly the left
+    * timestamp counts as "at or before". Returns (leftIdCol,
+    * asof_ts_ms: nullable). */
+  def asofJoin(left: DataFrame, leftIdCol: String, leftTsMsCol: String, leftKeyCol: String,
+      right: DataFrame, rightTsMsCol: String, rightKeyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(leftKeyCol).as("__k"), col(leftTsMsCol).as("__ts"),
+      col(leftIdCol).as("__lid"), lit(1).as("__is_left"),
+      lit(null).cast("long").as("__rts"))
+    val r = right.select(col(rightKeyCol).as("__k"), col(rightTsMsCol).as("__ts"),
+      lit(null).cast("long").as("__lid"), lit(0).as("__is_left"),
+      col(rightTsMsCol).cast("long").as("__rts"))
+    // right rows sort before left rows at equal ts (__is_left asc) so an
+    // exactly-simultaneous right event is visible to the left row
+    val w = Window.partitionBy("__k").orderBy(asc("__ts"), asc("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", max("__rts").over(w))
+      .filter(col("__is_left") === 1)
+      .select(col("__lid").as(leftIdCol), col("__asof").as("asof_ts_ms"))
+  }
+
   /** Scale-correct interval join: count/collect right-side events whose
     * `rightTsMs` falls in [leftTsMs, leftTsMs + windowMs). Implemented as
     * a bucketed equi-join (each left window spans ≤2 buckets of width

@@ -167,6 +167,43 @@ object Extras {
             FROM r WHERE rn = 1 ORDER BY o_custkey""")
   )
 
+  /** As-of join (union-window formulation, graft.api.TimeSeries.asofJoin):
+    * for each purchase, the most recent error at-or-before it by the same
+    * user. One shuffle by user_id, no join operator at all. */
+  private val qJoinAsof = Q(
+    "q_join_asof",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.api.TimeSeries.asofJoin(
+          ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms", "user_id",
+          ev.filter(col("event_type") === "error"), "ts_ms", "user_id")
+        .withColumnRenamed("asof_ts_ms", "last_err_ms")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id,
+              (SELECT max(epoch_ms(e.ts)) FROM events e
+               WHERE e.event_type = 'error' AND e.user_id = p.user_id
+                 AND epoch_ms(e.ts) <= epoch_ms(p.ts)) AS last_err_ms
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id""")
+  )
+
+  /** Sketch percentiles (t-digest-style approx, one pass, fixed memory) —
+    * the 100 TB path where exact `percentile` shuffles every value.
+    * Approximate → no SQL oracle; accuracy property-tested vs exact. */
+  private val qApproxPercentile = Q(
+    "q_approx_percentile",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.5, 2000)").as("median_approx"),
+          expr("percentile_approx(l_extendedprice, 0.9, 2000)").as("p90_approx"))
+        .orderBy("l_returnflag"),
+    None
+  )
+
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qAggListagg,
-    qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax)
+    qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
+    qJoinAsof, qApproxPercentile)
 }

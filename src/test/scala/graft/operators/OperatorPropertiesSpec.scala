@@ -119,6 +119,36 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(viaGroup == viaWindow)
   }
 
+  test("approx percentile within 5% of exact") {
+    val approx = graft.SparkEntry.queries("q_approx_percentile")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("median_approx"), r.getAs[Double]("p90_approx"))).toMap
+    val exact = graft.SparkEntry.queries("q_agg_percentile")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("median_price"), r.getAs[Double]("p90_price"))).toMap
+    exact.foreach { case (k, (m, p90)) =>
+      val (am, ap) = approx(k)
+      assert(math.abs(am - m) / m <= 0.05, s"$k median: $am vs $m")
+      assert(math.abs(ap - p90) / p90 <= 0.05, s"$k p90: $ap vs $p90")
+    }
+  }
+
+  test("as-of join equals per-row correlated max (model check)") {
+    import graft.Tables
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts_ms", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val errors = ev.filter(_._4 == "error")
+    val expected = ev.filter(_._4 == "purchase").map { case (id, ts, u, _) =>
+      val last = errors.filter(e => e._3 == u && e._2 <= ts)
+      id -> (if (last.isEmpty) None else Some(last.map(_._2).max))
+    }.toMap
+    val got = graft.SparkEntry.queries("q_join_asof")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("last_err_ms")).map(_.toLong)).toMap
+    assert(got == expected)
+  }
+
   test("multimodal stub decode is deterministic and matches its contract") {
     val m1 = Multimodal.stubDecode(7L, "hello world".getBytes("UTF-8"))
     val m2 = Multimodal.stubDecode(7L, "hello world".getBytes("UTF-8"))
