@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorExprs
+
+/** SparkSessionExtensions entry point: enables the graft native functions
+  * for any session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide,
+  * no code change), complementing the imperative
+  * [[graft.functions.VectorExprs.register]] used inside the library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorExprs.VectorDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VectorExprs.VectorDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[VectorExprs.SimHash64].getName, "graft_simhash"),
+      (es: Seq[Expression]) => VectorExprs.SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[VectorExprs.MinHashSig].getName, "graft_minhash"),
+      (es: Seq[Expression]) => VectorExprs.MinHashSig(es.head)))
+  }
+}

@@ -52,6 +52,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(cg.contains("WholeStageCodegen"), cg)
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join — the 100 TB join plan)") {
+    Tables.orders(spark, sfDir).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.customer(spark, sfDir).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      joined.collect() // materialize so AQE finalizes
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), "bucketed join still shuffled:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("q_similarity_topk: probe broadcast + TakeOrderedAndProject (corpus never shuffles)") {
     val p = plan("q_similarity_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

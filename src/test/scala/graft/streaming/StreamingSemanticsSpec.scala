@@ -126,6 +126,48 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("end-to-end: arrivals stream feeds content fingerprint dedup via foreachBatch") {
+    // the reference's deployment story completed: files arrive → metadata
+    // stream → per-batch content load → fingerprint → dedup store
+    val dir = java.nio.file.Files.createTempDirectory("arrivals-pipe-").toFile
+    def put(n: String, content: String, t: Long): Unit = {
+      val f = new java.io.File(dir, n)
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      assert(f.setLastModified(t))
+    }
+    put("a.txt", "hello world", 1704000000000L)
+    put("b.txt", "hello world", 1704000001000L) // exact duplicate content
+    put("c.txt", "something else", 1704000002000L)
+    val store = scala.collection.mutable.Set.empty[String]
+    val q = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val paths = batch.select("file_path").collect().map(_.getString(0))
+        if (paths.nonEmpty) {
+          val contents = spark.read.option("wholetext", "true").text(paths: _*)
+          val fps = contents
+            .select(graft.api.TextDedup.fingerprint(col("value")).as("fp"))
+            .collect().map(_.getString(0))
+          store.synchronized { store ++= fps }
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(store.size == 2, s"expected 2 distinct fingerprints, got $store")
+  }
+
+  test("native functions register via SQL (vec_dot callable from spark.sql)") {
+    graft.functions.VectorExprs.register(spark)
+    val v = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 9.0)
+    assert(new graft.GraftExtensions() != null) // config entry point constructible
+  }
+
   test("windowed aggregation runs end-to-end on the arrivals source") {
     val dir = java.nio.file.Files.createTempDirectory("arrivals-win-").toFile
     def put(n: String, t: Long): Unit = {
