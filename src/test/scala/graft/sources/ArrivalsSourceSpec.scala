@@ -245,6 +245,33 @@ class ArrivalsSourceSpec extends SparkTestBase {
     assert(again == 2)
   }
 
+  test("throughput: 2000 files drain exactly-once across batched triggers") {
+    // the reference's weak spot (O(n²) drain, README.md:31 warns about
+    // large directories); ours lists once per trigger and admits
+    // maxFilesPerTrigger — 2000 files should drain in a few batches
+    val dir = tmpDir()
+    val t0 = 1704000000000L
+    (1 to 2000).foreach(i => write(dir, f"f$i%05d", "x", t0 + i))
+    val start = System.nanoTime()
+    val rows = runStream(dir, "t_bulk", Map("maxFilesPerTrigger" -> "500"),
+      awaitRenamed = Seq("f02000.COMPLETED")).collect()
+    val secs = (System.nanoTime() - start) / 1e9
+    assert(rows.length == 2000, s"expected 2000 rows, got ${rows.length}")
+    assert(rows.map(_.getAs[String]("file_name")).distinct.length == 2000, "duplicates emitted")
+    // OLDEST ordering is a BATCH-level contract: each 500-file trigger
+    // admits exactly the next 500 oldest files (within a batch, the 32
+    // partitions append to the sink in parallel — row order there is not
+    // a contract)
+    val names = rows.map(_.getAs[String]("file_name")).toSeq
+    names.grouped(500).zipWithIndex.foreach { case (chunk, i) =>
+      val expected = (i * 500 + 1 to i * 500 + 500).map(n => f"f$n%05d").toSet
+      assert(chunk.toSet == expected, s"batch $i admitted wrong file set")
+    }
+    assert(dir.listFiles().forall(_.getName.endsWith(".COMPLETED")))
+    info(f"drained 2000 files in $secs%.1f s (${2000 / secs}%.0f files/s)")
+    assert(secs < 120, f"drain too slow: $secs%.1f s")
+  }
+
   test("lifecycle: start/stop ×10 with a shared checkpoint stays clean") {
     val dir = tmpDir()
     val cp = Files.createTempDirectory("arrivals-lc-").toString
