@@ -53,5 +53,29 @@ object Multimodal {
             FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(qMultimodalDecode)
+  /** Frame sampling: one row per (stub-)decoded frame — the Generator
+    * form a video pipeline uses to fan a clip out into per-frame rows for
+    * downstream feature extraction. Frame count comes from the stub
+    * decoder's contract; the frame key is a deterministic content
+    * address (what a real pipeline would replace with the frame tensor's
+    * hash). */
+  private val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("byte_len", length(col("text").cast("binary")).cast("long"))
+        .withColumn("n_frames", col("byte_len") % 16 + 1)
+        .select(col("doc_id"), explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("frame_idx").cast("string"))).as("frame_key"))
+        .orderBy("doc_id", "frame_idx"),
+    Some("""WITH f AS (SELECT doc_id, octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents)
+            SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+              md5(CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(unnest(generate_series(0, n_frames - 1)) AS VARCHAR)) AS frame_key
+            FROM f ORDER BY doc_id, frame_idx""")
+  )
+
+  val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames)
 }

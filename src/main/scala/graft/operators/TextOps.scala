@@ -119,6 +119,26 @@ object TextOps {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** Heavy hitters via the space-saving sketch Aggregator
+    * (graft.api.Sketches): top frequent tokens per language in ONE pass
+    * with fixed memory — the scale alternative to explode+groupBy+sort
+    * when only the distribution head matters. Approximate under eviction
+    * → no SQL oracle; exactness-when-distinct≤k property-tested. */
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      val hh = graft.api.Sketches.heavyHitters(8)
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang")
+        .agg(hh(col("token")).as("top_tokens"))
+        .select(col("lang"), expr("transform(top_tokens, x -> x._1)").as("tokens"),
+          expr("transform(top_tokens, x -> x._2)").as("approx_counts"))
+        .orderBy("lang")
+    },
+    None
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
-    qFingerprint, qMultimodalMeta)
+    qFingerprint, qMultimodalMeta, qHeavyHitters)
 }

@@ -149,6 +149,38 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("space-saving sketch is exact when distinct items ≤ k") {
+    import org.apache.spark.sql.functions._
+    val hh = graft.api.Sketches.heavyHitters(16) // 5 event types << 16
+    val sketch = Tables.events(spark, sfDir)
+      .agg(hh(col("event_type")).as("t")).collect().head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("t")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch == exact)
+  }
+
+  test("space-saving sketch guarantee: items with count > n/k survive eviction, counts overestimate") {
+    // the guarantee needs skew (count > n/k); the documents vocab is
+    // near-uniform, so drive a synthetic skewed stream: one hot item at
+    // 50% + a 50-item uniform tail, k=8 counters → heavy evictions
+    import org.apache.spark.sql.functions._
+    val n = 20000
+    val skewed = spark.range(n).select(
+      when(col("id") % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("t"), (col("id") % 50).cast("string"))).as("token"))
+    val hh = graft.api.Sketches.heavyHitters(8)
+    val sketch = skewed.agg(hh(col("token")).as("t")).collect().head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("t")
+      .map(r => r.getString(0) -> r.getLong(1))
+    // "hot" has true count n/2 > n/k → MUST be present, and ranked first
+    assert(sketch.head._1 == "hot", s"guaranteed heavy hitter missing: $sketch")
+    // space-saving never undercounts
+    assert(sketch.head._2 >= n / 2, s"undercounted hot: ${sketch.head._2} < ${n / 2}")
+    assert(sketch.size <= 8)
+  }
+
   test("multimodal stub decode is deterministic and matches its contract") {
     val m1 = Multimodal.stubDecode(7L, "hello world".getBytes("UTF-8"))
     val m2 = Multimodal.stubDecode(7L, "hello world".getBytes("UTF-8"))
