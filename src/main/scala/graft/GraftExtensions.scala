@@ -15,12 +15,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorExprs.VectorDot].getName, "vec_dot"),
-      (es: Seq[Expression]) => VectorExprs.VectorDot(es(0), es(1))))
+      VectorExprs.buildVecDot(_)))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[VectorExprs.SimHash64].getName, "graft_simhash"),
-      (es: Seq[Expression]) => VectorExprs.SimHash64(es.head)))
+      VectorExprs.buildSimHash(_)))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[VectorExprs.MinHashSig].getName, "graft_minhash"),
-      (es: Seq[Expression]) => VectorExprs.MinHashSig(es.head)))
+      VectorExprs.buildMinHash(_)))
   }
 }

@@ -41,18 +41,31 @@ object Sketches {
     }
 
     override def merge(a: SSBuf, b: SSBuf): SSBuf = {
-      b.foreach { case (key, (c, e)) =>
-        a.get(key) match {
-          case Some((c0, e0)) => a.update(key, (c0 + c, e0 + e))
-          case None => a.update(key, (c, e))
+      // Standard space-saving merge (Agarwal et al., "Mergeable
+      // Summaries"): an item absent from a full buffer may have been
+      // evicted there with a count up to that buffer's minimum — charge
+      // that floor so merged counts still OVERestimate true counts (the
+      // documented guarantee). Without it, eviction-absorbed mass is lost
+      // and a genuine heavy hitter can be truncated below a locally
+      // overcounted item.
+      def floor(buf: SSBuf): Long =
+        if (buf.size >= k) buf.valuesIterator.map(_._1).min else 0L
+      val fa = floor(a); val fb = floor(b)
+      val merged = mutable.HashMap.empty[String, (Long, Long)]
+      (a.keysIterator ++ b.keysIterator).foreach { key =>
+        if (!merged.contains(key)) {
+          val (ca, ea) = a.getOrElse(key, (fa, fa))
+          val (cb, eb) = b.getOrElse(key, (fb, fb))
+          merged.update(key, (ca + cb, ea + eb))
         }
       }
       // shrink back to k counters, keeping the largest (deterministic
       // tiebreak by key)
-      if (a.size > k) {
-        val keep = a.toSeq.sortBy { case (key, (c, _)) => (-c, key) }.take(k)
-        a.clear(); keep.foreach { case (key, v) => a.update(key, v) }
-      }
+      val keep =
+        if (merged.size > k)
+          merged.toSeq.sortBy { case (key, (c, _)) => (-c, key) }.take(k)
+        else merged.toSeq
+      a.clear(); keep.foreach { case (key, v) => a.update(key, v) }
       a
     }
 

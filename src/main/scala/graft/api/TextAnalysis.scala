@@ -30,11 +30,12 @@ object TextAnalysis {
     * Adds `pred_lang` to the frame. */
   def languageId(df: DataFrame, textCol: String,
       dicts: Seq[(String, Seq[String])] = defaultStopwords): DataFrame = {
-    val toks = expr(s"array_distinct(split($textCol, ' '))")
+    val toks = array_distinct(split(col(textCol), " "))
     val scored = dicts.zipWithIndex.foldLeft(df.withColumn("__toks", toks)) {
       case (acc, ((_, words), i)) =>
-        acc.withColumn(s"__s$i", expr(
-          s"size(array_intersect(__toks, array(${words.map(w => s"'$w'").mkString(",")})))"))
+        // typedLit, not SQL interpolation: words with quotes (l', dell')
+        // are legal dictionary entries
+        acc.withColumn(s"__s$i", size(array_intersect(col("__toks"), typedLit(words))))
     }
     val langs = dicts.map(_._1)
     val allZero = langs.indices.map(i => s"__s$i = 0").mkString(" AND ")

@@ -126,15 +126,27 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Arity-checked expression builders (a wrong-arity SQL call must fail
+    * analysis with a clear message, not IndexOutOfBoundsException). */
+  def buildVecDot(es: Seq[Expression]): Expression = {
+    require(es.length == 2, s"vec_dot expects 2 arguments, got ${es.length}")
+    VectorDot(es(0), es(1))
+  }
+  def buildSimHash(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"graft_simhash expects 1 argument, got ${es.length}")
+    SimHash64(es.head)
+  }
+  def buildMinHash(es: Seq[Expression]): Expression = {
+    require(es.length == 1, s"graft_minhash expects 1 argument, got ${es.length}")
+    MinHashSig(es.head)
+  }
+
   /** Idempotently register graft functions on a session so `expr("...")`
     * and SQL can call them (vec_dot, graft_simhash, graft_minhash). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      es => VectorDot(es(0), es(1)), "internal")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash64(es.head), "internal")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSig(es.head), "internal")
+    reg.createOrReplaceTempFunction("vec_dot", buildVecDot, "internal")
+    reg.createOrReplaceTempFunction("graft_simhash", buildSimHash, "internal")
+    reg.createOrReplaceTempFunction("graft_minhash", buildMinHash, "internal")
   }
 }

@@ -9,6 +9,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -40,8 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     161-166), applied to the whole pending set per micro-batch: list
   *     once, sort once, take N — O(n log n) per batch vs the reference's
   *     O(n²) drain (re-list per file, README.md:31 warns about it).
-  *   - commit-by-rename happens in `commit(offset)` AFTER the micro-batch
-  *     is durably committed — the reference renames BEFORE delivery
+  *   - commit-by-rename happens AFTER the micro-batch is durably
+  *     committed — the reference renames BEFORE delivery
   *     (CephFSEventReader.java:96 before CephFsSource.java:148) and loses
   *     the event if the channel put fails. Rename is idempotent on replay
   *     (dest-exists with source gone = already committed, SURVEY.md §7.4-1);
@@ -52,12 +53,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale: the driver only LISTS the directory (one RPC-ish listing per
   * trigger) and ships plain metadata; executors never touch the
-  * filesystem — partitions carry their rows. Uses the Hadoop FileSystem
-  * API, so `path` may be any supported scheme (file://, hdfs://, ...; a
-  * CephFS mount is just file:// as in the reference, README.md:3).
+  * filesystem — partitions carry their rows. The filesystem is resolved
+  * through the active SparkSession's Hadoop configuration, so `path` may
+  * be any scheme the session is configured for (file://, hdfs://, s3a://;
+  * a CephFS mount is just file:// as in the reference, README.md:3).
   * Backpressure is `maxFilesPerTrigger` admission control — Structured
   * Streaming pulls per trigger, so the reference's channel-full
   * exponential backoff (CephFsSource.java:149-160) has no analog.
+  *
+  * NOTE: the rename-on-commit makes a stream CONSUME files; run at most
+  * one streaming query per watched directory (use the read-only batch
+  * mode, or chain downstream queries off the first query's sink, for
+  * additional consumers).
   */
 class ArrivalsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "arrivals"
@@ -108,6 +115,51 @@ object ArrivalsTable {
     StructField("body", BinaryType, nullable = false)))
 }
 
+/** Driver-side helpers shared by the streaming and batch paths — one
+  * definition of the candidate predicate, pending-set listing, partition
+  * slicing, and filesystem resolution (through the active session's
+  * Hadoop conf, so spark.hadoop.* settings apply). */
+object ArrivalsUtil {
+  def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Candidate predicate (ref R2, CephFSEventReader.java:111-121) with
+    * ignorePattern enforced as documented (fixing the dead config). */
+  def isCandidate(opts: ArrivalsOptions, ignoreRe: Option[scala.util.matching.Regex])(
+      st: FileStatus): Boolean = {
+    val n = st.getPath.getName
+    st.isFile && !n.endsWith(opts.fileSuffix) && !n.startsWith(".") &&
+      ignoreRe.forall(_.findFirstIn(n).isEmpty)
+  }
+
+  /** List once, order the whole pending set (ref R3 semantics batched:
+    * SURVEY.md §7.4-3), admit up to maxFilesPerTrigger. */
+  def listPending(fs: FileSystem, dirPath: Path, opts: ArrivalsOptions,
+      ignoreRe: Option[scala.util.matching.Regex]): Seq[FileMeta] = {
+    val cand = fs.listStatus(dirPath).toSeq.filter(isCandidate(opts, ignoreRe))
+      .map(st => FileMeta(st.getPath.toUri.getPath, st.getModificationTime))
+    ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
+  }
+
+  /** Round-robin partition slicing (metadata rows are tiny; 32 slices
+    * bound scheduler overhead). */
+  def slice(files: Seq[FileMeta], charset: String): Array[InputPartition] =
+    if (files.isEmpty) Array.empty
+    else {
+      val slices = math.min(files.size, 32)
+      files.zipWithIndex.groupBy(_._2 % slices).values
+        .map(g => ArrivalsPartition(g.map(_._1), charset): InputPartition)
+        .toArray
+    }
+
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      new ArrivalsPartitionReader(partition.asInstanceOf[ArrivalsPartition])
+  }
+}
+
 class ArrivalsTable(opts: ArrivalsOptions) extends Table with SupportsRead {
   override def name(): String = s"arrivals(${opts.path})"
   override def schema(): StructType = ArrivalsTable.schema
@@ -130,29 +182,12 @@ class ArrivalsTable(opts: ArrivalsOptions) extends Table with SupportsRead {
 class ArrivalsBatch(opts: ArrivalsOptions) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val dirPath = new Path(opts.path)
-    val fs = dirPath.getFileSystem(new Configuration())
+    val fs = dirPath.getFileSystem(ArrivalsUtil.hadoopConf())
     val ignoreRe = if (opts.ignorePattern.nonEmpty) Some(opts.ignorePattern.r) else None
-    val cand = fs.listStatus(dirPath).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.endsWith(opts.fileSuffix) && !n.startsWith(".") &&
-          ignoreRe.forall(_.findFirstIn(n).isEmpty)
-      }
-      .map(st => FileMeta(st.getPath.toUri.getPath, st.getModificationTime))
-    val files = ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
-    if (files.isEmpty) Array.empty
-    else {
-      val slices = math.min(files.size, 32)
-      files.zipWithIndex.groupBy(_._2 % slices).values
-        .map(g => ArrivalsPartition(g.map(_._1), opts.inputCharset): InputPartition)
-        .toArray
-    }
+    ArrivalsUtil.slice(
+      ArrivalsUtil.listPending(fs, dirPath, opts, ignoreRe), opts.inputCharset)
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new ArrivalsPartitionReader(partition.asInstanceOf[ArrivalsPartition])
-    }
+  override def createReaderFactory(): PartitionReaderFactory = ArrivalsUtil.readerFactory
 }
 
 /** One pending file's metadata — the unit of both offsets and rows. */
@@ -177,22 +212,23 @@ object ConsumeOrder {
   * Self-contained: replay after restart re-emits rows from the offset log
   * alone, never from a re-listing (the files may already be renamed).
   *
-  * Encoding MUST be a single line — Spark's offset log is line-oriented
-  * (one line per source); a raw newline here is parsed as a second source
-  * and fails the restart with "N sources in the checkpoint offsets".
-  * Records are -separated, fields \t-separated, with \\ \n \t 
-  * escaped in paths (file paths are arbitrary byte-ish strings). */
+  * Encoding MUST be a single line with NO \n or \r — Spark's offset log
+  * is read line-by-line (BufferedReader.readLine treats both as
+  * terminators); a raw line break here is parsed as a second source and
+  * fails the restart with "N sources in the checkpoint offsets". Records
+  * are -separated, fields \t-separated, with \\ \n \r \t  escaped in
+  * paths (file paths are arbitrary byte-ish strings). */
 final case class ArrivalsOffset(seq: Long, files: Seq[FileMeta]) extends Offset {
   override def json(): String =
     (seq.toString +: files.map(f => s"${f.mtimeMs}\t${ArrivalsOffset.esc(f.path)}"))
-      .mkString("")
+      .mkString("\u0001")
 }
 
 object ArrivalsOffset {
   def esc(s: String): String =
     s.flatMap {
-      case '\\' => "\\\\"; case '\n' => "\\n"; case '\t' => "\\t"
-      case '' => "\\1"; case c => c.toString
+      case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
+      case '\t' => "\\t"; case '\u0001' => "\\1"; case c => c.toString
     }
   def unesc(s: String): String = {
     val b = new StringBuilder; var i = 0
@@ -200,8 +236,9 @@ object ArrivalsOffset {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'n' => b.append('\n'); case 't' => b.append('\t')
-          case '1' => b.append(''); case '\\' => b.append('\\')
+          case 'n' => b.append('\n'); case 'r' => b.append('\r')
+          case 't' => b.append('\t'); case '1' => b.append('\u0001')
+          case '\\' => b.append('\\')
           case other => b.append(other)
         }
         i += 2
@@ -210,7 +247,7 @@ object ArrivalsOffset {
     b.toString
   }
   def fromJson(json: String): ArrivalsOffset = {
-    val recs = json.split("", -1)
+    val recs = json.split("\u0001", -1)
     val files = recs.drop(1).filter(_.nonEmpty).map { l =>
       val tab = l.indexOf('\t')
       FileMeta(unesc(l.substring(tab + 1)), l.substring(0, tab).toLong)
@@ -221,14 +258,14 @@ object ArrivalsOffset {
 
 class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
   private val dirPath = new Path(opts.path)
-  private val fs: FileSystem = dirPath.getFileSystem(new Configuration())
+  private val fs: FileSystem = dirPath.getFileSystem(ArrivalsUtil.hadoopConf())
   private val ignoreRe = if (opts.ignorePattern.nonEmpty) Some(opts.ignorePattern.r) else None
+  // The most recent offset the engine is working against: either the last
+  // offset WE returned this run, or (until we return one) the offset
+  // restored from the checkpoint. Its files are excluded from new batches
+  // and renamed once the engine moves past them.
   @volatile private var lastOffset: ArrivalsOffset = ArrivalsOffset(0L, Nil)
-  // Files already handed out in an offset but not yet renamed by commit().
-  // The engine may call the next latestOffset() BEFORE committing the
-  // previous batch; without this exclusion the still-unrenamed files would
-  // be re-batched (duplicate rows).
-  private val inFlight = scala.collection.mutable.HashSet.empty[String]
+  @volatile private var offeredAny: Boolean = false
 
   // Startup canary (ref R9, CephFSEventReader.java:42-66): directory must
   // exist, be a directory, and be read-write — probed with a real file.
@@ -251,21 +288,12 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
     }
   }
 
-  /** Candidate predicate (ref R2, CephFSEventReader.java:111-121) with
-    * ignorePattern enforced as documented (fixing the dead config). */
-  private def isCandidate(st: FileStatus): Boolean = {
-    val n = st.getPath.getName
-    st.isFile && !n.endsWith(opts.fileSuffix) && !n.startsWith(".") &&
-      ignoreRe.forall(_.findFirstIn(n).isEmpty)
-  }
-
-  /** List once, order the whole pending set (ref R3 semantics batched:
-    * SURVEY.md §7.4-3), admit up to maxFilesPerTrigger. */
+  /** Pending = listed candidates minus the current offset's files (they
+    * are offered-but-not-yet-renamed; re-listing them would duplicate). */
   private def pending(): Seq[FileMeta] = {
-    val cand = fs.listStatus(dirPath).toSeq.filter(isCandidate)
-      .map(st => FileMeta(st.getPath.toUri.getPath, st.getModificationTime))
-      .filterNot(f => inFlight.synchronized(inFlight.contains(f.path)))
-    ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
+    val offered = lastOffset.files.map(_.path).toSet
+    ArrivalsUtil.listPending(fs, dirPath, opts, ignoreRe)
+      .filterNot(f => offered.contains(f.path))
   }
 
   override def initialOffset(): Offset = ArrivalsOffset(0L, Nil)
@@ -284,19 +312,21 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
     if (p.isEmpty) lastOffset
     else {
       lastOffset = ArrivalsOffset(lastOffset.seq + 1, p)
-      inFlight.synchronized(inFlight ++= p.map(_.path))
+      offeredAny = true
       lastOffset
     }
   }
 
   override def deserializeOffset(json: String): Offset = {
     val o = ArrivalsOffset.fromJson(json)
-    // keep the in-memory cursor monotonic across restart, and protect the
-    // replayed batch's files from re-batching until its commit lands
-    if (o.seq > lastOffset.seq) {
-      lastOffset = o
-      inFlight.synchronized(inFlight ++= o.files.map(_.path))
-    }
+    // The checkpointed offset seeds our cursor ONLY until we have offered
+    // an offset ourselves: once latestOffset() has returned one, the
+    // engine is driving batches against OUR offsets and the checkpoint
+    // deserialization (start-offset restore / replay) must not displace
+    // them. Comparing seq numbers here would be wrong — in-memory seqs
+    // reset on restart and can be arbitrarily behind or colliding with
+    // checkpointed ones (either direction loses or duplicates files).
+    if (!offeredAny) lastOffset = o
     o
   }
 
@@ -314,23 +344,12 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
     // never re-emitted, and engine-driven no-data batches (start == end)
     // naturally plan nothing.
     val startSet = s.files.toSet
-    val batchFiles = e.files.filterNot(startSet.contains)
-    if (batchFiles.isEmpty) Array.empty
-    else {
-      // rows come from the offset itself — executors never list/read the
-      // FS, so replay is deterministic even after files were renamed
-      val slices = math.min(batchFiles.size, 32)
-      batchFiles.zipWithIndex.groupBy(_._2 % slices).values
-        .map(g => ArrivalsPartition(g.map(_._1), opts.inputCharset): InputPartition)
-        .toArray
-    }
+    // rows come from the offset itself — executors never list/read the
+    // FS, so replay is deterministic even after files were renamed
+    ArrivalsUtil.slice(e.files.filterNot(startSet.contains), opts.inputCharset)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new ArrivalsPartitionReader(partition.asInstanceOf[ArrivalsPartition])
-    }
+  override def createReaderFactory(): PartitionReaderFactory = ArrivalsUtil.readerFactory
 
   /** Commit-by-rename (ref R5) AFTER durable checkpoint commit — idempotent
     * for replay, loud for genuine name collisions. */
@@ -355,7 +374,6 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
       }
       // !srcExists && dstExists: already committed (post-crash replay) — ok
       // neither exists: file vanished externally; nothing to mark
-      inFlight.synchronized(inFlight -= f.path)
     }
   }
 

@@ -29,13 +29,19 @@ object ArrivalsDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // EXACTLY ONE consuming query per watched directory: the source
+    // renames files on commit, so two independent readStream queries on
+    // the same path would race and steal files from each other. The
+    // windowed analytics query chains off the first query's parquet sink
+    // instead (a second, non-destructive file stream).
     val arrivals = spark.readStream.format("arrivals")
       .option("path", watchDir)
       .option("consumeOrder", "OLDEST")
       .option("maxFilesPerTrigger", "100")
       .load()
 
-    // sink 1: the raw metadata rows, exactly-once into parquet
+    // query 1 (the only directory consumer): raw metadata rows,
+    // exactly-once into parquet
     val files = arrivals
       .withColumn("body_utf8", col("body").cast("string"))
       .writeStream.format("parquet")
@@ -44,9 +50,14 @@ object ArrivalsDemo {
       .trigger(Trigger.ProcessingTime("500 milliseconds")) // ref poll cadence
       .start()
 
-    // sink 2: watermarked tumbling-window arrival counts (ref R6 cadence
-    // generalized to event-time analytics on the arrival stream)
-    val windowed = arrivals
+    // query 2: watermarked tumbling-window arrival counts (ref R6 cadence
+    // generalized to event-time analytics), reading the sink of query 1
+    new java.io.File(s"$outDir/files").mkdirs()
+    val sinkSchema = graft.sources.arrivals.ArrivalsTable.schema
+      .add("body_utf8", org.apache.spark.sql.types.StringType)
+    val windowed = spark.readStream
+      .schema(sinkSchema)
+      .parquet(s"$outDir/files")
       .withWatermark("last_modified", "10 minutes")
       .groupBy(window(col("last_modified"), "5 minutes"))
       .agg(count(lit(1)).as("files"))
