@@ -203,7 +203,62 @@ object Extras {
     None
   )
 
+  /** grouping_id(): distinguish aggregation levels inside grouping sets. */
+  private val qGroupingId = Q(
+    "q_grouping_id",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+              count(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  )
+
+  /** Typed JSON parsing (from_json with a schema) — the structured
+    * alternative to q_json_funcs' get_json_object string path. */
+  private val qJsonStruct = Q(
+    "q_json_struct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k_val"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+            FROM events ORDER BY event_id""")
+  )
+
+  /** Edit-distance fuzzy matching (levenshtein) — the string-similarity
+    * primitive for fuzzy dedup of short fields (titles, names). Bounded
+    * key range keeps the pairwise form small; at scale this runs behind a
+    * blocking key (first-token bucket) like the other dedup ops. */
+  private val qEditDistance = Q(
+    "q_edit_distance",
+    (s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 5)
+        .select("key_a", "key_b", "dist")
+        .orderBy("key_a", "key_b")
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+            WHERE a.p_partkey <= 100 AND b.p_partkey <= 100
+              AND levenshtein(a.p_name, b.p_name) <= 5
+            ORDER BY key_a, key_b""")
+  )
+
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
-    qJoinAsof, qApproxPercentile)
+    qJoinAsof, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance)
 }
