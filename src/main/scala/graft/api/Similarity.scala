@@ -92,4 +92,64 @@ object Similarity {
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
   }
+
+  /** Approximate top-k neighbors for EVERY vector — the form a 100 TB
+    * embedding dedup actually runs (vs [[annTopK]]'s single probe).
+    * Every vector is indexed under `bands` sign-bit band keys and, as a
+    * probe, additionally under every hamming-1 flip of each key
+    * (multi-probe); candidates come from the band-key EQUI-join (work ∝
+    * bucket collisions, never all-pairs), are deduped on ids only (no
+    * array-keyed shuffle), and re-ranked with exact cosine per probe.
+    *
+    * The signature column is computed once per row and referenced exactly
+    * once per downstream projection (band keys are built inside a single
+    * `transform`, flips via `(flip + bit) % 2`) so CollapseProject cannot
+    * re-inline the 16-dot-product fold per reference — the trap CLAUDE.md
+    * invariant 5 documents.
+    *
+    * Returns (id, neighbor_id, sim, rank ≤ k), rank ordered by sim desc
+    * (4dp) with neighbor-id tiebreak. */
+  def annJoin(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int = 10, nPlanes: Int = 16, bands: Int = 8,
+      dim: Int = 64): DataFrame = {
+    reg(corpus)
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val w = nPlanes / bands
+    val sigd = corpus
+      .withColumn("planes", typedLit(hyperplanes(nPlanes, dim)))
+      .withColumn("sig", expr(
+        s"transform(planes, pl -> CASE WHEN vec_dot($embCol, pl) >= 0 THEN 1 ELSE 0 END)"))
+      .select(col(idCol).as("id"), col(embCol).as("e"), col("sig"))
+    // index keys: one per band, 'b:bitstring' — sig referenced ONCE
+    val indexKeys = sigd.select(col("id"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+              concat_ws(':', cast(b AS STRING),
+                concat_ws('', transform(sequence(b*$w, b*$w+${w - 1}),
+                  i -> cast(sig[i] AS STRING)))))""")).as("band"))
+    // probe keys: per band, the exact key (fl = -1) plus every hamming-1
+    // flip; (IF(fl=r,1,0) + sig[...]) % 2 flips bit r with one sig ref
+    val probeKeys = sigd.select(col("id").as("pid"),
+      explode(expr(
+        s"""flatten(transform(sequence(0, ${bands - 1}), b ->
+              transform(sequence(-1, ${w - 1}), fl ->
+                concat_ws(':', cast(b AS STRING),
+                  concat_ws('', transform(sequence(0, ${w - 1}),
+                    r -> cast((IF(fl = r, 1, 0) + sig[b*$w+r]) % 2 AS STRING)))))))""")).as("band"))
+    val cand = probeKeys
+      .join(indexKeys, "band")
+      .filter(col("pid") =!= col("id"))
+      .select("pid", "id").distinct()
+    val em = sigd.select(col("id"), col("e"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
+    cand
+      .join(em.select(col("id").as("pid"), col("e").as("pe")), "pid")
+      .join(em, "id")
+      .withColumn("sim", round(cosine(col("e"), col("pe")), 4))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("pid").as("id"), col("id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
 }

@@ -27,20 +27,30 @@ object Dedup {
     Some("""SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""")
   )
 
-  /** Exact n-gram Jaccard near-dup pairs ≥ 0.5. */
+  /** Exact n-gram Jaccard near-dup pairs ≥ 0.5, with the stop-shingle
+    * skew guard ON (maxShingleDf = 10): shingles appearing in more than
+    * 10 docs are dropped before the inverted-index join, bounding the
+    * per-shingle fan-out at 10² pairs — the guard that keeps one hot
+    * shingle from going quadratic at 100 TB. The threshold is mirrored
+    * in the oracle CTE; at sf0.01 no shingle is hot (max df 7, checked
+    * in OperatorPropertiesSpec guarded ≡ unguarded) so the gate result
+    * equals the unguarded exact answer, while sf0.1 bench (max df 25)
+    * actively exercises the pruning path. */
   private val qNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, dir) =>
       TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5)
+          n = 3, threshold = 0.5, maxShingleDf = 10L)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-                 sh AS (SELECT DISTINCT doc_id,
+                 sh0 AS (SELECT DISTINCT doc_id,
                           unnest(list_transform(generate_series(1, len(t) - 2),
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
                         FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
                  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -233,18 +233,26 @@ object Extras {
             FROM events ORDER BY event_id""")
   )
 
-  /** Edit-distance fuzzy matching (levenshtein) — the string-similarity
-    * primitive for fuzzy dedup of short fields (titles, names). Bounded
-    * key range keeps the pairwise form small; at scale this runs behind a
-    * blocking key (first-token bucket) like the other dedup ops. */
+  /** Edit-distance fuzzy matching (levenshtein ≤ 5) — the string-
+    * similarity primitive for fuzzy dedup of short fields (titles,
+    * names). Pair generation is BLOCKED, not all-pairs: levenshtein(a,b)
+    * ≤ 5 implies |len(a)−len(b)| ≤ 5, so rows equi-join on a length
+    * bucket floor(len/6) with the b-side fanned out ±1 bucket (each pair
+    * meets exactly once since a keeps a single bucket and b's three are
+    * distinct). The equi-join hash-partitions by bucket — no
+    * BroadcastNestedLoopJoin (plan-audited) — and the levenshtein filter
+    * is an exact residual, so the answer is identical to all-pairs. */
   private val qEditDistance = Q(
     "q_edit_distance",
     (s, dir) => {
       val p = Tables.part(s, dir).filter(col("p_partkey") <= 100)
-        .select(col("p_partkey"), col("p_name"))
-      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-      a.join(b, col("key_a") < col("key_b"))
+        .select(col("p_partkey"), col("p_name"), length(col("p_name")).as("len"))
+      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        expr("len div 6").as("bucket"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        explode(expr("array(len div 6 - 1, len div 6, len div 6 + 1)")).as("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("key_a") < col("key_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
         .filter(col("dist") <= 5)
         .select("key_a", "key_b", "dist")

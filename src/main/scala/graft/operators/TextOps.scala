@@ -122,21 +122,33 @@ object TextOps {
   /** Heavy hitters via the space-saving sketch Aggregator
     * (graft.api.Sketches): top frequent tokens per language in ONE pass
     * with fixed memory — the scale alternative to explode+groupBy+sort
-    * when only the distribution head matters. Approximate under eviction
-    * → no SQL oracle; exactness-when-distinct≤k property-tested. */
+    * when only the distribution head matters. Output is flattened to one
+    * scalar row per (lang, rank). k=32 ≥ the fixture vocabulary (31
+    * distinct tokens per lang at every SF), so the sketch runs in its
+    * exactness regime (no evictions — guarantee property-tested in
+    * SketchSpec) and a plain group-count + row_number DuckDB oracle
+    * applies; under eviction the same query stays one-pass approximate. */
   private val qHeavyHitters = Q(
     "q_heavy_hitters",
     (s, dir) => {
-      val hh = graft.api.Sketches.heavyHitters(8)
+      val hh = graft.api.Sketches.heavyHitters(32)
       Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .groupBy("lang")
         .agg(hh(col("token")).as("top_tokens"))
-        .select(col("lang"), expr("transform(top_tokens, x -> x._1)").as("tokens"),
-          expr("transform(top_tokens, x -> x._2)").as("approx_counts"))
-        .orderBy("lang")
+        .select(col("lang"), posexplode(col("top_tokens")).as(Seq("pos", "tc")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("tc._1").as("token"), col("tc._2").as("approx_count"))
+        .orderBy("lang", "rank")
     },
-    None
+    Some("""WITH cnt AS (SELECT lang, token, count(*) AS c FROM
+              (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+              GROUP BY lang, token),
+                 r AS (SELECT lang, token, c,
+                         row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rank
+                       FROM cnt)
+            SELECT lang, CAST(rank AS BIGINT) AS rank, token, c AS approx_count
+            FROM r WHERE rank <= 32 ORDER BY lang, rank""")
   )
 
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,

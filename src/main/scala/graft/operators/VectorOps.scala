@@ -61,5 +61,19 @@ object VectorOps {
     None
   )
 
-  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh)
+  /** ANN JOIN: approximate top-5 neighbors for EVERY vector via the LSH
+    * band-bucket self-join + exact re-rank — the all-vectors form a
+    * 100 TB embedding dedup runs (approximate → no SQL oracle; pair
+    * recall vs the exact q_embed_neardup pairs property-tested ≥ 0.8). */
+  private val qAnnJoin = Q(
+    "q_ann_join",
+    (s, dir) =>
+      Similarity.annJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, nPlanes = 16, bands = 8, dim = 64)
+        .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("vec_id", "rank"),
+    None
+  )
+
+  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin)
 }

@@ -80,4 +80,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("Broadcast"), p)
   }
+
+  test("q_edit_distance: length-bucket blocking is an equi-join — no BNLJ, no cartesian") {
+    val p = plan("q_edit_distance")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "edit-distance degenerated to BNLJ\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ann_join: band-bucket self-join — no BNLJ, no cartesian") {
+    val p = plan("q_ann_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "ann join degenerated to BNLJ\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_ngram_jaccard: inverted-index equi-join with the skew guard in-plan") {
+    val p = plan("q_dedup_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the stop-shingle guard is a left-anti join against the hot set
+    assert(p.contains("LeftAnti"), "skew guard (left_anti vs hot shingles) missing from plan\n" + p)
+  }
 }

@@ -84,6 +84,35 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(ann.map(_._1).contains(top1), "ANN missed the exact nearest neighbor")
   }
 
+  test("ann join recovers ≥ 80% of the exact near-dup pairs (recall)") {
+    val exact = graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val ann = graft.SparkEntry.queries("q_ann_join")(spark, sfDir).collect()
+      .map { r =>
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("neighbor_id")
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val hit = exact.count(ann.contains)
+    val recall = hit.toDouble / exact.size
+    assert(recall >= 0.8, s"ann-join recall $recall ($hit/${exact.size})")
+  }
+
+  test("jaccard stop-shingle guard ≡ unguarded on the fixture (no hot shingle at this sf)") {
+    // the declared query runs with maxShingleDf = 10; at sf0.001/sf0.01
+    // the max shingle df is 9/7, so the guard must not change the answer
+    // (it only prunes at larger scales / on genuinely hot shingles)
+    val guarded = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val unguarded = graft.api.TextDedup.jaccardPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 0L)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    assert(guarded.toSeq == unguarded.toSeq)
+  }
+
   test("simhash block-LSH is complete for hamming ≤ 3 (pigeonhole)") {
     // recompute signatures via the reference higher-order-function
     // formulation (independent of the native graft_simhash expression the
