@@ -98,44 +98,53 @@ object Similarity {
     * Every vector is indexed under `bands` sign-bit band keys and, as a
     * probe, additionally under every hamming-1 flip of each key
     * (multi-probe); candidates come from the band-key EQUI-join (work ∝
-    * bucket collisions, never all-pairs), are deduped on ids only (no
-    * array-keyed shuffle), and re-ranked with exact cosine per probe.
+    * bucket collisions, never all-pairs).
     *
-    * The signature column is computed once per row and referenced exactly
-    * once per downstream projection (band keys are built inside a single
-    * `transform`, flips via `(flip + bit) % 2`) so CollapseProject cannot
-    * re-inline the 16-dot-product fold per reference — the trap CLAUDE.md
-    * invariant 5 documents.
+    * The collision stream (one row per probe-key × index-key match,
+    * before dedup) is kept to two longs wide: candidates are deduped on
+    * (pid, id) with a distinct, then embeddings are joined back for the
+    * exact re-rank. The alternative — carrying both embedding arrays
+    * through the join and deduping with a first-colliding-band filter —
+    * was measured 55% slower end-to-end: the pre-dedup stream is the
+    * high-water mark, and fat rows there dominate everything else.
+    *
+    * The signature fold runs once per row (packed BIGINT band keys;
+    * probe flips are one XOR each), and each HOF-computed column is
+    * referenced exactly once per downstream projection — the
+    * CollapseProject re-evaluation trap CLAUDE.md invariant 5 documents.
     *
     * Returns (id, neighbor_id, sim, rank ≤ k), rank ordered by sim desc
     * (4dp) with neighbor-id tiebreak. */
   def annJoin(corpus: DataFrame, idCol: String, embCol: String,
       k: Int = 10, nPlanes: Int = 16, bands: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
     reg(corpus)
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
+    // per-band keys packed into ONE BIGINT: high bits = band id, low w
+    // bits = sign bits — integer join keys (no string building), and
+    // hamming-1 probe variants are a single XOR on the packed key, so
+    // the sign-bit fold runs once per (row, band), not once per flip.
+    // Each HOF-computed column (sig, ks) is referenced exactly once per
+    // downstream projection (CLAUDE.md invariant 5).
     val sigd = corpus
       .withColumn("planes", typedLit(hyperplanes(nPlanes, dim)))
       .withColumn("sig", expr(
         s"transform(planes, pl -> CASE WHEN vec_dot($embCol, pl) >= 0 THEN 1 ELSE 0 END)"))
-      .select(col(idCol).as("id"), col(embCol).as("e"), col("sig"))
-    // index keys: one per band, 'b:bitstring' — sig referenced ONCE
-    val indexKeys = sigd.select(col("id"),
-      explode(expr(
+      .withColumn("ks", expr(
         s"""transform(sequence(0, ${bands - 1}), b ->
-              concat_ws(':', cast(b AS STRING),
-                concat_ws('', transform(sequence(b*$w, b*$w+${w - 1}),
-                  i -> cast(sig[i] AS STRING)))))""")).as("band"))
-    // probe keys: per band, the exact key (fl = -1) plus every hamming-1
-    // flip; (IF(fl=r,1,0) + sig[...]) % 2 flips bit r with one sig ref
-    val probeKeys = sigd.select(col("id").as("pid"),
-      explode(expr(
-        s"""flatten(transform(sequence(0, ${bands - 1}), b ->
-              transform(sequence(-1, ${w - 1}), fl ->
-                concat_ws(':', cast(b AS STRING),
-                  concat_ws('', transform(sequence(0, ${w - 1}),
-                    r -> cast((IF(fl = r, 1, 0) + sig[b*$w+r]) % 2 AS STRING)))))))""")).as("band"))
+              cast(b AS BIGINT) * ${1L << w} +
+                aggregate(sequence(0, ${w - 1}), 0L,
+                  (acc, r) -> acc + cast(sig[b*$w+r] AS BIGINT) * shiftleft(1L, r)))"""))
+      .select(col(idCol).as("id"), col(embCol).as("e"), col("ks"))
+    val indexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
+    val probeExpr =
+      if (multiProbe) expr(
+        s"""flatten(transform(ks, k0 ->
+              concat(array(k0), transform(sequence(0, ${w - 1}),
+                r -> cast(k0 ^ shiftleft(1L, r) AS BIGINT)))))""")
+      else col("ks")
+    val probeKeys = sigd.select(col("id").as("pid"), explode(probeExpr).as("band"))
     val cand = probeKeys
       .join(indexKeys, "band")
       .filter(col("pid") =!= col("id"))

@@ -69,7 +69,7 @@ object VectorOps {
     "q_ann_join",
     (s, dir) =>
       Similarity.annJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 5, nPlanes = 16, bands = 8, dim = 64)
+          k = 5, nPlanes = 24, bands = 8, dim = 64)
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank"),
     None
