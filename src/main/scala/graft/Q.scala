@@ -28,8 +28,24 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    // The nanos flag has no per-read option (ParquetOptions carries only
+    // rebase/compression/mergeSchema) and a DataFrameReader option is NOT
+    // consulted by schema inference — verified empirically. It is only
+    // needed WHILE the schema is inferred (read.parquet is eager about
+    // the footer): execution against the already-resolved relation works
+    // with the conf restored. Set-infer-restore keeps a shared session's
+    // config unchanged after this loader returns (vs the previous
+    // permanent spark.conf.set, which silently reconfigured callers).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw =
+      try table(spark, dir, "events")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    raw
       .withColumn("ts_ms", expr("ts div 1000000"))
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
   }

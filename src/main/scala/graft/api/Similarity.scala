@@ -103,10 +103,12 @@ object Similarity {
     * The collision stream (one row per probe-key × index-key match,
     * before dedup) is kept to two longs wide: candidates are deduped on
     * (pid, id) with a distinct, then embeddings are joined back for the
-    * exact re-rank. The alternative — carrying both embedding arrays
-    * through the join and deduping with a first-colliding-band filter —
-    * was measured 55% slower end-to-end: the pre-dedup stream is the
-    * high-water mark, and fat rows there dominate everything else.
+    * exact re-rank. Two alternatives were MEASURED slower on the bench
+    * corpus and rejected: carrying both embedding arrays through the
+    * join (+55% — fat rows in the pre-dedup stream dominate), and a
+    * stateless first-colliding-band bit_count filter instead of the
+    * distinct (+40% — per-row key-array comparisons across 16M collision
+    * rows cost more than the dedup hash aggregate).
     *
     * The signature fold runs once per row (packed BIGINT band keys;
     * probe flips are one XOR each), and each HOF-computed column is

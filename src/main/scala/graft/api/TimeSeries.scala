@@ -67,14 +67,25 @@ object TimeSeries {
     * a bucketed equi-join (each left window spans ≤2 buckets of width
     * windowMs, each right point sits in 1) + exact residual filter —
     * never a BroadcastNestedLoopJoin (ARCHITECTURE.md). Returns the left
-    * frame's `leftIdCol` with `match_cnt` (0 for unmatched). */
+    * frame's `leftIdCol` with `match_cnt` (0 for unmatched).
+    *
+    * `leftIdCol` must be unique per left row — duplicate ids have their
+    * counts merged by the final aggregate. Bucketing uses true FLOOR
+    * division (integer `div` truncates toward zero, which mis-buckets
+    * negative pre-1970 timestamps and silently drops their matches). */
   def intervalJoinCount(left: DataFrame, leftIdCol: String, leftTsMsCol: String,
       right: DataFrame, rightTsMsCol: String, windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    // exact Math.floorDiv over longs (no double rounding): windowMs > 0,
+    // and Spark's % follows the dividend's sign, so a negative remainder
+    // means truncation rounded toward zero from below — correct by -1
+    def floorDiv(c: String): String =
+      s"($c div $windowMs - (CASE WHEN $c % $windowMs < 0 THEN 1 ELSE 0 END))"
     val l = left.select(col(leftIdCol).as("__lid"), col(leftTsMsCol).as("__lts"))
     val r = right.select(col(rightTsMsCol).as("__rts"))
     val lB = l.withColumn("__bucket",
-      explode(array(expr(s"__lts div $windowMs"), expr(s"__lts div $windowMs") + 1)))
-    val rB = r.withColumn("__bucket", expr(s"__rts div $windowMs"))
+      explode(array(expr(floorDiv("__lts")), expr(floorDiv("__lts")) + 1)))
+    val rB = r.withColumn("__bucket", expr(floorDiv("__rts")))
     val counts = lB.join(rB, "__bucket")
       .filter(col("__rts") >= col("__lts") && col("__rts") < col("__lts") + windowMs)
       .groupBy("__lid").agg(count(lit(1)).as("match_cnt"))

@@ -28,9 +28,17 @@ object VectorExprs {
     * per-element promotion to double — bit-identical to
     * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS
     * DOUBLE)), 0D, (s,x) -> s+x)` and to DuckDB's list_sum fold, which is
-    * what keeps the oracle hash-compare exact. */
+    * what keeps the oracle hash-compare exact.
+    *
+    * Length mismatch returns NULL (not a truncated dot product): a
+    * silent min-length fold yields a plausible-but-wrong value, while
+    * the DuckDB list_zip oracle formulation yields NULL — mismatched
+    * corpora must diverge loudly, not drift. Callers that index with a
+    * `dim` parameter (Similarity.annTopK/annJoin hyperplanes) must pass
+    * the true embedding dimension or every signature goes null. */
   case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
       def ok(e: Expression) = e.dataType match {
         case ArrayType(FloatType | DoubleType, _) => true
@@ -45,7 +53,8 @@ object VectorExprs {
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       val lf = elemType(left) == FloatType; val rf = elemType(right) == FloatType
       var s = 0.0; var i = 0
       while (i < n) {
@@ -63,12 +72,16 @@ object VectorExprs {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += ((double) $a.$la($i)) * ((double) $b.$ra($i));
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += ((double) $a.$la($i)) * ((double) $b.$ra($i));
+           |  }
+           |  ${ev.value} = $s;
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
     }

@@ -30,8 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - schema `{file_name, file_path, last_modified, body}` — the typed
   *     form of the reference's 3-field CSV event
   *     (CephFSEventReader.java:89-94); `body` carries the exact CSV bytes
-  *     (non-padded `yyyy-MM-dd H:m:s` timestamp, CephFSEventReader.java:
-  *     230-235) encoded in the configured charset (:94).
+  *     (scheme-less absolute path and non-padded `yyyy-MM-dd H:m:s`
+  *     timestamp, CephFSEventReader.java:230-235) encoded in the
+  *     configured charset (:94). `file_path` is the FULLY-QUALIFIED URI
+  *     (file:/…, s3a://…), directly loadable with `spark.read` on any
+  *     filesystem the session reaches.
   *   - candidate filter (CephFSEventReader.java:111-121): skips dirs,
   *     completed-suffix files, dot-hidden files — and ENFORCES
   *     `ignorePattern`, which the reference documents (README.md:26) but
@@ -50,6 +53,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     CephFSEventReader.java:189-192.
   *   - startup canary (CephFSEventReader.java:52-66): create/write/read/
   *     delete a probe file, failing fast if the directory isn't read-write.
+  *   - operational metrics (ref R8, the SourceCounter accept/append
+  *     counters in CephFsSource.java:39,144-145,162-163): pendingFiles,
+  *     filesOffered, filesRenamed, renameFailures, lastBatchFiles/Seq via
+  *     DSv2 `ReportsSourceMetrics`, visible in every
+  *     `StreamingQueryProgress.sources[i].metrics` alongside the
+  *     engine's own numInputRows.
   *
   * Scale: the driver only LISTS the directory (one RPC-ish listing per
   * trigger) and ships plain metadata; executors never touch the
@@ -134,14 +143,22 @@ object ArrivalsUtil {
       ignoreRe.forall(_.findFirstIn(n).isEmpty)
   }
 
+  /** All current candidates, unordered and uncapped. Stores the
+    * FULLY-QUALIFIED URI (scheme + authority + path): the emitted
+    * file_path must stay readable by spark.read on non-default
+    * filesystems (s3a://, hdfs://) — a scheme-less path silently rebinds
+    * to the default FS downstream. */
+  def listCandidates(fs: FileSystem, dirPath: Path, opts: ArrivalsOptions,
+      ignoreRe: Option[scala.util.matching.Regex]): Seq[FileMeta] =
+    fs.listStatus(dirPath).toSeq.filter(isCandidate(opts, ignoreRe))
+      .map(st => FileMeta(st.getPath.toString, st.getModificationTime))
+
   /** List once, order the whole pending set (ref R3 semantics batched:
     * SURVEY.md §7.4-3), admit up to maxFilesPerTrigger. */
   def listPending(fs: FileSystem, dirPath: Path, opts: ArrivalsOptions,
-      ignoreRe: Option[scala.util.matching.Regex]): Seq[FileMeta] = {
-    val cand = fs.listStatus(dirPath).toSeq.filter(isCandidate(opts, ignoreRe))
-      .map(st => FileMeta(st.getPath.toUri.getPath, st.getModificationTime))
-    ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
-  }
+      ignoreRe: Option[scala.util.matching.Regex]): Seq[FileMeta] =
+    ConsumeOrder.order(listCandidates(fs, dirPath, opts, ignoreRe), opts.consumeOrder)
+      .take(opts.maxFilesPerTrigger)
 
   /** Round-robin partition slicing (metadata rows are tiny; 32 slices
     * bound scheduler overhead). */
@@ -256,10 +273,29 @@ object ArrivalsOffset {
   }
 }
 
-class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
+class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   private val dirPath = new Path(opts.path)
   private val fs: FileSystem = dirPath.getFileSystem(ArrivalsUtil.hadoopConf())
   private val ignoreRe = if (opts.ignorePattern.nonEmpty) Some(opts.ignorePattern.r) else None
+
+  // Operational counters (ref R8 — the SourceCounter accept/append
+  // analogs, CephFsSource.java:39,144-145,162-163), surfaced per
+  // progress event through DSv2 ReportsSourceMetrics into
+  // StreamingQueryProgress.sources[i].metrics. All driver-side.
+  private val filesOffered = new java.util.concurrent.atomic.AtomicLong()
+  private val filesRenamed = new java.util.concurrent.atomic.AtomicLong()
+  private val renameFailures = new java.util.concurrent.atomic.AtomicLong()
+  private val pendingGauge = new java.util.concurrent.atomic.AtomicLong()
+
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] =
+    Map(
+      "pendingFiles" -> pendingGauge.get.toString,
+      "filesOffered" -> filesOffered.get.toString,
+      "filesRenamed" -> filesRenamed.get.toString,
+      "renameFailures" -> renameFailures.get.toString,
+      "lastBatchFiles" -> lastOffset.files.size.toString,
+      "lastBatchSeq" -> lastOffset.seq.toString).asJava
   // The most recent offset the engine is working against: either the last
   // offset WE returned this run, or (until we return one) the offset
   // restored from the checkpoint. Its files are excluded from new batches
@@ -292,8 +328,10 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
     * are offered-but-not-yet-renamed; re-listing them would duplicate). */
   private def pending(): Seq[FileMeta] = {
     val offered = lastOffset.files.map(_.path).toSet
-    ArrivalsUtil.listPending(fs, dirPath, opts, ignoreRe)
+    val cand = ArrivalsUtil.listCandidates(fs, dirPath, opts, ignoreRe)
       .filterNot(f => offered.contains(f.path))
+    pendingGauge.set(cand.size) // true backlog, before the trigger cap
+    ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
   }
 
   override def initialOffset(): Offset = ArrivalsOffset(0L, Nil)
@@ -313,6 +351,7 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
     else {
       lastOffset = ArrivalsOffset(lastOffset.seq + 1, p)
       offeredAny = true
+      filesOffered.addAndGet(p.size)
       lastOffset
     }
   }
@@ -365,12 +404,15 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream {
       if (srcExists && dstExists) {
         // matches the reference's refusal to overwrite (CephFSEventReader
         // .java:189-192): a different file reused a consumed name
+        renameFailures.incrementAndGet()
         throw new IllegalStateException(
           s"Name re-used: both ${f.path} and $dst exist; refusing to overwrite")
       } else if (srcExists) {
         if (!fs.rename(src, dst)) {
+          renameFailures.incrementAndGet()
           throw new IllegalStateException(s"Failed to rename ${f.path} to $dst")
         }
+        filesRenamed.incrementAndGet()
       }
       // !srcExists && dstExists: already committed (post-crash replay) — ok
       // neither exists: file vanished externally; nothing to mark
@@ -392,7 +434,11 @@ class ArrivalsPartitionReader(p: ArrivalsPartition) extends PartitionReader[Inte
   private var cur: FileMeta = _
   override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
   override def get(): InternalRow = {
-    val body = s"${cur.name},${cur.path},${fmt.format(Instant.ofEpochMilli(cur.mtimeMs))}"
+    // body keeps the reference's CSV byte-for-byte (scheme-less absolute
+    // path, CephFSEventReader.java:89-94); the TYPED file_path column is
+    // the fully-qualified URI so spark.read works on any filesystem
+    val refPath = new Path(cur.path).toUri.getPath
+    val body = s"${cur.name},$refPath,${fmt.format(Instant.ofEpochMilli(cur.mtimeMs))}"
     InternalRow(
       UTF8String.fromString(cur.name),
       UTF8String.fromString(cur.path),

@@ -3,6 +3,8 @@ package graft.sources
 import java.io.File
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestBase
 import graft.sources.arrivals._
 import org.apache.spark.sql.DataFrame
@@ -80,13 +82,43 @@ class ArrivalsSourceSpec extends SparkTestBase {
     assert(rows.length == 1)
     val r = rows.head
     assert(r.getAs[String]("file_name") == "file1")
-    val expectedPath = new File(dir, "file1").getAbsolutePath
-    assert(r.getAs[String]("file_path") == expectedPath)
+    val absPath = new File(dir, "file1").getAbsolutePath
+    // file_path is the fully-qualified URI; body keeps the reference's
+    // scheme-less CSV path
+    assert(r.getAs[String]("file_path") == s"file:$absPath")
     assert(r.getAs[java.sql.Timestamp]("last_modified").getTime == mtime)
-    val expectedBody = s"file1,$expectedPath,2024-01-01 9:5:7".getBytes("UTF-8")
+    val expectedBody = s"file1,$absPath,2024-01-01 9:5:7".getBytes("UTF-8")
     assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("body"), expectedBody))
     assert(!new File(dir, "file1").exists())
     assert(new File(dir, "file1.COMPLETED").exists())
+  }
+
+  test("source metrics (ref R8): offered/renamed/pending counters in query progress") {
+    val dir = tmpDir()
+    val t = 1704000000000L
+    write(dir, "m1.dat", "x", t); write(dir, "m2.dat", "x", t); write(dir, "m3.dat", "x", t)
+    val q = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+      .load().writeStream.format("memory").queryName("t_metrics")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      def latestMetrics: Map[String, String] =
+        q.recentProgress.toSeq.flatMap(p => p.sources.toSeq)
+          .flatMap(s => Option(s.metrics).map(_.asScala.toMap)).lastOption
+          .getOrElse(Map.empty)
+      // renames land at the trigger AFTER the durable commit, and idle
+      // triggers surface progress (with metrics) only every 10s
+      // (noDataProgressEventInterval) — poll past TWO idle windows
+      awaitCond({
+        val m = latestMetrics
+        m.get("filesOffered").contains("3") && m.get("filesRenamed").contains("3") &&
+          m.get("pendingFiles").contains("0")
+      }, timeoutMs = 30000)
+      val m = latestMetrics
+      assert(m("renameFailures") == "0", m.toString)
+      assert(m("lastBatchFiles") == "3", m.toString)
+      assert(m("lastBatchSeq") == "1", m.toString)
+    } finally q.stop()
   }
 
   test("consumeOrder OLDEST: mtime asc, tie → lexicographically smallest") {
