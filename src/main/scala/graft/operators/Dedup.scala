@@ -88,5 +88,47 @@ object Dedup {
     None
   )
 
-  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash)
+  /** Dedup clusters: connected components over the exact Jaccard ≥ 0.5
+    * pair graph (same pairs as q_dedup_ngram_jaccard), every document
+    * labeled with the smallest doc_id reachable from it — the step that
+    * picks ONE canonical doc per near-dup group. Oracle = DuckDB
+    * recursive reachability closure over the same pair CTE. */
+  private val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      TextDedup.connectedComponents(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                           UNION SELECT doc_b, doc_a FROM pairs),
+                 reach AS (SELECT u, v FROM edges
+                           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+                 comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
+    qDedupClusters)
 }

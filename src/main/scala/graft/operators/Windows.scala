@@ -124,6 +124,30 @@ object Windows {
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms""")
   )
 
+  /** Interval join (graft.api.TimeSeries.intervalJoinCount): for every
+    * purchase, how many errors (any user) land in [ts, ts+10min). The
+    * scale plan is a bucketed EQUI-join — each left window spans ≤ 2
+    * ten-minute buckets, each right point 1 — plus an exact residual
+    * filter; never a BroadcastNestedLoopJoin. Oracle = correlated count
+    * subquery. */
+  private val qIntervalCount = Q(
+    "q_interval_count",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.api.TimeSeries.intervalJoinCount(
+          ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms",
+          ev.filter(col("event_type") === "error"), "ts_ms", windowMs = 600000L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id,
+              (SELECT count(*) FROM events e
+               WHERE e.event_type = 'error'
+                 AND epoch_ms(e.ts) >= epoch_ms(p.ts)
+                 AND epoch_ms(e.ts) < epoch_ms(p.ts) + 600000) AS match_cnt
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowTumbling, qWindowSliding, qSessionWindow)
+    qWindowTumbling, qWindowSliding, qSessionWindow, qIntervalCount)
 }

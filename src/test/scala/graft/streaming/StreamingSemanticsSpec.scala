@@ -112,6 +112,61 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stateful streaming dedup (flatMapGroupsWithState): cross-batch state and canonical ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)] // (fp, id, tsMs)
+    val docs = mem.toDF().toDF("fp", "id", "tsMs").as[StatefulOps.FpDoc]
+    val q = StatefulOps.streamingDedup(docs)
+      .writeStream.format("memory").queryName("s_fpdedup").outputMode("append")
+      .start()
+    try {
+      mem.addData(("a", 5L, 1000L), ("a", 3L, 1001L), ("b", 7L, 1002L))
+      q.processAllAvailable()
+      mem.addData(("a", 9L, 2000L), ("c", 1L, 2001L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("s_fpdedup")
+      .collect().map(r => (r.getAs[String]("fp"), r.getAs[Long]("canonical_id"),
+        r.getAs[Boolean]("is_new"), r.getAs[Long]("batch_docs"), r.getAs[Long]("total_docs")))
+      .toSet
+    assert(out == Set(
+      ("a", 3L, true, 2L, 2L), // batch 1: min id 3 is canonical, 2 docs
+      ("b", 7L, true, 1L, 1L),
+      ("a", 3L, false, 1L, 3L), // batch 2: state remembered canonical + count
+      ("c", 1L, true, 1L, 1L)), out.toString)
+  }
+
+  test("stateful streaming dedup: event-time TTL expires state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC millis
+    val mem = MemoryStream[(String, Long, Long)]
+    // the watermarked column must SURVIVE into the stateful operator's
+    // child plan — as[FpDoc] binds only the three FpDoc fields but keeps
+    // ts_t (and its watermark) in the underlying frame
+    val docs = mem.toDF().toDF("fp", "id", "tsMs")
+      .withColumn("ts_t", timestamp_millis(col("tsMs")))
+      .withWatermark("ts_t", "1 minute")
+      .as[StatefulOps.FpDoc]
+    val q = StatefulOps.streamingDedup(docs, ttlMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("s_fpttl").outputMode("append")
+      .start()
+    try {
+      mem.addData(("x", 10L, base)) // x state: timeout at base+10min
+      q.processAllAvailable()
+      // advance watermark far past the TTL (wm = base+2h-1min)
+      mem.addData(("y", 20L, base + 2L * 60 * 60 * 1000))
+      q.processAllAvailable()
+      // x recurs AFTER its state expired → treated as first-seen again
+      mem.addData(("x", 30L, base + 3L * 60 * 60 * 1000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val xRows = spark.table("s_fpttl").collect()
+      .filter(_.getAs[String]("fp") == "x")
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_new"), r.getAs[Long]("total_docs")))
+      .toSeq.sortBy(_._1)
+    assert(xRows == Seq((10L, true, 1L), (30L, true, 1L)), xRows.toString)
+  }
+
   test("salted aggregation equals plain aggregation (skew utility)") {
     import org.apache.spark.sql.functions._
     val plain = Tables.events(spark, sfDir)
