@@ -95,12 +95,14 @@ final case class ArrivalsOptions(
     ignorePattern: String,
     inputCharset: String,
     consumeOrder: String,
-    maxFilesPerTrigger: Int) {
+    maxFilesPerTrigger: Int,
+    executorRenameThreshold: Int) {
   require(path.nonEmpty, "option 'path' is required")
   require(Set("OLDEST", "YOUNGEST", "RANDOM").contains(consumeOrder),
     s"consumeOrder must be OLDEST|YOUNGEST|RANDOM, got '$consumeOrder'")
   Charset.forName(inputCharset) // fail fast on bad charset
   if (ignorePattern.nonEmpty) ignorePattern.r // fail fast on bad regex
+  require(executorRenameThreshold > 0, "executorRenameThreshold must be > 0")
 }
 
 object ArrivalsOptions {
@@ -112,7 +114,25 @@ object ArrivalsOptions {
       ignorePattern = norm.getOrElse("ignorepattern", ""),
       inputCharset = norm.getOrElse("inputcharset", "UTF-8"),
       consumeOrder = norm.getOrElse("consumeorder", "OLDEST").toUpperCase(java.util.Locale.ENGLISH),
-      maxFilesPerTrigger = norm.getOrElse("maxfilespertrigger", "1000").toInt)
+      maxFilesPerTrigger = norm.getOrElse("maxfilespertrigger", "1000").toInt,
+      // commits at or above this many files fan the renames out to
+      // executors (driver-side sequential renames below it)
+      executorRenameThreshold = norm.getOrElse("executorrenamethreshold", "5000").toInt)
+  }
+}
+
+/** Minimal serializable Hadoop-Configuration carrier (the Spark-internal
+  * one is private[spark]); Configuration itself is a Writable. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -174,6 +194,28 @@ object ArrivalsUtil {
   val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       new ArrivalsPartitionReader(partition.asInstanceOf[ArrivalsPartition])
+  }
+
+  /** One commit-rename attempt — the single definition shared by the
+    * driver-sequential and executor-fan-out paths (ref R5 semantics:
+    * collision-loud, idempotent on replay). Returns Right(true) if a
+    * rename happened, Right(false) if already committed / vanished,
+    * Left(message) on collision or failed rename. */
+  def renameOne(fs: FileSystem, path: String, suffix: String): Either[String, Boolean] = {
+    val src = new Path(path)
+    val dst = new Path(path + suffix)
+    val srcExists = fs.exists(src)
+    val dstExists = fs.exists(dst)
+    if (srcExists && dstExists) {
+      // matches the reference's refusal to overwrite (CephFSEventReader
+      // .java:189-192): a different file reused a consumed name
+      Left(s"Name re-used: both $path and $dst exist; refusing to overwrite")
+    } else if (srcExists) {
+      if (fs.rename(src, dst)) Right(true)
+      else Left(s"Failed to rename $path to $dst")
+    } else Right(false)
+    // !srcExists && dstExists: already committed (post-crash replay) — ok
+    // neither exists: file vanished externally; nothing to mark
   }
 }
 
@@ -395,27 +437,51 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
   override def commit(end: Offset): Unit =
     renameConsumed(end.asInstanceOf[ArrivalsOffset].files)
 
+  /** Commit renames: sequential on the driver for normal batches; for
+    * very large commits (≥ executorRenameThreshold files) the renames
+    * fan out to executors — the driver-side rename wall is the one
+    * scale bottleneck of this source (ARCHITECTURE.md). Executors ship
+    * back only (renamedCount, firstError) per partition, so driver
+    * traffic stays bounded regardless of batch size; any error is
+    * rethrown driver-side with the reference's collision semantics. */
   private def renameConsumed(files: Seq[FileMeta]): Unit = {
-    files.foreach { f =>
-      val src = new Path(f.path)
-      val dst = new Path(f.path + opts.fileSuffix)
-      val srcExists = fs.exists(src)
-      val dstExists = fs.exists(dst)
-      if (srcExists && dstExists) {
-        // matches the reference's refusal to overwrite (CephFSEventReader
-        // .java:189-192): a different file reused a consumed name
-        renameFailures.incrementAndGet()
-        throw new IllegalStateException(
-          s"Name re-used: both ${f.path} and $dst exist; refusing to overwrite")
-      } else if (srcExists) {
-        if (!fs.rename(src, dst)) {
-          renameFailures.incrementAndGet()
-          throw new IllegalStateException(s"Failed to rename ${f.path} to $dst")
+    if (files.isEmpty) return
+    val active = SparkSession.getActiveSession
+    if (files.size >= opts.executorRenameThreshold && active.isDefined) {
+      val sc = active.get.sparkContext
+      val confSer = new SerializableHadoopConf(ArrivalsUtil.hadoopConf())
+      val suffix = opts.fileSuffix // local val: the stream itself must not be captured
+      val paths = files.map(_.path)
+      val slices = math.max(1, math.min(32, paths.size / 512 + 1))
+      val results = sc.parallelize(paths, slices).mapPartitions { it =>
+        var renamed = 0L
+        var firstErr: Option[String] = None
+        var pfs: FileSystem = null
+        it.foreach { p =>
+          if (firstErr.isEmpty) {
+            if (pfs == null) pfs = new Path(p).getFileSystem(confSer.value)
+            ArrivalsUtil.renameOne(pfs, p, suffix) match {
+              case Left(e) => firstErr = Some(e)
+              case Right(r) => if (r) renamed += 1
+            }
+          }
         }
-        filesRenamed.incrementAndGet()
+        Iterator.single((renamed, firstErr))
+      }.collect() // ≤ 32 small tuples — control traffic, not data
+      filesRenamed.addAndGet(results.map(_._1).sum)
+      results.flatMap(_._2).headOption.foreach { err =>
+        renameFailures.incrementAndGet()
+        throw new IllegalStateException(err)
       }
-      // !srcExists && dstExists: already committed (post-crash replay) — ok
-      // neither exists: file vanished externally; nothing to mark
+    } else {
+      files.foreach { f =>
+        ArrivalsUtil.renameOne(fs, f.path, opts.fileSuffix) match {
+          case Left(err) =>
+            renameFailures.incrementAndGet()
+            throw new IllegalStateException(err)
+          case Right(r) => if (r) filesRenamed.incrementAndGet()
+        }
+      }
     }
   }
 

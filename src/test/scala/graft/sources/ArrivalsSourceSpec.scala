@@ -121,6 +121,31 @@ class ArrivalsSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("executor-side rename fan-out: large commits rename on executors, counters intact") {
+    val dir = tmpDir()
+    val t = 1704000000000L
+    val n = 200
+    (1 to n).foreach(i => write(dir, f"bulk$i%04d.dat", "x", t + i))
+    val q = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+      .option("executorRenameThreshold", "1") // force the fan-out path
+      .option("maxFilesPerTrigger", "500")
+      .load().writeStream.format("memory").queryName("t_fanout")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      awaitCond((1 to n).forall(i => new File(dir, f"bulk$i%04d.dat.COMPLETED").exists()),
+        timeoutMs = 30000)
+      assert(q.exception.isEmpty)
+      def renamedMetric: Option[String] =
+        q.recentProgress.toSeq.flatMap(p => p.sources.toSeq)
+          .flatMap(s => Option(s.metrics).map(_.asScala.toMap)).lastOption
+          .flatMap(_.get("filesRenamed"))
+      awaitCond(renamedMetric.contains(n.toString), timeoutMs = 30000)
+    } finally q.stop()
+    assert(spark.table("t_fanout").count() == n)
+    assert(!(1 to n).exists(i => new File(dir, f"bulk$i%04d.dat").exists()))
+  }
+
   test("consumeOrder OLDEST: mtime asc, tie → lexicographically smallest") {
     val dir = tmpDir()
     val t0 = 1704000000000L; val t1 = 1704000060000L
