@@ -266,7 +266,25 @@ object Extras {
             ORDER BY key_a, key_b""")
   )
 
+  /** Salted two-phase aggregation (graft.api.Skew.saltedAggregate) — the
+    * hot-key mitigation for aggregations: pre-aggregate on (key, salt)
+    * so a skewed key's rows spread over 16 partial groups, then combine.
+    * Deterministic salt (xxhash64, no rand()); the oracle is the PLAIN
+    * aggregate, which the salted plan must equal exactly. */
+  private val qSkewSalted = Q(
+    "q_skew_salted",
+    (s, dir) =>
+      graft.api.Skew.saltedAggregate(
+          Tables.events(s, dir), Seq("event_type"), 16, col("event_id"))(
+          partial = Seq(count(lit(1)).as("c"), sum("value").as("sv")),
+          fin = Seq(sum("c").as("cnt"), round(sum("sv"), 4).as("sum_value")))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
-    qJoinAsof, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance)
+    qJoinAsof, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
+    qSkewSalted)
 }

@@ -151,6 +151,76 @@ object TextOps {
             FROM r WHERE rank <= 32 ORDER BY lang, rank""")
   )
 
+  /** Corpus quality filter — the canonical pretraining-data selection
+    * pass, composed from the TextAnalysis library ops: keep documents
+    * with identifiable language, mid-range token count, and quality ≥
+    * 0.5. One narrow map-side scan; at 100 TB this is the filter that
+    * runs BEFORE dedup so later shuffles see only keepers. */
+  private val qCorpusFilter = Q(
+    "q_corpus_filter",
+    (s, dir) =>
+      graft.api.TextAnalysis.languageId(
+          graft.api.TextAnalysis.qualityScore(Tables.documents(s, dir), "text"), "text")
+        .filter(col("pred_lang") =!= "und" && col("quality") >= 0.5 &&
+          col("n_tok").between(20, 80))
+        .select(col("doc_id"), col("pred_lang"), col("n_tok"), col("ttr"), col("quality"))
+        .orderBy("doc_id"),
+    Some("""WITH m AS (SELECT doc_id, text,
+              len(string_split(text,' ')) AS n_tok,
+              CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+              (CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS avg_tok_len
+            FROM documents),
+                 q AS (SELECT doc_id, text, n_tok, round(ttr, 4) AS ttr,
+              round(least(1.0, n_tok / 50.0) * 0.4 + ttr * 0.4
+                    + least(1.0, avg_tok_len / 8.0) * 0.2, 4) AS quality
+            FROM m),
+                 sc AS (SELECT doc_id,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to'])) AS s_en,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y'])) AS s_es,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','und','das','ist'])) AS s_de,
+              len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','et','les','un'])) AS s_fr
+            FROM documents),
+                 lid AS (SELECT doc_id,
+              CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                   WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de >= s_fr THEN 'de'
+                   ELSE 'fr' END AS pred_lang
+            FROM sc)
+            SELECT q.doc_id, lid.pred_lang, q.n_tok, q.ttr, q.quality
+            FROM q JOIN lid ON q.doc_id = lid.doc_id
+            WHERE lid.pred_lang <> 'und' AND q.quality >= 0.5
+              AND q.n_tok BETWEEN 20 AND 80
+            ORDER BY q.doc_id""")
+  )
+
+  /** Document chunking: fixed 20-token windows with stride 15 (5-token
+    * overlap) — the shard-into-context-windows step of a training
+    * pipeline. Pure Generator fan-out (posexplode over computed chunk
+    * starts), no shuffle at all until the presentation sort. */
+  private val qChunk = Q(
+    "q_chunk",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(expr(
+            "transform(sequence(0, int((size(t) - 1) / 15)), i -> concat_ws(' ', slice(t, i*15 + 1, 20)))"))
+            .as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"),
+          least(lit(20), size(col("t")) - col("chunk_id") * 15).cast("long").as("chunk_tok"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 c AS (SELECT doc_id, t,
+                         unnest(generate_series(0, CAST(floor((len(t) - 1) / 15) AS INT))) AS chunk_id
+                       FROM toks)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              array_to_string(list_slice(t, chunk_id*15 + 1, chunk_id*15 + 20), ' ') AS chunk_text,
+              CAST(least(20, len(t) - chunk_id*15) AS BIGINT) AS chunk_tok
+            FROM c ORDER BY doc_id, chunk_id""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
-    qFingerprint, qMultimodalMeta, qHeavyHitters)
+    qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk)
 }
