@@ -115,7 +115,12 @@ object TextDedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
-    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("label"))
+    // propagate only over nodes that HAVE edges (near-dup graphs are
+    // sparse — most documents are singletons); the full id set joins
+    // back once at the end, so per-round work scales with the graph,
+    // not the corpus
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var round = 0
@@ -134,7 +139,9 @@ object TextDedup {
       prevSum = s
       round += 1
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    allIds.select(col(idCol).as("id"))
+      .join(labels.select(col("id"), col("label").as("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 64/blocks − 1 for the
