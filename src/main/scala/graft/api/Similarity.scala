@@ -48,13 +48,13 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
-  /** Deterministic ±1 random-hyperplane matrix (nPlanes × dim). */
+  /** Deterministic ±1 random-hyperplane matrix (nPlanes × dim) — same
+    * bit-identical formula as the native `graft_hyperplane_keys`
+    * expression ([[graft.functions.VectorExprs.planeSign]]), so the
+    * DataFrame and native paths index the same buckets. */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
-      (0 until dim).map { d =>
-        val x = (p * 1000003L + d * 7919L + 12345L) * 2654435761L
-        if (((x >> 17) & 1L) == 0L) -1.0 else 1.0
-      }
+      (0 until dim).map(d => graft.functions.VectorExprs.planeSign(p, d))
     }
 
   /** Approximate cosine top-k via random-hyperplane LSH with multi-probe:
@@ -124,20 +124,14 @@ object Similarity {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
     // per-band keys packed into ONE BIGINT: high bits = band id, low w
-    // bits = sign bits — integer join keys (no string building), and
-    // hamming-1 probe variants are a single XOR on the packed key, so
-    // the sign-bit fold runs once per (row, band), not once per flip.
-    // Each HOF-computed column (sig, ks) is referenced exactly once per
-    // downstream projection (CLAUDE.md invariant 5).
+    // bits = sign bits — computed by the NATIVE graft_hyperplane_keys
+    // expression (one tight loop per row; the earlier typedLit(planes) +
+    // transform + per-plane vec_dot chain generated enormous Java whose
+    // janino compile dominated cold runs). Hamming-1 probe variants are
+    // a single XOR on the packed key; the HOF-computed probe column is
+    // referenced exactly once per projection (CLAUDE.md invariant 5).
     val sigd = corpus
-      .withColumn("planes", typedLit(hyperplanes(nPlanes, dim)))
-      .withColumn("sig", expr(
-        s"transform(planes, pl -> CASE WHEN vec_dot($embCol, pl) >= 0 THEN 1 ELSE 0 END)"))
-      .withColumn("ks", expr(
-        s"""transform(sequence(0, ${bands - 1}), b ->
-              cast(b AS BIGINT) * ${1L << w} +
-                aggregate(sequence(0, ${w - 1}), 0L,
-                  (acc, r) -> acc + cast(sig[b*$w+r] AS BIGINT) * shiftleft(1L, r)))"""))
+      .withColumn("ks", expr(s"graft_hyperplane_keys($embCol, $nPlanes, $bands, $dim)"))
       .select(col(idCol).as("id"), col(embCol).as("e"), col("ks"))
     val indexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
     val probeExpr =

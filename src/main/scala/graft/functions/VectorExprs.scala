@@ -139,6 +139,72 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Deterministic ±1 hyperplane value for (plane p, dim d) — the SINGLE
+    * definition shared by the native expression below and
+    * [[graft.api.Similarity.hyperplanes]] (kept bit-identical so the
+    * DataFrame fallback and the native path index the same buckets). */
+  def planeSign(p: Int, d: Int): Double = {
+    val x = (p * 1000003L + d * 7919L + 12345L) * 2654435761L
+    if (((x >> 17) & 1L) == 0L) -1.0 else 1.0
+  }
+
+  /** Packed LSH band keys of an embedding under `nPlanes` deterministic
+    * random hyperplanes: array<bigint> of length `bands`, each key =
+    * band_id * 2^(nPlanes/bands) + sign bits. One tight primitive loop
+    * per row — replaces a typedLit(planes matrix) + transform +
+    * per-plane vec_dot chain whose generated code is enormous (the
+    * janino compile alone dominated cold runs of the ANN join). */
+  case class HyperplaneKeys(child: Expression, nPlanes: Int, bands: Int, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    private val w = nPlanes / bands
+    // planes precomputed once per expression instance (executor-local)
+    private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(nPlanes, dim)(planeSign)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_hyperplane_keys expects a float/double array, got $other")
+      }
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = math.min(dim, arr.numElements())
+      val sig = new Array[Boolean](nPlanes)
+      var p = 0
+      while (p < nPlanes) {
+        val pl = planes(p)
+        var s = 0.0; var i = 0
+        while (i < n) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          s += x * pl(i)
+          i += 1
+        }
+        sig(p) = s >= 0
+        p += 1
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var key = b.toLong << w
+        var r = 0
+        while (r < w) {
+          if (sig(b * w + r)) key |= (1L << r)
+          r += 1
+        }
+        out(b) = key
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Arity-checked expression builders (a wrong-arity SQL call must fail
     * analysis with a clear message, not IndexOutOfBoundsException). */
   def buildVecDot(es: Seq[Expression]): Expression = {
@@ -153,6 +219,16 @@ object VectorExprs {
     require(es.length == 1, s"graft_minhash expects 1 argument, got ${es.length}")
     MinHashSig(es.head)
   }
+  def buildHyperplaneKeys(es: Seq[Expression]): Expression = {
+    require(es.length == 4,
+      s"graft_hyperplane_keys expects (emb, nPlanes, bands, dim), got ${es.length} args")
+    def asInt(e: Expression, name: String): Int = {
+      require(e.foldable, s"graft_hyperplane_keys: $name must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    HyperplaneKeys(es.head, asInt(es(1), "nPlanes"), asInt(es(2), "bands"),
+      asInt(es(3), "dim"))
+  }
 
   /** Idempotently register graft functions on a session so `expr("...")`
     * and SQL can call them (vec_dot, graft_simhash, graft_minhash). */
@@ -161,5 +237,6 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("vec_dot", buildVecDot, "internal")
     reg.createOrReplaceTempFunction("graft_simhash", buildSimHash, "internal")
     reg.createOrReplaceTempFunction("graft_minhash", buildMinHash, "internal")
+    reg.createOrReplaceTempFunction("graft_hyperplane_keys", buildHyperplaneKeys, "internal")
   }
 }
