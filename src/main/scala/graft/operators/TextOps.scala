@@ -221,6 +221,40 @@ object TextOps {
             FROM c ORDER BY doc_id, chunk_id""")
   )
 
+  /** Deterministic 20% sample by content hash (graft.api.Sampling): the
+    * same document lands in the same bucket on every run and engine —
+    * rand()-based sampling can't give a reproducible corpus (or survive
+    * task retries). Oracle runs the identical md5-prefix formula. */
+  private val qSampleHash = Q(
+    "q_sample_hash",
+    (s, dir) =>
+      graft.api.Sampling.sample(Tables.documents(s, dir), "text", pct = 20)
+        .select(col("doc_id"),
+          graft.api.Sampling.hashBucket(col("text")).as("bucket"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 20
+            ORDER BY doc_id""")
+  )
+
+  /** Stratified deterministic sampling: per-language rates (downsample
+    * dominant strata, keep rare ones) with a default for unlisted. */
+  private val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, dir) =>
+      graft.api.Sampling.stratifiedSample(Tables.documents(s, dir), "text", "lang",
+          rates = Map("en" -> 50, "zh" -> 10), defaultPct = 25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 <
+              CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 10 ELSE 25 END
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
-    qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk)
+    qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
+    qSampleHash, qSampleStratified)
 }
