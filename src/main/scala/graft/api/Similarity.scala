@@ -157,4 +157,75 @@ object Similarity {
       .select(col("pid").as("id"), col("id").as("neighbor_id"),
         col("sim"), col("rank"))
   }
+
+  /** IVF top-k neighbors for EVERY vector — the coarse-quantizer
+    * alternative to [[annJoin]]'s hyperplane LSH: vectors are assigned
+    * to their nearest of `nCentroids` centers (cosine), probes look in
+    * their `nProbe` nearest cells, candidates come from the cell
+    * EQUI-join and are exact-cosine re-ranked. On clustered real
+    * embeddings the cells carry the structure; bucket occupancy, not
+    * n², drives cost.
+    *
+    * Centers: hash-seeded (the `nCentroids` vectors with smallest
+    * `xxhash64(id)` — deterministic sampling) then `iterations` rounds
+    * of Lloyd refinement with means rounded to 6dp (kills FP
+    * association jitter so repeated runs produce identical centers).
+    * The model state — nCentroids × dim doubles — is materialized on
+    * the driver per round, like any ML fit: BOUNDED BY THE MODEL SIZE,
+    * never by the data (the no-collect rule targets data-sized pulls).
+    *
+    * Per-pair multiplicity: the index side holds exactly one cell per
+    * vector, probe cells are distinct, so a directed pair meets at most
+    * once — no distinct needed anywhere.
+    *
+    * Returns (id, neighbor_id, sim, rank ≤ k) like [[annJoin]]. */
+  def ivfJoin(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      iterations: Int = 1): DataFrame = {
+    reg(corpus)
+    val em = corpus.select(col(idCol).as("id"), col(embCol).as("e"))
+    // deterministic hash-sampled seed centers (bounded: nCentroids rows)
+    var centers: Seq[Seq[Double]] = em
+      .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
+      .select(col("e").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    var it = 0
+    while (it < iterations) {
+      // assign every vector to its nearest center, recompute means per
+      // (cell, dim); the collected model update is nCentroids × dim
+      val assigned = em.select(col("id"),
+        element_at(call_function("graft_nearest_centroids",
+          col("e"), typedLit(centers), lit(1)), 1).as("cid"),
+        posexplode(col("e").cast("array<double>")).as(Seq("pos", "x")))
+      val means = assigned.groupBy("cid", "pos")
+        .agg(round(avg("x"), 6).as("m"))
+        .collect().map(r => (r.getAs[Int]("cid"), r.getAs[Int]("pos"), r.getAs[Double]("m")))
+      val byCell = means.groupBy(_._1)
+      centers = centers.indices.map { ci =>
+        byCell.get(ci) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3).toSeq
+          case None => centers(ci) // empty cell keeps its previous center
+        }
+      }
+      it += 1
+    }
+    val cc = typedLit(centers)
+    val index = em.select(col("id"), col("e"),
+      element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1)
+        .as("cid"))
+    val probes = em.select(col("id").as("pid"), col("e").as("pe"),
+      explode(call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)))
+        .as("cid"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
+    probes
+      .join(index, "cid")
+      .filter(col("pid") =!= col("id"))
+      .select(col("pid"), col("id"),
+        round(cosine(col("e"), col("pe")), 4).as("sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("pid").as("id"), col("id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
 }

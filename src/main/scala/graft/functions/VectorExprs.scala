@@ -205,6 +205,80 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Top-`nProbe` nearest centroid indices (by cosine) for an embedding:
+    * array<int> ordered best-first, ties to the smaller index. The
+    * centroid matrix arrives as a FOLDABLE literal (typedLit) and is
+    * decoded + norm-precomputed once per expression instance; per row
+    * it's one tight dot-product loop per centroid — the IVF coarse
+    * quantizer (both index assignment with nProbe=1 and multi-probe
+    * lookup) without a typedLit-HOF chain in the plan. */
+  case class NearestCentroids(left: Expression, right: Expression, nProbe: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val embOk = left.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      val ccOk = right.foldable && (right.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      })
+      if (embOk && ccOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_centroids expects (float/double array, literal array<array<double>> centroids)")
+    }
+    private lazy val isFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val centers: Array[Array[Double]] = {
+      val cc = right.eval().asInstanceOf[ArrayData]
+      Array.tabulate(cc.numElements()) { i =>
+        cc.getArray(i).toDoubleArray()
+      }
+    }
+    private lazy val centerNorms: Array[Double] =
+      centers.map(c => math.sqrt(c.map(x => x * x).sum))
+    override def nullSafeEval(emb: Any, ccIgnored: Any): Any = {
+      val arr = emb.asInstanceOf[ArrayData]
+      val k = centers.length
+      val scores = new Array[Double](k)
+      var ci = 0
+      while (ci < k) {
+        val c = centers(ci)
+        val n = math.min(c.length, arr.numElements())
+        var s = 0.0; var i = 0
+        while (i < n) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          s += x * c(i)
+          i += 1
+        }
+        // ranking by dot/||c|| equals ranking by cosine (emb norm is
+        // constant across centroids)
+        scores(ci) = if (centerNorms(ci) == 0.0) Double.NegativeInfinity
+          else s / centerNorms(ci)
+        ci += 1
+      }
+      val take = math.min(nProbe, k)
+      val picked = new Array[Int](take)
+      val used = new Array[Boolean](k)
+      var t = 0
+      while (t < take) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < k) {
+          if (!used(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+          j += 1
+        }
+        used(best) = true
+        picked(t) = best
+        t += 1
+      }
+      new GenericArrayData(picked)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Arity-checked expression builders (a wrong-arity SQL call must fail
     * analysis with a clear message, not IndexOutOfBoundsException). */
   def buildVecDot(es: Seq[Expression]): Expression = {
@@ -218,6 +292,12 @@ object VectorExprs {
   def buildMinHash(es: Seq[Expression]): Expression = {
     require(es.length == 1, s"graft_minhash expects 1 argument, got ${es.length}")
     MinHashSig(es.head)
+  }
+  def buildNearestCentroids(es: Seq[Expression]): Expression = {
+    require(es.length == 3,
+      s"graft_nearest_centroids expects (emb, centroids, nProbe), got ${es.length} args")
+    require(es(2).foldable, "graft_nearest_centroids: nProbe must be a literal")
+    NearestCentroids(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue())
   }
   def buildHyperplaneKeys(es: Seq[Expression]): Expression = {
     require(es.length == 4,
@@ -238,5 +318,6 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_simhash", buildSimHash, "internal")
     reg.createOrReplaceTempFunction("graft_minhash", buildMinHash, "internal")
     reg.createOrReplaceTempFunction("graft_hyperplane_keys", buildHyperplaneKeys, "internal")
+    reg.createOrReplaceTempFunction("graft_nearest_centroids", buildNearestCentroids, "internal")
   }
 }

@@ -75,5 +75,18 @@ object VectorOps {
     None
   )
 
-  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin)
+  /** IVF JOIN: the coarse-quantizer ANN variant (hash-seeded centers +
+    * one Lloyd round, 4-probe cells, exact re-rank) — same output shape
+    * as q_ann_join; recall property-tested vs the exact pairs. */
+  private val qAnnIvf = Q(
+    "q_ann_ivf",
+    (s, dir) =>
+      Similarity.ivfJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4, iterations = 1)
+        .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("vec_id", "rank"),
+    None
+  )
+
+  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf)
 }

@@ -97,6 +97,19 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ann-join recall $recall ($hit/${exact.size})")
   }
 
+  test("ivf join recovers ≥ 60% of the exact near-dup pairs (recall, 4-probe of 16 cells)") {
+    val exact = graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val ivf = graft.SparkEntry.queries("q_ann_ivf")(spark, sfDir).collect()
+      .map { r =>
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("neighbor_id")
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val hit = exact.count(ivf.contains)
+    val recall = hit.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf-join recall $recall ($hit/${exact.size})")
+  }
+
   test("jaccard stop-shingle guard ≡ unguarded on the fixture (no hot shingle at this sf)") {
     // the declared query runs with maxShingleDf = 10; at sf0.001/sf0.01
     // the max shingle df is 9/7, so the guard must not change the answer
