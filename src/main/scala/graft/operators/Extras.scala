@@ -283,8 +283,84 @@ object Extras {
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** FULL OUTER join: customers with finished vs pending orders —
+    * unmatched rows survive from BOTH sides (nulls coalesced to 0). */
+  private val qJoinFull = Q(
+    "q_join_full",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy("o_custkey").agg(count(lit(1)).as("f_cnt"))
+      val p = o.filter(col("o_orderstatus") === "P")
+        .groupBy("o_custkey").agg(count(lit(1)).as("p_cnt"))
+      f.join(p, Seq("o_custkey"), "full")
+        .select(col("o_custkey"),
+          coalesce(col("f_cnt"), lit(0L)).as("f_cnt"),
+          coalesce(col("p_cnt"), lit(0L)).as("p_cnt"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH f AS (SELECT o_custkey, count(*) AS f_cnt FROM orders
+                       WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+                 p AS (SELECT o_custkey, count(*) AS p_cnt FROM orders
+                       WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+            SELECT coalesce(f.o_custkey, p.o_custkey) AS o_custkey,
+              coalesce(f_cnt, 0) AS f_cnt, coalesce(p_cnt, 0) AS p_cnt
+            FROM f FULL JOIN p ON f.o_custkey = p.o_custkey
+            ORDER BY o_custkey""")
+  )
+
+  /** Unpivot (melt): wide per-flag aggregates → long (flag, metric,
+    * value) rows — the inverse of q_pivot. */
+  private val qUnpivot = Q(
+    "q_unpivot",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"),
+          round(sum("l_discount"), 4).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+    Some("""WITH w AS (SELECT l_returnflag,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_price,
+              round(sum(l_discount), 4) AS sum_disc
+            FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, metric, value FROM (
+              SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+              UNION ALL
+              SELECT l_returnflag, 'sum_price', sum_price FROM w
+              UNION ALL
+              SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+            ORDER BY l_returnflag, metric""")
+  )
+
+  /** Distribution window functions: percent_rank + cume_dist within a
+    * totally-ordered per-status window. */
+  private val qWindowDistribution = Q(
+    "q_window_distribution",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .filter(col("o_orderkey") % 53 === 0)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderstatus,
+              round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 4) AS pr,
+              round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 4) AS cd
+            FROM orders)
+            SELECT o_orderkey, o_orderstatus, pr, cd FROM r
+            WHERE o_orderkey % 53 = 0 ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
     qJoinAsof, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
-    qSkewSalted)
+    qSkewSalted, qJoinFull, qUnpivot, qWindowDistribution)
 }
