@@ -93,6 +93,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_chunk: column pruning — only doc_id and text reach the scan") {
+    val p = plan("q_chunk")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q_sample_hash / q_corpus_filter: map-side only — sole exchange is the presentation sort") {
+    for (q <- Seq("q_sample_hash", "q_corpus_filter")) {
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q expected exactly 1 exchange (the orderBy), got $exchanges\n" + p)
+      assert(p.contains("rangepartitioning"), p)
+    }
+  }
+
+  test("q_interval_count / q_ann_ivf: bucketed/cell equi-joins — no BNLJ, no cartesian") {
+    for (q <- Seq("q_interval_count", "q_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degenerated to BNLJ\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("q_dedup_ngram_jaccard: inverted-index equi-join with the skew guard in-plan") {
     val p = plan("q_dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
