@@ -380,9 +380,81 @@ object Relational {
             ORDER BY user_id""")
   )
 
+  /** INTERSECT ALL (bag semantics — multiplicity = min of the two
+    * sides, unlike q_intersect's distinct). */
+  private val qIntersectAll = Q(
+    "q_intersect_all",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mid = 1705276800000L // 2024-01-15 UTC epoch ms
+      ev.filter(col("ts_ms") < mid).select("user_id")
+        .intersectAll(ev.filter(col("ts_ms") >= mid).select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE epoch_ms(ts) < 1705276800000
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE epoch_ms(ts) >= 1705276800000
+            ORDER BY user_id""")
+  )
+
+  /** EXCEPT ALL (bag semantics — multiplicity = left minus right). */
+  private val qExceptAll = Q(
+    "q_except_all",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error").select("user_id")
+        .exceptAll(ev.filter(col("event_type") === "purchase" && col("value") > 90)
+          .select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'error'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+            ORDER BY user_id""")
+  )
+
+  /** The SQL entry point: TPC-H Q3 (shipping priority) run via
+    * spark.sql over temp views — same Catalyst plan space as the
+    * DataFrame API (3-way join, pushdown, partial aggregation,
+    * TakeOrdered), declared through SQL text instead. */
+  private val qSqlTpchQ3 = Q(
+    "q_sql_tpch_q3",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS o_date_ms,
+               o_orderpriority
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_date_ms, l_orderkey
+        LIMIT 10""")
+    },
+    Some("""SELECT l_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              epoch_ms(o_orderdate) AS o_date_ms,
+              o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_date_ms, l_orderkey
+            LIMIT 10""")
+  )
+
   val all: Seq[Q] = Seq(
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
-    qAggCube, qApproxDistinct, qUnionAll, qIntersect, qExcept)
+    qAggCube, qApproxDistinct, qUnionAll, qIntersect, qExcept,
+    qIntersectAll, qExceptAll, qSqlTpchQ3)
 }
