@@ -22,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[VectorExprs.MinHashSig].getName, "graft_minhash"),
       VectorExprs.buildMinHash(_)))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_keys"),
+      new ExpressionInfo(classOf[VectorExprs.HyperplaneKeys].getName, "graft_hyperplane_keys"),
+      VectorExprs.buildHyperplaneKeys(_)))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_centroids"),
+      new ExpressionInfo(classOf[VectorExprs.NearestCentroids].getName, "graft_nearest_centroids"),
+      VectorExprs.buildNearestCentroids(_)))
   }
 }

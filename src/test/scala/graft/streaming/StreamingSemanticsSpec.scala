@@ -223,6 +223,45 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(new graft.GraftExtensions() != null) // config entry point constructible
   }
 
+  test("vec_dot returns NULL on array length mismatch (not a truncated product)") {
+    graft.functions.VectorExprs.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d")
+      .collect().head
+    assert(r.isNullAt(0), s"expected null, got ${r.get(0)}")
+  }
+
+  test("graft_hyperplane_keys matches the HOF formulation bucket-for-bucket") {
+    graft.functions.VectorExprs.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val native = emb.selectExpr("vec_id", "graft_hyperplane_keys(embedding, 16, 4, 64) AS ks")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // reference formulation: literal planes + per-plane sign bits
+    val planes = graft.api.Similarity.hyperplanes(16, 64)
+    val viaHof = emb
+      .withColumn("planes", typedLit(planes))
+      .withColumn("sig", expr(
+        "transform(planes, pl -> CASE WHEN vec_dot(embedding, pl) >= 0 THEN 1 ELSE 0 END)"))
+      .selectExpr("vec_id",
+        """transform(sequence(0, 3), b ->
+             cast(b AS BIGINT) * 16 + aggregate(sequence(0, 3), 0L,
+               (acc, r) -> acc + cast(sig[b*4+r] AS BIGINT) * shiftleft(1L, r))) AS ks""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(native == viaHof)
+  }
+
+  test("graft_nearest_centroids picks the argmax-cosine centroids, ties to smaller index") {
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.functions.{call_function, lit => flit}
+    val centers: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val df = spark.sql(
+      "SELECT array(CAST(0.9 AS FLOAT), CAST(0.1 AS FLOAT)) AS e")
+    val picked = df.select(
+      call_function("graft_nearest_centroids", col("e"), typedLit(centers), flit(2)).as("c"))
+      .collect().head.getSeq[Int](0).toSeq
+    assert(picked == Seq(0, 1), picked.toString) // nearest (1,0), then (0,1)
+  }
+
   test("windowed aggregation runs end-to-end on the arrivals source") {
     val dir = java.nio.file.Files.createTempDirectory("arrivals-win-").toFile
     def put(n: String, t: Long): Unit = {
