@@ -77,5 +77,76 @@ object Multimodal {
             FROM f ORDER BY doc_id, frame_idx""")
   )
 
-  val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames)
+  /** Extracted (stub) feature summary — scalar columns only (the driver
+    * comparator can't sort raw array columns, CLAUDE.md invariant 1). */
+  final case class FeatureRow(doc_id: Long, feat_dim: Long, feat_norm: Double, f0: Double)
+
+  /** STUB feature extractor: 8 deterministic pseudo-features from the
+    * payload length — a real implementation would run the vision/audio
+    * encoder here, one model instance per partition. Double math so the
+    * DuckDB oracle reproduces it bit-for-bit. */
+  def stubFeatures(docId: Long, payload: Array[Byte]): FeatureRow = {
+    val len = payload.length.toLong
+    val feats = Array.tabulate(8)(i => ((len * (i + 3)) % 97).toDouble / 97.0)
+    val norm = math.sqrt(feats.map(x => x * x).sum)
+    FeatureRow(docId, 8L,
+      math.rint(norm * 10000) / 10000, math.rint(feats(0) * 10000) / 10000)
+  }
+
+  /** Feature extraction over the typed partition pipeline: payload →
+    * per-partition (stub) encoder → scalar feature summary. */
+  private val qMultimodalFeatures = Q(
+    "q_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => stubFeatures(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(8 AS BIGINT) AS feat_dim,
+              round(sqrt(list_sum(list_transform(generate_series(0, 7),
+                i -> pow(((octet_length(encode(text)) * (i + 3)) % 97) / 97.0, 2)))), 4) AS feat_norm,
+              round(((octet_length(encode(text)) * 3) % 97) / 97.0, 4) AS f0
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Resized (stub) payload metadata. */
+  final case class ResizeRow(doc_id: Long, dst_w: Long, dst_h: Long,
+      out_bytes: Long, out_sha: String)
+
+  /** STUB resize: truncate the payload to the first 256 bytes standing in
+    * for a 64×64 re-encode; a real implementation decodes, scales, and
+    * re-encodes here. The output content hash checks the BYTES moved
+    * through the typed pipeline, not just the metadata. */
+  def stubResize(docId: Long, payload: Array[Byte]): ResizeRow = {
+    val out = payload.take(256)
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
+      .map("%02x".format(_)).mkString
+    ResizeRow(docId, 64L, 64L, out.length.toLong, sha)
+  }
+
+  /** Resize plumbing: payload → per-partition (stub) scaler → resized
+    * payload metadata + content hash. */
+  private val qMultimodalResize = Q(
+    "q_multimodal_resize",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => stubResize(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(64 AS BIGINT) AS dst_w, CAST(64 AS BIGINT) AS dst_h,
+              least(octet_length(encode(text)), 256) AS out_bytes,
+              sha256(substr(text, 1, 256)) AS out_sha
+            FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
+    qMultimodalFeatures, qMultimodalResize)
 }
