@@ -146,6 +146,31 @@ class ArrivalsSourceSpec extends SparkTestBase {
     assert(!(1 to n).exists(i => new File(dir, f"bulk$i%04d.dat").exists()))
   }
 
+  test("executor-side rename fan-out: a collision on an executor fails the query loudly") {
+    val dir = tmpDir()
+    val t = 1704000000000L
+    write(dir, "c1.dat", "x", t)
+    // pre-existing .COMPLETED file: after c1.dat is consumed its rename
+    // target already exists -> the reference's name-reuse refusal, which
+    // must propagate from the executor task back to the stream
+    write(dir, "c1.dat.COMPLETED", "old", t)
+    val q = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+      .option("executorRenameThreshold", "1")
+      .load().writeStream.format("memory").queryName("t_fanout_collide")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      // renames fire on the trigger AFTER the data batch;
+      // processAllAvailable may rethrow the failure itself or return
+      // before it surfaces — accept either, then check the message
+      val direct =
+        try { q.processAllAvailable(); None }
+        catch { case e: Exception => Some(e.toString) }
+      if (direct.isEmpty) awaitCond(q.exception.isDefined, timeoutMs = 30000)
+      val msg = direct.orElse(q.exception.map(_.toString)).get
+      assert(msg.contains("Name re-used"), msg)
+    } finally q.stop()
+  }
+
   test("consumeOrder OLDEST: mtime asc, tie → lexicographically smallest") {
     val dir = tmpDir()
     val t0 = 1704000000000L; val t1 = 1704000060000L
