@@ -25,8 +25,13 @@ object Bench {
     Seq("q_ann_join", "q_ann_ivf", "q_dedup_clusters", "q_dedup_ngram_jaccard",
       "q_dedup_minhash", "q_dedup_simhash", "q_heavy_hitters")
       .foreach { name =>
+        // warmup must never fail the bench, but a silently-skipped name
+        // (rename drift) would quietly time that pipeline cold — say so
         try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () } // warmup must never fail the bench
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}")
+        }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

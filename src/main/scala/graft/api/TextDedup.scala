@@ -122,9 +122,13 @@ object TextDedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // coalesce: sum over ZERO rows is NULL — an empty pair graph (clean
+    // corpus) must yield all-singleton clusters, not a crash
+    def labelSum(): Long =
+      labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum()
     var round = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && round < maxRounds) {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("label")), "v")
@@ -134,11 +138,19 @@ object TextDedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum("label")).head().getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
       round += 1
     }
+    // wrong cluster ids are worse than no answer: a graph whose diameter
+    // exceeds maxRounds must fail loudly (the large-star/small-star
+    // contraction is the O(log n) upgrade for such graphs)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "graph diameter exceeds maxRounds; raise it or use a " +
+          "contraction-based variant for long-chain graphs")
     allIds.select(col(idCol).as("id"))
       .join(labels.select(col("id"), col("label").as("cluster_id")), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

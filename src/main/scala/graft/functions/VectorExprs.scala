@@ -253,9 +253,11 @@ object VectorExprs {
           i += 1
         }
         // ranking by dot/||c|| equals ranking by cosine (emb norm is
-        // constant across centroids)
-        scores(ci) = if (centerNorms(ci) == 0.0) Double.NegativeInfinity
+        // constant across centroids); NaN scores (NaN embedding values)
+        // rank last instead of poisoning every comparison
+        val sc = if (centerNorms(ci) == 0.0) Double.NegativeInfinity
           else s / centerNorms(ci)
+        scores(ci) = if (java.lang.Double.isNaN(sc)) Double.NegativeInfinity else sc
         ci += 1
       }
       val take = math.min(nProbe, k)
@@ -266,9 +268,13 @@ object VectorExprs {
         var best = -1; var bestScore = Double.NegativeInfinity
         var j = 0
         while (j < k) {
-          if (!used(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+          if (!used(j) && (best == -1 || scores(j) > bestScore)) {
+            best = j; bestScore = scores(j)
+          }
           j += 1
         }
+        // best == -1 is impossible (take ≤ k guarantees an unused index,
+        // and the best==-1 arm accepts -Infinity scores)
         used(best) = true
         picked(t) = best
         t += 1

@@ -117,32 +117,38 @@ object Multimodal {
   final case class ResizeRow(doc_id: Long, dst_w: Long, dst_h: Long,
       out_bytes: Long, out_sha: String)
 
-  /** STUB resize: truncate the payload to the first 256 bytes standing in
-    * for a 64×64 re-encode; a real implementation decodes, scales, and
-    * re-encodes here. The output content hash checks the BYTES moved
-    * through the typed pipeline, not just the metadata. */
-  def stubResize(docId: Long, payload: Array[Byte]): ResizeRow = {
-    val out = payload.take(256)
+  /** STUB resize: truncate the content to its first 256 CODEPOINTS
+    * standing in for a 64×64 re-encode; a real implementation decodes,
+    * scales, and re-encodes here. Codepoint truncation (not bytes, not
+    * UTF-16 chars) is deliberate: it matches DuckDB `substr` semantics
+    * exactly — DuckDB has no blob substring, so a byte-sliced stub
+    * would silently diverge from any oracle on multi-byte text. The
+    * output hash still covers the UTF-8 BYTES that moved through the
+    * typed pipeline. */
+  def stubResize(docId: Long, text: String): ResizeRow = {
+    val cps = text.codePointCount(0, text.length)
+    val end = text.offsetByCodePoints(0, math.min(256, cps))
+    val out = text.substring(0, end).getBytes("UTF-8")
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(out)
       .map("%02x".format(_)).mkString
     ResizeRow(docId, 64L, 64L, out.length.toLong, sha)
   }
 
-  /** Resize plumbing: payload → per-partition (stub) scaler → resized
+  /** Resize plumbing: content → per-partition (stub) scaler → resized
     * payload metadata + content hash. */
   private val qMultimodalResize = Q(
     "q_multimodal_resize",
     (s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => stubResize(id, bytes) })
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => stubResize(id, text) })
         .toDF()
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, CAST(64 AS BIGINT) AS dst_w, CAST(64 AS BIGINT) AS dst_h,
-              least(octet_length(encode(text)), 256) AS out_bytes,
+              octet_length(encode(substr(text, 1, 256))) AS out_bytes,
               sha256(substr(text, 1, 256)) AS out_sha
             FROM documents ORDER BY doc_id""")
   )

@@ -399,7 +399,17 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
   }
 
   override def deserializeOffset(json: String): Offset = {
-    val o = ArrivalsOffset.fromJson(json)
+    val raw = ArrivalsOffset.fromJson(json)
+    // Migrate offsets checkpointed before FileMeta switched to
+    // fully-qualified URIs: a scheme-less '/dir/f' from an old offset
+    // log would never set-match the 'file:/dir/f' a fresh listing
+    // produces, re-emitting the whole crash window. Qualify through the
+    // SAME filesystem handle the listing uses.
+    val o = raw.copy(files = raw.files.map { f =>
+      if (new Path(f.path).toUri.getScheme == null)
+        f.copy(path = fs.makeQualified(new Path(f.path)).toString)
+      else f
+    })
     // The checkpointed offset seeds our cursor ONLY until we have offered
     // an offset ourselves: once latestOffset() has returned one, the
     // engine is driving batches against OUR offsets and the checkpoint

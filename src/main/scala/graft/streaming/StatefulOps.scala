@@ -36,9 +36,10 @@ object StatefulOps {
     * millis. */
   final case class FpDoc(fp: String, id: Long, tsMs: Long)
 
-  /** Per-fingerprint state: canonical (first-seen) id and total docs
-    * seen. */
-  final case class FpState(firstId: Long, seen: Long)
+  /** Per-fingerprint state: canonical (first-seen) id, total docs seen,
+    * and the max event time observed (the TTL anchor — a running max so
+    * an out-of-order batch can never move the expiry backwards). */
+  final case class FpState(firstId: Long, seen: Long, maxTsMs: Long)
 
   /** One output row per (fingerprint, micro-batch): the canonical id,
     * whether this batch saw the FIRST occurrence, how many rows this
@@ -68,11 +69,12 @@ object StatefulOps {
             // deterministic canonical pick within the first batch: min id
             val first = prev.map(_.firstId).getOrElse(batch.map(_.id).min)
             val total = prev.map(_.seen).getOrElse(0L) + batch.size
-            state.update(FpState(first, total))
-            if (ttlMs > 0) {
-              val maxTs = batch.map(_.tsMs).max
-              state.setTimeoutTimestamp(maxTs + ttlMs)
-            }
+            // running max across batches: an out-of-order (but not late)
+            // row must never pull the TTL deadline backwards
+            val maxTs = math.max(prev.map(_.maxTsMs).getOrElse(Long.MinValue),
+              batch.map(_.tsMs).max)
+            state.update(FpState(first, total, maxTs))
+            if (ttlMs > 0) state.setTimeoutTimestamp(maxTs + ttlMs)
             Iterator.single(FpUpdate(fp, first, prev.isEmpty, batch.size.toLong, total))
           }
       }

@@ -110,6 +110,24 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(recall >= 0.6, s"ivf-join recall $recall ($hit/${exact.size})")
   }
 
+  test("connectedComponents on an EMPTY pair graph: every doc is its own singleton cluster") {
+    val docs = Tables.documents(spark, sfDir)
+    val noPairs = docs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
+    val cc = graft.api.TextDedup.connectedComponents(noPairs, docs, "doc_id").collect()
+    assert(cc.length == docs.count())
+    assert(cc.forall(r => r.getAs[Long]("id") == r.getAs[Long]("cluster_id")))
+  }
+
+  test("graft_nearest_centroids survives NaN embeddings and zero-norm centroids (no crash)") {
+    graft.functions.VectorExprs.register(spark)
+    val picked = spark.sql(
+      """SELECT graft_nearest_centroids(array(CAST('NaN' AS DOUBLE), 0.0D),
+           array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 2) AS c""")
+      .collect().head.getSeq[Int](0).toSeq
+    // all scores are NaN -> rank last deterministically: smallest indices
+    assert(picked == Seq(0, 1), picked.toString)
+  }
+
   test("jaccard stop-shingle guard ≡ unguarded on the fixture (no hot shingle at this sf)") {
     // the declared query runs with maxShingleDf = 10; at sf0.001/sf0.01
     // the max shingle df is 9/7, so the guard must not change the answer
