@@ -129,7 +129,11 @@ object TextDedup {
     var prevSum = labelSum()
     var round = 0
     var converged = labels.isEmpty
-    while (!converged && round < maxRounds) {
+    // sum-based convergence needs one extra NO-CHANGE round to confirm
+    // the fixpoint, so allow maxRounds propagation rounds PLUS that
+    // confirming round — maxRounds bounds the graph diameter, not
+    // diameter + 1
+    while (!converged && round < maxRounds + 1) {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .groupBy("u").agg(min("label").as("nl"))

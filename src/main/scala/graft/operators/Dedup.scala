@@ -132,26 +132,30 @@ object Dedup {
   /** Eval-set decontamination: drop every training document whose
     * normalized content fingerprint appears in the held-out set — the
     * pass that keeps benchmark answers out of the training corpus. One
-    * LEFT ANTI join on the 16-byte fingerprint (never the text); the
-    * eval side is tiny and broadcasts. Eval set here: doc_id % 97 = 0. */
+    * LEFT ANTI join on the fingerprint unhexed to its 16 RAW BYTES
+    * (never the text, half the bytes of the hex string); the eval side
+    * is tiny and broadcasts. Eval set here: doc_id % 97 = 0. Oracle
+    * uses NOT EXISTS (not NOT IN) so NULL-text rows get anti-join
+    * semantics in both engines. */
   private val qDecontaminate = Q(
     "q_decontaminate",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val evalFp = docs.filter(col("doc_id") % 97 === 0)
-        .select(TextDedup.fingerprint(col("text")).as("fp")).distinct()
+        .select(unhex(TextDedup.fingerprint(col("text"))).as("fp")).distinct()
       docs.filter(col("doc_id") % 97 =!= 0)
-        .withColumn("fp", TextDedup.fingerprint(col("text")))
+        .withColumn("fp", unhex(TextDedup.fingerprint(col("text"))))
         .join(broadcast(evalFp), Seq("fp"), "left_anti")
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
     Some("""WITH ev AS (SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
                         FROM documents WHERE doc_id % 97 = 0)
-            SELECT doc_id FROM documents
-            WHERE doc_id % 97 <> 0
-              AND md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) NOT IN (SELECT fp FROM ev)
-            ORDER BY doc_id""")
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND NOT EXISTS (SELECT 1 FROM ev
+                    WHERE ev.fp = md5(lower(regexp_replace(d.text, '\s+', ' ', 'g'))))
+            ORDER BY d.doc_id""")
   )
 
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,

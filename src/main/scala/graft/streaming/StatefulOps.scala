@@ -38,7 +38,13 @@ object StatefulOps {
 
   /** Per-fingerprint state: canonical (first-seen) id, total docs seen,
     * and the max event time observed (the TTL anchor — a running max so
-    * an out-of-order batch can never move the expiry backwards). */
+    * an out-of-order batch can never move the expiry backwards).
+    *
+    * NOTE on evolution: the state-store schema is this case class's
+    * encoder — adding/removing fields breaks restart from checkpoints
+    * written by the previous shape (Spark validates state schema
+    * compatibility). Version any future change (new state type + a
+    * migration read), don't edit this class in place. */
   final case class FpState(firstId: Long, seen: Long, maxTsMs: Long)
 
   /** One output row per (fingerprint, micro-batch): the canonical id,
