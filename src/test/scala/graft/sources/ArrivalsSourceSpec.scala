@@ -354,6 +354,24 @@ class ArrivalsSourceSpec extends SparkTestBase {
     assert(secs < 120, f"drain too slow: $secs%.1f s")
   }
 
+  test("throughput: 2000-file drain through the EXECUTOR rename fan-out, exactly-once") {
+    // same drain as above but with the fan-out threshold forced low so
+    // every commit renames on executors — the no-driver-rename-wall path
+    val dir = tmpDir()
+    val t0 = 1704000000000L
+    (1 to 2000).foreach(i => write(dir, f"g$i%05d", "x", t0 + i))
+    val start = System.nanoTime()
+    val rows = runStream(dir, "t_bulk_fanout",
+      Map("maxFilesPerTrigger" -> "500", "executorRenameThreshold" -> "1"),
+      awaitRenamed = Seq("g02000.COMPLETED")).collect()
+    val secs = (System.nanoTime() - start) / 1e9
+    assert(rows.length == 2000, s"expected 2000 rows, got ${rows.length}")
+    assert(rows.map(_.getAs[String]("file_name")).distinct.length == 2000, "duplicates emitted")
+    assert(dir.listFiles().forall(_.getName.endsWith(".COMPLETED")))
+    info(f"fan-out drained 2000 files in $secs%.1f s (${2000 / secs}%.0f files/s)")
+    assert(secs < 120, f"fan-out drain too slow: $secs%.1f s")
+  }
+
   test("lifecycle: start/stop ×10 with a shared checkpoint stays clean") {
     val dir = tmpDir()
     val cp = Files.createTempDirectory("arrivals-lc-").toString
