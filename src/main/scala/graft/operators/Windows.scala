@@ -148,6 +148,37 @@ object Windows {
             ORDER BY p.event_id""")
   )
 
+  /** first_value / last_value over an explicit full-partition frame
+    * (default frames differ between engines for last_value — pin
+    * unbounded-to-unbounded on both sides). */
+  private val qWindowFirstLast = Q(
+    "q_window_first_last",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          first("o_orderkey").over(w).as("cheapest_key"),
+          last("o_orderkey").over(w).as("priciest_key"))
+        .filter(col("o_orderkey") % 71 === 0)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderstatus,
+              first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_key,
+              last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+            FROM orders)
+            SELECT o_orderkey, o_orderstatus, cheapest_key, priciest_key FROM r
+            WHERE o_orderkey % 71 = 0 ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowTumbling, qWindowSliding, qSessionWindow, qIntervalCount)
+    qWindowTumbling, qWindowSliding, qSessionWindow, qIntervalCount,
+    qWindowFirstLast)
 }

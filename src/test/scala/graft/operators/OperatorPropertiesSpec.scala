@@ -110,6 +110,30 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(recall >= 0.6, s"ivf-join recall $recall ($hit/${exact.size})")
   }
 
+  test("chunking invariants: coverage, stride, width, and exact doc reconstruction") {
+    val chunks = graft.SparkEntry.queries("q_chunk")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("chunk_tok")))
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    chunks.groupBy(_._1).foreach { case (docId, cs) =>
+      val toks = docs(docId).split(" ")
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are contiguous from 0 and cover all tokens
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.map(_._4).last == toks.length - (sorted.length - 1) * 15,
+        s"doc $docId last chunk length wrong")
+      sorted.foreach { case (_, cid, text, ctok) =>
+        val expected = toks.slice((cid * 15).toInt,
+          math.min(cid * 15 + 20, toks.length).toInt)
+        assert(text == expected.mkString(" "), s"doc $docId chunk $cid content mismatch")
+        assert(ctok == expected.length)
+      }
+    }
+    assert(chunks.map(_._1).toSet == docs.keySet, "every doc must produce chunks")
+  }
+
   test("connectedComponents on an EMPTY pair graph: every doc is its own singleton cluster") {
     val docs = Tables.documents(spark, sfDir)
     val noPairs = docs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
