@@ -33,24 +33,49 @@ object TextDedup {
   def fingerprint(textCol: Column): Column =
     md5(lower(regexp_replace(textCol, "\\s+", " ")))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
-    * Returns (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b.
-    * `maxShingleDf` drops shingles occurring in more than that many docs
-    * before the join (stop-shingle skew guard; 0 disables). */
+  /** Exact n-gram Jaccard near-dup pairs via a single-shuffle inverted
+    * index. Returns (id_a, id_b, jaccard) for pairs ≥ threshold,
+    * id_a < id_b. `maxShingleDf` drops shingles occurring in more than
+    * that many docs (stop-shingle skew guard; 0 disables).
+    *
+    * Plan shape (the 100 TB argument): ONE shuffle groups the exploded
+    * (shingle, id) stream by shingle — `collect_set` both dedups repeated
+    * shingles within a doc and builds the posting list, so no separate
+    * distinct pass exists. The skew guard is a `size(ids)` filter on the
+    * grouped row (hot shingles are dropped before any fan-out), and
+    * candidate pairs are emitted INSIDE each surviving group with a HOF
+    * over the sorted posting list — fan-out bounded by df² ≤
+    * maxShingleDf² per shingle. The guarded posting lists are
+    * localCheckpoint'd (ids only, no text) because both the pair counter
+    * and the per-doc size aggregate consume them; without it the
+    * tokenize+group subtree re-executes per consumer (the r2 18.7 s
+    * regression). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
-    val shRaw = shingles(df, idCol, textCol, n)
-    val sh =
-      if (maxShingleDf <= 0) shRaw
-      else {
-        val hot = shRaw.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf).select("shingle")
-        shRaw.join(hot, Seq("shingle"), "left_anti")
-      }
-    val sz = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val shRaw = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(t) >= $n
+                THEN transform(sequence(0, size(t) - $n),
+                       i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))
+                ELSE array() END""")).as("shingle"))
+    val grouped = shRaw.groupBy("shingle").agg(collect_set("id").as("ids"))
+    val guarded =
+      if (maxShingleDf <= 0) grouped
+      else grouped.filter(size(col("ids")) <= maxShingleDf)
+    // posting lists only (sorted ids, shingle text dropped) — reused by
+    // the pair emission AND the per-doc size count
+    val posting = guarded.select(array_sort(col("ids")).as("ids")).localCheckpoint()
+    val sz = posting.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("nsh"))
+    // ordered pairs (ids[i], ids[j]) for i < j within each posting list;
+    // ids is a materialized column (not a computed HOF), so the repeated
+    // references here are safe (CLAUDE.md invariant 5)
+    val inter = posting.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               x -> struct(ids[i] AS id_a, x AS id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(sz.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
@@ -70,8 +95,12 @@ object TextDedup {
     val rows = 32 / bands
     val spark = df.sparkSession
     graft.functions.VectorExprs.register(spark)
+    // (id, shingle-set) feeds the signature path AND both exact-verify
+    // joins below — localCheckpoint so the tokenize+distinct subtree
+    // runs once, not once per consumer (the r2 regression pattern)
     val docSh = shingles(df, idCol, textCol, n)
       .groupBy("id").agg(collect_list("shingle").as("shs"))
+      .localCheckpoint()
     val sig = docSh.select(col("id"), expr("graft_minhash(shs)").as("sig"))
     val bandKeys = sig
       .select(col("id"), col("sig"), explode(expr(s"sequence(0, ${bands - 1})")).as("band_id"))

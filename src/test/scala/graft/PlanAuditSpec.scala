@@ -115,11 +115,17 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("q_dedup_ngram_jaccard: inverted-index equi-join with the skew guard in-plan") {
+  test("q_dedup_ngram_jaccard: single-shuffle posting-list plan, no self-join of the shingle stream") {
     val p = plan("q_dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the stop-shingle guard is a left-anti join against the hot set
-    assert(p.contains("LeftAnti"), "skew guard (left_anti vs hot shingles) missing from plan\n" + p)
+    // pairs are emitted INSIDE each posting-list group (a Generate over
+    // the checkpointed lists), so the corpus-sized shingle stream is
+    // grouped exactly once and never self-joined; the skew guard is the
+    // size(ids) filter on the grouped row. The tokenize subtree ends at
+    // the localCheckpoint scan — count the exchanges downstream of it:
+    // pair-count agg, per-doc size agg, and the presentation sort.
+    assert(p.contains("Scan ExistingRDD"), "expected checkpointed posting lists\n" + p)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 2, "unexpected extra joins\n" + p)
   }
 }
