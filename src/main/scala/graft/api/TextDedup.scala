@@ -189,6 +189,97 @@ object TextDedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Contraction-based connected components — large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the scale-path alternative to [[connectedComponents]]'s min-label
+    * propagation. Propagation needs diameter-many rounds, so an
+    * adversarial CHAIN of near-dups (plagiarism chains produce exactly
+    * this) makes it blow past maxRounds; star contraction halves tree
+    * heights every iteration and converges in O(log² n) rounds on any
+    * graph shape.
+    *
+    * Per iteration (each step is one hash shuffle on node id — a window
+    * min over partitionBy(u), no orderBy — plus a distinct):
+    *   - large-star: every node connects its LARGER neighbors to its
+    *     minimum neighbor (or itself if smaller);
+    *   - small-star: with edges oriented big→small, every node connects
+    *     its smaller neighbors (and itself) to their minimum.
+    * Both steps preserve connectivity and never grow the edge count
+    * past the input; at the fixpoint every surviving edge points a node
+    * directly at its component minimum. Convergence is detected with a
+    * deterministic (count, hash-sum) checksum — a scalar read, not a
+    * data collect — and per-round localCheckpoint truncates lineage
+    * exactly like the propagation variant.
+    *
+    * Returns (id, cluster_id) for every id in `allIds`, cluster_id =
+    * the component minimum (singletons map to themselves) — same
+    * contract, same oracle as [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, allIds: DataFrame,
+      idCol: String, maxRounds: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      nbr.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      oriented.withColumn("m", min(col("v")).over(w))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // big→small orientation makes the checksum canonical across rounds
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    // hash-sum in decimal(38,0): a long sum of xxhash64 values overflows
+    // (ANSI mode throws); decimal headroom covers any edge count
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var prev = checksum(edges)
+    var round = 0
+    var converged = prev._1 == 0L
+    // converged = BOTH steps are at their fixpoint (stars are fixpoints
+    // of each step individually — checking only the composition could
+    // accept a 2-cycle that passes through an intermediate change)
+    while (!converged && round < maxRounds) {
+      val ls = largeStar(edges).localCheckpoint()
+      val cls = checksum(ls)
+      val ss = smallStar(ls).localCheckpoint()
+      val css = checksum(ss)
+      converged = cls == prev && css == cls
+      edges = ss
+      prev = css
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds — " +
+          "pathological input (star contraction is O(log² n); raise maxRounds)")
+    // at the fixpoint each non-root node carries exactly one edge to its
+    // component min (groupBy-min is belt and braces, not a second pass
+    // semantic); roots and singletons never appear as u → coalesce(self)
+    val labels = edges.groupBy("u").agg(min(col("v")).as("cluster_id"))
+    allIds.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` (≤ 64/blocks − 1 for the
     * pigeonhole completeness guarantee; default 4 blocks → complete for
     * distance ≤ 3). Returns (id_a, id_b, hamming). */

@@ -91,7 +91,10 @@ object Dedup {
   /** Dedup clusters: connected components over the exact Jaccard ≥ 0.5
     * pair graph (same pairs as q_dedup_ngram_jaccard), every document
     * labeled with the smallest doc_id reachable from it — the step that
-    * picks ONE canonical doc per near-dup group. Oracle = DuckDB
+    * picks ONE canonical doc per near-dup group. Uses the large-star/
+    * small-star contraction (O(log² n) rounds on ANY graph shape — an
+    * adversarial plagiarism CHAIN can't blow the round budget the way it
+    * would for diameter-bounded min-label propagation). Oracle = DuckDB
     * recursive reachability closure over the same pair CTE. */
   private val qDedupClusters = Q(
     "q_dedup_clusters",
@@ -99,7 +102,7 @@ object Dedup {
       val docs = Tables.documents(s, dir)
       val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleDf = 10L)
-      TextDedup.connectedComponents(pairs, docs, "doc_id")
+      TextDedup.connectedComponentsStar(pairs, docs, "doc_id")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     },

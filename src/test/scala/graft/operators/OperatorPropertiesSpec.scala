@@ -142,6 +142,59 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(cc.forall(r => r.getAs[Long]("id") == r.getAs[Long]("cluster_id")))
   }
 
+  // reference labeling for the CC tests: driver-side union-find
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  test("connectedComponentsStar ≡ union-find on random sparse graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 120L
+      val edges = Seq.fill(60)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val pairs = edges.toDF("id_a", "id_b")
+      val ids = (0L until n).toDF("doc_id")
+      val got = graft.api.TextDedup.connectedComponentsStar(pairs, ids, "doc_id")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got == expected, s"trial $trial mismatch")
+    }
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on an adversarial 200-chain") {
+    import spark.implicits._
+    val n = 200L
+    // a plagiarism chain: 0-1-2-...-199 (diameter 199). Min-label
+    // propagation needs 199 rounds; star contraction must finish well
+    // inside 12 (≈ log² bound with a generous constant).
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L until n).toDF("doc_id")
+    val got = graft.api.TextDedup.connectedComponentsStar(pairs, ids, "doc_id", maxRounds = 12)
+      .collect()
+    assert(got.length == n)
+    assert(got.forall(_.getAs[Long]("cluster_id") == 0L), "all nodes must label to 0")
+    // and the diameter-bounded propagation variant must REFUSE loudly
+    // rather than return wrong labels on the same graph
+    intercept[IllegalStateException] {
+      graft.api.TextDedup.connectedComponents(pairs, ids, "doc_id", maxRounds = 20).collect()
+    }
+  }
+
+  test("connectedComponentsStar on an EMPTY pair graph: singletons, no rounds") {
+    val docs = Tables.documents(spark, sfDir)
+    val noPairs = docs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
+    val cc = graft.api.TextDedup.connectedComponentsStar(noPairs, docs, "doc_id").collect()
+    assert(cc.length == docs.count())
+    assert(cc.forall(r => r.getAs[Long]("id") == r.getAs[Long]("cluster_id")))
+  }
+
   test("graft_nearest_centroids survives NaN embeddings and zero-norm centroids (no crash)") {
     graft.functions.VectorExprs.register(spark)
     val picked = spark.sql(
