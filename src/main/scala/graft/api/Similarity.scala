@@ -191,19 +191,26 @@ object Similarity {
       .map(_.getSeq[Double](0).toSeq).toSeq
     var it = 0
     while (it < iterations) {
-      // assign every vector to its nearest center, recompute means per
-      // (cell, dim); the collected model update is nCentroids × dim
-      val assigned = em.select(col("id"),
+      // assign every vector to its nearest center, recompute means with
+      // the element-wise vector-sum aggregate: the Lloyd shuffle carries
+      // ONE (cell, dim-array, count) row per cell — |corpus| input rows,
+      // not the posexplode form's |corpus| × dim — and partial
+      // aggregation means only nCentroids × dim doubles cross the wire.
+      // The collected model update stays nCentroids × dim (means rounded
+      // 6dp, killing FP association jitter exactly like the avg form).
+      val assigned = em.select(
         element_at(call_function("graft_nearest_centroids",
           col("e"), typedLit(centers), lit(1)), 1).as("cid"),
-        posexplode(col("e").cast("array<double>")).as(Seq("pos", "x")))
-      val means = assigned.groupBy("cid", "pos")
-        .agg(round(avg("x"), 6).as("m"))
-        .collect().map(r => (r.getAs[Int]("cid"), r.getAs[Int]("pos"), r.getAs[Double]("m")))
-      val byCell = means.groupBy(_._1)
+        col("e").cast("array<double>").as("ed"))
+      val sums = assigned.groupBy("cid")
+        .agg(graft.functions.VecSumAgg.fn(col("ed")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => r.getAs[Int]("cid") ->
+          (r.getSeq[Double](1), r.getAs[Long]("cnt"))).toMap
       centers = centers.indices.map { ci =>
-        byCell.get(ci) match {
-          case Some(rows) => rows.sortBy(_._2).map(_._3).toSeq
+        sums.get(ci) match {
+          case Some((s, cnt)) =>
+            s.map(x => BigDecimal(x / cnt).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           case None => centers(ci) // empty cell keeps its previous center
         }
       }

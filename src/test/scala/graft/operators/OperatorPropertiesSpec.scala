@@ -110,6 +110,17 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(recall >= 0.6, s"ivf-join recall $recall ($hit/${exact.size})")
   }
 
+  test("ivfJoin multi-iteration Lloyd refinement is deterministic and non-degenerate") {
+    def run() = graft.api.Similarity.ivfJoin(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 2, iterations = 3)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a.toSeq == run().toSeq, "3-round Lloyd refinement must be run-stable")
+  }
+
   test("chunking invariants: coverage, stride, width, and exact doc reconstruction") {
     val chunks = graft.SparkEntry.queries("q_chunk")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
@@ -193,6 +204,29 @@ class OperatorPropertiesSpec extends SparkTestBase {
     val cc = graft.api.TextDedup.connectedComponentsStar(noPairs, docs, "doc_id").collect()
     assert(cc.length == docs.count())
     assert(cc.forall(r => r.getAs[Long]("id") == r.getAs[Long]("cluster_id")))
+  }
+
+  test("vec_sum_agg ≡ posexplode per-dim sums (Lloyd mean-update equivalence)") {
+    val em = Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") % 7).as("g"), col("embedding").cast("array<double>").as("ed"))
+    val viaAgg = em.groupBy("g")
+      .agg(graft.functions.VecSumAgg.fn(col("ed")).as("s"))
+      .collect().map(r => r.getAs[Long]("g") -> r.getSeq[Double](1)).toMap
+    val viaExplode = em
+      .select(col("g"), posexplode(col("ed")).as(Seq("pos", "x")))
+      .groupBy("g", "pos").agg(sum("x").as("s"))
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Int]("pos")) -> r.getAs[Double]("s"))
+      .toMap
+    assert(viaAgg.nonEmpty)
+    viaAgg.foreach { case (g, arr) =>
+      arr.zipWithIndex.foreach { case (x, pos) =>
+        val ex = viaExplode((g, pos))
+        // FP association order differs between the two plans — compare
+        // to 1e-9 relative, far tighter than the 6dp model rounding
+        assert(math.abs(x - ex) <= 1e-9 * math.max(1.0, math.abs(ex)),
+          s"group $g dim $pos: $x vs $ex")
+      }
+    }
   }
 
   test("graft_nearest_centroids survives NaN embeddings and zero-norm centroids (no crash)") {
