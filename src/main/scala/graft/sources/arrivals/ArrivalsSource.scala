@@ -3,7 +3,7 @@ package graft.sources.arrivals
 import java.util
 import java.nio.charset.Charset
 import java.time.format.DateTimeFormatter
-import java.time.{Instant, ZoneOffset}
+import java.time.Instant
 
 import scala.jdk.CollectionConverters._
 
@@ -96,13 +96,15 @@ final case class ArrivalsOptions(
     inputCharset: String,
     consumeOrder: String,
     maxFilesPerTrigger: Int,
-    executorRenameThreshold: Int) {
+    executorRenameThreshold: Int,
+    timeZone: String) {
   require(path.nonEmpty, "option 'path' is required")
   require(Set("OLDEST", "YOUNGEST", "RANDOM").contains(consumeOrder),
     s"consumeOrder must be OLDEST|YOUNGEST|RANDOM, got '$consumeOrder'")
   Charset.forName(inputCharset) // fail fast on bad charset
   if (ignorePattern.nonEmpty) ignorePattern.r // fail fast on bad regex
   require(executorRenameThreshold > 0, "executorRenameThreshold must be > 0")
+  java.time.ZoneId.of(timeZone) // fail fast on bad zone id
 }
 
 object ArrivalsOptions {
@@ -117,7 +119,13 @@ object ArrivalsOptions {
       maxFilesPerTrigger = norm.getOrElse("maxfilespertrigger", "1000").toInt,
       // commits at or above this many files fan the renames out to
       // executors (driver-side sequential renames below it)
-      executorRenameThreshold = norm.getOrElse("executorrenamethreshold", "5000").toInt)
+      executorRenameThreshold = norm.getOrElse("executorrenamethreshold", "5000").toInt,
+      // zone for the body CSV's rendered timestamp. The reference renders
+      // with a default-zone Calendar (CephFSEventReader.java:230-235);
+      // set this to the ingest host's zone for byte-fidelity with it.
+      // Default stays UTC — the typed last_modified column is zoneless
+      // either way (epoch micros).
+      timeZone = norm.getOrElse("timezone", "UTC"))
   }
 }
 
@@ -182,12 +190,12 @@ object ArrivalsUtil {
 
   /** Round-robin partition slicing (metadata rows are tiny; 32 slices
     * bound scheduler overhead). */
-  def slice(files: Seq[FileMeta], charset: String): Array[InputPartition] =
+  def slice(files: Seq[FileMeta], opts: ArrivalsOptions): Array[InputPartition] =
     if (files.isEmpty) Array.empty
     else {
       val slices = math.min(files.size, 32)
       files.zipWithIndex.groupBy(_._2 % slices).values
-        .map(g => ArrivalsPartition(g.map(_._1), charset): InputPartition)
+        .map(g => ArrivalsPartition(g.map(_._1), opts.inputCharset, opts.timeZone): InputPartition)
         .toArray
     }
 
@@ -244,7 +252,7 @@ class ArrivalsBatch(opts: ArrivalsOptions) extends Batch {
     val fs = dirPath.getFileSystem(ArrivalsUtil.hadoopConf())
     val ignoreRe = if (opts.ignorePattern.nonEmpty) Some(opts.ignorePattern.r) else None
     ArrivalsUtil.slice(
-      ArrivalsUtil.listPending(fs, dirPath, opts, ignoreRe), opts.inputCharset)
+      ArrivalsUtil.listPending(fs, dirPath, opts, ignoreRe), opts)
   }
   override def createReaderFactory(): PartitionReaderFactory = ArrivalsUtil.readerFactory
 }
@@ -366,14 +374,36 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
     }
   }
 
+  // RANDOM-mode listing snapshot (ref fidelity: CephFSEventReader.java:
+  // 32-33,107-110,123-124 caches its directory listing in an instance
+  // iterator and re-lists ONLY when it drains — files arriving mid-drain
+  // are not seen until the next rescan). Driver-only state, rebuilt from
+  // a fresh listing after restart; replay safety is unaffected because
+  // rows always come from the offset log, never from this queue.
+  private val randomSnapshot = scala.collection.mutable.Queue.empty[FileMeta]
+
   /** Pending = listed candidates minus the current offset's files (they
-    * are offered-but-not-yet-renamed; re-listing them would duplicate). */
+    * are offered-but-not-yet-renamed; re-listing them would duplicate).
+    * In RANDOM mode the listing is snapshotted and drained across
+    * triggers before any re-list, reproducing the reference's cached
+    * iterator; the pendingFiles gauge then reports the snapshot's
+    * remainder (what the source still intends to offer before rescan). */
   private def pending(): Seq[FileMeta] = {
     val offered = lastOffset.files.map(_.path).toSet
-    val cand = ArrivalsUtil.listCandidates(fs, dirPath, opts, ignoreRe)
-      .filterNot(f => offered.contains(f.path))
-    pendingGauge.set(cand.size) // true backlog, before the trigger cap
-    ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
+    if (opts.consumeOrder == "RANDOM") {
+      if (randomSnapshot.isEmpty)
+        randomSnapshot.enqueueAll(
+          ArrivalsUtil.listCandidates(fs, dirPath, opts, ignoreRe)
+            .filterNot(f => offered.contains(f.path)))
+      pendingGauge.set(randomSnapshot.size)
+      (0 until math.min(opts.maxFilesPerTrigger, randomSnapshot.size))
+        .map(_ => randomSnapshot.dequeue())
+    } else {
+      val cand = ArrivalsUtil.listCandidates(fs, dirPath, opts, ignoreRe)
+        .filterNot(f => offered.contains(f.path))
+      pendingGauge.set(cand.size) // true backlog, before the trigger cap
+      ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
+    }
   }
 
   override def initialOffset(): Offset = ArrivalsOffset(0L, Nil)
@@ -437,7 +467,7 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
     val startSet = s.files.toSet
     // rows come from the offset itself — executors never list/read the
     // FS, so replay is deterministic even after files were renamed
-    ArrivalsUtil.slice(e.files.filterNot(startSet.contains), opts.inputCharset)
+    ArrivalsUtil.slice(e.files.filterNot(startSet.contains), opts)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ArrivalsUtil.readerFactory
@@ -498,13 +528,17 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
   override def stop(): Unit = ()
 }
 
-final case class ArrivalsPartition(files: Seq[FileMeta], charset: String)
+final case class ArrivalsPartition(files: Seq[FileMeta], charset: String, timeZone: String)
   extends InputPartition
 
 class ArrivalsPartitionReader(p: ArrivalsPartition) extends PartitionReader[InternalRow] {
-  // Non-padded H:m:s (ref CephFSEventReader.java:230-235); UTC to match the
-  // harness session timezone, so `body` ≡ concat_ws over the typed columns.
-  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd H:m:s").withZone(ZoneOffset.UTC)
+  // Non-padded H:m:s (ref CephFSEventReader.java:230-235) rendered in the
+  // configured zone. The default (UTC) matches the harness session
+  // timezone, so `body` ≡ concat_ws over the typed columns; setting
+  // timeZone to the ingest host's zone reproduces the reference's
+  // default-zone Calendar rendering byte-for-byte.
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd H:m:s")
+    .withZone(java.time.ZoneId.of(p.timeZone))
   private val cs = Charset.forName(p.charset)
   private val it = p.files.iterator
   private var cur: FileMeta = _

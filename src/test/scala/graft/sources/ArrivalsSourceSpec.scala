@@ -299,12 +299,57 @@ class ArrivalsSourceSpec extends SparkTestBase {
       s"data1,$path,2024-01-01 9:5:7".getBytes("UTF-8")))
   }
 
-  test("option validation fails fast: missing path, bad order, bad regex, bad charset") {
+  test("option validation fails fast: missing path, bad order, bad regex, bad charset, bad zone") {
     assertThrows[IllegalArgumentException](ArrivalsOptions.from(Map.empty))
     assertThrows[IllegalArgumentException](
       ArrivalsOptions.from(Map("path" -> "/tmp", "consumeOrder" -> "NEWEST")))
     intercept[Exception](ArrivalsOptions.from(Map("path" -> "/tmp", "ignorePattern" -> "[")))
     intercept[Exception](ArrivalsOptions.from(Map("path" -> "/tmp", "inputCharset" -> "NOPE")))
+    intercept[Exception](ArrivalsOptions.from(Map("path" -> "/tmp", "timeZone" -> "Mars/Olympus")))
+  }
+
+  test("RANDOM drains its listing snapshot before re-listing (ref cached-iterator fidelity)") {
+    // CephFSEventReader.java:32-33,107-110 caches the listing iterator
+    // and rescans only when it drains: a file arriving mid-drain must
+    // NOT be offered until the snapshot is exhausted.
+    val dir = tmpDir()
+    val t0 = 1704000000000L
+    write(dir, "a", "x", t0); write(dir, "b", "x", t0 + 1000)
+    val st = stream(dir, Map("consumeOrder" -> "RANDOM", "maxFilesPerTrigger" -> "1"))
+    def offer(prev: ArrivalsOffset): ArrivalsOffset = {
+      val off = st.latestOffset().asInstanceOf[ArrivalsOffset]
+      assert(off.seq == prev.seq + 1, s"expected a new batch after $prev, got $off")
+      off
+    }
+    val o1 = offer(ArrivalsOffset(0, Nil))
+    val first = o1.files.map(_.name)
+    assert(first.size == 1 && Set("a", "b").contains(first.head))
+    // a new file lands while the snapshot still holds the other of {a,b}
+    write(dir, "c", "x", t0 - 5000)
+    val o2 = offer(o1)
+    val second = o2.files.map(_.name)
+    assert(second == (Seq("a", "b") diff first), s"mid-drain arrival jumped the snapshot: $second")
+    // snapshot drained -> rescan picks up c
+    val o3 = offer(o2)
+    assert(o3.files.map(_.name) == Seq("c"), o3.files.map(_.name).toString)
+  }
+
+  test("timeZone: body timestamp rendered in the configured zone (default stays UTC)") {
+    // the reference formats with a default-zone Calendar
+    // (CephFSEventReader.java:230-235); the timeZone option reproduces
+    // that byte-fidelity for any ingest-host zone. 1704099907000 ms =
+    // 2024-01-01 09:05:07 UTC = 17:05:07 in Asia/Shanghai (+8, no DST).
+    val dir = tmpDir()
+    val mtime = 1704099907000L
+    write(dir, "data1", "x", mtime)
+    val st = stream(dir, Map("timeZone" -> "Asia/Shanghai"))
+    val off = st.latestOffset().asInstanceOf[ArrivalsOffset]
+    val parts = st.planInputPartitions(ArrivalsOffset(0, Nil), off)
+    val reader = new ArrivalsPartitionReader(parts.head.asInstanceOf[ArrivalsPartition])
+    assert(reader.next())
+    val body = new String(reader.get().getBinary(3), "UTF-8")
+    val path = new File(dir, "data1").getAbsolutePath
+    assert(body == s"data1,$path,2024-01-01 17:5:7", body)
   }
 
   test("canary: nonexistent directory fails fast at stream init") {
