@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nearest_centroids"),
       new ExpressionInfo(classOf[VectorExprs.NearestCentroids].getName, "graft_nearest_centroids"),
       VectorExprs.buildNearestCentroids(_)))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      VectorExprs.buildMightContain(_)))
   }
 }

@@ -73,4 +73,74 @@ object TextAnalysis {
       .withColumn("re_tokens",
         size(regexp_extract_all(col(textCol),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** TF-IDF per (doc, term): tf = in-document count, df = documents
+    * containing the term, tfidf = tf · ln(N/df). Two hash aggregates
+    * over ONE exploded token stream (tf keyed by (id, term), df keyed by
+    * term — both map-side-combining); the corpus size N joins in as a
+    * broadcast 1-row aggregate so nothing touches the driver. Returns
+    * (id, term, tf, df, tfidf-unrounded). Rank on a ROUNDED tfidf (and a
+    * term tiebreak): distinct (tf, df) pairs can produce real-equal
+    * scores — tf=2,df=50 vs tf=1,df=5 at N=500 both give ln(100) — whose
+    * last-ulp float realizations differ per engine. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(count_distinct(col("id")).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n") / col("df")))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Okapi BM25 scores for a fixed query against the corpus: per doc,
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)), with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)). The token stream is filtered to
+    * the query terms BEFORE any aggregation (the explode's output is
+    * |query|-bounded per doc), and N/avgdl join in as one broadcast
+    * 1-row aggregate. Returns (id, score-unrounded); docs containing no
+    * query term score nothing and are absent. */
+  def bm25(df: DataFrame, idCol: String, textCol: String, query: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val lens = base.select(col("id"), size(col("t")).cast("long").as("len"))
+    val toks = base.select(col("id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(query: _*))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(count_distinct(col("id")).as("df"))
+    val stats = df.agg(count(lit(1)).as("n"),
+      avg(size(split(col(textCol), " "))).as("avgdl"))
+    tf.join(dfreq, "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl"))))
+      .groupBy("id").agg(sum("w").as("score"))
+  }
+
+  /** Gopher-style repetition statistics per document: duplicate-token
+    * fraction (1 − distinct/total) and top-bigram fraction (count of the
+    * most frequent 2-gram / total 2-grams). The token stats are pure
+    * map-side math; the bigram head needs one (id, bigram) hash
+    * aggregate + a per-id max — both map-side-combining. Returns
+    * (id, n_tok, dup_token_frac, top_bigram_frac), unrounded. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val tok = base.select(col("id"), size(col("t")).cast("long").as("n_tok"),
+      size(array_distinct(col("t"))).cast("long").as("n_dist"))
+    val bi = base.select(col("id"), explode(expr(
+      """CASE WHEN size(t) >= 2
+            THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))
+            ELSE array() END""")).as("bg"))
+    val counts = bi.groupBy("id", "bg").agg(count(lit(1)).as("c"))
+    val head = counts.groupBy("id")
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("total"))
+    tok.join(head, Seq("id"), "left")
+      .select(col("id"), col("n_tok"),
+        (lit(1.0) - col("n_dist").cast("double") / col("n_tok")).as("dup_token_frac"),
+        (col("top_cnt").cast("double") / col("total")).as("top_bigram_frac"))
+  }
 }

@@ -189,6 +189,42 @@ object TextDedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Bloom-filter eval-set decontamination — the scale path for when the
+    * held-out set is too large to broadcast as a join hash relation.
+    * The eval fingerprints are folded into ONE Bloom filter
+    * (`expectedEvalItems`/`fpp`-sized BITS — a model, like an ML fit;
+    * the `stat.bloomFilter` aggregation materializes only those bits on
+    * the driver, never data). Every training row then probes the
+    * broadcast bits through Spark's native `might_contain` expression
+    * (codegen'd, no UDF): bloom-NEGATIVE rows are definitely clean and
+    * bypass the verification join entirely, so the anti-join — broadcast
+    * here, shuffle at real scale — only carries the FP-rate-bounded
+    * positives. Returns the same (id) rows as the plain anti-join form
+    * (Bloom false positives are removed by the exact verify; false
+    * negatives don't exist), so the same oracle applies.
+    *
+    * `isEval` marks held-out rows inside `df` (train = everything else). */
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, expectedEvalItems: Long = 100000L,
+      fpp: Double = 0.01): DataFrame = {
+    val fpExpr = unhex(fingerprint(col(textCol)))
+    val evalFp = df.filter(isEval).select(fpExpr.as("fp")).distinct()
+    val bloom = evalFp.select(xxhash64(col("fp")).as("h"))
+      .stat.bloomFilter("h", expectedEvalItems, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
+    }
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val train = df.filter(!isEval).withColumn("fp", fpExpr)
+    val mightHit = call_function("graft_might_contain", lit(bytes), xxhash64(col("fp")))
+    train.filter(!mightHit).select(col(idCol))
+      .union(train.filter(mightHit)
+        .join(broadcast(evalFp), Seq("fp"), "left_anti")
+        .select(col(idCol)))
+  }
+
   /** Contraction-based connected components — large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the scale-path alternative to [[connectedComponents]]'s min-label

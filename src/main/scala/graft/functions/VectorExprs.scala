@@ -305,6 +305,14 @@ object VectorExprs {
     require(es(2).foldable, "graft_nearest_centroids: nProbe must be a literal")
     NearestCentroids(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue())
   }
+  /** Spark's native Bloom-probe expression (the one runtime filtering
+    * injects) is not in the public function registry — surface it as a
+    * graft function. Args: (serialized-bloom LITERAL binary, xxhash64
+    * long of the probed value). Codegen'd, null-safe, no UDF. */
+  def buildMightContain(es: Seq[Expression]): Expression = {
+    require(es.length == 2, s"graft_might_contain expects (bloomBytes, hash), got ${es.length}")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))
+  }
   def buildHyperplaneKeys(es: Seq[Expression]): Expression = {
     require(es.length == 4,
       s"graft_hyperplane_keys expects (emb, nPlanes, bands, dim), got ${es.length} args")
@@ -325,5 +333,6 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_minhash", buildMinHash, "internal")
     reg.createOrReplaceTempFunction("graft_hyperplane_keys", buildHyperplaneKeys, "internal")
     reg.createOrReplaceTempFunction("graft_nearest_centroids", buildNearestCentroids, "internal")
+    reg.createOrReplaceTempFunction("graft_might_contain", buildMightContain, "internal")
   }
 }

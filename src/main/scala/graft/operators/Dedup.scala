@@ -161,6 +161,68 @@ object Dedup {
             ORDER BY d.doc_id""")
   )
 
+  /** Bloom-filter decontamination — same answer as [[qDecontaminate]]
+    * (and the same oracle), different 100 TB shape: eval fingerprints
+    * fold into broadcast Bloom BITS, bloom-negative training rows skip
+    * the verification join entirely, and only the FP-rate-bounded
+    * positives reach the exact anti-join. This is the form to use when
+    * the eval set outgrows a broadcast hash relation. */
+  private val qDecontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (s, dir) =>
+      TextDedup.decontaminateBloom(Tables.documents(s, dir), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, expectedEvalItems = 1000L)
+        .orderBy("doc_id"),
+    Some("""WITH ev AS (SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                        FROM documents WHERE doc_id % 97 = 0)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND NOT EXISTS (SELECT 1 FROM ev
+                    WHERE ev.fp = md5(lower(regexp_replace(d.text, '\s+', ' ', 'g'))))
+            ORDER BY d.doc_id""")
+  )
+
+  /** Dedup survivors: the kept corpus after near-dup clustering — one
+    * canonical document (the cluster-minimum id) per cluster, singletons
+    * included. This is the query a pipeline actually materializes as its
+    * training corpus; survivors = rows whose id IS their cluster label. */
+  private val qDedupSurvivors = Q(
+    "q_dedup_survivors",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      TextDedup.connectedComponentsStar(pairs, docs, "doc_id")
+        .filter(col("id") === col("cluster_id"))
+        .select(col("id").as("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                           UNION SELECT doc_b, doc_a FROM pairs),
+                 reach AS (SELECT u, v FROM edges
+                           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+                 comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+            SELECT d.doc_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+            WHERE coalesce(least(c.mn, d.doc_id), d.doc_id) = d.doc_id
+            ORDER BY d.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
-    qDedupClusters, qDecontaminate)
+    qDedupClusters, qDecontaminate, qDecontaminateBloom, qDedupSurvivors)
 }

@@ -254,7 +254,93 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** TF-IDF relevance: top-3 scoring terms per document (first 100 docs)
+    * with corpus-wide document frequencies. Ranks on the ROUNDED score —
+    * distinct (tf, df) pairs can be real-equal (2·ln(10) = ln(100)) and
+    * engines disagree in the last ulp of the raw doubles. */
+  private val qTfidf = Q(
+    "q_tfidf",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(desc("tfidf"), asc("term"))
+      graft.api.TextAnalysis.tfidf(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("id") < 100)
+        .withColumn("tfidf", round(col("tfidf"), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+                 dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+                 n AS (SELECT count(*) AS n FROM documents),
+                 sc AS (SELECT doc_id, term, tf, df,
+                          round(tf * ln(n.n * 1.0 / df), 4) AS tfidf
+                        FROM tf JOIN dfq USING (term) CROSS JOIN n
+                        WHERE doc_id < 100),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term) AS rank FROM sc)
+            SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")
+  )
+
+  /** Okapi BM25 retrieval: top-20 documents for a fixed 3-term query.
+    * The token stream is filtered to the query terms before aggregation;
+    * global top-k goes through TakeOrderedAndProject (no global sort, no
+    * unpartitioned window). */
+  private val qBm25 = Q(
+    "q_bm25",
+    (s, dir) =>
+      graft.api.TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+          query = Seq("join", "window", "spark"))
+        .select(col("id").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20),
+    Some("""WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+                 stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM lens),
+                 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                 qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                        WHERE term IN ('join', 'window', 'spark') GROUP BY 1, 2),
+                 dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+                 w AS (SELECT qt.doc_id,
+                         ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (qt.tf * 2.2)
+                           / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS w
+                       FROM qt JOIN dfq USING (term)
+                         JOIN lens ON lens.doc_id = qt.doc_id
+                         CROSS JOIN stats)
+            SELECT doc_id, round(sum(w), 4) AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
+  /** Gopher-style repetition filters: duplicate-token fraction and
+    * top-bigram fraction per document — the repetition signals a
+    * pretraining quality pass thresholds on. */
+  private val qRepStats = Q(
+    "q_rep_stats",
+    (s, dir) =>
+      graft.api.TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tok"),
+          round(col("dup_token_frac"), 4).as("dup_token_frac"),
+          round(col("top_bigram_frac"), 4).as("top_bigram_frac"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 tok AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist FROM toks),
+                 bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1])) AS bg
+                        FROM toks WHERE len(t) >= 2),
+                 bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+                 ba AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS total FROM bc GROUP BY 1)
+            SELECT tok.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              round(1 - n_dist * 1.0 / n_tok, 4) AS dup_token_frac,
+              round(top_cnt * 1.0 / total, 4) AS top_bigram_frac
+            FROM tok LEFT JOIN ba USING (doc_id) ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
-    qSampleHash, qSampleStratified)
+    qSampleHash, qSampleStratified, qTfidf, qBm25, qRepStats)
 }
