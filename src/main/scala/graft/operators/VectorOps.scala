@@ -88,5 +88,31 @@ object VectorOps {
     None
   )
 
-  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf)
+  /** Per-label embedding centroids via the element-wise vector-sum
+    * aggregate ([[graft.functions.VecSumAgg]] — the IVF Lloyd-update
+    * shape as a user-facing query): ONE row per label crosses the
+    * shuffle carrying a dim-array buffer (map-side partial aggregation),
+    * then the centroid is unrolled to (label, pos, mean) scalars for the
+    * oracle compare. The posexplode here is presentation fan-out of
+    * nLabels × dim rows — the corpus itself never explodes. */
+  private val qEmbedCentroids = Q(
+    "q_embed_centroids",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), col("embedding").cast("array<double>").as("ed"))
+        .groupBy("label")
+        .agg(graft.functions.VecSumAgg.fn(col("ed")).as("sum"), count(lit(1)).as("n"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          posexplode(col("sum")).as(Seq("pos", "s")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("s") / col("n"), 4).as("mean"), col("n"))
+        .orderBy("label", "pos"),
+    Some("""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+              round(avg(embedding[i]), 4) AS mean, count(*) AS n
+            FROM embeddings CROSS JOIN generate_series(1, 64) s(i)
+            GROUP BY label, i ORDER BY label, pos""")
+  )
+
+  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf,
+    qEmbedCentroids)
 }
