@@ -1,0 +1,51 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed pretraining-corpus preparation pipeline — the library's
+  * operators chained in the order a 100 TB run wants them:
+  *
+  *   1. quality + language keep-filter ([[TextAnalysis]]) — pure map-side,
+  *      runs FIRST so every later shuffle sees only keepers;
+  *   2. exact dedup — one shuffle keyed by the 16-byte content
+  *      fingerprint (never the text), smallest id survives;
+  *   3. eval-set decontamination — anti-join on the same fingerprint,
+  *      eval side broadcast (or Bloom bits via
+  *      [[TextDedup.decontaminateBloom]] when it outgrows a broadcast);
+  *   4. deterministic content-hash sampling ([[Sampling]]) — map-side,
+  *      retry-stable.
+  *
+  * Total shuffle bill: ONE wide shuffle (the dedup fingerprint hash) +
+  * a broadcast — the filter and sample stages are map-side and fuse into
+  * the scans on either side of it.
+  */
+object Pipeline {
+
+  /** Prepare a training corpus from `df`: rows marked `isEval` are held
+    * out (and their fingerprints scrubbed from the result); the rest is
+    * filtered, exact-deduped, decontaminated, and sampled. Returns the
+    * kept rows with `pred_lang`, `n_tok`, `ttr`, `quality` attached. */
+  def prepare(df: DataFrame, idCol: String, textCol: String, isEval: Column,
+      minQuality: Double = 0.5, minTok: Int = 20, maxTok: Int = 80,
+      samplePct: Int = 100): DataFrame = {
+    val fp = unhex(TextDedup.fingerprint(col(textCol)))
+    val evalFp = df.filter(isEval).select(fp.as("fp")).distinct()
+    val filtered = TextAnalysis.languageId(
+        TextAnalysis.qualityScore(df.filter(!isEval), textCol), textCol)
+      .filter(col("pred_lang") =!= "und" && col("quality") >= minQuality &&
+        col("n_tok").between(minTok, maxTok))
+    // survivor = smallest id per fingerprint, selected with a window min
+    // (one shuffle, keeps the whole row — no join-back needed)
+    val survivors = filtered
+      .withColumn("fp", fp)
+      .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("fp")))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+    val clean = survivors
+      .join(broadcast(evalFp), Seq("fp"), "left_anti")
+      .drop("fp")
+    Sampling.sample(clean, textCol, samplePct)
+  }
+}

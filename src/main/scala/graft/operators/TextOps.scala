@@ -340,7 +340,59 @@ object TextOps {
             FROM tok LEFT JOIN ba USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** The composed corpus-preparation pipeline end-to-end
+    * (graft.api.Pipeline): keep-filter → exact dedup → decontaminate →
+    * 50% deterministic sample, in the shuffle-minimal stage order. One
+    * wide shuffle total (the dedup fingerprint); the oracle chains the
+    * same four stages as CTEs. */
+  private val qPipelineE2e = Q(
+    "q_pipeline_e2e",
+    (s, dir) =>
+      graft.api.Pipeline.prepare(Tables.documents(s, dir), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, samplePct = 50)
+        .select(col("doc_id"), col("pred_lang"), col("n_tok"), col("quality"))
+        .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+                 m AS (SELECT doc_id, text,
+                   len(string_split(text,' ')) AS n_tok,
+                   CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+                   (CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS avg_tok_len
+                 FROM base),
+                 q AS (SELECT doc_id, text, n_tok,
+                   round(least(1.0, n_tok / 50.0) * 0.4 + ttr * 0.4
+                         + least(1.0, avg_tok_len / 8.0) * 0.2, 4) AS quality
+                 FROM m),
+                 sc AS (SELECT doc_id,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to'])) AS s_en,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y'])) AS s_es,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','und','das','ist'])) AS s_de,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','et','les','un'])) AS s_fr
+                 FROM base),
+                 lid AS (SELECT doc_id,
+                   CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+                 FROM sc),
+                 filt AS (SELECT q.doc_id, lid.pred_lang, q.n_tok, q.quality, q.text
+                          FROM q JOIN lid USING (doc_id)
+                          WHERE lid.pred_lang <> 'und' AND q.quality >= 0.5
+                            AND q.n_tok BETWEEN 20 AND 80),
+                 ded AS (SELECT * FROM (SELECT f.*,
+                           min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS keep
+                         FROM filt f) WHERE doc_id = keep),
+                 ev AS (SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                        FROM documents WHERE doc_id % 97 = 0)
+            SELECT doc_id, pred_lang, n_tok, quality
+            FROM ded
+            WHERE NOT EXISTS (SELECT 1 FROM ev
+                    WHERE ev.fp = md5(lower(regexp_replace(ded.text, '\s+', ' ', 'g'))))
+              AND CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 50
+            ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
-    qSampleHash, qSampleStratified, qTfidf, qBm25, qRepStats)
+    qSampleHash, qSampleStratified, qTfidf, qBm25, qRepStats, qPipelineE2e)
 }

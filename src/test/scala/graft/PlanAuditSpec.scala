@@ -115,6 +115,21 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_pipeline_e2e: ONE wide shuffle (dedup fingerprint) + broadcast anti-join + sort") {
+    val p = plan("q_pipeline_e2e")
+    // the corpus side crosses exactly ONE hash exchange (the dedup
+    // fingerprint); the second allowed hash exchange is the EVAL-side
+    // distinct feeding the broadcast (eval-sized, not corpus-sized).
+    // Filter and sample fuse map-side; the only range exchange is the
+    // presentation sort.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges (corpus dedup + eval distinct), got $hashEx\n" + p)
+    assert(rangeEx == 1, s"expected exactly 1 range exchange (the orderBy), got $rangeEx\n" + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_dedup_ngram_jaccard: single-shuffle posting-list plan, no self-join of the shingle stream") {
     val p = plan("q_dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
