@@ -76,9 +76,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * additional consumers).
   */
 class ArrivalsDataSource extends TableProvider with DataSourceRegister {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ArrivalsDataSource])
   override def shortName(): String = "arrivals"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    ArrivalsOptions.from(options.asScala.toMap) // eager option validation
+    val m = options.asScala.toMap
+    ArrivalsOptions.from(m) // eager option validation
+    ArrivalsOptions.warnInertOptions(m).foreach(log.warn)
     ArrivalsTable.schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -126,6 +129,27 @@ object ArrivalsOptions {
       // Default stays UTC — the typed last_modified column is zoneless
       // either way (epoch micros).
       timeZone = norm.getOrElse("timezone", "UTC"))
+  }
+
+  /** The reference's channel-backoff knobs (`maxBackoffSleep`,
+    * `backoffSleepIncrement`, `CephFsSourceConfigrationConstants.java:
+    * 19-23`) have NO effect under Structured Streaming's pull model —
+    * the engine asks for data per trigger instead of the source pushing
+    * into a channel that can fill. A migrated reference config may still
+    * carry them: accept and VALIDATE them (so a typo'd config still
+    * fails fast) but warn once that they are inert rather than silently
+    * absorbing or hard-rejecting the keys. */
+  private val backoffKeys = Seq("maxbackoffsleep", "backoffsleepincrement")
+  def warnInertOptions(m: Map[String, String]): Seq[String] = {
+    val norm = m.map { case (k, v) => k.toLowerCase(java.util.Locale.ENGLISH) -> v }
+    backoffKeys.flatMap { k =>
+      norm.get(k).map { v =>
+        require(v.toLong >= 0, s"option '$k' must be a non-negative duration (ms), got '$v'")
+        s"arrivals option '$k'=$v is accepted for reference-config compatibility " +
+          "but has no effect: the pull model has no channel to back off from " +
+          "(use maxFilesPerTrigger + trigger cadence for admission control)"
+      }
+    }
   }
 }
 

@@ -308,6 +308,18 @@ class ArrivalsSourceSpec extends SparkTestBase {
     intercept[Exception](ArrivalsOptions.from(Map("path" -> "/tmp", "timeZone" -> "Mars/Olympus")))
   }
 
+  test("reference backoff knobs are accepted-but-inert (validated, warned, never applied)") {
+    // a migrated reference config carrying channel-backoff settings must
+    // neither break nor silently pretend to back off
+    val warns = ArrivalsOptions.warnInertOptions(
+      Map("path" -> "/tmp", "maxBackoffSleep" -> "4000", "backoffSleepIncrement" -> "1000"))
+    assert(warns.size == 2 && warns.forall(_.contains("no effect")), warns.toString)
+    assert(ArrivalsOptions.warnInertOptions(Map("path" -> "/tmp")).isEmpty)
+    // still validated: garbage values fail fast like any other option
+    intercept[Exception](
+      ArrivalsOptions.warnInertOptions(Map("maxBackoffSleep" -> "soon")))
+  }
+
   test("RANDOM drains its listing snapshot before re-listing (ref cached-iterator fidelity)") {
     // CephFSEventReader.java:32-33,107-110 caches the listing iterator
     // and rescans only when it drains: a file arriving mid-drain must
