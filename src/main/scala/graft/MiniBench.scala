@@ -13,8 +13,12 @@ object MiniBench {
     names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"warm $n: $e") } }
     names.foreach { n =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"MINIBENCH $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      try {
+        SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"MINIBENCH $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch {
+        case e: Throwable => println(s"MINIBENCH $n FAILED: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -183,7 +183,12 @@ object Similarity {
       k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
       iterations: Int = 1): DataFrame = {
     reg(corpus)
-    val em = corpus.select(col(idCol).as("id"), col(embCol).as("e"))
+    // null/empty embeddings can neither index nor probe; dropping them
+    // HERE (not implicitly downstream) keeps the Lloyd update clean — a
+    // null row would otherwise form a null cell whose getAs[Int] unboxes
+    // to 0 and corrupts real cell 0's centroid
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
     // deterministic hash-sampled seed centers (bounded: nCentroids rows)
     var centers: Seq[Seq[Double]] = em
       .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)

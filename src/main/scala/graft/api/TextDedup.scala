@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  /** Word n-gram shingles per document, WITH within-doc repeats:
+    * (id, shingle). The one definition of shingle construction — every
+    * consumer (and the shared DuckDB oracle CTEs) derives from it. */
+  def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
       .select(col("id"), explode(expr(
         s"""CASE WHEN size(t) >= $n
                 THEN transform(sequence(0, size(t) - $n),
                        i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))
                 ELSE array() END""")).as("shingle"))
-      .distinct()
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    rawShingles(df, idCol, textCol, n).distinct()
 
   /** Exact dedup: one surviving id per distinct text (the smallest).
     * Returns (id). For very large documents pass a fingerprinted column
@@ -39,29 +44,32 @@ object TextDedup {
     * that many docs (stop-shingle skew guard; 0 disables).
     *
     * Plan shape (the 100 TB argument): ONE shuffle groups the exploded
-    * (shingle, id) stream by shingle — `collect_set` both dedups repeated
-    * shingles within a doc and builds the posting list, so no separate
-    * distinct pass exists. The skew guard is a `size(ids)` filter on the
-    * grouped row (hot shingles are dropped before any fan-out), and
-    * candidate pairs are emitted INSIDE each surviving group with a HOF
-    * over the sorted posting list — fan-out bounded by df² ≤
-    * maxShingleDf² per shingle. The guarded posting lists are
-    * localCheckpoint'd (ids only, no text) because both the pair counter
-    * and the per-doc size aggregate consume them; without it the
-    * tokenize+group subtree re-executes per consumer (the r2 18.7 s
-    * regression). */
+    * (shingle, id) stream by shingle into posting lists (the set
+    * aggregate dedups within-doc repeats, so no separate distinct pass
+    * exists), and candidate pairs are emitted INSIDE each surviving
+    * group with a HOF over the sorted posting list — fan-out bounded by
+    * df² ≤ maxShingleDf² per shingle. With the guard ON the aggregation
+    * itself is memory-bounded: [[graft.functions.CappedSetAgg]] caps
+    * every aggregation buffer at maxShingleDf + 1 ids, so a stop-shingle
+    * in 10⁸ documents costs one reducer maxShingleDf + 1 longs — never
+    * the full posting list — and is then dropped by the `size(ids)`
+    * filter (kept groups are provably untruncated, see the Aggregator's
+    * scaladoc). The guarded posting lists are localCheckpoint'd (ids
+    * only, no text) because both the pair counter and the per-doc size
+    * aggregate consume them; without it the tokenize+group subtree
+    * re-executes per consumer (the r2 18.7 s regression). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
-    val shRaw = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .select(col("id"), explode(expr(
-        s"""CASE WHEN size(t) >= $n
-                THEN transform(sequence(0, size(t) - $n),
-                       i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))
-                ELSE array() END""")).as("shingle"))
-    val grouped = shRaw.groupBy("shingle").agg(collect_set("id").as("ids"))
+    val shRaw = rawShingles(df, idCol, textCol, n)
     val guarded =
-      if (maxShingleDf <= 0) grouped
-      else grouped.filter(size(col("ids")) <= maxShingleDf)
+      if (maxShingleDf <= 0)
+        shRaw.groupBy("shingle").agg(collect_set("id").as("ids"))
+      else {
+        require(maxShingleDf < Int.MaxValue, "maxShingleDf must fit in an Int")
+        shRaw.groupBy("shingle")
+          .agg(graft.functions.CappedSetAgg.fn(maxShingleDf.toInt + 1)(col("id")).as("ids"))
+          .filter(size(col("ids")) <= maxShingleDf)
+      }
     // posting lists only (sorted ids, shingle text dropped) — reused by
     // the pair emission AND the per-doc size count
     val posting = guarded.select(array_sort(col("ids")).as("ids")).localCheckpoint()
@@ -203,6 +211,14 @@ object TextDedup {
     * (Bloom false positives are removed by the exact verify; false
     * negatives don't exist), so the same oracle applies.
     *
+    * The two union branches each scan the training side once (2× map-side
+    * scan+md5, both with pushdown) — deliberately NOT checkpointed: at
+    * scale, caching a corpus-sized frame costs more than a second columnar
+    * scan, and the win this operator buys is that bloom-negatives never
+    * enter the anti-join EXCHANGE (the expensive part when the eval side
+    * is shuffle-joined). This differs from the r2 lesson subtrees, which
+    * re-executed expensive AGGREGATIONS, not plain scans.
+    *
     * `isEval` marks held-out rows inside `df` (train = everything else). */
   def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
       isEval: Column, expectedEvalItems: Long = 100000L,
@@ -292,8 +308,11 @@ object TextDedup {
     var converged = prev._1 == 0L
     // converged = BOTH steps are at their fixpoint (stars are fixpoints
     // of each step individually — checking only the composition could
-    // accept a 2-cycle that passes through an intermediate change)
-    while (!converged && round < maxRounds) {
+    // accept a 2-cycle that passes through an intermediate change).
+    // maxRounds bounds the CONTRACTING rounds; detecting the fixpoint
+    // costs one extra all-no-op iteration, hence the + 1 (same contract
+    // as connectedComponents above).
+    while (!converged && round < maxRounds + 1) {
       val ls = largeStar(edges).localCheckpoint()
       val cls = checksum(ls)
       val ss = smallStar(ls).localCheckpoint()

@@ -99,6 +99,9 @@ object VectorOps {
     "q_embed_centroids",
     (s, dir) =>
       Tables.embeddings(s, dir)
+        // align with the oracle's avg/count(embedding[i]) null semantics:
+        // rows without a vector contribute to neither sum nor n
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("label"), col("embedding").cast("array<double>").as("ed"))
         .groupBy("label")
         .agg(graft.functions.VecSumAgg.fn(col("ed")).as("sum"), count(lit(1)).as("n"))
@@ -108,7 +111,7 @@ object VectorOps {
           round(col("s") / col("n"), 4).as("mean"), col("n"))
         .orderBy("label", "pos"),
     Some("""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
-              round(avg(embedding[i]), 4) AS mean, count(*) AS n
+              round(avg(embedding[i]), 4) AS mean, count(embedding[i]) AS n
             FROM embeddings CROSS JOIN generate_series(1, 64) s(i)
             GROUP BY label, i ORDER BY label, pos""")
   )

@@ -113,7 +113,7 @@ final case class ArrivalsOptions(
 object ArrivalsOptions {
   def from(m: Map[String, String]): ArrivalsOptions = {
     val norm = m.map { case (k, v) => k.toLowerCase(java.util.Locale.ENGLISH) -> v }
-    ArrivalsOptions(
+    val opts = ArrivalsOptions(
       path = norm.getOrElse("path", ""),
       fileSuffix = norm.getOrElse("filesuffix", ".COMPLETED"),
       ignorePattern = norm.getOrElse("ignorepattern", ""),
@@ -129,6 +129,11 @@ object ArrivalsOptions {
       // Default stays UTC — the typed last_modified column is zoneless
       // either way (epoch micros).
       timeZone = norm.getOrElse("timezone", "UTC"))
+    // backoff keys are inert (see warnInertOptions) but must still be
+    // VALIDATED on every construction path — a user-supplied schema
+    // bypasses inferSchema, so validation cannot live only there
+    warnInertOptions(m)
+    opts
   }
 
   /** The reference's channel-backoff knobs (`maxBackoffSleep`,
@@ -137,7 +142,7 @@ object ArrivalsOptions {
     * the engine asks for data per trigger instead of the source pushing
     * into a channel that can fill. A migrated reference config may still
     * carry them: accept and VALIDATE them (so a typo'd config still
-    * fails fast) but warn once that they are inert rather than silently
+    * fails fast) but warn that they are inert rather than silently
     * absorbing or hard-rejecting the keys. */
   private val backoffKeys = Seq("maxbackoffsleep", "backoffsleepincrement")
   def warnInertOptions(m: Map[String, String]): Seq[String] = {

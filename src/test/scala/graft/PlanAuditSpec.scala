@@ -142,5 +142,20 @@ class PlanAuditSpec extends SparkTestBase {
     // pair-count agg, per-doc size agg, and the presentation sort.
     assert(p.contains("Scan ExistingRDD"), "expected checkpointed posting lists\n" + p)
     assert("SortMergeJoin".r.findAllIn(p).size <= 2, "unexpected extra joins\n" + p)
+    // the skew guard must be IN the (pre-checkpoint) aggregation plan:
+    // the capped-set aggregate + the size(ids) <= maxShingleDf filter.
+    // The checkpoint hides it from the final plan string, so audit the
+    // posting-list subplan directly.
+    val docs = Tables.documents(spark, sfDir)
+    val guarded = graft.api.TextDedup.rawShingles(docs, "doc_id", "text", 3)
+      .groupBy("shingle")
+      .agg(graft.functions.CappedSetAgg.fn(11)(org.apache.spark.sql.functions.col("id")).as("ids"))
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("ids")) <= 10)
+    val gp = guarded.queryExecution.executedPlan.toString
+    assert(gp.contains("CappedSetAgg") || gp.contains("cappedsetagg"),
+      "capped-set aggregate missing from the guarded posting plan\n" + gp)
+    assert(gp.contains("size(ids") && gp.contains("<= 10"),
+      "skew-guard size filter missing from the guarded posting plan\n" + gp)
   }
 }

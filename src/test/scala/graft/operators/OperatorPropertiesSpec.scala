@@ -206,6 +206,19 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(cc.forall(r => r.getAs[Long]("id") == r.getAs[Long]("cluster_id")))
   }
 
+  test("CappedSetAgg: kept groups are complete and exact; hot groups land at exactly cap") {
+    import spark.implicits._
+    val rows = (0L until 5).flatMap(i => Seq(("cold", i), ("cold", i))) ++
+      (0L until 50).map(i => ("hot", i))
+    val out = rows.toDF("g", "id").repartition(8)
+      .groupBy("g").agg(graft.functions.CappedSetAgg.fn(11)(col("id")).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // true df (5) < cap: no partial can truncate -> complete sorted set
+    assert(out("cold") == (0L until 5), out("cold").toString)
+    // true df (50) >= cap: merged buffer provably fills to exactly cap
+    assert(out("hot").size == 11, out("hot").size.toString)
+  }
+
   test("vec_sum_agg ≡ posexplode per-dim sums (Lloyd mean-update equivalence)") {
     val em = Tables.embeddings(spark, sfDir)
       .select((col("vec_id") % 7).as("g"), col("embedding").cast("array<double>").as("ed"))
