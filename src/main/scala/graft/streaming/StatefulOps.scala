@@ -53,6 +53,124 @@ object StatefulOps {
   final case class FpUpdate(fp: String, canonical_id: Long, is_new: Boolean,
       batch_docs: Long, total_docs: Long)
 
+  /** One (document × LSH band) row for streaming NEAR-dup: band bucket
+    * key, doc id, full 32-long MinHash signature, event-time millis.
+    * Produced by [[bandRows]]. */
+  final case class BandDoc(band: Long, id: Long, sig: Seq[Long], tsMs: Long)
+
+  /** A doc retained in a band bucket's state: id + signature. */
+  final case class NearDoc(id: Long, sig: Seq[Long])
+
+  /** Per-bucket state: the first `maxBucketDocs` docs that landed in the
+    * bucket (earliest-first keeps canonical-priority: later near-dups
+    * match the EARLIEST representative), plus the TTL anchor. */
+  final case class BandState(docs: Seq[NearDoc], maxTsMs: Long)
+
+  /** One emitted candidate match: doc `id` in `band` estimated
+    * near-duplicate of the earlier `matched_id` (est_jaccard = matching
+    * MinHash components / 32 — the standard unbiased Jaccard estimate).
+    * A doc with NO row across its bands is unique-so-far; per-doc
+    * reduction (best match over bands) is one `groupBy(id)` in the
+    * caller's `foreachBatch`. */
+  final case class BandMatch(band: Long, id: Long, matched_id: Long, est_jaccard: Double)
+
+  /** Prepare [[BandDoc]] rows from an (id, text, tsMs) stream: per-ROW
+    * shingle array → native `graft_minhash` signature → one row per LSH
+    * band with the same xxhash64 band key the batch operator uses
+    * (graft.api.TextDedup.minhashPairs) — no explode+groupBy, so it
+    * stays a map-side streaming transform. `carryCols` keeps extra
+    * columns (e.g. the watermarked timestamp, required for TTL) in the
+    * underlying plan of the typed view. */
+  def bandRows(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      tsMsCol: String, n: Int = 3, bands: Int = 8,
+      carryCols: Seq[String] = Nil): Dataset[BandDoc] = {
+    require(32 % bands == 0, "bands must divide 32")
+    val rows = 32 / bands
+    graft.functions.VectorExprs.register(df.sparkSession)
+    import org.apache.spark.sql.functions._
+    val shingleArr =
+      s"""CASE WHEN size(__t) >= $n
+             THEN array_distinct(transform(sequence(0, size(__t) - $n),
+                    i -> concat_ws(' ', ${(0 until n).map(j => s"__t[i+$j]").mkString(", ")})))
+             ELSE array() END"""
+    df.withColumn("__t", split(col(textCol), " "))
+      .withColumn("sig", expr(s"graft_minhash($shingleArr)"))
+      .select(Seq(col(idCol).as("id"), col("sig"), col(tsMsCol).cast("long").as("tsMs"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("__band_id")) ++
+        carryCols.map(col): _*)
+      .withColumn("band", expr(
+        s"""xxhash64(concat_ws(',', cast(__band_id AS STRING),
+             ${(0 until rows).map(r => s"cast(sig[__band_id*$rows+$r] AS STRING)").mkString(", ")}))"""))
+      .drop("__band_id")
+      .as[BandDoc](Encoders.product[BandDoc])
+  }
+
+  /** Streaming MinHash-LSH near-dup detection with cross-batch state —
+    * the streaming form of `TextDedup.minhashPairs`: documents arrive
+    * continuously and the pipeline learns AT INGEST whether a doc is a
+    * likely near-duplicate of anything seen before (same micro-batch
+    * included), without ever joining against the accumulated corpus.
+    *
+    * State is per BAND BUCKET (docs that agree on one band of the
+    * signature), holding at most `maxBucketDocs` earliest docs — the cap
+    * bounds a hot bucket exactly like the batch operator's skew guard
+    * bounds a hot shingle, trading recall on pathological buckets for
+    * bounded state (documented, deliberate). Candidates are scored with
+    * the signature-estimate (matching components / 32) rather than exact
+    * shingle Jaccard so state carries 32 longs per doc per band, never
+    * text. `ttlMs > 0` expires idle buckets via event-time timeout
+    * (same watermark wiring as [[streamingDedup]]).
+    *
+    * Emits the best match per (doc, band) with est ≥ threshold; batch
+    * docs are processed in (tsMs, id) order so output is deterministic
+    * for a given batch slicing. */
+  def streamingNearDedup(rows: Dataset[BandDoc], threshold: Double = 0.5,
+      maxBucketDocs: Int = 64, ttlMs: Long = 0L): Dataset[BandMatch] = {
+    implicit val stateEnc = Encoders.product[BandState]
+    implicit val outEnc = Encoders.product[BandMatch]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (band: Long, it: Iterator[BandDoc], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toVector.sortBy(d => (d.tsMs, d.id))
+            val prev = state.getOption
+            var docs = prev.map(_.docs.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[BandMatch]
+            batch.foreach { d =>
+              var bestEst = -1.0
+              var bestId = Long.MaxValue
+              docs.foreach { nd =>
+                if (nd.id != d.id) {
+                  var m = 0; var i = 0
+                  val len = math.min(nd.sig.length, d.sig.length)
+                  while (i < len) { if (nd.sig(i) == d.sig(i)) m += 1; i += 1 }
+                  val est = m.toDouble / math.max(1, d.sig.length)
+                  if (est >= threshold &&
+                      (est > bestEst || (est == bestEst && nd.id < bestId))) {
+                    bestEst = est; bestId = nd.id
+                  }
+                }
+              }
+              if (bestEst >= 0) out += BandMatch(band, d.id, bestId, bestEst)
+              if (docs.size < maxBucketDocs && !docs.exists(_.id == d.id))
+                docs :+= NearDoc(d.id, d.sig)
+            }
+            val maxTs = math.max(prev.map(_.maxTsMs).getOrElse(Long.MinValue),
+              batch.map(_.tsMs).max)
+            state.update(BandState(docs, maxTs))
+            if (ttlMs > 0) state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact-dedup with per-key state. `ttlMs > 0` expires idle
     * state once the watermark passes last-event-time + ttl. */
   def streamingDedup(docs: Dataset[FpDoc], ttlMs: Long = 0L): Dataset[FpUpdate] = {

@@ -167,6 +167,63 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(xRows == Seq((10L, true, 1L), (30L, true, 1L)), xRows.toString)
   }
 
+  test("streaming near-dup (MinHash-LSH state): cross/same-batch matches, no false flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = t1 + " nu" // 3-gram Jaccard vs t1 = 10/11 — a near-dup
+    val t3 = "one two three four five six seven eight nine ten eleven twelve"
+    val t5 = "totally different words entirely unrelated content goes right here now"
+    val mem = MemoryStream[(Long, String, Long)]
+    val rows = StatefulOps.bandRows(
+      mem.toDF().toDF("id", "text", "tsMs"), "id", "text", "tsMs")
+    val q = StatefulOps.streamingNearDedup(rows, threshold = 0.5)
+      .writeStream.format("memory").queryName("s_neardup").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, t1, 1000L), (3L, t3, 1001L)) // two unrelated docs
+      q.processAllAvailable()
+      mem.addData((2L, t2, 2000L)) // cross-BATCH near-dup of doc 1
+      q.processAllAvailable()
+      mem.addData((4L, t2 + " xi", 3000L), (5L, t5, 3001L)) // near-dup + unrelated
+      q.processAllAvailable()
+    } finally q.stop()
+    val matches = spark.table("s_neardup").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("matched_id"),
+        r.getAs[Double]("est_jaccard")))
+    // per-doc reduction (what a foreachBatch consumer does): best match
+    val flagged = matches.groupBy(_._1).map { case (id, ms) => id -> ms.maxBy(_._3) }
+    assert(flagged.keySet == Set(2L, 4L), s"flagged ${flagged.keySet}: $matches")
+    assert(flagged(2L)._2 == 1L, flagged.toString) // matched the earlier canonical
+    assert(Set(1L, 2L).contains(flagged(4L)._2), flagged.toString)
+    assert(matches.forall(_._3 >= 0.5), matches.toString)
+  }
+
+  test("streaming near-dup: hot-bucket cap bounds state, earliest docs kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[(Long, String, Long)]
+    val rows = StatefulOps.bandRows(
+      mem.toDF().toDF("id", "text", "tsMs"), "id", "text", "tsMs")
+    // cap 2: only the two EARLIEST docs per bucket are retained as
+    // representatives; later identical docs still match (against those
+    // representatives) but are not added to state
+    val q = StatefulOps.streamingNearDedup(rows, threshold = 0.5, maxBucketDocs = 2)
+      .writeStream.format("memory").queryName("s_ndcap").outputMode("append")
+      .start()
+    try {
+      mem.addData((10L, base, 1000L), (11L, base, 1001L), (12L, base, 1002L))
+      q.processAllAvailable()
+      mem.addData((13L, base, 2000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val matches = spark.table("s_ndcap").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("matched_id")))
+    val byDoc = matches.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // 11, 12, 13 all match; every match points at a retained representative
+    assert(byDoc.keySet == Set(11L, 12L, 13L), byDoc.toString)
+    assert(byDoc.values.flatten.toSet.subsetOf(Set(10L, 11L)), byDoc.toString)
+  }
+
   test("salted aggregation equals plain aggregation (skew utility)") {
     import org.apache.spark.sql.functions._
     val plain = Tables.events(spark, sfDir)
