@@ -158,30 +158,17 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
-  /** IVF top-k neighbors for EVERY vector — the coarse-quantizer
-    * alternative to [[annJoin]]'s hyperplane LSH: vectors are assigned
-    * to their nearest of `nCentroids` centers (cosine), probes look in
-    * their `nProbe` nearest cells, candidates come from the cell
-    * EQUI-join and are exact-cosine re-ranked. On clustered real
-    * embeddings the cells carry the structure; bucket occupancy, not
-    * n², drives cost.
-    *
-    * Centers: hash-seeded (the `nCentroids` vectors with smallest
-    * `xxhash64(id)` — deterministic sampling) then `iterations` rounds
-    * of Lloyd refinement with means rounded to 6dp (kills FP
-    * association jitter so repeated runs produce identical centers).
-    * The model state — nCentroids × dim doubles — is materialized on
-    * the driver per round, like any ML fit: BOUNDED BY THE MODEL SIZE,
-    * never by the data (the no-collect rule targets data-sized pulls).
-    *
-    * Per-pair multiplicity: the index side holds exactly one cell per
-    * vector, probe cells are distinct, so a directed pair meets at most
-    * once — no distinct needed anywhere.
-    *
-    * Returns (id, neighbor_id, sim, rank ≤ k) like [[annJoin]]. */
-  def ivfJoin(corpus: DataFrame, idCol: String, embCol: String,
-      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-      iterations: Int = 1): DataFrame = {
+  /** Fit the IVF coarse quantizer: deterministic hash-sampled seed
+    * centers + `iterations` Lloyd rounds, returning the centroid MODEL
+    * (nCentroids × dim doubles). Split out from [[ivfJoin]] because the
+    * 100 TB pattern is fit-on-a-sample, apply-to-the-corpus: pass a
+    * sampled frame here (e.g. [[Sampling.sample]]'s output) and give the
+    * centers to [[ivfJoinWith]] over the full corpus — the fit cost then
+    * scales with the sample, and the same model can be reused across
+    * runs/queries (it is a plain `Seq[Seq[Double]]`, trivially
+    * serializable). */
+  def fitIvf(corpus: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int = 16, iterations: Int = 1): Seq[Seq[Double]] = {
     reg(corpus)
     // null/empty embeddings can neither index nor probe; dropping them
     // HERE (not implicitly downstream) keeps the Lloyd update clean — a
@@ -221,6 +208,24 @@ object Similarity {
       }
       it += 1
     }
+    centers
+  }
+
+  /** IVF top-k join against a PRE-FIT centroid model (see [[fitIvf]]):
+    * assign every vector to its nearest center (cosine), probe the
+    * `nProbe` nearest cells, exact-cosine re-rank the cell EQUI-join
+    * candidates. On clustered real embeddings the cells carry the
+    * structure; bucket occupancy, not n², drives cost. Per-pair
+    * multiplicity: the index side holds exactly one cell per vector,
+    * probe cells are distinct, so a directed pair meets at most once —
+    * no distinct needed anywhere.
+    *
+    * Returns (id, neighbor_id, sim, rank ≤ k) like [[annJoin]]. */
+  def ivfJoinWith(corpus: DataFrame, idCol: String, embCol: String,
+      centers: Seq[Seq[Double]], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    reg(corpus)
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
     val cc = typedLit(centers)
     val index = em.select(col("id"), col("e"),
       element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1)
@@ -240,4 +245,14 @@ object Similarity {
       .select(col("pid").as("id"), col("id").as("neighbor_id"),
         col("sim"), col("rank"))
   }
+
+  /** Fit-and-join in one call: [[fitIvf]] on the full corpus, then
+    * [[ivfJoinWith]]. At 100 TB prefer fitting on a deterministic
+    * sample ([[Sampling.sample]]) and applying the model to the corpus —
+    * the split exists precisely so the Lloyd passes never scan 100 TB. */
+  def ivfJoin(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      iterations: Int = 1): DataFrame =
+    ivfJoinWith(corpus, idCol, embCol,
+      fitIvf(corpus, idCol, embCol, nCentroids, iterations), k, nProbe)
 }

@@ -206,6 +206,50 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(cc.forall(r => r.getAs[Long]("id") == r.getAs[Long]("cluster_id")))
   }
 
+  test("property: CappedSetAgg ≡ (distinct-set if df < cap, else exactly-cap) on random multisets") {
+    import spark.implicits._
+    val gen = for {
+      cap <- Gen.chooseNum(1, 12)
+      rows <- Gen.listOf(for {
+        g <- Gen.chooseNum(0, 3)
+        id <- Gen.chooseNum(0L, 30L)
+      } yield (g, id))
+    } yield (cap, rows)
+    // few iterations — each case is a full Spark aggregation — but
+    // random caps/cardinalities around the boundary is exactly what the
+    // fixed unit test can't cover
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(gen) { case (cap, rows) =>
+        val expected = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+        val out =
+          if (rows.isEmpty) Map.empty[Int, Seq[Long]]
+          else rows.toDF("g", "id").repartition(5)
+            .groupBy("g").agg(graft.functions.CappedSetAgg.fn(cap)(col("id")).as("ids"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+        expected.forall { case (g, dist) =>
+          if (dist.size < cap) out(g) == dist // complete and exact
+          else out(g).size == cap && out(g).toSet.subsetOf(dist.toSet)
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ivf fit-on-sample + apply-to-corpus matches fit-on-corpus shape and stays deterministic") {
+    val em = Tables.embeddings(spark, sfDir)
+    val sample = graft.api.Sampling.sample(
+      em.withColumn("__s", col("vec_id").cast("string")), "__s", 50)
+    val centers = graft.api.Similarity.fitIvf(sample, "vec_id", "embedding",
+      nCentroids = 8, iterations = 2)
+    assert(centers.size == 8 && centers.forall(_.size == 64))
+    def run() = graft.api.Similarity.ivfJoinWith(em, "vec_id", "embedding",
+        centers, k = 5, nProbe = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("neighbor_id")))
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a.toSeq == run().toSeq, "model application must be run-stable")
+  }
+
   test("CappedSetAgg: kept groups are complete and exact; hot groups land at exactly cap") {
     import spark.implicits._
     val rows = (0L until 5).flatMap(i => Seq(("cold", i), ("cold", i))) ++
