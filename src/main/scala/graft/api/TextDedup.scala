@@ -174,11 +174,13 @@ object TextDedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .groupBy("u").agg(min("label").as("nl"))
-      labels = labels
+      val next = labels
         .join(neighborMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
+      dropCheckpoint(labels) // next is materialized; memory ∝ one round
+      labels = next
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
@@ -240,6 +242,18 @@ object TextDedup {
         .join(broadcast(evalFp), Seq("fp"), "left_anti")
         .select(col(idCol)))
   }
+
+  /** Drop a localCheckpoint'd frame's pinned blocks. Eager
+    * localCheckpoint materializes each round's frame, after which the
+    * PREVIOUS round's blocks are dead weight — without this, iterative
+    * operators pin rounds × |edges| blocks for the session's life
+    * (memory must be ∝ one round, not the round count). Safe only once
+    * every consumer of the frame has been materialized. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Contraction-based connected components — large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -314,8 +328,10 @@ object TextDedup {
     // as connectedComponents above).
     while (!converged && round < maxRounds + 1) {
       val ls = largeStar(edges).localCheckpoint()
+      dropCheckpoint(edges) // ls is materialized; last round's blocks are dead
       val cls = checksum(ls)
       val ss = smallStar(ls).localCheckpoint()
+      dropCheckpoint(ls)
       val css = checksum(ss)
       converged = cls == prev && css == cls
       edges = ss

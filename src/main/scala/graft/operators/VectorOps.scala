@@ -64,12 +64,19 @@ object VectorOps {
   /** ANN JOIN: approximate top-5 neighbors for EVERY vector via the LSH
     * band-bucket self-join + exact re-rank — the all-vectors form a
     * 100 TB embedding dedup runs (approximate → no SQL oracle; pair
-    * recall vs the exact q_embed_neardup pairs property-tested ≥ 0.8). */
+    * recall vs the exact q_embed_neardup pairs property-tested ≥ 0.8).
+    *
+    * nPlanes=32/bands=8 → 4 sign bits per band key, measured on the
+    * fixture against the recall contract: 24 planes (3-bit keys) leave
+    * only 64 buckets corpus-wide and multi-probe covers half the key
+    * space, generating ~87% of ALL pairs as candidates (recall 0.92 but
+    * brute-force cost); 48 planes drop recall to 0.75 (< the 0.8
+    * contract). 32 planes: recall 0.83, ~2× fewer candidate pairs. */
   private val qAnnJoin = Q(
     "q_ann_join",
     (s, dir) =>
       Similarity.annJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 5, nPlanes = 24, bands = 8, dim = 64)
+          k = 5, nPlanes = 32, bands = 8, dim = 64)
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank"),
     None
