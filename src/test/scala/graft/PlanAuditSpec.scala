@@ -115,6 +115,21 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_tfidf / q_rep_stats: column pruning — only doc_id and text reach the scan") {
+    for (q <- Seq("q_tfidf", "q_rep_stats")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$q\n" + p)
+    }
+  }
+
+  test("q_embed_centroids: one hash exchange (the label aggregate), partial aggregation present") {
+    val p = plan("q_embed_centroids")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n" + p)
+    // the vector-sum must combine map-side: partial + final ObjectHashAggregate
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, "expected partial+final aggregate\n" + p)
+  }
+
   test("q_pipeline_e2e: ONE wide shuffle (dedup fingerprint) + broadcast anti-join + sort") {
     val p = plan("q_pipeline_e2e")
     // the corpus side crosses exactly ONE hash exchange (the dedup

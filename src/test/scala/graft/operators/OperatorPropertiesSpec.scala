@@ -206,6 +206,28 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(cc.forall(r => r.getAs[Long]("id") == r.getAs[Long]("cluster_id")))
   }
 
+  test("jaccard skew guard semantics: all-hot shingles produce NO pairs; huge guard ≡ unguarded") {
+    import spark.implicits._
+    // 30 identical docs: every shingle has df=30. With maxShingleDf=5
+    // every shingle is hot -> dropped -> no intersections survive; the
+    // guarded answer is EMPTY (same as the oracle CTE with the same
+    // guard), not a quadratic blow-up of 435 pairs.
+    val docs = (0L until 30L).map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val guarded = graft.api.TextDedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDf = 5L)
+    assert(guarded.count() == 0L)
+    val unguarded = graft.api.TextDedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDf = 0L)
+    assert(unguarded.count() == 30L * 29 / 2)
+    // a guard larger than the corpus df must be a no-op (capped-set path
+    // ≡ plain collect_set path, pair for pair)
+    val real = Tables.documents(spark, sfDir).limit(200)
+    def pairs(maxDf: Long) = graft.api.TextDedup.jaccardPairs(real, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = maxDf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(100000L) == pairs(0L))
+  }
+
   test("property: CappedSetAgg ≡ (distinct-set if df < cap, else exactly-cap) on random multisets") {
     import spark.implicits._
     val gen = for {
