@@ -33,13 +33,7 @@ object Bench {
             System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}")
         }
       }
-    // checkpointed RDDs (dedup posting lists, CC rounds) stay pinned in
-    // the block manager for the JVM's life; 88 queries in one session
-    // accumulate them into GC pressure that slows every LATER query.
-    // Queries are independent — drop leaked blocks between them.
-    def dropLeakedBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    dropLeakedBlocks()
+    Hygiene.dropLeakedBlocks(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query reports -1 (NOT its time-until-failure summed into
@@ -51,7 +45,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
-      dropLeakedBlocks()
+      Hygiene.dropLeakedBlocks(spark)
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -12,7 +12,7 @@ object MiniBench {
     val names = args.toSeq
     names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"warm $n: $e") } }
     names.foreach { n =>
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      Hygiene.dropLeakedBlocks(spark)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(n)(spark, sfDir).count()

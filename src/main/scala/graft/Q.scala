@@ -23,6 +23,17 @@ final case class Q(
   * Truncation nanos→micros→millis is floor-composable, so bucket math on
   * any of the three representations agrees with DuckDB's `epoch_ms(ts)`.
   */
+/** Driver-process hygiene shared by Verify/Bench/MiniBench: iterative
+  * operators localCheckpoint intermediate frames, whose blocks stay
+  * pinned in the block manager for the JVM's life; a driver running all
+  * 88 queries in one session must drop them between (independent)
+  * queries or late queries inflate under GC pressure (measured 65→91 s
+  * bench drift before this). */
+object Hygiene {
+  def dropLeakedBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+}
+
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

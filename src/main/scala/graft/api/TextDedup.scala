@@ -12,16 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** SQL template producing the word n-gram shingle ARRAY (with
+    * within-doc repeats) from a token-array column — THE one definition
+    * of shingle construction; every consumer (batch rawShingles,
+    * streaming bandRows, and by-mirror the DuckDB oracle CTEs) derives
+    * from it. Docs with fewer than n tokens yield an empty array. */
+  def shingleArraySql(tokensCol: String, n: Int): String =
+    s"""CASE WHEN size($tokensCol) >= $n
+           THEN transform(sequence(0, size($tokensCol) - $n),
+                  i -> concat_ws(' ', ${(0 until n).map(j => s"$tokensCol[i+$j]").mkString(", ")}))
+           ELSE array() END"""
+
   /** Word n-gram shingles per document, WITH within-doc repeats:
-    * (id, shingle). The one definition of shingle construction — every
-    * consumer (and the shared DuckDB oracle CTEs) derives from it. */
+    * (id, shingle). */
   def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .select(col("id"), explode(expr(
-        s"""CASE WHEN size(t) >= $n
-                THEN transform(sequence(0, size(t) - $n),
-                       i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))
-                ELSE array() END""")).as("shingle"))
+      .select(col("id"), explode(expr(shingleArraySql("t", n))).as("shingle"))
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
@@ -60,7 +66,13 @@ object TextDedup {
     * re-executes per consumer (the r2 18.7 s regression). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
+    // normalize ids to non-null longs UP FRONT so both guard branches
+    // accept the same inputs (the capped-set aggregate is typed over
+    // Long; collect_set would merely drop nulls — same outcome, made
+    // explicit and branch-independent here)
     val shRaw = rawShingles(df, idCol, textCol, n)
+      .select(col("id").cast("long").as("id"), col("shingle"))
+      .filter(col("id").isNotNull)
     val guarded =
       if (maxShingleDf <= 0)
         shRaw.groupBy("shingle").agg(collect_set("id").as("ids"))

@@ -76,12 +76,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * additional consumers).
   */
 class ArrivalsDataSource extends TableProvider with DataSourceRegister {
-  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ArrivalsDataSource])
   override def shortName(): String = "arrivals"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val m = options.asScala.toMap
-    ArrivalsOptions.from(m) // eager option validation
-    ArrivalsOptions.warnInertOptions(m).foreach(log.warn)
+    ArrivalsOptions.from(options.asScala.toMap) // eager validation + inert-key warn
     ArrivalsTable.schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -111,6 +108,7 @@ final case class ArrivalsOptions(
 }
 
 object ArrivalsOptions {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   def from(m: Map[String, String]): ArrivalsOptions = {
     val norm = m.map { case (k, v) => k.toLowerCase(java.util.Locale.ENGLISH) -> v }
     val opts = ArrivalsOptions(
@@ -130,9 +128,9 @@ object ArrivalsOptions {
       // either way (epoch micros).
       timeZone = norm.getOrElse("timezone", "UTC"))
     // backoff keys are inert (see warnInertOptions) but must still be
-    // VALIDATED on every construction path — a user-supplied schema
-    // bypasses inferSchema, so validation cannot live only there
-    warnInertOptions(m)
+    // VALIDATED AND WARNED on every construction path — a user-supplied
+    // schema bypasses inferSchema entirely, so neither can live there
+    warnInertOptions(m).foreach(log.warn)
     opts
   }
 

@@ -88,13 +88,17 @@ object StatefulOps {
     val rows = 32 / bands
     graft.functions.VectorExprs.register(df.sparkSession)
     import org.apache.spark.sql.functions._
-    val shingleArr =
-      s"""CASE WHEN size(__t) >= $n
-             THEN array_distinct(transform(sequence(0, size(__t) - $n),
-                    i -> concat_ws(' ', ${(0 until n).map(j => s"__t[i+$j]").mkString(", ")})))
-             ELSE array() END"""
+    // THE shared shingle definition (TextDedup.shingleArraySql) keeps
+    // streaming signatures comparable with batch minhashPairs'. Docs
+    // with no shingles (< n tokens) are dropped HERE: their signature
+    // would be the degenerate all-MaxValue vector, making every
+    // too-short doc a 1.0-estimate "near-dup" of every other and
+    // wasting hot-bucket cap on them (batch minhashPairs rejects such
+    // pairs in its exact-Jaccard verify; streaming has no verify step).
     df.withColumn("__t", split(col(textCol), " "))
-      .withColumn("sig", expr(s"graft_minhash($shingleArr)"))
+      .filter(size(col("__t")) >= n)
+      .withColumn("sig", expr(
+        s"graft_minhash(array_distinct(${graft.api.TextDedup.shingleArraySql("__t", n)}))"))
       .select(Seq(col(idCol).as("id"), col("sig"), col(tsMsCol).cast("long").as("tsMs"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("__band_id")) ++
         carryCols.map(col): _*)

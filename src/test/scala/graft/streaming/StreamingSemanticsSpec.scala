@@ -186,6 +186,11 @@ class StreamingSemanticsSpec extends SparkTestBase {
       q.processAllAvailable()
       mem.addData((4L, t2 + " xi", 3000L), (5L, t5, 3001L)) // near-dup + unrelated
       q.processAllAvailable()
+      // degenerate too-short docs (< n tokens → empty shingle set) are
+      // filtered before signing: without that they'd all share the
+      // all-MaxValue signature and flag each other at est 1.0
+      mem.addData((6L, "ok", 4000L), (7L, "thanks", 4001L))
+      q.processAllAvailable()
     } finally q.stop()
     val matches = spark.table("s_neardup").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[Long]("matched_id"),
