@@ -115,6 +115,30 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("GLOBAL sweep: no BNLJ/CartesianProduct in ANY query outside the documented exemptions") {
+    // CLAUDE.md invariant 3's full exemption list, enumerated: quadratic
+    // exact baselines on fixed-small corpora, explicit cross-join
+    // semantics, and single-row-broadcast corpus constants. Every OTHER
+    // query — present and future — must plan bucketed/broadcast
+    // equi-joins; a new query that degenerates fails here by default.
+    val exempt = Map(
+      "q_embed_neardup" -> "pairwise exact baseline (theta self-join)",
+      "q_similarity_topk" -> "broadcast single-probe crossJoin",
+      "q_join_cross" -> "the operator IS a cross join",
+      "q_tfidf" -> "1-row corpus-constant broadcast (N)",
+      "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)")
+    val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      name -> (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+    }.toMap
+    val offenders = planned.collect { case (n, true) if !exempt.contains(n) => n }
+    assert(offenders.isEmpty, s"undeclared BNLJ/cartesian in: $offenders")
+    // and the exemption list must stay EXACT — an exempted query that no
+    // longer plans the shape is a stale entry hiding future regressions
+    val stale = exempt.keys.filterNot(n => planned.getOrElse(n, false))
+    assert(stale.isEmpty, s"stale exemptions (no BNLJ/cartesian planned): $stale")
+  }
+
   test("q_tfidf / q_rep_stats: column pruning — only doc_id and text reach the scan") {
     for (q <- Seq("q_tfidf", "q_rep_stats")) {
       val p = plan(q)
