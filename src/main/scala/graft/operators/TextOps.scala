@@ -392,7 +392,31 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** Corpus profile (graft.api.Profiler): exact per-column row / null /
+    * distinct counts in ONE scan — the QA pass run before and after
+    * every preparation stage. All-BIGINT output, engine-portable. */
+  private val qProfile = Q(
+    "q_profile",
+    (s, dir) =>
+      graft.api.Profiler.profile(Tables.documents(s, dir))
+        .orderBy("col_name"),
+    Some("""SELECT * FROM (
+              SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                     count(*) - count(doc_id) AS n_nulls,
+                     count(DISTINCT doc_id) AS n_distinct FROM documents
+              UNION ALL SELECT 'text', count(*), count(*) - count(text),
+                     count(DISTINCT text) FROM documents
+              UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+                     count(DISTINCT lang) FROM documents
+              UNION ALL SELECT 'source', count(*), count(*) - count(source),
+                     count(DISTINCT source) FROM documents
+              UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                     count(DISTINCT n_chars) FROM documents
+            ) ORDER BY col_name""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
-    qSampleHash, qSampleStratified, qTfidf, qBm25, qRepStats, qPipelineE2e)
+    qSampleHash, qSampleStratified, qTfidf, qBm25, qRepStats, qPipelineE2e,
+    qProfile)
 }
