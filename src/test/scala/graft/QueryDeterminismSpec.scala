@@ -12,6 +12,9 @@ class QueryDeterminismSpec extends SparkTestBase {
       val a = fn(spark, sfDir).collect().toSeq
       val b = fn(spark, sfDir).collect().toSeq
       assert(a == b, s"$name returned different results across two runs")
+      // ~180 query executions share this session — drop leaked
+      // checkpoint blocks like every other multi-query driver
+      Hygiene.dropLeakedBlocks(spark)
     }
   }
 
