@@ -62,6 +62,35 @@ object TimeSeries {
       .select(col("__lid").as(leftIdCol), col("__asof").as("asof_ts_ms"))
   }
 
+  /** Fixed-width resampling with GAP FILL: per key, per-bucket counts
+    * over the corpus-wide [min, max] bucket range, with EXPLICIT zero
+    * rows for empty buckets — the step that turns a sparse event stream
+    * into the dense regular series rate computation / charting / anomaly
+    * windows need (a plain groupBy silently omits empty buckets).
+    *
+    * The bucket spine is keys × sequence(b0, b1) built from a 1-row
+    * min/max broadcast (the sanctioned corpus-constant pattern) — spine
+    * size = range/width × |keys|, independent of row count; the data
+    * itself is aggregated once by (key, bucket). Bucketing uses true
+    * floor division (see [[intervalJoinCount]]) so pre-1970 timestamps
+    * land in the right bucket. Returns (keyCol, bucket_start_ms, cnt). */
+  def resampleGapFill(df: DataFrame, tsMsCol: String, keyCol: String,
+      widthMs: Long): DataFrame = {
+    require(widthMs > 0, s"widthMs must be positive, got $widthMs")
+    def floorDiv(c: String): String =
+      s"($c div $widthMs - (CASE WHEN $c % $widthMs < 0 THEN 1 ELSE 0 END))"
+    val pts = df.select(col(keyCol).as("__k"), expr(floorDiv(tsMsCol)).as("__b"))
+    val counts = pts.groupBy("__k", "__b").agg(count(lit(1)).as("cnt"))
+    val range = pts.agg(min("__b").as("__b0"), max("__b").as("__b1"))
+    val spine = pts.select("__k").distinct()
+      .crossJoin(broadcast(range))
+      .select(col("__k"), explode(expr("sequence(__b0, __b1)")).as("__b"))
+    spine.join(counts, Seq("__k", "__b"), "left")
+      .select(col("__k").as(keyCol),
+        (col("__b") * widthMs).as("bucket_start_ms"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Scale-correct interval join: count/collect right-side events whose
     * `rightTsMs` falls in [leftTsMs, leftTsMs + windowMs). Implemented as
     * a bucketed equi-join (each left window spans ≤2 buckets of width

@@ -178,7 +178,31 @@ object Windows {
             WHERE o_orderkey % 71 = 0 ORDER BY o_orderkey""")
   )
 
+  /** Resample + gap-fill (graft.api.TimeSeries.resampleGapFill): dense
+    * per-(event_type, 5-min bucket) counts over the full corpus range,
+    * explicit zeros for empty buckets — a plain groupBy silently omits
+    * them. Spine = keys × bucket range from a 1-row min/max broadcast. */
+  private val qResample = Q(
+    "q_resample",
+    (s, dir) =>
+      graft.api.TimeSeries.resampleGapFill(Tables.events(s, dir),
+          "ts_ms", "event_type", widthMs = 300000L)
+        .orderBy("event_type", "bucket_start_ms"),
+    Some("""WITH b AS (SELECT event_type, epoch_ms(ts) // 300000 AS b FROM events),
+                 c AS (SELECT event_type, b, count(*) AS cnt FROM b GROUP BY 1, 2),
+                 r AS (SELECT min(b) AS b0, max(b) AS b1 FROM b),
+                 k AS (SELECT DISTINCT event_type FROM events),
+                 spine AS (SELECT k.event_type, unnest(generate_series(r.b0, r.b1)) AS b
+                           FROM k CROSS JOIN r)
+            SELECT spine.event_type AS event_type,
+                   CAST(spine.b * 300000 AS BIGINT) AS bucket_start_ms,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+            FROM spine LEFT JOIN c
+              ON c.event_type = spine.event_type AND c.b = spine.b
+            ORDER BY spine.event_type, bucket_start_ms""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowTumbling, qWindowSliding, qSessionWindow, qIntervalCount,
-    qWindowFirstLast)
+    qWindowFirstLast, qResample)
 }

@@ -126,7 +126,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_similarity_topk" -> "broadcast single-probe crossJoin",
       "q_join_cross" -> "the operator IS a cross join",
       "q_tfidf" -> "1-row corpus-constant broadcast (N)",
-      "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)")
+      "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)",
+      "q_resample" -> "1-row bucket-range broadcast (min/max)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       name -> (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
