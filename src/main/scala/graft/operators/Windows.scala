@@ -187,8 +187,15 @@ object Windows {
     (s, dir) =>
       graft.api.TimeSeries.resampleGapFill(Tables.events(s, dir),
           "ts_ms", "event_type", widthMs = 300000L)
-        .orderBy("event_type", "bucket_start_ms"),
-    Some("""WITH b AS (SELECT event_type, epoch_ms(ts) // 300000 AS b FROM events),
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("bucket_start_ms")),
+    // bucket = true FLOOR division on both sides: DuckDB's `//` (like
+    // Spark's `div`) truncates toward zero, so both engines apply the
+    // same negative-remainder correction — pre-1970 timestamps bucket
+    // identically
+    Some("""WITH b AS (SELECT event_type,
+                   (epoch_ms(ts) // 300000
+                    - CASE WHEN epoch_ms(ts) % 300000 < 0 THEN 1 ELSE 0 END) AS b
+                 FROM events),
                  c AS (SELECT event_type, b, count(*) AS cnt FROM b GROUP BY 1, 2),
                  r AS (SELECT min(b) AS b0, max(b) AS b1 FROM b),
                  k AS (SELECT DISTINCT event_type FROM events),
@@ -199,7 +206,7 @@ object Windows {
                    CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
             FROM spine LEFT JOIN c
               ON c.event_type = spine.event_type AND c.b = spine.b
-            ORDER BY spine.event_type, bucket_start_ms""")
+            ORDER BY spine.event_type NULLS FIRST, bucket_start_ms NULLS FIRST""")
   )
 
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,

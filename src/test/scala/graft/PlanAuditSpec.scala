@@ -116,11 +116,12 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("GLOBAL sweep: no BNLJ/CartesianProduct in ANY query outside the documented exemptions") {
-    // CLAUDE.md invariant 3's full exemption list, enumerated: quadratic
-    // exact baselines on fixed-small corpora, explicit cross-join
-    // semantics, and single-row-broadcast corpus constants. Every OTHER
-    // query — present and future — must plan bucketed/broadcast
-    // equi-joins; a new query that degenerates fails here by default.
+    // CLAUDE.md invariant 3's exemption set, enumerated (the invariant
+    // text names this sweep as its enforcement): quadratic exact
+    // baselines on fixed-small corpora, explicit cross-join semantics,
+    // and single-row-broadcast corpus constants. Every OTHER query —
+    // present and future — must plan bucketed/broadcast equi-joins; a
+    // new query that degenerates fails here by default.
     val exempt = Map(
       "q_embed_neardup" -> "pairwise exact baseline (theta self-join)",
       "q_similarity_topk" -> "broadcast single-probe crossJoin",
@@ -130,6 +131,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q_resample" -> "1-row bucket-range broadcast (min/max)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      // planning the iterative dedup queries eagerly localCheckpoints —
+      // don't leak their blocks across the rest of the suite
+      Hygiene.dropLeakedBlocks(spark)
       name -> (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
     }.toMap
     val offenders = planned.collect { case (n, true) if !exempt.contains(n) => n }

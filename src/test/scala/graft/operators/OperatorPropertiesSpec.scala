@@ -308,6 +308,15 @@ class OperatorPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("Profiler.profile: hostile column names (space, quote) profile exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null), (2L, "b")).toDF("user id", "o'clock")
+    val out = graft.api.Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("user id") == ((3L, 0L, 2L)), out.toString)
+    assert(out("o'clock") == ((3L, 1L, 2L)), out.toString)
+  }
+
   test("graft_nearest_centroids survives NaN embeddings and zero-norm centroids (no crash)") {
     graft.functions.VectorExprs.register(spark)
     val picked = spark.sql(
