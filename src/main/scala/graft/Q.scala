@@ -25,10 +25,10 @@ final case class Q(
   */
 /** Driver-process hygiene shared by Verify/Bench/MiniBench: iterative
   * operators localCheckpoint intermediate frames, whose blocks stay
-  * pinned in the block manager for the JVM's life; a driver running all
-  * 88 queries in one session must drop them between (independent)
-  * queries or late queries inflate under GC pressure (measured 65→91 s
-  * bench drift before this). */
+  * pinned in the block manager for the JVM's life; a driver running the
+  * whole registered query suite in one session must drop them between
+  * (independent) queries or late queries inflate under GC pressure
+  * (measured 65→91 s bench drift before this). */
 object Hygiene {
   def dropLeakedBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -9,27 +9,40 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality + language keep-filter ([[TextAnalysis]]) — pure map-side,
   *      runs FIRST so every later shuffle sees only keepers;
-  *   2. exact dedup — one shuffle keyed by the 16-byte content
-  *      fingerprint (never the text), smallest id survives;
-  *   3. eval-set decontamination — anti-join on the same fingerprint,
+  *   2. exact dedup — one shuffle KEYED by the 16-byte content
+  *      fingerprint (the full row, text included, rides as shuffle
+  *      payload — sampling hashes the raw text downstream), smallest id
+  *      survives;
+  *   3. OPTIONAL near-dedup ([[TextDedup.nearDupSurvivors]]) — n-gram
+  *      Jaccard pair graph → star-contraction clusters → one canonical
+  *      doc per cluster; a real pretraining prep run wants this, not
+  *      just exact dedup;
+  *   4. eval-set decontamination — anti-join on the same fingerprint,
   *      eval side broadcast (or Bloom bits via
   *      [[TextDedup.decontaminateBloom]] when it outgrows a broadcast);
-  *   4. deterministic content-hash sampling ([[Sampling]]) — map-side,
+  *   5. deterministic content-hash sampling ([[Sampling]]) — map-side,
   *      retry-stable.
   *
-  * Total shuffle bill: ONE wide shuffle (the dedup fingerprint hash) +
-  * a broadcast — the filter and sample stages are map-side and fuse into
-  * the scans on either side of it.
+  * Total shuffle bill without near-dedup: ONE wide shuffle (the dedup
+  * fingerprint hash) + a broadcast — the filter and sample stages are
+  * map-side and fuse into the scans on either side of it. The near-dedup
+  * stage adds the pair generation's single posting-list shuffle plus the
+  * pair-graph-sized contraction rounds (never corpus-sized work beyond
+  * that one shuffle).
   */
 object Pipeline {
 
   /** Prepare a training corpus from `df`: rows marked `isEval` are held
     * out (and their fingerprints scrubbed from the result); the rest is
-    * filtered, exact-deduped, decontaminated, and sampled. Returns the
-    * kept rows with `pred_lang`, `n_tok`, `ttr`, `quality` attached. */
+    * filtered, exact-deduped, optionally NEAR-deduped (`nearDedup` —
+    * `shingleN`-gram Jaccard ≥ `jaccardThreshold` clusters, canonical =
+    * cluster-minimum id, `maxShingleDf` = the stop-shingle skew guard),
+    * decontaminated, and sampled. Returns the kept rows with
+    * `pred_lang`, `n_tok`, `ttr`, `quality` attached. */
   def prepare(df: DataFrame, idCol: String, textCol: String, isEval: Column,
       minQuality: Double = 0.5, minTok: Int = 20, maxTok: Int = 80,
-      samplePct: Int = 100): DataFrame = {
+      samplePct: Int = 100, nearDedup: Boolean = false, shingleN: Int = 3,
+      jaccardThreshold: Double = 0.5, maxShingleDf: Long = 10L): DataFrame = {
     val fp = unhex(TextDedup.fingerprint(col(textCol)))
     val evalFp = df.filter(isEval).select(fp.as("fp")).distinct()
     val filtered = TextAnalysis.languageId(
@@ -43,7 +56,11 @@ object Pipeline {
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("fp")))
       .filter(col(idCol) === col("__keep"))
       .drop("__keep")
-    val clean = survivors
+    val deduped =
+      if (!nearDedup) survivors
+      else TextDedup.nearDupSurvivors(survivors, idCol, textCol,
+        n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+    val clean = deduped
       .join(broadcast(evalFp), Seq("fp"), "left_anti")
       .drop("fp")
     Sampling.sample(clean, textCol, samplePct)

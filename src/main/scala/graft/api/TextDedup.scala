@@ -292,29 +292,40 @@ object TextDedup {
     * Returns (id, cluster_id) for every id in `allIds`, cluster_id =
     * the component minimum (singletons map to themselves) — same
     * contract, same oracle as [[connectedComponents]]. */
-  def connectedComponentsStar(pairs: DataFrame, allIds: DataFrame,
-      idCol: String, maxRounds: Int = 30): DataFrame = {
+  /** One large-star step (see [[connectedComponentsStar]]): every node
+    * connects its LARGER neighbors to its minimum neighbor (or itself).
+    * Exposed at package level so PlanAuditSpec can pin the per-round
+    * physical plan — this is the scale-critical inner loop. */
+  private[graft] def largeStarStep(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u")
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      nbr.withColumn("m", least(min(col("v")).over(w), col("u")))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      oriented.withColumn("m", min(col("v")).over(w))
-        .select(explode(array(
-          struct(col("v").as("u"), col("m").as("v")),
-          struct(col("u").as("u"), col("m").as("v")))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-    }
+    val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    nbr.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star step (see [[connectedComponentsStar]]): with edges
+    * oriented big→small, every node connects its smaller neighbors (and
+    * itself) to their minimum. */
+  private[graft] def smallStarStep(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    oriented.withColumn("m", min(col("v")).over(w))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u").as("u"), col("m").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  def connectedComponentsStar(pairs: DataFrame, allIds: DataFrame,
+      idCol: String, maxRounds: Int = 30): DataFrame = {
     // big→small orientation makes the checksum canonical across rounds
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
@@ -339,10 +350,10 @@ object TextDedup {
     // costs one extra all-no-op iteration, hence the + 1 (same contract
     // as connectedComponents above).
     while (!converged && round < maxRounds + 1) {
-      val ls = largeStar(edges).localCheckpoint()
+      val ls = largeStarStep(edges).localCheckpoint()
       dropCheckpoint(edges) // ls is materialized; last round's blocks are dead
       val cls = checksum(ls)
-      val ss = smallStar(ls).localCheckpoint()
+      val ss = smallStarStep(ls).localCheckpoint()
       dropCheckpoint(ls)
       val css = checksum(ss)
       converged = cls == prev && css == cls
@@ -361,6 +372,28 @@ object TextDedup {
     allIds.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Near-dup SURVIVORS with full rows: cluster the exact n-gram Jaccard
+    * pair graph ([[jaccardPairs]] → [[connectedComponentsStar]]) and keep
+    * one canonical document per cluster — the row whose id IS the cluster
+    * minimum — plus every singleton. This is the corpus a pipeline's
+    * near-dedup stage materializes (the q_dedup_survivors shape, but
+    * returning `df`'s full rows, not bare ids).
+    *
+    * Shuffle bill on top of the pair generation's single posting-list
+    * shuffle: the O(log² n) star-contraction rounds run over the PAIR
+    * GRAPH only (near-dup members, not the corpus), and the final
+    * anti-join's right side is just the NON-canonical member ids — a
+    * frame sized by how much near-duplication the corpus actually has,
+    * which AQE broadcasts in the common mostly-unique case. */
+  def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf)
+    val drop = connectedComponentsStar(pairs, df.select(col(idCol)), idCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 64/blocks − 1 for the

@@ -62,33 +62,50 @@ object TimeSeries {
       .select(col("__lid").as(leftIdCol), col("__asof").as("asof_ts_ms"))
   }
 
-  /** Fixed-width resampling with GAP FILL: per key, per-bucket counts
-    * over the corpus-wide [min, max] bucket range, with EXPLICIT zero
+  /** Fixed-width resampling with GAP FILL: per key, per-bucket aggregates
+    * over the corpus-wide [min, max] bucket range, with EXPLICIT filler
     * rows for empty buckets — the step that turns a sparse event stream
     * into the dense regular series rate computation / charting / anomaly
     * windows need (a plain groupBy silently omits empty buckets).
     *
+    * `aggs` are the per-bucket aggregate columns (each MUST be aliased);
+    * `fills` supplies, position-for-position, the value a GAP bucket
+    * reports for that aggregate — counts and sums zero-fill
+    * (`lit(0L)`/`lit(0.0)`), while an average over no events is honestly
+    * `lit(null)` (a zero average would invent data). Defaults preserve
+    * the original counting form: (keyCol, bucket_start_ms, cnt).
+    *
     * The bucket spine is keys × sequence(b0, b1) built from a 1-row
     * min/max broadcast (the sanctioned corpus-constant pattern) — spine
     * size = range/width × |keys|, independent of row count; the data
-    * itself is aggregated once by (key, bucket). Bucketing uses true
-    * floor division (see [[intervalJoinCount]]) so pre-1970 timestamps
-    * land in the right bucket. Returns (keyCol, bucket_start_ms, cnt). */
+    * itself is aggregated once by (key, bucket), and Catalyst prunes the
+    * untouched columns out of the range/keys branches' scans. Bucketing
+    * uses true floor division (see [[intervalJoinCount]]) so pre-1970
+    * timestamps land in the right bucket. */
   def resampleGapFill(df: DataFrame, tsMsCol: String, keyCol: String,
-      widthMs: Long): DataFrame = {
+      widthMs: Long,
+      aggs: Seq[Column] = Seq(count(lit(1)).as("cnt")),
+      fills: Seq[Column] = Seq(lit(0L))): DataFrame = {
     require(widthMs > 0, s"widthMs must be positive, got $widthMs")
+    require(aggs.nonEmpty && aggs.length == fills.length,
+      s"aggs (${aggs.length}) and fills (${fills.length}) must pair up 1:1")
     def floorDiv(c: String): String =
       s"($c div $widthMs - (CASE WHEN $c % $widthMs < 0 THEN 1 ELSE 0 END))"
-    val pts = df.select(col(keyCol).as("__k"), expr(floorDiv(tsMsCol)).as("__b"))
-    val counts = pts.groupBy("__k", "__b").agg(count(lit(1)).as("cnt"))
+    // aggs may reference arbitrary input columns, so keep the full row
+    // here; the narrow branches below prune to (__k) / (__b) at the scan
+    val pts = df.withColumn("__k", col(keyCol)).withColumn("__b", expr(floorDiv(tsMsCol)))
+    val aggd = pts.groupBy("__k", "__b").agg(aggs.head, aggs.tail: _*)
+    val aggNames = aggd.columns.drop(2)
     val range = pts.agg(min("__b").as("__b0"), max("__b").as("__b1"))
     val spine = pts.select("__k").distinct()
       .crossJoin(broadcast(range))
       .select(col("__k"), explode(expr("sequence(__b0, __b1)")).as("__b"))
-    spine.join(counts, Seq("__k", "__b"), "left")
-      .select(col("__k").as(keyCol),
-        (col("__b") * widthMs).as("bucket_start_ms"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    spine.join(aggd, Seq("__k", "__b"), "left")
+      .select(col("__k").as(keyCol) +:
+        (col("__b") * widthMs).as("bucket_start_ms") +:
+        aggNames.zip(fills).map { case (n, f) =>
+          coalesce(col(s"`$n`"), f).as(n)
+        }: _*)
   }
 
   /** Scale-correct interval join: count/collect right-side events whose

@@ -392,6 +392,84 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** The composed pipeline with the NEAR-dedup stage ON
+    * (graft.api.Pipeline, nearDedup = true): keep-filter → exact dedup →
+    * n-gram Jaccard clustering with one canonical doc kept per near-dup
+    * cluster → decontaminate → 50% deterministic sample. The oracle
+    * chains the recursive reachability-closure CC (the q_dedup_clusters
+    * oracle) into the pipeline CTE chain, computed over the
+    * exact-deduped corpus exactly as the Spark stage order does. */
+  private val qPipelineNeardup = Q(
+    "q_pipeline_neardup",
+    (s, dir) =>
+      graft.api.Pipeline.prepare(Tables.documents(s, dir), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, samplePct = 50,
+          nearDedup = true, shingleN = 3, jaccardThreshold = 0.5,
+          maxShingleDf = 10L)
+        .select(col("doc_id"), col("pred_lang"), col("n_tok"), col("quality"))
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE
+                 base AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+                 m AS (SELECT doc_id, text,
+                   len(string_split(text,' ')) AS n_tok,
+                   CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+                   (CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS avg_tok_len
+                 FROM base),
+                 q AS (SELECT doc_id, text, n_tok,
+                   round(least(1.0, n_tok / 50.0) * 0.4 + ttr * 0.4
+                         + least(1.0, avg_tok_len / 8.0) * 0.2, 4) AS quality
+                 FROM m),
+                 sc AS (SELECT doc_id,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to'])) AS s_en,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y'])) AS s_es,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','und','das','ist'])) AS s_de,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','et','les','un'])) AS s_fr
+                 FROM base),
+                 lid AS (SELECT doc_id,
+                   CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+                 FROM sc),
+                 filt AS (SELECT q.doc_id, lid.pred_lang, q.n_tok, q.quality, q.text
+                          FROM q JOIN lid USING (doc_id)
+                          WHERE lid.pred_lang <> 'und' AND q.quality >= 0.5
+                            AND q.n_tok BETWEEN 20 AND 80),
+                 ded AS (SELECT * FROM (SELECT f.*,
+                           min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS keep
+                         FROM filt f) WHERE doc_id = keep),
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ded),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 prs AS (SELECT doc_a, doc_b
+                         FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                         WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                           UNION SELECT doc_b, doc_a FROM prs),
+                 reach AS (SELECT u, v FROM edges
+                           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+                 comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+                 nd AS (SELECT d.* FROM ded d LEFT JOIN comp c USING (doc_id)
+                        WHERE coalesce(least(c.mn, d.doc_id), d.doc_id) = d.doc_id),
+                 ev AS (SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                        FROM documents WHERE doc_id % 97 = 0)
+            SELECT doc_id, pred_lang, n_tok, quality
+            FROM nd
+            WHERE NOT EXISTS (SELECT 1 FROM ev
+                    WHERE ev.fp = md5(lower(regexp_replace(nd.text, '\s+', ' ', 'g'))))
+              AND CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 50
+            ORDER BY doc_id""")
+  )
+
   /** Corpus profile (graft.api.Profiler): exact per-column row / null /
     * distinct counts in ONE scan — the QA pass run before and after
     * every preparation stage. All-BIGINT output, engine-portable. */
@@ -418,5 +496,5 @@ object TextOps {
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qTfidf, qBm25, qRepStats, qPipelineE2e,
-    qProfile)
+    qPipelineNeardup, qProfile)
 }

@@ -209,7 +209,45 @@ object Windows {
             ORDER BY spine.event_type NULLS FIRST, bucket_start_ms NULLS FIRST""")
   )
 
+  /** Resample + gap-fill with PARAMETERIZED aggregates: per-(event_type,
+    * 15-min bucket) count, sum(value) and avg(value) over the full corpus
+    * range. Gap buckets report count 0 and sum 0.0 but avg NULL — the
+    * per-agg fill defaults (a zero average would invent data where none
+    * exists; a chart wants the line to break). */
+  private val qResampleAgg = Q(
+    "q_resample_agg",
+    (s, dir) =>
+      graft.api.TimeSeries.resampleGapFill(Tables.events(s, dir),
+          "ts_ms", "event_type", widthMs = 900000L,
+          aggs = Seq(count(lit(1)).as("cnt"),
+            round(sum("value"), 4).as("sum_value"),
+            round(avg("value"), 4).as("avg_value")),
+          fills = Seq(lit(0L), lit(0.0), lit(null).cast("double")))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("bucket_start_ms")),
+    Some("""WITH b AS (SELECT event_type, value,
+                   (epoch_ms(ts) // 900000
+                    - CASE WHEN epoch_ms(ts) % 900000 < 0 THEN 1 ELSE 0 END) AS b
+                 FROM events),
+                 c AS (SELECT event_type, b, count(*) AS cnt,
+                       round(sum(value), 4) AS sum_value,
+                       round(avg(value), 4) AS avg_value
+                     FROM b GROUP BY 1, 2),
+                 r AS (SELECT min(b) AS b0, max(b) AS b1 FROM b),
+                 k AS (SELECT DISTINCT event_type FROM events),
+                 spine AS (SELECT k.event_type, unnest(generate_series(r.b0, r.b1)) AS b
+                           FROM k CROSS JOIN r)
+            SELECT spine.event_type AS event_type,
+                   CAST(spine.b * 900000 AS BIGINT) AS bucket_start_ms,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+                   coalesce(c.sum_value, 0.0) AS sum_value,
+                   c.avg_value AS avg_value
+            FROM spine LEFT JOIN c
+              ON c.event_type = spine.event_type AND c.b = spine.b
+            ORDER BY spine.event_type NULLS FIRST, bucket_start_ms NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowTumbling, qWindowSliding, qSessionWindow, qIntervalCount,
-    qWindowFirstLast, qResample)
+    qWindowFirstLast, qResample, qResampleAgg)
 }
+

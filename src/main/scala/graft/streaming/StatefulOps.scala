@@ -175,6 +175,48 @@ object StatefulOps {
       }
   }
 
+  /** Exact-Jaccard RECONCILE for [[streamingNearDedup]]'s emitted
+    * matches — the `foreachBatch` step that restores batch
+    * `minhashPairs` precision (1.0) on the streaming path. The streaming
+    * operator scores candidates with the signature estimate only (state
+    * carries 32 longs per doc, never text), so its output can contain
+    * estimate false positives; this joins each emitted (id, matched_id)
+    * pair back to the documents' text, rebuilds the SAME distinct
+    * n-gram shingle sets batch verification uses
+    * (graft.api.TextDedup.shingleArraySql), and keeps only pairs whose
+    * EXACT Jaccard clears `threshold`.
+    *
+    * Usage shape (docs = any batch view of the corpus able to resolve
+    * the flagged ids — a Delta/parquet table the sink also feeds, or
+    * the micro-batch unioned with it):
+    * {{{
+    * matches.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    *   StatefulOps.exactVerifyMatches(batch, docs, "doc_id", "text")
+    *     .write.mode("append")...
+    * }
+    * }}}
+    * Cost: the pair list is match-sized (not corpus-sized); the two
+    * joins against `docs` are id equi-joins, and only matched ids' text
+    * is ever shuffled. Returns (id, matched_id, jaccard). */
+  def exactVerifyMatches(matches: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = matches.select(col("id"), col("matched_id")).distinct()
+    val sh = docs.select(col(idCol).cast("long").as("__vid"),
+        split(col(textCol), " ").as("__t"))
+      .select(col("__vid"), expr(
+        s"array_distinct(${graft.api.TextDedup.shingleArraySql("__t", n)})").as("__shs"))
+    pairs
+      .join(sh.select(col("__vid").as("id"), col("__shs").as("__sa")), "id")
+      .join(sh.select(col("__vid").as("matched_id"), col("__shs").as("__sb")), "matched_id")
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard",
+        col("__i") / (size(col("__sa")) + size(col("__sb")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("matched_id"), col("jaccard"))
+  }
+
   /** Streaming exact-dedup with per-key state. `ttlMs > 0` expires idle
     * state once the watermark passes last-event-time + ttl. */
   def streamingDedup(docs: Dataset[FpDoc], ttlMs: Long = 0L): Dataset[FpUpdate] = {

@@ -128,7 +128,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_join_cross" -> "the operator IS a cross join",
       "q_tfidf" -> "1-row corpus-constant broadcast (N)",
       "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)",
-      "q_resample" -> "1-row bucket-range broadcast (min/max)")
+      "q_resample" -> "1-row bucket-range broadcast (min/max)",
+      "q_resample_agg" -> "1-row bucket-range broadcast (min/max)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —
@@ -172,6 +173,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(rangeEx == 1, s"expected exactly 1 range exchange (the orderBy), got $rangeEx\n" + p)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("CC star rounds: each step plans hash exchanges + window only — no join, no sort-based aggregate") {
+    // The large-star/small-star round is the scale-critical inner loop of
+    // connectedComponentsStar (it runs O(log² n) times over the pair
+    // graph). Pin its per-step physical plan: ONE hash exchange feeding
+    // the partitionBy(u) window (the orderBy-less Window sorts locally,
+    // never range-exchanges), ONE hash exchange for the edge dedup
+    // (whose keys are the REMAPPED endpoints, so the window partitioning
+    // can't be reused), hash aggregation both phases, and no join of any
+    // kind — per-round cost must stay 2 shuffles of the (shrinking) edge
+    // list. A sort-based fallback (SortAggregate) or a planned join here
+    // would multiply the per-round bill at 100 TB.
+    import org.apache.spark.sql.functions.col
+    val edges = spark.range(0, 1000)
+      .select((col("id") % 97).as("v"), (col("id") + 1).as("u"))
+      .select(org.apache.spark.sql.functions.greatest(col("u"), col("v")).as("u"),
+        org.apache.spark.sql.functions.least(col("u"), col("v")).as("v"))
+      .localCheckpoint() // round inputs are checkpointed RDDs, as in the operator
+    for ((step, p) <- Seq(
+        "largeStar" -> graft.api.TextDedup.largeStarStep(edges),
+        "smallStar" -> graft.api.TextDedup.smallStarStep(edges))) {
+      // audit the pre-execution plan (like the suite's other exchange
+      // counts): an EXECUTED AdaptiveSparkPlan prints final + initial
+      // trees and double-counts every node
+      val plan = p.queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashEx == 2, s"$step: expected 2 hash exchanges (window + dedup), got $hashEx\n" + plan)
+      assert(!plan.contains("Exchange rangepartitioning"), s"$step planned a range exchange\n" + plan)
+      assert(plan.contains("Window"), s"$step lost its window\n" + plan)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$step: dedup must hash-aggregate partial+final\n" + plan)
+      assert(!plan.contains("SortAggregate"), s"$step fell back to sort aggregation\n" + plan)
+      assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+        s"$step planned a join — the star step must be join-free\n" + plan)
+    }
+    Hygiene.dropLeakedBlocks(spark)
   }
 
   test("q_dedup_ngram_jaccard: single-shuffle posting-list plan, no self-join of the shingle stream") {

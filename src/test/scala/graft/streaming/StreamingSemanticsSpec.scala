@@ -229,6 +229,62 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(byDoc.values.flatten.toSet.subsetOf(Set(10L, 11L)), byDoc.toString)
   }
 
+  test("streaming near-dup reconcile: exact verify filters signature-estimate false positives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 30 NEAR-MISS pairs (suffix-7 rewrite → trigram Jaccard = 11/25 =
+    // 0.44 < 0.5) + 3 true near-dup pairs (suffix-3 → 15/21 ≈ 0.71).
+    // At J=0.44 the 32-hash estimate has σ ≈ 0.09, so among 30 near-miss
+    // pairs some BOTH collide in an LSH band and estimate ≥ 0.5 — a
+    // signature false positive (deterministic: fixed vocabulary, fixed
+    // hash family). The reconcile must remove exactly those and keep the
+    // true pairs.
+    def words(p: Int, cnt: Int, tag: String): Seq[String] =
+      (0 until cnt).map(w => s"p$p$tag$w")
+    def pairDocs(p: Int, rewritten: Int): Seq[(Long, String, Long)] = {
+      val base = words(p, 20, "w")
+      val varnt = base.take(20 - rewritten) ++ words(p, rewritten, "x")
+      Seq((2L * p, base.mkString(" "), 1000L + p),
+        (2L * p + 1, varnt.mkString(" "), 2000L + p))
+    }
+    val docs = (0 until 30).flatMap(pairDocs(_, 7)) ++
+      (100 until 103).flatMap(pairDocs(_, 3))
+    val mem = MemoryStream[(Long, String, Long)]
+    val rows = StatefulOps.bandRows(
+      mem.toDF().toDF("id", "text", "tsMs"), "id", "text", "tsMs")
+    val q = StatefulOps.streamingNearDedup(rows, threshold = 0.5)
+      .writeStream.format("memory").queryName("s_reconcile").outputMode("append")
+      .start()
+    try { mem.addData(docs); q.processAllAvailable() } finally q.stop()
+    val matches = spark.table("s_reconcile")
+    val emitted = matches.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("matched_id"))).toSet
+    // ground truth, computed independently of the library's shingle code
+    val textById = docs.map(d => d._1 -> d._2).toMap
+    def shingleSet(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def exactJ(a: Long, b: Long): Double = {
+      val (sa, sb) = (shingleSet(textById(a)), shingleSet(textById(b)))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val fps = emitted.filter { case (a, b) => exactJ(a, b) < 0.5 }
+    val tps = emitted.filter { case (a, b) => exactJ(a, b) >= 0.5 }
+    // the premise itself: the stream emitted ≥1 estimate false positive
+    // and all 3 true pairs (else the corpus needs retuning, not the op)
+    assert(fps.nonEmpty, s"no signature FP emitted — retune corpus ($emitted)")
+    assert(tps.size >= 3, s"true near-dups missed by LSH: $tps")
+    val docsDf = docs.toDF("doc_id", "text", "tsMs")
+    val verified = StatefulOps.exactVerifyMatches(matches, docsDf, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("matched_id"))).toSet
+    assert(verified == tps,
+      s"reconcile kept ${verified -- tps} (FPs) or dropped ${tps -- verified} (TPs)")
+    // and the reported jaccard is the exact one, not the estimate
+    val j = StatefulOps.exactVerifyMatches(matches, docsDf, "doc_id", "text")
+      .collect().map(r => ((r.getAs[Long]("id"), r.getAs[Long]("matched_id")),
+        r.getAs[Double]("jaccard"))).toMap
+    j.foreach { case ((a, b), v) => assert(math.abs(v - exactJ(a, b)) < 1e-12) }
+  }
+
   test("salted aggregation equals plain aggregation (skew utility)") {
     import org.apache.spark.sql.functions._
     val plain = Tables.events(spark, sfDir)
