@@ -32,4 +32,34 @@ object Sampling {
       rates: Map[String, Int], defaultPct: Int): DataFrame =
     df.filter(hashBucket(col(onCol)) <
       coalesce(element_at(typedLit(rates), col(strataCol)), lit(defaultPct)))
+
+  /** Per-stratum TOKEN-BUDGET mixture: keep, within each stratum, the
+    * documents that fill the first `budget` tokens in deterministic
+    * content-hash order — the data-MIXING step that turns per-domain
+    * weights ("30 B tokens of web, 5 B of code, …") into an actual
+    * corpus. Rate-based sampling can't hit a token target when document
+    * lengths vary by stratum; the budget form cuts exactly where the
+    * running token count crosses it.
+    *
+    * Selection order is (md5(content), id) — content-deterministic like
+    * [[sample]] (same corpus every run/engine/retry) with the id
+    * tiebreak making WHICH duplicate of an identical text wins
+    * well-defined. Cost: one hash shuffle by stratum + a window running
+    * sum; at 100 TB strata are few and large, so this is the same
+    * shape as any per-key window (skewed mega-strata: pre-aggregate
+    * per-(stratum, hash-prefix) chunks first, then budget over chunks).
+    * Returns the kept rows with `cum_tok` (running token count within
+    * the stratum, this row included) attached. */
+  def tokenBudgetMix(df: DataFrame, onCol: String, idCol: String,
+      strataCol: String, tokCol: Column, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(onCol).cast("binary")).asc_nulls_first,
+        col(idCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tok", sum(tokCol).over(w))
+      .filter(col("cum_tok") <=
+        coalesce(element_at(typedLit(budgets), col(strataCol)), lit(defaultBudget)))
+  }
 }

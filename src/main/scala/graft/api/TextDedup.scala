@@ -255,6 +255,57 @@ object TextDedup {
         .select(col(idCol)))
   }
 
+  /** Per-group duplication QA profile: how much exact duplication each
+    * slice of the corpus carries — the number a pipeline operator checks
+    * BEFORE deciding whether a source needs the (much more expensive)
+    * near-dup pass. One hash aggregate: (group, n_docs, n_distinct
+    * non-null texts, dup_rate over non-null docs; NULL rate for all-null
+    * groups). For multi-MB documents pass a fingerprint column as
+    * `textCol` so the distinct-count shuffle carries 32 bytes, not
+    * text. */
+  def duplicationProfile(df: DataFrame, textCol: String, byCol: String): DataFrame =
+    df.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col(textCol)).as("__n_text"),
+        countDistinct(col(textCol)).as("n_distinct"))
+      .withColumn("dup_rate",
+        round((col("__n_text") - col("n_distinct")) / col("__n_text"), 4))
+      .drop("__n_text")
+
+  /** N-gram OVERLAP decontamination — the published n-gram method (13-gram
+    * in the GPT-3/PaLM writeups): drop every training document that shares
+    * ANY word n-gram with the held-out set. Strictly stronger than the
+    * whole-document fingerprint forms ([[decontaminateBloom]] /
+    * the exact anti-join): a training doc that embeds an eval answer
+    * VERBATIM inside otherwise-novel text has a distinct fingerprint but
+    * is still contamination.
+    *
+    * Plan shape (the 100 TB argument): the eval side collapses to one
+    * distinct-gram frame (eval-sized, broadcast). The training grams are
+    * a map-side explode that meets it in TWO broadcast phases — an
+    * 8-byte xxhash64 prefilter (the broadcast the executors actually
+    * probe per gram; swap for Bloom bits when even the hash set outgrows
+    * a broadcast), then an exact string verify of prefilter survivors
+    * only, so a hash collision can never drop a clean document. The
+    * anti-join's right side is just the contaminated ids — sized by the
+    * contamination rate, broadcast by AQE in the common clean case.
+    * Docs shorter than n tokens have no grams and are always kept.
+    * Returns the kept training rows' (idCol). */
+  def decontaminateNgram(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int = 13): DataFrame = {
+    val evalG = rawShingles(df.filter(isEval), idCol, textCol, n)
+      .select("shingle").distinct()
+    val evalH = evalG.select(xxhash64(col("shingle")).as("gh"))
+    val trainG = rawShingles(df.filter(!isEval), idCol, textCol, n)
+    val contaminated = trainG
+      .join(broadcast(evalH), xxhash64(col("shingle")) === col("gh"), "left_semi")
+      .join(broadcast(evalG), Seq("shingle"), "left_semi")
+      .select(col("id").as("__cid")).distinct()
+    df.filter(!isEval)
+      .join(contaminated, col(idCol) === col("__cid"), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Drop a localCheckpoint'd frame's pinned blocks. Eager
     * localCheckpoint materializes each round's frame, after which the
     * PREVIOUS round's blocks are dead weight — without this, iterative

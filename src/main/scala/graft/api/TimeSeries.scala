@@ -41,10 +41,14 @@ object TimeSeries {
     * right timestamp over (key, ts) — which costs ONE shuffle by key and
     * no join at all (the classic scalable as-of plan; a naive approach is
     * a per-row correlated scan). Ties: a right row at exactly the left
-    * timestamp counts as "at or before". Returns (leftIdCol,
+    * timestamp counts as "at or before". `toleranceMs` (pandas
+    * merge_asof's `tolerance`) bounds staleness: a match older than
+    * `leftTs − toleranceMs` reports NULL instead — applied as a post-
+    * window projection, so the plan is unchanged. Returns (leftIdCol,
     * asof_ts_ms: nullable). */
   def asofJoin(left: DataFrame, leftIdCol: String, leftTsMsCol: String, leftKeyCol: String,
-      right: DataFrame, rightTsMsCol: String, rightKeyCol: String): DataFrame = {
+      right: DataFrame, rightTsMsCol: String, rightKeyCol: String,
+      toleranceMs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = left.select(col(leftKeyCol).as("__k"), col(leftTsMsCol).as("__ts"),
       col(leftIdCol).as("__lid"), lit(1).as("__is_left"),
@@ -56,10 +60,16 @@ object TimeSeries {
     // exactly-simultaneous right event is visible to the left row
     val w = Window.partitionBy("__k").orderBy(asc("__ts"), asc("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounded = toleranceMs match {
+      case Some(tol) =>
+        require(tol >= 0, s"toleranceMs must be non-negative, got $tol")
+        when(col("__asof") >= col("__ts") - tol, col("__asof"))
+      case None => col("__asof")
+    }
     l.unionByName(r)
       .withColumn("__asof", max("__rts").over(w))
       .filter(col("__is_left") === 1)
-      .select(col("__lid").as(leftIdCol), col("__asof").as("asof_ts_ms"))
+      .select(col("__lid").as(leftIdCol), bounded.as("asof_ts_ms"))
   }
 
   /** Fixed-width resampling with GAP FILL: per key, per-bucket aggregates

@@ -182,6 +182,51 @@ object Dedup {
             ORDER BY d.doc_id""")
   )
 
+  /** Per-source duplication QA (TextDedup.duplicationProfile): exact-dup
+    * rate per corpus slice — the one-aggregate check a pipeline runs to
+    * decide which sources need the expensive near-dup pass. dup_rate is
+    * over NON-NULL texts (an all-null group reports NULL, not 0 — no
+    * invented cleanliness). */
+  private val qDupProfile = Q(
+    "q_dup_profile",
+    (s, dir) =>
+      TextDedup.duplicationProfile(Tables.documents(s, dir), "text", "source")
+        .orderBy(asc_nulls_first("source")),
+    Some("""SELECT source, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct,
+                   round((count(text) - count(DISTINCT text)) * 1.0 / count(text), 4) AS dup_rate
+            FROM documents GROUP BY source
+            ORDER BY source NULLS FIRST""")
+  )
+
+  /** N-gram overlap decontamination (TextDedup.decontaminateNgram): drop
+    * every training doc sharing ANY word n-gram with the eval set — the
+    * published 13-gram method, strictly stronger than whole-document
+    * fingerprint matching (a doc QUOTING an eval answer inside novel text
+    * fingerprints clean but is contamination). n = 4 here so the
+    * synthetic fixture exercises a non-trivial drop set (8 docs at
+    * sf0.01); production corpora use 13. Oracle mirrors the gram
+    * construction and the any-overlap EXISTS. */
+  private val qDecontaminateNgram = Q(
+    "q_decontaminate_ngram",
+    (s, dir) =>
+      TextDedup.decontaminateNgram(Tables.documents(s, dir), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, n = 4)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 gr AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 3),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                        FROM toks WHERE len(t) >= 4),
+                 ev AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0),
+                 bad AS (SELECT DISTINCT doc_id FROM gr
+                         WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev))
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+            ORDER BY doc_id""")
+  )
+
   /** Dedup survivors: the kept corpus after near-dup clustering — one
     * canonical document (the cluster-minimum id) per cluster, singletons
     * included. This is the query a pipeline actually materializes as its
@@ -224,5 +269,6 @@ object Dedup {
   )
 
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
-    qDedupClusters, qDecontaminate, qDecontaminateBloom, qDedupSurvivors)
+    qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
+    qDedupSurvivors, qDupProfile)
 }

@@ -188,6 +188,31 @@ object Extras {
             ORDER BY p.event_id""")
   )
 
+  /** As-of join with a staleness TOLERANCE (pandas merge_asof semantics):
+    * same as q_join_asof but a last-error older than 10 minutes before
+    * the purchase reports NULL — "most recent, if recent enough", the
+    * form monitoring/attribution queries actually want. Same one-shuffle
+    * union-window plan; tolerance is a post-window projection. */
+  private val qJoinAsofTol = Q(
+    "q_join_asof_tol",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.api.TimeSeries.asofJoin(
+          ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms", "user_id",
+          ev.filter(col("event_type") === "error"), "ts_ms", "user_id",
+          toleranceMs = Some(600000L))
+        .withColumnRenamed("asof_ts_ms", "last_err_ms")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id,
+              (SELECT max(epoch_ms(e.ts)) FROM events e
+               WHERE e.event_type = 'error' AND e.user_id = p.user_id
+                 AND epoch_ms(e.ts) <= epoch_ms(p.ts)
+                 AND epoch_ms(e.ts) >= epoch_ms(p.ts) - 600000) AS last_err_ms
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id""")
+  )
+
   /** Sketch percentiles (t-digest-style approx, one pass, fixed memory) —
     * the 100 TB path where exact `percentile` shuffles every value.
     * Approximate → no SQL oracle; accuracy property-tested vs exact. */
@@ -361,6 +386,6 @@ object Extras {
 
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
-    qJoinAsof, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
+    qJoinAsof, qJoinAsofTol, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
     qSkewSalted, qJoinFull, qUnpivot, qWindowDistribution)
 }

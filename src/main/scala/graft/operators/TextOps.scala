@@ -254,6 +254,33 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** Token-budget mixture (graft.api.Sampling.tokenBudgetMix): fill each
+    * source's token budget in deterministic content-hash order — the
+    * data-mixing step that turns per-domain token targets into an actual
+    * corpus (rate sampling can't hit a token count when doc lengths vary
+    * by stratum). Oracle runs the identical window running sum with the
+    * identical (md5, id) order. */
+  private val qSampleTokenBudget = Q(
+    "q_sample_token_budget",
+    (s, dir) =>
+      graft.api.Sampling.tokenBudgetMix(Tables.documents(s, dir),
+          "text", "doc_id", "source",
+          tokCol = size(split(col("text"), " ")).cast("long"),
+          budgets = Map("src1" -> 300L, "src2" -> 150L), defaultBudget = 500L)
+        .select(col("doc_id"), col("source"), col("cum_tok"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""WITH c AS (SELECT doc_id, source,
+                   sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+                     ORDER BY md5(text) NULLS FIRST, doc_id NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+                 FROM documents)
+            SELECT doc_id, source, CAST(cum_tok AS BIGINT) AS cum_tok
+            FROM c
+            WHERE cum_tok <= CASE source WHEN 'src1' THEN 300
+                                         WHEN 'src2' THEN 150 ELSE 500 END
+            ORDER BY doc_id NULLS FIRST""")
+  )
+
   /** TF-IDF relevance: top-3 scoring terms per document (first 100 docs)
     * with corpus-wide document frequencies. Ranks on the ROUNDED score —
     * distinct (tf, df) pairs can be real-equal (2·ln(10) = ln(100)) and
@@ -495,6 +522,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
-    qSampleHash, qSampleStratified, qTfidf, qBm25, qRepStats, qPipelineE2e,
-    qPipelineNeardup, qProfile)
+    qSampleHash, qSampleStratified, qSampleTokenBudget, qTfidf, qBm25,
+    qRepStats, qPipelineE2e, qPipelineNeardup, qProfile)
 }
