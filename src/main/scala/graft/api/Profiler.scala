@@ -38,4 +38,40 @@ object Profiler {
     wide.select(expr(
       s"stack(${names.size}, $stacked) AS (col_name, n_rows, n_nulls, n_distinct)"))
   }
+
+  /** Exact equi-width HISTOGRAM of a numeric column: `nBuckets` buckets
+    * over the corpus [min, max], EXPLICIT zero rows for empty buckets
+    * (the distribution QA view — length/price/score histograms; a plain
+    * groupBy hides gaps exactly like an unsampled resample does).
+    * Returns (bucket 1..n, lo, hi, cnt) with 4dp bucket bounds.
+    *
+    * Plan: the [min, max] range is a 1-row broadcast (the sanctioned
+    * corpus-constant pattern, same as resampleGapFill's spine); the data
+    * crosses ONE map-side bucket projection + one (bucket) hash
+    * aggregate of at most nBuckets rows. Bucketing is the explicit
+    * `floor((x − lo) / width) + 1` formula — engine-portable (DuckDB
+    * has no width_bucket), top value clamped into bucket n. A
+    * degenerate all-equal column (lo = hi) lands everything in bucket
+    * 1 rather than dividing by zero. */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val range = vals.agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val bucketed = vals.crossJoin(broadcast(range))
+      .select(when(col("__hi") === col("__lo"), lit(1L))
+        .otherwise(least(
+          floor((col("__v") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / nBuckets)).cast("long") + 1L,
+          lit(nBuckets.toLong))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val spine = range.select(
+      explode(expr(s"sequence(1L, ${nBuckets}L)")).as("bucket"),
+      col("__lo"), col("__hi"))
+    spine.join(bucketed, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(col("__lo") + (col("bucket") - 1) * (col("__hi") - col("__lo")) / nBuckets, 4).as("lo"),
+        round(col("__lo") + col("bucket") * (col("__hi") - col("__lo")) / nBuckets, 4).as("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 }

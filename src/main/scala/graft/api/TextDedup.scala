@@ -269,8 +269,42 @@ object TextDedup {
         count(col(textCol)).as("__n_text"),
         countDistinct(col(textCol)).as("n_distinct"))
       .withColumn("dup_rate",
-        round((col("__n_text") - col("n_distinct")) / col("__n_text"), 4))
+        // ANSI mode throws on /0 — an all-null group must report NULL,
+        // not crash (and not 0: that would invent cleanliness)
+        when(col("__n_text") > 0,
+          round((col("__n_text") - col("n_distinct")) / col("__n_text"), 4)))
       .drop("__n_text")
+
+  /** Cross-group duplicate OVERLAP matrix: for every pair of groups
+    * (sources, dumps, snapshots), how many distinct texts appear in
+    * BOTH — the QA view that catches one crawl re-ingesting another
+    * (mirrored sites, syndicated articles) before dedup statistics get
+    * blamed on the wrong source. Returns (group_a, group_b, n_shared),
+    * group_a < group_b, only pairs with overlap.
+    *
+    * Plan: the same posting-list shape as [[jaccardPairs]] but keyed by
+    * the text (fingerprint it first for multi-MB docs): one shuffle
+    * groups distinct (text, group) to the per-text group set, pairs are
+    * emitted INSIDE the group-set row (fan-out ≤ |groups|² per text —
+    * groups are few by construction), and one count aggregate over the
+    * emitted pairs. Never a self-join of the corpus. */
+  def groupOverlap(df: DataFrame, textCol: String, byCol: String): DataFrame = {
+    val perText = df.filter(col(textCol).isNotNull && col(byCol).isNotNull)
+      .select(col(textCol).as("__t"), col(byCol).as("__g")).distinct()
+      .groupBy("__t").agg(collect_set("__g").as("gs"))
+    // the 1-element transform binds s = array_sort(gs) ONCE per row —
+    // referencing a computed array_sort alias from the pair expression
+    // would let CollapseProject inline (re-evaluate) it per reference
+    // (CLAUDE.md invariant 5)
+    perText.filter(size(col("gs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(array(array_sort(gs)), s ->
+             flatten(transform(sequence(0, size(s) - 2), i ->
+               transform(slice(s, i + 2, size(s) - i - 1),
+                 x -> struct(s[i] AS a, x AS b))))))""")).as("p"))
+      .groupBy(col("p.a").as("group_a"), col("p.b").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 
   /** N-gram OVERLAP decontamination — the published n-gram method (13-gram
     * in the GPT-3/PaLM writeups): drop every training document that shares

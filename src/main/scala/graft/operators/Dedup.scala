@@ -227,6 +227,37 @@ object Dedup {
             ORDER BY doc_id""")
   )
 
+  /** Cross-source content overlap (TextDedup.groupOverlap at 3-gram
+    * granularity): for every source pair, how many distinct word
+    * trigrams appear in both — the QA matrix that catches one crawl
+    * re-ingesting another before dedup statistics get blamed on the
+    * wrong source. (At gram granularity because the synthetic fixture
+    * has no whole-document cross-source dups at sf0.01; on real corpora
+    * pass the text or fingerprint column directly.) Same posting-list
+    * plan as the jaccard family: one shuffle to per-gram source sets,
+    * pairs emitted inside the row, fan-out ≤ |sources|². */
+  private val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .select(col("source"), explode(expr(TextDedup.shingleArraySql("t", 3))).as("g"))
+      TextDedup.groupOverlap(grams, "g", "source")
+        .orderBy(asc_nulls_first("group_a"), asc_nulls_first("group_b"))
+    },
+    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
+                          WHERE text IS NOT NULL AND source IS NOT NULL),
+                 gr AS (SELECT DISTINCT source,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+                        FROM toks)
+            SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_shared
+            FROM gr a JOIN gr b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+            ORDER BY group_a NULLS FIRST, group_b NULLS FIRST""")
+  )
+
   /** Dedup survivors: the kept corpus after near-dup clustering — one
     * canonical document (the cluster-minimum id) per cluster, singletons
     * included. This is the query a pipeline actually materializes as its
@@ -270,5 +301,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
-    qDedupSurvivors, qDupProfile)
+    qDedupSurvivors, qDupProfile, qSourceOverlap)
 }

@@ -520,8 +520,37 @@ object TextOps {
             ) ORDER BY col_name""")
   )
 
+  /** Equi-width histogram (graft.api.Profiler.histogram): the price
+    * distribution in 20 buckets with explicit zero rows — the
+    * distribution-QA view (length/score/price histograms) a profile's
+    * scalar stats can't give. 1-row min/max broadcast + one map-side
+    * bucket projection + a ≤ nBuckets aggregate; the bucket formula is
+    * the explicit floor((x−lo)/width)+1 so both engines run identical
+    * IEEE double math (DuckDB has no width_bucket). */
+  private val qHistogram = Q(
+    "q_histogram",
+    (s, dir) =>
+      graft.api.Profiler.histogram(Tables.lineitem(s, dir), "l_extendedprice", 20)
+        .orderBy("bucket"),
+    Some("""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+                 r AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+                 b AS (SELECT CASE WHEN r.hi = r.lo THEN 1
+                              ELSE least(CAST(floor((v.x - r.lo) / ((r.hi - r.lo) / 20)) AS BIGINT) + 1, 20)
+                              END AS bucket
+                       FROM v, r),
+                 c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+                 s AS (SELECT unnest(generate_series(1, 20)) AS bucket, r.lo, r.hi FROM r)
+            SELECT CAST(s.bucket AS BIGINT) AS bucket,
+                   round(s.lo + (s.bucket - 1) * (s.hi - s.lo) / 20, 4) AS lo,
+                   round(s.lo + s.bucket * (s.hi - s.lo) / 20, 4) AS hi,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+            FROM s LEFT JOIN c USING (bucket)
+            ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qTfidf, qBm25,
-    qRepStats, qPipelineE2e, qPipelineNeardup, qProfile)
+    qRepStats, qPipelineE2e, qPipelineNeardup, qProfile, qHistogram)
 }

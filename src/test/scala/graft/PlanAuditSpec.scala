@@ -129,7 +129,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_tfidf" -> "1-row corpus-constant broadcast (N)",
       "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)",
       "q_resample" -> "1-row bucket-range broadcast (min/max)",
-      "q_resample_agg" -> "1-row bucket-range broadcast (min/max)")
+      "q_resample_agg" -> "1-row bucket-range broadcast (min/max)",
+      "q_histogram" -> "1-row value-range broadcast (min/max)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —

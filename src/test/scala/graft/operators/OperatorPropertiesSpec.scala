@@ -408,6 +408,134 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("decontaminateNgram drops a verbatim eval quote inside novel text; short docs always kept") {
+    import spark.implicits._
+    // the case the whole-document fingerprint forms MISS: doc 1 embeds
+    // eval doc 100's answer verbatim inside otherwise-novel text
+    val docs = Seq(
+      (100L, "the capital of france is paris obviously", true),
+      (1L, "student essay says the capital of france is paris obviously and more filler text here", false),
+      (2L, "completely unrelated clean document about databases and query engines", false),
+      (3L, "too short", false), // < n tokens → no grams → always kept
+      (4L, null.asInstanceOf[String], false) // null text → kept
+    ).toDF("doc_id", "text", "is_eval")
+    val kept = graft.api.TextDedup.decontaminateNgram(docs, "doc_id", "text",
+      isEval = col("is_eval"), n = 5).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), kept.toString)
+  }
+
+  test("decontaminateNgram fixture result ≡ a model computed with plain Scala sets") {
+    val rows = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    def grams(t: Option[String], n: Int): Set[String] = t match {
+      case Some(s) =>
+        val toks = s.split(" ")
+        if (toks.length < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      case None => Set.empty
+    }
+    val evalGrams = rows.filter(_._1 % 97 == 0).flatMap(r => grams(r._2, 4)).toSet
+    val expected = rows.filter(_._1 % 97 != 0)
+      .collect { case (id, t) if grams(t, 4).intersect(evalGrams).isEmpty => id }.toSet
+    val got = graft.SparkEntry.queries("q_decontaminate_ngram")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("tokenBudgetMix: per-stratum kept tokens ≤ budget, kept set is a hash-order prefix") {
+    import org.apache.spark.sql.functions._
+    val toks = size(split(col("text"), " ")).cast("long")
+    val out = graft.api.Sampling.tokenBudgetMix(
+      Tables.documents(spark, sfDir), "text", "doc_id", "source",
+      toks, budgets = Map("src1" -> 120L), defaultBudget = 200L)
+    val kept = out.select(col("source"), col("doc_id"), col("cum_tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // budget respected per stratum
+    kept.groupBy(_._1).foreach { case (src, rs) =>
+      val budget = if (src == "src1") 120L else 200L
+      assert(rs.map(_._3).max <= budget, s"$src exceeded budget")
+    }
+    // prefix property: everything hash-ordered BEFORE a kept doc in the
+    // same stratum is kept too (budgets cut once, no holes)
+    val order = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"), toks.as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)), r.get(3)))
+    val keptIds = kept.map(_._2).toSet
+    order.filter(_._3.nonEmpty).groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3.get, r._2))
+      val firstDrop = sorted.indexWhere(r => !keptIds.contains(r._2))
+      if (firstDrop >= 0)
+        sorted.drop(firstDrop).foreach(r =>
+          assert(!keptIds.contains(r._2), s"hole after first drop: ${r._2}"))
+    }
+  }
+
+  test("asofJoin tolerance: huge tolerance ≡ none; zero keeps only exact-time matches") {
+    import graft.api.TimeSeries
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+    val e = ev.filter(col("event_type") === "error")
+    val plain = TimeSeries.asofJoin(p, "event_id", "ts_ms", "user_id", e, "ts_ms", "user_id")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](1))).toMap
+    val huge = TimeSeries.asofJoin(p, "event_id", "ts_ms", "user_id", e, "ts_ms", "user_id",
+        toleranceMs = Some(Long.MaxValue / 4))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](1))).toMap
+    assert(huge == plain)
+    // zero tolerance: only a right event at EXACTLY the left ts survives
+    val zero = TimeSeries.asofJoin(p, "event_id", "ts_ms", "user_id", e, "ts_ms", "user_id",
+        toleranceMs = Some(0L))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](1))).toMap
+    val leftTs = p.select("event_id", "ts_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    zero.foreach { case (id, m) =>
+      m.foreach(ts => assert(ts == leftTs(id), s"zero-tolerance match not exact for $id"))
+    }
+    assert(zero.values.count(_.isDefined) <= plain.values.count(_.isDefined))
+  }
+
+  test("duplicationProfile: all-null group reports NULL dup_rate, dup groups count exactly") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), // 3 docs, 2 distinct → rate 1/3
+      ("b", null), ("b", null) // all-null → NULL rate, 0 distinct
+    ).toDF("src", "text")
+    val out = graft.api.TextDedup.duplicationProfile(df, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getAs[java.lang.Double]("dup_rate")))).toMap
+    assert(out("a") == ((3L, 2L, Some(0.3333))), out.toString)
+    assert(out("b") == ((2L, 0L, None)), out.toString)
+  }
+
+  test("groupOverlap (exact-text form): cross-source dups counted once per distinct text") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("B", "x"), // x in A,B — within-A dup counts once
+      ("A", "y"), ("B", "y"), ("C", "y"), // y in A,B,C
+      ("C", "z"), // z only in C — no pair
+      ("A", null.asInstanceOf[String]) // null text ignored
+    ).toDF("src", "text")
+    val out = graft.api.TextDedup.groupOverlap(df, "text", "src").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)), out.toString)
+  }
+
+  test("Profiler.histogram: bucket counts sum to rows, degenerate all-equal column lands in bucket 1") {
+    import spark.implicits._
+    val h = graft.api.Profiler.histogram(
+      Tables.lineitem(spark, sfDir), "l_extendedprice", 20).collect()
+    assert(h.length == 20)
+    val total = Tables.lineitem(spark, sfDir)
+      .filter(col("l_extendedprice").isNotNull).count()
+    assert(h.map(_.getLong(3)).sum == total)
+    // every value is in [lo, hi] of its bucket row's 4dp bounds (loose ±1e-3)
+    val degenerate = Seq(5.0, 5.0, 5.0).toDF("v")
+    val d = graft.api.Profiler.histogram(degenerate, "v", 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(d == Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 0L), d.toString)
+  }
+
   test("space-saving sketch is exact when distinct items ≤ k") {
     import org.apache.spark.sql.functions._
     val hh = graft.api.Sketches.heavyHitters(16) // 5 event types << 16
