@@ -340,6 +340,39 @@ object TextDedup {
       .select(col(idCol))
   }
 
+  /** [[decontaminateNgram]] with the hash prefilter folded into broadcast
+    * Bloom BITS — the shape for when even the eval GRAM hash set
+    * outgrows a broadcast (eval grams ≈ eval tokens, which dwarfs eval
+    * doc count). Same answer, same oracle: bloom-negative training grams
+    * are definitely clean and never reach the verify join; bloom false
+    * positives are removed by the exact string verify (which carries
+    * only the FP-rate-bounded survivors), and false negatives don't
+    * exist. The Bloom aggregation materializes only the
+    * `expectedEvalGrams`/`fpp`-sized BITS on the driver — a model, like
+    * [[decontaminateBloom]]'s. */
+  def decontaminateNgramBloom(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int = 13, expectedEvalGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val evalG = rawShingles(df.filter(isEval), idCol, textCol, n)
+      .select("shingle").distinct()
+    val bloom = evalG.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedEvalGrams, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
+    }
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val contaminated = rawShingles(df.filter(!isEval), idCol, textCol, n)
+      .filter(call_function("graft_might_contain", lit(bytes),
+        xxhash64(col("shingle"))))
+      .join(broadcast(evalG), Seq("shingle"), "left_semi")
+      .select(col("id").as("__cid")).distinct()
+    df.filter(!isEval)
+      .join(contaminated, col(idCol) === col("__cid"), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Drop a localCheckpoint'd frame's pinned blocks. Eager
     * localCheckpoint materializes each round's frame, after which the
     * PREVIOUS round's blocks are dead weight — without this, iterative

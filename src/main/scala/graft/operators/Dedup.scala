@@ -258,6 +258,32 @@ object Dedup {
             ORDER BY group_a NULLS FIRST, group_b NULLS FIRST""")
   )
 
+  /** Gram-level Bloom decontamination — q_decontaminate_ngram's exact
+    * answer (same oracle), the shape for when even the eval gram HASH
+    * set outgrows a broadcast: Bloom bits prefilter, bloom-negative
+    * grams never reach the verify join, exact string verify removes the
+    * FP-rate-bounded rest. Completes the decontamination family:
+    * exact/Bloom at document level × exact/Bloom at gram level. */
+  private val qDecontaminateNgramBloom = Q(
+    "q_decontaminate_ngram_bloom",
+    (s, dir) =>
+      TextDedup.decontaminateNgramBloom(Tables.documents(s, dir), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0, n = 4, expectedEvalGrams = 10000L)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 gr AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 3),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                        FROM toks WHERE len(t) >= 4),
+                 ev AS (SELECT DISTINCT g FROM gr WHERE doc_id % 97 = 0),
+                 bad AS (SELECT DISTINCT doc_id FROM gr
+                         WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev))
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+            ORDER BY doc_id""")
+  )
+
   /** Dedup survivors: the kept corpus after near-dup clustering — one
     * canonical document (the cluster-minimum id) per cluster, singletons
     * included. This is the query a pipeline actually materializes as its
@@ -301,5 +327,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
-    qDedupSurvivors, qDupProfile, qSourceOverlap)
+    qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap)
 }

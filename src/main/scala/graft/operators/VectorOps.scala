@@ -123,6 +123,42 @@ object VectorOps {
             GROUP BY label, i ORDER BY label, pos""")
   )
 
+  /** Embedding near-dup CLUSTERS: connected components over the exact
+    * cosine ≥ 0.4 pair graph (same pairs as q_embed_neardup), every
+    * vector labeled with the smallest vec_id reachable from it — the
+    * same star-contraction clustering the text near-dup family uses,
+    * proving the CC operator is modality-generic. The pair generation is
+    * the exempted fixed-size exact baseline; at scale the pairs come
+    * from `Similarity.annJoin` instead (approximate → this oracled form
+    * pins the clustering semantics). */
+  private val qEmbedClusters = Q(
+    "q_embed_clusters",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.4)
+      graft.api.TextDedup.connectedComponentsStar(pairs, emb, "vec_id")
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE
+                 pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+                   sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+                   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+                 pairs AS (SELECT vec_a, vec_b FROM pr WHERE dot / (na * nb) >= 0.4),
+                 edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+                           UNION SELECT vec_b, vec_a FROM pairs),
+                 reach AS (SELECT u, v FROM edges
+                           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+                 comp AS (SELECT u AS vec_id, min(v) AS mn FROM reach GROUP BY u)
+            SELECT e.vec_id,
+                   coalesce(least(c.mn, e.vec_id), e.vec_id) AS cluster_id
+            FROM embeddings e LEFT JOIN comp c USING (vec_id)
+            ORDER BY vec_id""")
+  )
+
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf,
-    qEmbedCentroids)
+    qEmbedCentroids, qEmbedClusters)
 }

@@ -123,6 +123,10 @@ class PlanAuditSpec extends SparkTestBase {
     // present and future — must plan bucketed/broadcast equi-joins; a
     // new query that degenerates fails here by default.
     val exempt = Map(
+      // NOTE q_embed_clusters needs no entry: its theta-join pair
+      // generation executes EAGERLY inside connectedComponentsStar, so
+      // the returned plan is just the label join over checkpointed
+      // rounds (same as q_dedup_clusters)
       "q_embed_neardup" -> "pairwise exact baseline (theta self-join)",
       "q_similarity_topk" -> "broadcast single-probe crossJoin",
       "q_join_cross" -> "the operator IS a cross join",
