@@ -62,4 +62,22 @@ object Sampling {
       .filter(col("cum_tok") <=
         coalesce(element_at(typedLit(budgets), col(strataCol)), lit(defaultBudget)))
   }
+
+  /** Exactly-k-per-stratum deterministic sample: the first `k` documents
+    * of each stratum in (md5(content), id) order — how a FIXED-SIZE
+    * held-out/eval set per language (or per source) is actually built.
+    * Rate sampling can't promise a count; this does, deterministically
+    * across runs/engines/retries like every graft sampler. Same window
+    * shape as [[tokenBudgetMix]] (one hash shuffle by stratum). */
+  def headSample(df: DataFrame, onCol: String, idCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(onCol).cast("binary")).asc_nulls_first,
+        col(idCol).asc_nulls_first)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -130,23 +130,43 @@ object TimeSeries {
     * division (integer `div` truncates toward zero, which mis-buckets
     * negative pre-1970 timestamps and silently drops their matches). */
   def intervalJoinCount(left: DataFrame, leftIdCol: String, leftTsMsCol: String,
-      right: DataFrame, rightTsMsCol: String, windowMs: Long): DataFrame = {
+      right: DataFrame, rightTsMsCol: String, windowMs: Long): DataFrame =
+    intervalJoinAgg(left, leftIdCol, leftTsMsCol, right, rightTsMsCol, windowMs,
+      aggs = Seq(count(lit(1)).as("match_cnt")), fills = Seq(lit(0L)))
+
+  /** [[intervalJoinCount]] with PARAMETERIZED aggregates (the same
+    * `aggs`/`fills` contract as [[resampleGapFill]]): any per-left-row
+    * aggregate over the right rows landing in [leftTs, leftTs +
+    * windowMs) — sums of severities, averages, maxima — not just the
+    * count. `fills` supplies what an EMPTY window reports per aggregate
+    * (counts 0, sums/avgs honestly NULL — matching what a correlated
+    * SQL aggregate over zero rows returns). Same bucketed equi-join
+    * plan; the right frame keeps its columns so aggs can reference
+    * them. */
+  def intervalJoinAgg(left: DataFrame, leftIdCol: String, leftTsMsCol: String,
+      right: DataFrame, rightTsMsCol: String, windowMs: Long,
+      aggs: Seq[Column], fills: Seq[Column]): DataFrame = {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(aggs.nonEmpty && aggs.length == fills.length,
+      s"aggs (${aggs.length}) and fills (${fills.length}) must pair up 1:1")
     // exact Math.floorDiv over longs (no double rounding): windowMs > 0,
     // and Spark's % follows the dividend's sign, so a negative remainder
     // means truncation rounded toward zero from below — correct by -1
     def floorDiv(c: String): String =
       s"($c div $windowMs - (CASE WHEN $c % $windowMs < 0 THEN 1 ELSE 0 END))"
     val l = left.select(col(leftIdCol).as("__lid"), col(leftTsMsCol).as("__lts"))
-    val r = right.select(col(rightTsMsCol).as("__rts"))
+    val r = right.withColumn("__rts", col(rightTsMsCol).cast("long"))
     val lB = l.withColumn("__bucket",
       explode(array(expr(floorDiv("__lts")), expr(floorDiv("__lts")) + 1)))
     val rB = r.withColumn("__bucket", expr(floorDiv("__rts")))
-    val counts = lB.join(rB, "__bucket")
+    val aggd = lB.join(rB, "__bucket")
       .filter(col("__rts") >= col("__lts") && col("__rts") < col("__lts") + windowMs)
-      .groupBy("__lid").agg(count(lit(1)).as("match_cnt"))
-    l.join(counts, Seq("__lid"), "left")
-      .select(col("__lid").as(leftIdCol),
-        coalesce(col("match_cnt"), lit(0L)).as("match_cnt"))
+      .groupBy("__lid").agg(aggs.head, aggs.tail: _*)
+    val aggNames = aggd.columns.drop(1)
+    l.join(aggd, Seq("__lid"), "left")
+      .select(col("__lid").as(leftIdCol) +:
+        aggNames.zip(fills).map { case (n, f) =>
+          coalesce(col(s"`$n`"), f).as(n)
+        }: _*)
   }
 }

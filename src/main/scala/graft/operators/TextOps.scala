@@ -281,6 +281,25 @@ object TextOps {
             ORDER BY doc_id NULLS FIRST""")
   )
 
+  /** Exactly-k-per-stratum sample (graft.api.Sampling.headSample): the
+    * first 5 docs of each language in deterministic (md5, id) order —
+    * how a FIXED-SIZE per-language eval set is actually built (rate
+    * sampling can't promise a count). */
+  private val qSampleKStratum = Q(
+    "q_sample_k_stratum",
+    (s, dir) =>
+      graft.api.Sampling.headSample(Tables.documents(s, dir),
+          "text", "doc_id", "lang", k = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""WITH r AS (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(text) NULLS FIRST, doc_id NULLS FIRST) AS rn
+                 FROM documents)
+            SELECT doc_id, lang FROM r WHERE rn <= 5
+            ORDER BY doc_id NULLS FIRST""")
+  )
+
   /** TF-IDF relevance: top-3 scoring terms per document (first 100 docs)
     * with corpus-wide document frequencies. Ranks on the ROUNDED score —
     * distinct (tf, df) pairs can be real-equal (2·ln(10) = ln(100)) and
@@ -551,6 +570,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
-    qSampleHash, qSampleStratified, qSampleTokenBudget, qTfidf, qBm25,
-    qRepStats, qPipelineE2e, qPipelineNeardup, qProfile, qHistogram)
+    qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
+    qTfidf, qBm25, qRepStats, qPipelineE2e, qPipelineNeardup, qProfile,
+    qHistogram)
 }

@@ -148,6 +148,37 @@ object Windows {
             ORDER BY p.event_id""")
   )
 
+  /** Interval join with PARAMETERIZED aggregates
+    * (graft.api.TimeSeries.intervalJoinAgg): for every purchase, the
+    * count AND summed value of errors in [ts, ts+10min) — empty windows
+    * report count 0 but sum NULL (matching what a correlated SQL
+    * aggregate over zero rows returns; a zero sum would fake signal).
+    * Same bucketed equi-join plan as q_interval_count. */
+  private val qIntervalAgg = Q(
+    "q_interval_agg",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.api.TimeSeries.intervalJoinAgg(
+          ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms",
+          ev.filter(col("event_type") === "error"), "ts_ms", windowMs = 600000L,
+          aggs = Seq(count(lit(1)).as("match_cnt"),
+            round(sum("value"), 4).as("err_value")),
+          fills = Seq(lit(0L), lit(null).cast("double")))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id,
+              (SELECT count(*) FROM events e
+               WHERE e.event_type = 'error'
+                 AND epoch_ms(e.ts) >= epoch_ms(p.ts)
+                 AND epoch_ms(e.ts) < epoch_ms(p.ts) + 600000) AS match_cnt,
+              (SELECT round(sum(e.value), 4) FROM events e
+               WHERE e.event_type = 'error'
+                 AND epoch_ms(e.ts) >= epoch_ms(p.ts)
+                 AND epoch_ms(e.ts) < epoch_ms(p.ts) + 600000) AS err_value
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id""")
+  )
+
   /** first_value / last_value over an explicit full-partition frame
     * (default frames differ between engines for last_value — pin
     * unbounded-to-unbounded on both sides). */
@@ -248,6 +279,6 @@ object Windows {
 
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowTumbling, qWindowSliding, qSessionWindow, qIntervalCount,
-    qWindowFirstLast, qResample, qResampleAgg)
+    qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg)
 }
 

@@ -217,6 +217,27 @@ class PlanAuditSpec extends SparkTestBase {
     Hygiene.dropLeakedBlocks(spark)
   }
 
+  test("q_sample_token_budget / q_sample_k_stratum: one window shuffle + presentation sort, no joins") {
+    for (q <- Seq("q_sample_token_budget", "q_sample_k_stratum")) {
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q: expected 1 hash exchange (the stratum window), got $hashEx\n" + p)
+      assert(rangeEx == 1, s"$q: expected 1 range exchange (the orderBy), got $rangeEx\n" + p)
+      assert(p.contains("Window"), s"$q lost its window\n" + p)
+      assert(!p.contains("Join"), s"$q planned a join — samplers must be window-only\n" + p)
+    }
+  }
+
+  test("q_decontaminate_ngram: gram stream meets the eval side via BROADCAST semi joins only") {
+    val p = plan("q_decontaminate_ngram")
+    // the prefilter and the exact verify are both broadcast LeftSemi —
+    // the corpus-sized gram stream must never shuffle into a join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "expected 2 broadcast joins\n" + p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_dedup_ngram_jaccard: single-shuffle posting-list plan, no self-join of the shingle stream") {
     val p = plan("q_dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
