@@ -148,6 +148,70 @@ object Windows {
             ORDER BY p.event_id""")
   )
 
+  /** Day-over-day cohort RETENTION: of the users active on day d, the
+    * fraction also active on day d+1 — the engagement staple every
+    * event-analytics system ships. One distinct (user, day) aggregate +
+    * a per-user window lead + one day aggregate; work ∝ distinct
+    * (user, day), never raw events, at any scale. Day bucketing uses
+    * the same true-floor-division correction as the other time ops. */
+  private val qRetention = Q(
+    "q_retention",
+    (s, dir) => {
+      val ub = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts_ms div 86400000 - (CASE WHEN ts_ms % 86400000 < 0 THEN 1 ELSE 0 END)").as("day_idx"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day_idx")
+      ub.withColumn("next_day", lead("day_idx", 1).over(w))
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("next_day") === col("day_idx") + 1, 1)).as("n_retained"))
+        .withColumn("retention", round(col("n_retained") / col("n_active"), 4))
+        .orderBy("day_idx")
+    },
+    Some("""WITH ub AS (SELECT DISTINCT user_id,
+                   epoch_ms(ts) // 86400000
+                     - CASE WHEN epoch_ms(ts) % 86400000 < 0 THEN 1 ELSE 0 END AS day_idx
+                 FROM events),
+                 l AS (SELECT user_id, day_idx,
+                   lead(day_idx) OVER (PARTITION BY user_id ORDER BY day_idx) AS next_day
+                 FROM ub)
+            SELECT day_idx, count(*) AS n_active,
+                   count(CASE WHEN next_day = day_idx + 1 THEN 1 END) AS n_retained,
+                   round(count(CASE WHEN next_day = day_idx + 1 THEN 1 END) * 1.0 / count(*), 4) AS retention
+            FROM l GROUP BY day_idx ORDER BY day_idx""")
+  )
+
+  /** TIME-based (RANGE) window frame: per event, the count and summed
+    * value of the same user's events in the trailing 30 minutes —
+    * RANGE BETWEEN over epoch-ms, the frame ROWS frames can't express
+    * (peers at equal timestamps are all included, and the window is
+    * defined by TIME distance, not row count). The rolling-rate /
+    * trailing-exposure shape. */
+  private val qWindowRangeFrame = Q(
+    "q_window_range_frame",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ms")
+        .rangeBetween(-1800000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          count(lit(1)).over(w).as("n_30m"),
+          round(sum("value").over(w), 4).as("sum_30m"))
+        .filter(col("event_id") % 13 === 0)
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                   count(*) OVER w AS n_30m,
+                   round(sum(value) OVER w, 4) AS sum_30m
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts_ms, n_30m, sum_30m FROM r
+            WHERE event_id % 13 = 0 ORDER BY event_id""")
+  )
+
   /** Interval join with PARAMETERIZED aggregates
     * (graft.api.TimeSeries.intervalJoinAgg): for every purchase, the
     * count AND summed value of errors in [ts, ts+10min) — empty windows
@@ -278,7 +342,8 @@ object Windows {
   )
 
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
-    qWindowTumbling, qWindowSliding, qSessionWindow, qIntervalCount,
-    qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg)
+    qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
+    qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
+    qRetention)
 }
 
