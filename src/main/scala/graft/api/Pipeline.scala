@@ -58,8 +58,18 @@ object Pipeline {
       .drop("__keep")
     val deduped =
       if (!nearDedup) survivors
-      else TextDedup.nearDupSurvivors(survivors, idCol, textCol,
-        n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+      else {
+        // nearDupSurvivors consumes its input twice (pair generation +
+        // survivor anti-join), and `survivors` here is the expensive
+        // subtree — HOF quality/language scoring plus the corpus-wide
+        // fingerprint window shuffle. Materialize it once rather than
+        // re-executing that per consumer (the r2 lesson: checkpoint
+        // multiply-consumed AGGREGATION subtrees; plain scans don't
+        // qualify, this does).
+        val snap = survivors.localCheckpoint()
+        TextDedup.nearDupSurvivors(snap, idCol, textCol,
+          n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+      }
     val clean = deduped
       .join(broadcast(evalFp), Seq("fp"), "left_anti")
       .drop("fp")

@@ -363,10 +363,16 @@ object TextDedup {
       b.toByteArray
     }
     graft.functions.VectorExprs.register(df.sparkSession)
+    // the exact verify deliberately carries NO broadcast hint: this
+    // operator exists for the regime where the eval gram set outgrows a
+    // broadcast, so forcing the (larger) string relation onto the driver
+    // would defeat the premise. The left side is only the
+    // FP-rate-bounded prefilter survivors; AQE broadcasts the eval side
+    // when it happens to be small, shuffles when it isn't.
     val contaminated = rawShingles(df.filter(!isEval), idCol, textCol, n)
       .filter(call_function("graft_might_contain", lit(bytes),
         xxhash64(col("shingle"))))
-      .join(broadcast(evalG), Seq("shingle"), "left_semi")
+      .join(evalG, Seq("shingle"), "left_semi")
       .select(col("id").as("__cid")).distinct()
     df.filter(!isEval)
       .join(contaminated, col(idCol) === col("__cid"), "left_anti")
@@ -444,6 +450,20 @@ object TextDedup {
 
   def connectedComponentsStar(pairs: DataFrame, allIds: DataFrame,
       idCol: String, maxRounds: Int = 30): DataFrame = {
+    val labels = starLabels(pairs, maxRounds)
+    allIds.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** The star-contraction core: (id, cluster_id) for every NON-ROOT node
+    * of the pair graph (cluster_id = component minimum < id, by the
+    * big→small orientation). Roots and singletons are absent — callers
+    * that need them mapped to themselves join against their id universe
+    * ([[connectedComponentsStar]]); callers that only need the DROP set
+    * ([[nearDupSurvivors]]) use this directly, consuming `pairs` exactly
+    * once. */
+  private[api] def starLabels(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     // big→small orientation makes the checksum canonical across rounds
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
@@ -485,11 +505,9 @@ object TextDedup {
           "pathological input (star contraction is O(log² n); raise maxRounds)")
     // at the fixpoint each non-root node carries exactly one edge to its
     // component min (groupBy-min is belt and braces, not a second pass
-    // semantic); roots and singletons never appear as u → coalesce(self)
-    val labels = edges.groupBy("u").agg(min(col("v")).as("cluster_id"))
-    allIds.select(col(idCol).as("id"))
-      .join(labels.withColumnRenamed("u", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    // semantic); roots and singletons never appear as u
+    edges.groupBy("u").agg(min(col("v")).as("cluster_id"))
+      .withColumnRenamed("u", "id")
   }
 
   /** Near-dup SURVIVORS with full rows: cluster the exact n-gram Jaccard
@@ -508,9 +526,14 @@ object TextDedup {
   def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
     val pairs = jaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf)
-    val drop = connectedComponentsStar(pairs, df.select(col(idCol)), idCol)
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as("__drop_id"))
+    // the DROP set is exactly the star contraction's non-root labels
+    // (every labeled node has cluster_id < id) — no corpus-sized allIds
+    // join materializing singleton (id, id) rows just to discard them,
+    // and `pairs` is consumed exactly once. `df` is consumed twice (pair
+    // generation + this anti-join); callers whose input subtree is
+    // expensive should localCheckpoint it first, as Pipeline.prepare
+    // does.
+    val drop = starLabels(pairs).select(col("id").as("__drop_id"))
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** SQL for exact `Math.floorDiv(c, w)` over longs — THE one shared
+    * bucketing idiom (`resampleGapFill`, `intervalJoinAgg`, the
+    * retention query): Spark's `div` truncates toward zero, so a
+    * negative remainder means the result must be corrected by −1 or
+    * pre-1970 timestamps land in the wrong bucket. `w` must be
+    * positive. */
+  def floorDivSql(c: String, w: Long): String =
+    s"($c div $w - (CASE WHEN $c % $w < 0 THEN 1 ELSE 0 END))"
+
   /** Epoch-aligned tumbling window aggregation. `aggs` are applied per
     * window; output carries win_start_ms. */
   def tumbling(df: DataFrame, tsCol: String, width: String,
@@ -63,7 +72,12 @@ object TimeSeries {
     val bounded = toleranceMs match {
       case Some(tol) =>
         require(tol >= 0, s"toleranceMs must be non-negative, got $tol")
-        when(col("__asof") >= col("__ts") - tol, col("__asof"))
+        // staleness = __ts - __asof, non-negative by construction (the
+        // match is at-or-before). Compare THAT against tol: the naive
+        // `__asof >= __ts - tol` underflows Long for huge tolerances ×
+        // negative (pre-1970) timestamps, and ANSI mode turns that into
+        // a runtime ArithmeticException
+        when(col("__ts") - col("__asof") <= tol, col("__asof"))
       case None => col("__asof")
     }
     l.unionByName(r)
@@ -99,8 +113,7 @@ object TimeSeries {
     require(widthMs > 0, s"widthMs must be positive, got $widthMs")
     require(aggs.nonEmpty && aggs.length == fills.length,
       s"aggs (${aggs.length}) and fills (${fills.length}) must pair up 1:1")
-    def floorDiv(c: String): String =
-      s"($c div $widthMs - (CASE WHEN $c % $widthMs < 0 THEN 1 ELSE 0 END))"
+    def floorDiv(c: String): String = floorDivSql(c, widthMs)
     // aggs may reference arbitrary input columns, so keep the full row
     // here; the narrow branches below prune to (__k) / (__b) at the scan
     val pts = df.withColumn("__k", col(keyCol)).withColumn("__b", expr(floorDiv(tsMsCol)))
@@ -149,13 +162,17 @@ object TimeSeries {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     require(aggs.nonEmpty && aggs.length == fills.length,
       s"aggs (${aggs.length}) and fills (${fills.length}) must pair up 1:1")
-    // exact Math.floorDiv over longs (no double rounding): windowMs > 0,
-    // and Spark's % follows the dividend's sign, so a negative remainder
-    // means truncation rounded toward zero from below — correct by -1
-    def floorDiv(c: String): String =
-      s"($c div $windowMs - (CASE WHEN $c % $windowMs < 0 THEN 1 ELSE 0 END))"
+    def floorDiv(c: String): String = floorDivSql(c, windowMs)
     val l = left.select(col(leftIdCol).as("__lid"), col(leftTsMsCol).as("__lts"))
-    val r = right.withColumn("__rts", col(rightTsMsCol).cast("long"))
+    // the right frame keeps its columns so aggs can reference them
+    // (Catalyst's column pruning drops the unused ones from the join),
+    // but OUR internal names must not survive on it — a right frame
+    // produced by another graft operator could otherwise silently
+    // collide with __lid/__lts/__bucket/__rts
+    val dropCols = Seq("__lid", "__lts", "__bucket", "__rts")
+      .filterNot(_ == rightTsMsCol)
+    val r = right.drop(dropCols: _*)
+      .withColumn("__rts", col(rightTsMsCol).cast("long"))
     val lB = l.withColumn("__bucket",
       explode(array(expr(floorDiv("__lts")), expr(floorDiv("__lts")) + 1)))
     val rB = r.withColumn("__bucket", expr(floorDiv("__rts")))

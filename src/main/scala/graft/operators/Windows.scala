@@ -159,7 +159,7 @@ object Windows {
     (s, dir) => {
       val ub = Tables.events(s, dir)
         .select(col("user_id"),
-          expr("ts_ms div 86400000 - (CASE WHEN ts_ms % 86400000 < 0 THEN 1 ELSE 0 END)").as("day_idx"))
+          expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day_idx"))
         .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("day_idx")

@@ -203,7 +203,12 @@ object StatefulOps {
       n: Int = 3, threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val pairs = matches.select(col("id"), col("matched_id")).distinct()
-    val sh = docs.select(col(idCol).cast("long").as("__vid"),
+    // docs may legitimately contain an id twice (the documented usage
+    // unions the micro-batch with the sink table it also feeds) — without
+    // this dedup the two inner joins would emit up to 4 copies per
+    // verified pair
+    val sh = docs.dropDuplicates(Seq(idCol))
+      .select(col(idCol).cast("long").as("__vid"),
         split(col(textCol), " ").as("__t"))
       .select(col("__vid"), expr(
         s"array_distinct(${graft.api.TextDedup.shingleArraySql("__t", n)})").as("__shs"))

@@ -495,6 +495,34 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(zero.values.count(_.isDefined) <= plain.values.count(_.isDefined))
   }
 
+  test("intervalJoinAgg survives a right frame carrying graft-internal column names") {
+    import spark.implicits._
+    import graft.api.TimeSeries
+    val left = Seq((1L, 1000L), (2L, 5000L)).toDF("id", "ts")
+    val right = Seq((1500L, 2.0, 99L), (1600L, 3.0, 98L))
+      .toDF("rts", "value", "__lid") // hostile: a chained operator's leak
+      .withColumn("__bucket", org.apache.spark.sql.functions.lit(7L))
+    val out = TimeSeries.intervalJoinAgg(left, "id", "ts", right, "rts",
+        windowMs = 1000L,
+        aggs = Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("sv")),
+        fills = Seq(lit(0L), lit(null).cast("double")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Double]("sv")))).toSet
+    // window [1000, 2000): both right rows for id 1; none for id 2
+    assert(out == Set((1L, 2L, Some(5.0)), (2L, 0L, None)), out.toString)
+  }
+
+  test("asofJoin tolerance: Long.MaxValue tolerance with pre-1970 timestamps does not overflow") {
+    import spark.implicits._
+    import graft.api.TimeSeries
+    val left = Seq((1L, -600001L, 10L)).toDF("id", "ts", "k") // pre-1970
+    val right = Seq((-700000L, 10L)).toDF("rts", "k")
+    val out = TimeSeries.asofJoin(left, "id", "ts", "k", right, "rts", "k",
+        toleranceMs = Some(Long.MaxValue))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](1))).toMap
+    assert(out == Map(1L -> Some(-700000L)), out.toString) // no ANSI ArithmeticException
+  }
+
   test("duplicationProfile: all-null group reports NULL dup_rate, dup groups count exactly") {
     import spark.implicits._
     val df = Seq(
