@@ -75,4 +75,39 @@ object Pipeline {
       .drop("fp")
     Sampling.sample(clean, textCol, samplePct)
   }
+
+  /** The corpus-prep pipeline AT INGEST — the streaming form of
+    * [[prepare]] for a continuously-arriving corpus (e.g. the `arrivals`
+    * source feeding document loads): quality + language keep-filter
+    * (map-side, streams untouched) → exact dedup via
+    * `dropDuplicatesWithinWatermark` on the content fingerprint (state
+    * store bounded by the watermark — the streaming analog of the batch
+    * window-min, keeping the FIRST arrival per fingerprint instead of
+    * the min id) → eval decontamination as a stream-static broadcast
+    * anti-join on the same fingerprint → deterministic content-hash
+    * sample. Every stage is append-mode compatible.
+    *
+    * `evalFp` is a STATIC frame of raw 16-byte eval fingerprints
+    * (column `fp` — build with `unhex(TextDedup.fingerprint(text))`);
+    * `tsCol` must be a timestamp column, watermarked here with
+    * `dedupWatermark` delay. A fingerprint recurring AFTER its state
+    * expired is treated as new (the standard windowed-dedup trade-off,
+    * same as [[graft.streaming.StatefulOps.streamingDedup]]'s TTL). */
+  def prepareStream(df: DataFrame, idCol: String, textCol: String, tsCol: String,
+      evalFp: DataFrame, minQuality: Double = 0.5, minTok: Int = 20,
+      maxTok: Int = 80, samplePct: Int = 100,
+      dedupWatermark: String = "10 minutes"): DataFrame = {
+    val filtered = TextAnalysis.languageId(
+        TextAnalysis.qualityScore(df, textCol), textCol)
+      .filter(col("pred_lang") =!= "und" && col("quality") >= minQuality &&
+        col("n_tok").between(minTok, maxTok))
+    val deduped = filtered
+      .withColumn("fp", unhex(TextDedup.fingerprint(col(textCol))))
+      .withWatermark(tsCol, dedupWatermark)
+      .dropDuplicatesWithinWatermark("fp")
+    val clean = deduped
+      .join(broadcast(evalFp), Seq("fp"), "left_anti")
+      .drop("fp")
+    Sampling.sample(clean, textCol, samplePct)
+  }
 }

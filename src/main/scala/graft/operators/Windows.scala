@@ -226,7 +226,10 @@ object Windows {
           ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms",
           ev.filter(col("event_type") === "error"), "ts_ms", windowMs = 600000L,
           aggs = Seq(count(lit(1)).as("match_cnt"),
-            round(sum("value"), 4).as("err_value")),
+            // decimal accumulation (order-independent exact sum) +
+            // floor-truncation (round(double,4) semantics differ across
+            // engines) — same two hazards q_resample_agg hit at sf0.1
+            (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000) / 10000.0).as("err_value")),
           fills = Seq(lit(0L), lit(null).cast("double")))
         .orderBy("event_id")
     },
@@ -235,7 +238,7 @@ object Windows {
                WHERE e.event_type = 'error'
                  AND epoch_ms(e.ts) >= epoch_ms(p.ts)
                  AND epoch_ms(e.ts) < epoch_ms(p.ts) + 600000) AS match_cnt,
-              (SELECT round(sum(e.value), 4) FROM events e
+              (SELECT floor(CAST(sum(CAST(e.value AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 FROM events e
                WHERE e.event_type = 'error'
                  AND epoch_ms(e.ts) >= epoch_ms(p.ts)
                  AND epoch_ms(e.ts) < epoch_ms(p.ts) + 600000) AS err_value
@@ -312,11 +315,20 @@ object Windows {
   private val qResampleAgg = Q(
     "q_resample_agg",
     (s, dir) =>
+      // Two cross-engine float hazards, both hit at sf0.1 scale:
+      // (1) float partial-aggregation ORDER differs → accumulate in
+      // DECIMAL (exact, order-independent), cast the identical exact
+      // value to double in both engines; (2) round(double, 4) SEMANTICS
+      // differ — Spark rounds the shortest decimal string
+      // (BigDecimal.valueOf), DuckDB the exact binary, so x.xxxx5
+      // boundaries flip opposite ways → truncate with floor(x·1e4)/1e4,
+      // pure IEEE arithmetic that is bit-identical on identical doubles
       graft.api.TimeSeries.resampleGapFill(Tables.events(s, dir),
           "ts_ms", "event_type", widthMs = 900000L,
           aggs = Seq(count(lit(1)).as("cnt"),
-            round(sum("value"), 4).as("sum_value"),
-            round(avg("value"), 4).as("avg_value")),
+            (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000) / 10000.0).as("sum_value"),
+            when(count(col("value")) > 0,
+              floor(sum(col("value").cast("decimal(30,10)")).cast("double") / count(col("value")) * 10000) / 10000.0).as("avg_value")),
           fills = Seq(lit(0L), lit(0.0), lit(null).cast("double")))
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("bucket_start_ms")),
     Some("""WITH b AS (SELECT event_type, value,
@@ -324,8 +336,10 @@ object Windows {
                     - CASE WHEN epoch_ms(ts) % 900000 < 0 THEN 1 ELSE 0 END) AS b
                  FROM events),
                  c AS (SELECT event_type, b, count(*) AS cnt,
-                       round(sum(value), 4) AS sum_value,
-                       round(avg(value), 4) AS avg_value
+                       floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS sum_value,
+                       CASE WHEN count(value) > 0
+                            THEN floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) * 10000) / 10000
+                       END AS avg_value
                      FROM b GROUP BY 1, 2),
                  r AS (SELECT min(b) AS b0, max(b) AS b1 FROM b),
                  k AS (SELECT DISTINCT event_type FROM events),

@@ -285,6 +285,37 @@ class StreamingSemanticsSpec extends SparkTestBase {
     j.foreach { case ((a, b), v) => assert(math.abs(v - exactJ(a, b)) < 1e-12) }
   }
 
+  test("prepareStream ≡ batch Pipeline.prepare on replayed documents, cross-batch dup dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsDf = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val batch = graft.api.Pipeline.prepare(docsDf, "doc_id", "text",
+        isEval = col("doc_id") % 97 === 0, samplePct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalFp = docsDf.filter(col("doc_id") % 97 === 0)
+      .select(unhex(graft.api.TextDedup.fingerprint(col("text"))).as("fp")).distinct()
+    val train = docsDf.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // a doc KNOWN to survive the pipeline, re-sent in a later batch
+    // under a new id — the state store must drop the re-arrival
+    val dupOf = train.find(d => batch.contains(d._1)).get
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts_t", timestamp_millis(lit(1704067200000L) + col("doc_id")))
+    val q = graft.api.Pipeline.prepareStream(stream, "doc_id", "text", "ts_t",
+        evalFp, samplePct = 50)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("s_prep").outputMode("append")
+      .start()
+    try {
+      mem.addData(train); q.processAllAvailable()
+      mem.addData((900000L + dupOf._1, dupOf._2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_prep").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream-batch mismatch: extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
   test("salted aggregation equals plain aggregation (skew utility)") {
     import org.apache.spark.sql.functions._
     val plain = Tables.events(spark, sfDir)
