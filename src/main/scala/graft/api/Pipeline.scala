@@ -65,7 +65,13 @@ object Pipeline {
         // fingerprint window shuffle. Materialize it once rather than
         // re-executing that per consumer (the r2 lesson: checkpoint
         // multiply-consumed AGGREGATION subtrees; plain scans don't
-        // qualify, this does).
+        // qualify, this does). The snapshot's blocks stay pinned until
+        // the caller releases them — after materializing the result,
+        // call `graft.Hygiene.dropLeakedBlocks(spark)` (what Verify/
+        // Bench/the determinism suite do between queries) or unpersist
+        // via sparkContext.getPersistentRDDs. Construction is eager
+        // regardless of this checkpoint: the near-dedup clustering
+        // rounds themselves run jobs while the plan is being built.
         val snap = survivors.localCheckpoint()
         TextDedup.nearDupSurvivors(snap, idCol, textCol,
           n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)

@@ -14,10 +14,14 @@ object TimeSeries {
     * bucketing idiom (`resampleGapFill`, `intervalJoinAgg`, the
     * retention query): Spark's `div` truncates toward zero, so a
     * negative remainder means the result must be corrected by −1 or
-    * pre-1970 timestamps land in the wrong bucket. `w` must be
-    * positive. */
-  def floorDivSql(c: String, w: Long): String =
-    s"($c div $w - (CASE WHEN $c % $w < 0 THEN 1 ELSE 0 END))"
+    * pre-1970 timestamps land in the wrong bucket. `c` is a COLUMN NAME
+    * (backtick-quoted here, so dotted/spaced names are safe — not an
+    * arbitrary expression); `w` must be positive. */
+  def floorDivSql(c: String, w: Long): String = {
+    require(w > 0, s"floorDivSql width must be positive, got $w")
+    val q = s"`${c.replace("`", "``")}`"
+    s"($q div $w - (CASE WHEN $q % $w < 0 THEN 1 ELSE 0 END))"
+  }
 
   /** Epoch-aligned tumbling window aggregation. `aggs` are applied per
     * window; output carries win_start_ms. */
@@ -168,11 +172,14 @@ object TimeSeries {
     // (Catalyst's column pruning drops the unused ones from the join),
     // but OUR internal names must not survive on it — a right frame
     // produced by another graft operator could otherwise silently
-    // collide with __lid/__lts/__bucket/__rts
-    val dropCols = Seq("__lid", "__lts", "__bucket", "__rts")
-      .filterNot(_ == rightTsMsCol)
-    val r = right.drop(dropCols: _*)
-      .withColumn("__rts", col(rightTsMsCol).cast("long"))
+    // collide with __lid/__lts/__bucket/__rts. Select-with-alias (not
+    // drop-then-withColumn) so even a timestamp column NAMED one of the
+    // internals is handled: it becomes __rts and nothing else survives.
+    // The timestamp is available to aggs as `__rts`.
+    val internal = Set("__lid", "__lts", "__bucket", "__rts")
+    val keep = right.columns.filter(c => c != rightTsMsCol && !internal(c))
+    val r = right.select(right.col(rightTsMsCol).cast("long").as("__rts") +:
+      keep.toSeq.map(right.col): _*)
     val lB = l.withColumn("__bucket",
       explode(array(expr(floorDiv("__lts")), expr(floorDiv("__lts")) + 1)))
     val rB = r.withColumn("__bucket", expr(floorDiv("__rts")))

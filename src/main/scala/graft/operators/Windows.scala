@@ -59,12 +59,16 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
-          round(sum("value").over(w), 4).as("run_sum"))
+          (floor(sum(col("value").cast("decimal(30,10)")).over(w).cast("double") * 10000) / 10000.0).as("run_sum"))
         .orderBy("user_id", "event_id")
     },
+    // decimal accumulation + floor-truncation: windowed float sums are
+    // association-order-sensitive too (Spark accumulates the running
+    // frame, DuckDB uses segment-tree aggregation) — same two hazards
+    // the group aggregates hit at sf0.1 (see q_resample_agg)
     Some("""SELECT user_id, event_id,
-              round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 10000) / 10000 AS run_sum
             FROM events ORDER BY user_id, event_id""")
   )
 
@@ -76,11 +80,13 @@ object Windows {
     "q_window_tumbling",
     (s, dir) =>
       graft.api.TimeSeries.tumbling(Tables.events(s, dir), "ts_t", "5 minutes",
-          Seq(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")))
+          Seq(count(lit(1)).as("cnt"),
+            (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000) / 10000.0).as("sum_value")))
         .select("win_start_ms", "cnt", "sum_value")
         .orderBy("win_start_ms"),
     Some("""SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms,
-              count(*) AS cnt, round(sum(value), 4) AS sum_value
+              count(*) AS cnt,
+              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS sum_value
             FROM events GROUP BY win_start_ms ORDER BY win_start_ms""")
   )
 
@@ -90,12 +96,14 @@ object Windows {
     "q_window_sliding",
     (s, dir) =>
       graft.api.TimeSeries.sliding(Tables.events(s, dir), "ts_t", "10 minutes", "5 minutes",
-          Seq(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")))
+          Seq(count(lit(1)).as("cnt"),
+            (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000) / 10000.0).as("sum_value")))
         .select("win_start_ms", "cnt", "sum_value")
         .orderBy("win_start_ms"),
     Some("""WITH b AS (SELECT (epoch_ms(ts) // 300000) * 300000 AS b5, value FROM events),
                  w AS (SELECT unnest([b5, b5 - 300000]) AS win_start_ms, value FROM b)
-            SELECT win_start_ms, count(*) AS cnt, round(sum(value), 4) AS sum_value
+            SELECT win_start_ms, count(*) AS cnt,
+              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS sum_value
             FROM w GROUP BY win_start_ms ORDER BY win_start_ms""")
   )
 
@@ -108,7 +116,8 @@ object Windows {
     "q_session_window",
     (s, dir) =>
       graft.api.TimeSeries.sessionize(Tables.events(s, dir), "ts_t", "user_id", "30 minutes",
-          Seq(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value")))
+          Seq(count(lit(1)).as("cnt"),
+            (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000) / 10000.0).as("sum_value")))
         .select("user_id", "session_start_ms", "cnt", "sum_value")
         .orderBy("user_id", "session_start_ms"),
     Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
@@ -120,7 +129,8 @@ object Windows {
                          sum(brk) OVER (PARTITION BY user_id ORDER BY tu
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
             SELECT user_id, min(tu) // 1000 AS session_start_ms,
-              count(*) AS cnt, round(sum(value), 4) AS sum_value
+              count(*) AS cnt,
+              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS sum_value
             FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms""")
   )
 
@@ -198,13 +208,13 @@ object Windows {
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts_ms"),
           count(lit(1)).over(w).as("n_30m"),
-          round(sum("value").over(w), 4).as("sum_30m"))
+          (floor(sum(col("value").cast("decimal(30,10)")).over(w).cast("double") * 10000) / 10000.0).as("sum_30m"))
         .filter(col("event_id") % 13 === 0)
         .orderBy("event_id")
     },
     Some("""WITH r AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
                    count(*) OVER w AS n_30m,
-                   round(sum(value) OVER w, 4) AS sum_30m
+                   floor(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE) * 10000) / 10000 AS sum_30m
                  FROM events
                  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                    RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW))

@@ -28,7 +28,8 @@ class StreamingSemanticsSpec extends SparkTestBase {
       .toDF("event_id", "ts_us", "user_id", "value")
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .groupBy(window(col("ts_t"), "5 minutes"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000) / 10000.0).as("sum_value"))
       .select(unix_millis(col("window.start")).as("win_start_ms"), col("cnt"), col("sum_value"))
       .writeStream.format("memory").queryName("s_tumble").outputMode("complete")
       .start()
@@ -80,7 +81,8 @@ class StreamingSemanticsSpec extends SparkTestBase {
     val q = mem.toDF().toDF("event_id", "ts_us", "user_id", "value")
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000) / 10000.0).as("sum_value"))
       .select(col("user_id"), unix_millis(col("session_window.start")).as("session_start_ms"),
         col("cnt"), col("sum_value"))
       .writeStream.format("memory").queryName("s_session").outputMode("complete")
@@ -289,6 +291,14 @@ class StreamingSemanticsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val docsDf = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    // precondition this parity depends on: batch keeps the MIN id per
+    // fingerprint while the stream keeps the first arrival — only
+    // equivalent on a dup-free corpus. Assert it loudly so a future
+    // fixture regeneration with dup texts fails HERE, not in the
+    // doc_id set comparison below.
+    assert(docsDf.select(unhex(graft.api.TextDedup.fingerprint(col("text")))).distinct().count()
+      == docsDf.count(),
+      "corpus has duplicate fingerprints — compare fingerprint sets, not doc_id sets")
     val batch = graft.api.Pipeline.prepare(docsDf, "doc_id", "text",
         isEval = col("doc_id") % 97 === 0, samplePct = 50)
       .select("doc_id").collect().map(_.getLong(0)).toSet
