@@ -193,6 +193,48 @@ object Windows {
             FROM l GROUP BY day_idx ORDER BY day_idx""")
   )
 
+  /** FUNNEL conversion: per day, how many purchases were preceded by an
+    * error from the same user within 10 minutes — the error→purchase
+    * attribution staple, composed from the library's tolerance as-of
+    * join (one shuffle by user) + a day aggregate. The rate is emitted
+    * as INTEGER basis points ((hits × 10000) div purchases) — exact
+    * integer arithmetic, immune to every cross-engine float hazard. */
+  private val qFunnel = Q(
+    "q_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val asof = graft.api.TimeSeries.asofJoin(
+        purchases, "event_id", "ts_ms", "user_id",
+        ev.filter(col("event_type") === "error"), "ts_ms", "user_id",
+        toleranceMs = Some(600000L))
+      purchases
+        .select(col("event_id"),
+          expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day_idx"))
+        .join(asof, "event_id")
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("asof_ts_ms")).as("n_with_recent_error"))
+        .withColumn("conv_bps",
+          expr("(n_with_recent_error * 10000) div n_purchases"))
+        .orderBy("day_idx")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                   (epoch_ms(ts) // 86400000
+                    - CASE WHEN epoch_ms(ts) % 86400000 < 0 THEN 1 ELSE 0 END) AS day_idx
+                 FROM events WHERE event_type = 'purchase'),
+                 f AS (SELECT p.day_idx,
+                   CASE WHEN EXISTS (SELECT 1 FROM events e
+                        WHERE e.event_type = 'error' AND e.user_id = p.user_id
+                          AND epoch_ms(e.ts) <= p.ts_ms
+                          AND epoch_ms(e.ts) >= p.ts_ms - 600000) THEN 1 ELSE 0 END AS hit
+                 FROM p)
+            SELECT day_idx, count(*) AS n_purchases,
+                   CAST(sum(hit) AS BIGINT) AS n_with_recent_error,
+                   CAST((sum(hit) * 10000) // count(*) AS BIGINT) AS conv_bps
+            FROM f GROUP BY day_idx ORDER BY day_idx""")
+  )
+
   /** TIME-based (RANGE) window frame: per event, the count and summed
     * value of the same user's events in the trailing 30 minutes —
     * RANGE BETWEEN over epoch-ms, the frame ROWS frames can't express
@@ -368,6 +410,6 @@ object Windows {
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
-    qRetention)
+    qRetention, qFunnel)
 }
 
