@@ -63,6 +63,16 @@ object Sampling {
         coalesce(element_at(typedLit(budgets), col(strataCol)), lit(defaultBudget)))
   }
 
+  /** WEIGHTED deterministic sampling: keep each row with probability
+    * equal to its own `rate` column (in [0, 1]) — quality-proportional
+    * downsampling (keep high-quality docs more often) with the same
+    * content-hash determinism as [[sample]]: the same document with the
+    * same rate gets the same fate on every run/engine/retry. Pure
+    * map-side filter, no shuffle. Rows with NULL rate are dropped
+    * (NULL comparison is false in both engines). */
+  def weightedSample(df: DataFrame, onCol: String, rate: Column): DataFrame =
+    df.filter(hashBucket(col(onCol)) < rate * 100)
+
   /** Exactly-k-per-stratum deterministic sample: the first `k` documents
     * of each stratum in (md5(content), id) order — how a FIXED-SIZE
     * held-out/eval set per language (or per source) is actually built.

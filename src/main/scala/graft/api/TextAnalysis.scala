@@ -66,6 +66,39 @@ object TextAnalysis {
       .withColumn("ttr", round(col("ttr"), 4))
       .drop("__toks", "__avg_len")
 
+  /** Sequence PACKING: group whole documents into ≈`seqTok`-token
+    * training bins, per stratum — the step that turns a cleaned corpus
+    * into fixed-budget training sequences without splitting documents
+    * (docs longer than `seqTok` keep their own bin's overflow; pre-chunk
+    * them first if that matters). Documents are laid out in
+    * deterministic (md5(content), id) order — the same order every
+    * graft sampler uses — and a doc's bin is its STARTING token offset
+    * div seqTok, so bin assignment is a window running sum, one hash
+    * shuffle by stratum, no sequential driver loop. Returns per
+    * (stratum, bin): n_docs, tok_sum, and pack_md5 — the md5 of the
+    * space-joined pack content in layout order (engines can verify the
+    * exact packed bytes without shipping them). */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, seqTok: Int): DataFrame = {
+    require(seqTok > 0, s"seqTok must be positive, got $seqTok")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(strataCol).as("__s"), col(idCol).as("__i"),
+        col(textCol).as("__t"),
+        md5(col(textCol).cast("binary")).as("__h"),
+        size(split(col(textCol), " ")).cast("long").as("__n"))
+    val w = Window.partitionBy("__s")
+      .orderBy(col("__h").asc_nulls_first, col("__i").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("bin", expr(s"(__cum - __n) div $seqTok"))
+      .groupBy(col("__s").as(strataCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("tok_sum"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(__h, __i, __t))), x -> x.__t)"))
+          .cast("binary")).as("pack_md5"))
+  }
+
   /** Whitespace token count and BPE-ish regex token count (letter runs |
     * digit runs | single punctuation). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =

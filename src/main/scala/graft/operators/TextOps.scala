@@ -300,6 +300,60 @@ object TextOps {
             ORDER BY doc_id NULLS FIRST""")
   )
 
+  /** Quality-WEIGHTED deterministic sampling
+    * (graft.api.Sampling.weightedSample): keep each doc with probability
+    * equal to its own quality score — quality-proportional downsampling,
+    * content-hash deterministic like every graft sampler. */
+  private val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      val scored = graft.api.TextAnalysis.qualityScore(
+        Tables.documents(s, dir), "text")
+      graft.api.Sampling.weightedSample(scored, "text", col("quality"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH m AS (SELECT doc_id, text,
+                   len(string_split(text,' ')) AS n_tok,
+                   CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+                   (CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS avg_tok_len
+                 FROM documents),
+                 q AS (SELECT doc_id, text,
+                   round(least(1.0, n_tok / 50.0) * 0.4 + ttr * 0.4
+                         + least(1.0, avg_tok_len / 8.0) * 0.2, 4) AS quality
+                 FROM m)
+            SELECT doc_id, quality FROM q
+            WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < quality * 100
+            ORDER BY doc_id NULLS FIRST""")
+  )
+
+  /** Sequence packing (graft.api.TextAnalysis.packBins): whole documents
+    * laid into ≈512-token training bins per source in deterministic
+    * (md5, id) order — bin = starting-offset div 512 from a window
+    * running sum, no sequential loop. pack_md5 fingerprints the exact
+    * packed bytes so the oracle verifies content without shipping it. */
+  private val qPack = Q(
+    "q_pack",
+    (s, dir) =>
+      graft.api.TextAnalysis.packBins(Tables.documents(s, dir),
+          "doc_id", "text", "source", seqTok = 512)
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("bin")),
+    Some("""WITH d AS (SELECT source, doc_id, text, md5(text) AS h,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents WHERE text IS NOT NULL),
+                 c AS (SELECT source, doc_id, text, h, n,
+                   sum(n) OVER (PARTITION BY source
+                     ORDER BY h NULLS FIRST, doc_id NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM d),
+                 b AS (SELECT source, (cum - n) // 512 AS bin, doc_id, text, h, n FROM c)
+            SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS tok_sum,
+                   md5(string_agg(text, ' ' ORDER BY h, doc_id)) AS pack_md5
+            FROM b GROUP BY source, bin
+            ORDER BY source NULLS FIRST, bin NULLS FIRST""")
+  )
+
   /** TF-IDF relevance: top-3 scoring terms per document (first 100 docs)
     * with corpus-wide document frequencies. Ranks on the ROUNDED score —
     * distinct (tf, df) pairs can be real-equal (2·ln(10) = ln(100)) and
@@ -571,6 +625,6 @@ object TextOps {
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
-    qTfidf, qBm25, qRepStats, qPipelineE2e, qPipelineNeardup, qProfile,
-    qHistogram)
+    qSampleWeighted, qPack, qTfidf, qBm25, qRepStats, qPipelineE2e,
+    qPipelineNeardup, qProfile, qHistogram)
 }
