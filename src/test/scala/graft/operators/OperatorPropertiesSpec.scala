@@ -523,6 +523,52 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out == Map(1L -> Some(-700000L)), out.toString) // no ANSI ArithmeticException
   }
 
+  test("packBins: mass conservation, oversize docs keep their bin, bins respect layout order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = graft.api.TextAnalysis.packBins(
+      Tables.documents(spark, sfDir), "doc_id", "text", "source", seqTok = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every non-null-text doc lands in exactly one bin (token mass conserved)
+    val totalTok = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect().sum
+    assert(out.map(_._4).sum == totalTok)
+    assert(out.map(_._3).sum == Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).count())
+    // a doc LONGER than seqTok is packed WHOLE into its starting bin —
+    // one bin carrying 700 > 512 tokens, never split
+    val big = Seq((1L, (0 until 700).map(i => s"w$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val b = graft.api.TextAnalysis.packBins(big, "doc_id", "text", "source", 512)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(b == Map(0L -> ((1L, 700L))), s"oversize doc must not be split: $b")
+    // equal-length docs bin identically regardless of hash order:
+    // 3×300 tokens at offsets 0/300/600 → bins {0: 2 docs, 1: 1 doc}
+    val eq = (1 to 3).map(i =>
+      (i.toLong, (0 until 300).map(w => s"d${i}w$w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val e = graft.api.TextAnalysis.packBins(eq, "doc_id", "text", "source", 512)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(e == Map(0L -> ((2L, 600L)), 1L -> ((1L, 300L))), e.toString)
+  }
+
+  test("weightedSample: rate 0 drops all, rate 1 keeps all, NULL rate drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val n = docs.count()
+    assert(graft.api.Sampling.weightedSample(docs, "text", lit(0.0)).count() == 0)
+    assert(graft.api.Sampling.weightedSample(docs, "text", lit(1.0)).count() == n)
+    assert(graft.api.Sampling.weightedSample(docs, "text",
+      lit(null).cast("double")).count() == 0)
+    // monotone: a higher rate keeps a superset (same hash, higher cut)
+    val k30 = graft.api.Sampling.weightedSample(docs, "text", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k60 = graft.api.Sampling.weightedSample(docs, "text", lit(0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k30.subsetOf(k60))
+  }
+
   test("duplicationProfile: all-null group reports NULL dup_rate, dup groups count exactly") {
     import spark.implicits._
     val df = Seq(
