@@ -73,6 +73,42 @@ object Sampling {
   def weightedSample(df: DataFrame, onCol: String, rate: Column): DataFrame =
     df.filter(hashBucket(col(onCol)) < rate * 100)
 
+  /** TEMPERATURE-smoothed source mixing: per-stratum keep-rates
+    * proportional to weight(share)/share, scaled so the kept corpus is
+    * ≈`targetPct`% of the input — the multilingual/multi-source
+    * rebalancing step (upsample the tail, downsample the head; the
+    * default √share weight is the classic α = 0.5 smoothing). Rates cap
+    * at 100% (deterministic sampling can't replicate rows — duplicate a
+    * stratum upstream if true upsampling is needed).
+    *
+    * The rate table derives from a strata-sized count aggregate plus its
+    * 1-row normalizer (the sanctioned corpus-constant broadcast); docs
+    * then take a broadcast equi-join on the stratum and the same
+    * map-side content-hash filter as [[sample]]. Determinism across
+    * engines: the per-stratum weights cast to DECIMAL(30,10) before the
+    * normalizer sums them (strata-count-sized, but accumulation order
+    * still engine-dependent), and the integer pct floors from one fixed
+    * double expression — so any engine replaying the formula reproduces
+    * the exact corpus. Adds `pct` (the stratum's rate) to the kept rows. */
+  def temperatureMix(df: DataFrame, onCol: String, strataCol: String,
+      targetPct: Int, weight: Column => Column = sqrt): DataFrame = {
+    require(targetPct > 0 && targetPct <= 100, s"targetPct must be in (0,100], got $targetPct")
+    val counts = df.groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weight(col("__n").cast("double")).cast("decimal(30,10)"))
+    val z = counts.agg(sum(col("__w")).as("__z"), sum(col("__n")).as("__total"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("__stratum"),
+        least(lit(100L), floor(
+          lit(targetPct.toDouble) * col("__total").cast("double")
+            * col("__w").cast("double")
+            / (col("__z").cast("double") * col("__n").cast("double"))))
+          .cast("long").as("pct"))
+    df.join(broadcast(rates), col(strataCol) === col("__stratum"))
+      .drop("__stratum")
+      .filter(hashBucket(col(onCol)) < col("pct"))
+  }
+
   /** Exactly-k-per-stratum deterministic sample: the first `k` documents
     * of each stratum in (md5(content), id) order — how a FIXED-SIZE
     * held-out/eval set per language (or per source) is actually built.

@@ -154,6 +154,78 @@ object TextAnalysis {
       .groupBy("id").agg(sum("w").as("score"))
   }
 
+  /** Default PII patterns, applied in order: email addresses, dashed
+    * phone numbers, then bare numeric identifiers (≥6 digits). Kept to
+    * syntax with identical semantics in Java regex and RE2 (no
+    * backrefs, no lookaround) so any engine can reproduce the scrub. */
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
+    "[0-9]{6,}" -> "<ID>")
+
+  /** PII scrubbing: redact each pattern in sequence and count the
+    * redactions — the pseudonymization pass a pretraining pipeline runs
+    * before anything else sees the text. Patterns apply IN ORDER to the
+    * output of the previous replacement (an id inside an address already
+    * rewritten to `<EMAIL>` is not double-counted), so the per-pattern
+    * counts are well-defined. Pure map-side codegen'd regex work, no
+    * shuffle. Adds `clean` (the redacted text) and `n_pii` (total
+    * redactions, bigint). */
+  def piiScrub(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)] = defaultPiiPatterns): DataFrame = {
+    val (clean, n) = patterns.foldLeft((col(textCol), lit(0L))) {
+      case ((c, cnt), (pat, repl)) =>
+        (regexp_replace(c, pat, repl), cnt + regexp_count(c, lit(pat)))
+    }
+    df.withColumn("clean", clean).withColumn("n_pii", n)
+  }
+
+  /** Unigram-LM negative log-likelihood per document — the CCNet-style
+    * perplexity quality signal (score each doc against a language model;
+    * here the LM is the corpus's own unigram distribution, the
+    * fit-on-self degenerate case of scoring against a reference LM).
+    * avg_nll = −(1/n)·Σ_t ln(c_t/N) = ln N − (Σ_t ln c_t)/n; low = the
+    * doc looks like the corpus, high = outlier (the filter threshold).
+    *
+    * Cost: one exploded token stream, one vocab-sized count aggregate
+    * (map-side combining), one equi-join token→count (AQE broadcasts the
+    * vocab when it fits), one per-doc aggregate; the corpus token total
+    * N attaches as a 1-row broadcast like tfidf's corpus constants.
+    * Cross-engine float discipline: per-token ln(c) doubles are cast to
+    * DECIMAL(30,10) BEFORE the per-doc sum (kills both accumulation-order
+    * and last-ulp libm drift), and the final avg is left unrounded for
+    * the caller to floor (the q_resample_agg pattern). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(counts, "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(log(col("c").cast("double")).cast("decimal(30,10)")).as("__s"))
+      .crossJoin(broadcast(total))
+      .withColumn("avg_nll",
+        log(col("n_total").cast("double")) - col("__s").cast("double") / col("n_tok"))
+      .select(col("id"), col("n_tok"), col("avg_nll"))
+  }
+
+  /** Corpus-wide adjacent-token-pair frequencies — the first scan of BPE
+    * vocabulary induction (each merge round is this exact aggregate over
+    * the re-tokenized stream). One Generator fan-out + one hash
+    * aggregate with map-side combine; returns the top-k pairs by count
+    * with a pair tiebreak, via TakeOrderedAndProject (no global sort). */
+  def adjacentPairs(df: DataFrame, textCol: String, topK: Int = 20): DataFrame =
+    df.select(split(col(textCol), " ").as("t"))
+      .select(explode(expr(
+        """CASE WHEN size(t) >= 2
+              THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))
+              ELSE array() END""")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(topK)
+
   /** Gopher-style repetition statistics per document: duplicate-token
     * fraction (1 − distinct/total) and top-bigram fraction (count of the
     * most frequent 2-gram / total 2-grams). The token stats are pure

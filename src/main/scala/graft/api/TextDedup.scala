@@ -275,6 +275,33 @@ object TextDedup {
           round((col("__n_text") - col("n_distinct")) / col("__n_text"), 4)))
       .drop("__n_text")
 
+  /** Per-EVAL-document contamination report — the inverse view of
+    * [[decontaminateBloom]]'s family: instead of dropping training docs,
+    * report for EVERY eval doc how many training docs share its
+    * normalized fingerprint (0 = clean). Decontamination says what was
+    * removed; this says which benchmark items were leaked and how badly
+    * — the number an eval-integrity review actually reads.
+    *
+    * Plan: eval fingerprints broadcast (eval sets are small by
+    * construction); training rows inner-join the broadcast — only
+    * contaminated rows survive, so the per-fingerprint count aggregate
+    * is contamination-sized; the final left join attaching counts back
+    * to eval ids is eval × contamination, both tiny. The corpus itself
+    * crosses no shuffle. */
+  def contaminationReport(df: DataFrame, idCol: String,
+      textCol: String, isEval: Column): DataFrame = {
+    val fp = unhex(fingerprint(col(textCol)))
+    val ev = df.filter(isEval)
+      .select(col(idCol).as("eval_id"), fp.as("__fp"))
+    val hits = df.filter(!isEval)
+      .select(fp.as("__fp"))
+      .join(broadcast(ev.select("__fp").distinct()), "__fp")
+      .groupBy("__fp").agg(count(lit(1)).as("n_train_dups"))
+    ev.join(broadcast(hits), Seq("__fp"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_dups"), lit(0L)).as("n_train_dups"))
+  }
+
   /** Cross-group duplicate OVERLAP matrix: for every pair of groups
     * (sources, dumps, snapshots), how many distinct texts appear in
     * BOTH — the QA view that catches one crawl re-ingesting another

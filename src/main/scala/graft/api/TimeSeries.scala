@@ -193,4 +193,38 @@ object TimeSeries {
           coalesce(col(s"`$n`"), f).as(n)
         }: _*)
   }
+
+  /** Rolling z-score anomaly detection: per key, score each point
+    * against the mean/stddev of its own trailing `windowRows`-row
+    * window (current row included, ordered by (ts, id) so ties are
+    * deterministic) and keep only FULL windows — warmup rows where the
+    * baseline is noise are not scored. Adds `win_n` and `z`.
+    *
+    * One hash exchange (the key window) and pure window arithmetic — the
+    * same shape as any per-key analytic at 100 TB. Cross-engine float
+    * discipline: the window moments come from DECIMAL(30,10) sums of
+    * `value` and `value·value` (the per-row double product is one IEEE
+    * op, identical everywhere; the decimal cast kills accumulation-order
+    * drift), then mean/variance/z are derived in double with one fixed
+    * expression tree, so any engine replaying the formula gets the same
+    * bits. Sample variance (n−1); a constant window (var ≤ 0) scores
+    * z = 0 rather than NaN. */
+  def rollingZscore(df: DataFrame, keyCol: String, tsMsCol: String,
+      idCol: String, valueCol: String, windowRows: Int): DataFrame = {
+    require(windowRows >= 2, s"windowRows must be ≥2, got $windowRows")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsMsCol).asc_nulls_first, col(idCol).asc_nulls_first)
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    val x = col(valueCol).cast("double")
+    val n = count(x).over(w)
+    val s1 = sum(x.cast("decimal(30,10)")).over(w).cast("double")
+    val s2 = sum((x * x).cast("decimal(30,10)")).over(w).cast("double")
+    val mean = s1 / n
+    val variance = (s2 - n * mean * mean) / (n - 1)
+    df.withColumn("win_n", n)
+      .withColumn("z",
+        when(variance > 0, (x - mean) / sqrt(variance)).otherwise(lit(0.0)))
+      .filter(col("win_n") === windowRows)
+  }
 }

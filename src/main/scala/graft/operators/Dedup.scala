@@ -325,7 +325,34 @@ object Dedup {
             ORDER BY d.doc_id""")
   )
 
+  /** Per-eval-doc contamination report
+    * (graft.api.TextDedup.contaminationReport): the inverse view of the
+    * decontamination family — for EVERY eval doc (same doc_id % 97 = 0
+    * split), how many training docs share its normalized fingerprint
+    * (0 = clean). Decontamination says what was dropped; this says which
+    * benchmark items leaked and how badly. Eval fingerprints broadcast;
+    * only contaminated training rows survive the probe join, so the
+    * count aggregate is contamination-sized and the corpus never
+    * shuffles. Oracle: correlated count per eval doc. */
+  private val qContamination = Q(
+    "q_contamination",
+    (s, dir) =>
+      TextDedup.contaminationReport(Tables.documents(s, dir), "doc_id", "text",
+          isEval = col("doc_id") % 97 === 0)
+        .orderBy("eval_id"),
+    Some("""WITH ev AS (SELECT doc_id AS eval_id,
+                          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                        FROM documents WHERE doc_id % 97 = 0)
+            SELECT ev.eval_id,
+              CAST((SELECT count(*) FROM documents d
+                    WHERE d.doc_id % 97 <> 0
+                      AND md5(lower(regexp_replace(d.text, '\s+', ' ', 'g'))) = ev.fp)
+                   AS BIGINT) AS n_train_dups
+            FROM ev ORDER BY ev.eval_id""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
-    qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap)
+    qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
+    qContamination)
 }

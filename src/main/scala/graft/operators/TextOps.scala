@@ -622,9 +622,114 @@ object TextOps {
             ORDER BY bucket""")
   )
 
+  /** PII scrubbing (graft.api.TextAnalysis.piiScrub): redact emails /
+    * dashed phones / long numeric ids in order, counting redactions —
+    * the pseudonymization pass that runs before any other operator sees
+    * the text. Pure map-side codegen'd regex, no shuffle. Run over
+    * `customer.c_name` (whose Customer#NNNNNNNNN ids exercise the
+    * numeric-id pattern with a non-trivial redaction set; the email and
+    * phone patterns are unit-tested on synthetic rows). The oracle
+    * replays the same ordered count-then-replace chain — counts are on
+    * the PREVIOUS stage's output, so a token already rewritten is never
+    * double-counted. */
+  private val qPiiScrub = Q(
+    "q_pii_scrub",
+    (s, dir) =>
+      graft.api.TextAnalysis.piiScrub(Tables.customer(s, dir), "c_name")
+        .select(col("c_custkey"), col("clean"), col("n_pii"))
+        .orderBy("c_custkey"),
+    Some("""WITH s0 AS (SELECT c_custkey, c_name AS t0 FROM customer),
+                 s1 AS (SELECT c_custkey,
+                          len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                        FROM s0),
+                 s2 AS (SELECT c_custkey, n1,
+                          len(regexp_extract_all(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n2,
+                          regexp_replace(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t2
+                        FROM s1),
+                 s3 AS (SELECT c_custkey, n1, n2,
+                          len(regexp_extract_all(t2, '[0-9]{6,}')) AS n3,
+                          regexp_replace(t2, '[0-9]{6,}', '<ID>', 'g') AS t3
+                        FROM s2)
+            SELECT c_custkey, t3 AS clean, CAST(n1 + n2 + n3 AS BIGINT) AS n_pii
+            FROM s3 ORDER BY c_custkey""")
+  )
+
+  /** Unigram-LM perplexity scoring (graft.api.TextAnalysis.unigramNll):
+    * per-doc average negative log-likelihood against the corpus's own
+    * unigram distribution — the CCNet-style LM quality signal (high =
+    * outlier). One exploded stream, a vocab-sized count aggregate, a
+    * token→count equi-join, a per-doc aggregate; ln values cross the
+    * per-doc sum as DECIMAL(30,10) so neither accumulation order nor
+    * last-ulp libm drift can split the engines (the q_resample_agg
+    * pattern), and the final avg floors to 4dp. */
+  private val qPerplexity = Q(
+    "q_perplexity",
+    (s, dir) =>
+      graft.api.TextAnalysis.unigramNll(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tok"),
+          (floor(col("avg_nll") * 10000) / 10000.0).as("avg_nll"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                 c AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+                 tot AS (SELECT count(*) AS n_total FROM toks),
+                 d AS (SELECT t.doc_id, count(*) AS n_tok,
+                         sum(CAST(ln(CAST(c.c AS DOUBLE)) AS DECIMAL(30,10))) AS s
+                       FROM toks t JOIN c USING (term) GROUP BY t.doc_id)
+            SELECT d.doc_id, d.n_tok,
+              floor((ln(CAST(tot.n_total AS DOUBLE)) - CAST(d.s AS DOUBLE) / d.n_tok) * 10000) / 10000 AS avg_nll
+            FROM d, tot ORDER BY d.doc_id""")
+  )
+
+  /** BPE-style adjacent-pair statistics
+    * (graft.api.TextAnalysis.adjacentPairs): the top-20 most frequent
+    * adjacent token pairs corpus-wide — the scan each BPE vocabulary
+    * merge round runs. Generator fan-out + one map-side-combining hash
+    * aggregate + TakeOrderedAndProject. */
+  private val qBpePairs = Q(
+    "q_bpe_pairs",
+    (s, dir) =>
+      graft.api.TextAnalysis.adjacentPairs(Tables.documents(s, dir), "text", topK = 20),
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+                 p AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1])) AS pair FROM t)
+            SELECT pair, count(*) AS cnt FROM p
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")
+  )
+
+  /** Temperature-smoothed source mixing
+    * (graft.api.Sampling.temperatureMix): per-source keep rates ∝
+    * √share / share scaled to a ~50% corpus — the α = 0.5 multilingual
+    * rebalancing recipe (upsample tails, downsample heads), capped at
+    * 100%. Rates derive from a strata-sized aggregate + 1-row
+    * normalizer; docs take a broadcast stratum join + the map-side
+    * content-hash filter. The oracle replays the identical decimal
+    * weight sum and double rate formula. */
+  private val qMixTemperature = Q(
+    "q_mix_temperature",
+    (s, dir) =>
+      graft.api.Sampling.temperatureMix(Tables.documents(s, dir), "text", "source",
+          targetPct = 50)
+        .select(col("doc_id"), col("source"), col("pct"))
+        .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT source, count(*) AS n,
+                         CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(30,10)) AS w
+                       FROM documents GROUP BY source),
+                 z AS (SELECT sum(w) AS z, sum(n) AS total FROM c),
+                 r AS (SELECT c.source,
+                         least(100, CAST(floor(50.0 * CAST(z.total AS DOUBLE) * CAST(c.w AS DOUBLE)
+                           / (CAST(z.z AS DOUBLE) * CAST(c.n AS DOUBLE))) AS BIGINT)) AS pct
+                       FROM c, z)
+            SELECT d.doc_id, d.source, r.pct
+            FROM documents d JOIN r USING (source)
+            WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 100 < r.pct
+            ORDER BY d.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
-    qSampleWeighted, qPack, qTfidf, qBm25, qRepStats, qPipelineE2e,
+    qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
+    qPerplexity, qBpePairs, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qProfile, qHistogram)
 }

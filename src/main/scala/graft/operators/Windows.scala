@@ -407,9 +407,45 @@ object Windows {
             ORDER BY spine.event_type NULLS FIRST, bucket_start_ms NULLS FIRST""")
   )
 
+  /** Rolling z-score anomaly detection
+    * (graft.api.TimeSeries.rollingZscore): flag events whose value sits
+    * more than 2σ from the mean of the same user's trailing 20-row
+    * window — per-key streaming-shape outlier detection, one hash
+    * exchange (the user window). Full windows only (warmup rows have a
+    * noise baseline). The window moments come from DECIMAL(30,10) sums
+    * (accumulation-order-proof); mean/var/z derive in double through one
+    * fixed expression tree the oracle replays verbatim, so the 2σ cut
+    * and the 4dp floor agree bit-for-bit across engines. */
+  private val qAnomaly = Q(
+    "q_anomaly",
+    (s, dir) =>
+      graft.api.TimeSeries.rollingZscore(Tables.events(s, dir),
+          "user_id", "ts_ms", "event_id", "value", windowRows = 20)
+        .filter(abs(col("z")) > 2)
+        .select(col("user_id"), col("event_id"),
+          (floor(col("z") * 10000) / 10000.0).as("z"))
+        .orderBy("user_id", "event_id"),
+    Some("""WITH w AS (SELECT user_id, event_id, value,
+                         count(value) OVER win AS n,
+                         CAST(sum(CAST(value AS DECIMAL(30,10))) OVER win AS DOUBLE) AS s1,
+                         CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER win AS DOUBLE) AS s2
+                       FROM events
+                       WINDOW win AS (PARTITION BY user_id
+                         ORDER BY epoch_ms(ts), event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+                 zc AS (SELECT user_id, event_id,
+                          CASE WHEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) > 0
+                               THEN (value - s1 / n) / sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1))
+                               ELSE 0.0 END AS z
+                        FROM w WHERE n = 20)
+            SELECT user_id, event_id, floor(z * 10000) / 10000 AS z
+            FROM zc WHERE abs(z) > 2
+            ORDER BY user_id, event_id""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
-    qRetention, qFunnel)
+    qRetention, qFunnel, qAnomaly)
 }
 

@@ -132,6 +132,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_join_cross" -> "the operator IS a cross join",
       "q_tfidf" -> "1-row corpus-constant broadcast (N)",
       "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)",
+      "q_perplexity" -> "1-row corpus-constant broadcast (total token count)",
+      "q_mix_temperature" -> "1-row corpus-constant broadcast (rate normalizer)",
       "q_resample" -> "1-row bucket-range broadcast (min/max)",
       "q_resample_agg" -> "1-row bucket-range broadcast (min/max)",
       "q_histogram" -> "1-row value-range broadcast (min/max)")
@@ -227,6 +229,29 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("Window"), s"$q lost its window\n" + p)
       assert(!p.contains("Join"), s"$q planned a join — samplers must be window-only\n" + p)
     }
+  }
+
+  test("q_pii_scrub: map-side only — sole exchange is the presentation sort") {
+    val p = plan("q_pii_scrub")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (the orderBy), got $exchanges\n" + p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q_anomaly: one window shuffle + presentation sort, no joins") {
+    val p = plan("q_anomaly")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange (the user window), got $hashEx\n" + p)
+    assert(rangeEx == 1, s"expected 1 range exchange (the orderBy), got $rangeEx\n" + p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "z-score must be window-only, no join\n" + p)
+  }
+
+  test("q_contamination: eval side broadcast — the corpus never shuffles into a join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join in the contamination probe\n" + p)
   }
 
   test("q_decontaminate_ngram: gram stream meets the eval side via BROADCAST semi joins only") {

@@ -649,6 +649,97 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(m1.width == 11 % 640 && m1.height == (11 * 7) % 480 && m1.n_frames == 11 % 16 + 1)
   }
 
+  test("piiScrub: email/phone/id redacted in order, counts never double, clean rows untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact john.doe99@example.com now"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "account 123456789 ok"),
+      (4L, "plain text"),
+      (5L, "x@y.io id 000111222 tel 111-222-3333")).toDF("id", "text")
+    val out = graft.api.TextAnalysis.piiScrub(df, "text").orderBy("id")
+      .select("clean", "n_pii").as[(String, Long)].collect()
+    // the digits inside the email are gone BEFORE the id pattern runs —
+    // sequential application means one redaction, not two
+    assert(out(0) == (("contact <EMAIL> now", 1L)), out.mkString("; "))
+    assert(out(1) == (("call <PHONE> or <PHONE>", 2L)), out.mkString("; "))
+    assert(out(2) == (("account <ID> ok", 1L)), out.mkString("; "))
+    assert(out(3) == (("plain text", 0L)), out.mkString("; "))
+    assert(out(4) == (("<EMAIL> id <ID> tel <PHONE>", 3L)), out.mkString("; "))
+  }
+
+  test("temperatureMix: tail stratum upsampled to cap, head downsampled, deterministic rerun") {
+    import spark.implicits._
+    // 90/10 split at targetPct 50 with √-smoothing: head rate
+    // floor(50·100·√90/(Z·90)) = 41, tail floor(50·100·√10/(Z·10)) = 125
+    // → capped 100 (Z = √90 + √10 decimal-rounded)
+    val df = (0 until 90).map(i => (i.toLong, s"head doc $i", "head")) ++
+      (0 until 10).map(i => (100L + i, s"tail doc $i", "tail"))
+    val frame = df.toDF("doc_id", "text", "src")
+    val out = graft.api.Sampling.temperatureMix(frame, "text", "src", targetPct = 50)
+    val rates = out.select("src", "pct").distinct().as[(String, Long)].collect().toMap
+    assert(rates("head") == 41L && rates("tail") == 100L, rates.toString)
+    assert(out.filter($"src" === "tail").count() == 10) // rate 100 keeps all
+    val again = graft.api.Sampling.temperatureMix(frame, "text", "src", targetPct = 50)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("rollingZscore: flags exactly the injected spike, full windows only, constant tail scores 0") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i =>
+      (1L, i.toLong * 1000, i.toLong, if (i == 24) 100.0 else 1.0))
+    val df = rows.toDF("user_id", "ts_ms", "event_id", "value")
+    val scored = graft.api.TimeSeries.rollingZscore(
+      df, "user_id", "ts_ms", "event_id", "value", windowRows = 20)
+    // warmup rows (first 19) are absent; every scored row has a full window
+    assert(scored.count() == 11)
+    val flagged = scored.filter(abs(col("z")) > 2)
+      .select("event_id").as[Long].collect().toSet
+    // the spike dominates its own window's σ; rows after it see an
+    // inflated σ so their |z| stays small; pre-spike windows are
+    // constant → var 0 → z = 0 by contract
+    assert(flagged == Set(24L), flagged.toString)
+    val constant = scored.filter($"event_id" < 24).select("z").as[Double].collect()
+    assert(constant.forall(_ == 0.0), constant.mkString(","))
+  }
+
+  test("contaminationReport: per-eval counts include zeros, shared fingerprints count per eval doc") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "hello world"), (97L, "beta"), (194L, "hello world"), // eval (id % 97 = 0)
+      (1L, "hello world"), (2L, "Hello  world"), (3L, "gamma"), // train — 2 normalizes to 1's fp
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.api.TextDedup.contaminationReport(df, "doc_id", "text",
+        isEval = col("doc_id") % 97 === 0)
+      .as[(Long, Long)].collect().toMap
+    // "Hello  world" fingerprints to "hello world" (lowercase +
+    // whitespace-normalized); BOTH eval copies report the same two
+    // training dups — per-eval-doc counts, not a global dedup count
+    assert(out == Map(0L -> 2L, 97L -> 0L, 194L -> 2L), out.toString)
+  }
+
+  test("unigramNll ≡ hand-computed model on a tiny corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.api.TextAnalysis.unigramNll(df, "doc_id", "text")
+      .select("id", "n_tok", "avg_nll").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // counts a=2 b=2 c=1, N=5
+    val d1 = math.log(5) - (3 * math.log(2)) / 3.0
+    val d2 = math.log(5) - (math.log(2) + math.log(1)) / 2.0
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - d1) < 1e-6, out.toString)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - d2) < 1e-6, out.toString)
+  }
+
+  test("adjacentPairs ≡ hand-computed bigram counts; single-token docs contribute nothing") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "x"), (3L, "b a")).toDF("doc_id", "text")
+    val out = graft.api.TextAnalysis.adjacentPairs(df, "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq("a b" -> 2L, "b a" -> 2L), out.toString)
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
