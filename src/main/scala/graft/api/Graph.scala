@@ -1,0 +1,66 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over pair graphs (the near-dup pair output
+  * of `TextDedup.jaccardPairs` / `Similarity.nearDupPairs`, or any
+  * (src, dst) edge frame) — the operator family BEYOND connected
+  * components: centrality scoring for dedup survivor election, crawl-
+  * graph importance, link spam triage.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an UNDIRECTED pair graph: every node
+    * starts at 1/N; each iteration every node's rank becomes
+    * (1−d)/N + d·Σ_{u∈neighbors} rank(u)/deg(u). Isolated nodes keep
+    * the (1−d)/N floor (no dangling-mass redistribution — an undirected
+    * graph has no rank sinks; declared semantics, mirrored by the
+    * oracle). Returns one row per node in `allIds` with `rank` and
+    * `n_nodes`.
+    *
+    * Scale shape: the canonical distributed PageRank — per iteration,
+    * one equi-join of ranks to the (directed-expanded) edge list keyed
+    * by the source and one hash aggregate keyed by the destination;
+    * work per round ∝ |edges|, model state none, driver state none
+    * (N attaches as the sanctioned 1-row broadcast). Iterations are
+    * plan-unrolled; past ~5 rounds localCheckpoint the rank frame like
+    * the CC operator does (documented — default 3 needs no lineage
+    * truncation).
+    *
+    * Cross-engine float discipline (what makes ranks COMPARABLE, not
+    * just plausible): per-edge contributions rank/deg cross each
+    * iteration's aggregate as DECIMAL(30,10) — accumulation-order-proof
+    * — and the damping update is one fixed double expression, so by
+    * induction every iteration's rank vector is bit-identical on any
+    * IEEE engine replaying the formula. */
+  def pageRank(pairs: DataFrame, srcCol: String, dstCol: String,
+      allIds: DataFrame, idCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val p = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "u")
+    val nRow = allIds.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    var ranks = allIds.select(col(idCol).as("id")).distinct()
+      .crossJoin(broadcast(nRow))
+      .withColumn("rank", lit(1.0) / col("n_nodes"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(ranks.select(col("id").as("u"), col("rank")), "u")
+        .select(col("v").as("id"),
+          (col("rank") / col("deg")).cast("decimal(30,10)").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("csum"))
+      ranks = ranks.select("id", "n_nodes")
+        .join(contrib, Seq("id"), "left")
+        .withColumn("rank",
+          lit(1 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)))
+        .drop("csum")
+    }
+    ranks
+  }
+}

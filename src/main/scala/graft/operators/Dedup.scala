@@ -351,8 +351,70 @@ object Dedup {
             FROM ev ORDER BY ev.eval_id""")
   )
 
+  /** PageRank over the near-dup pair graph (graft.api.Graph.pageRank):
+    * 3 damped power iterations over the SAME trigram-Jaccard pairs the
+    * cluster family uses — centrality inside duplicate clusters (which
+    * copy is the hub vs the satellites), the graph operator family
+    * beyond connected components. Ranks are reported scaled by N
+    * (mean ≈ 1) and 6dp-floored; per-edge contributions cross every
+    * iteration's aggregate as DECIMAL(30,10), so the rank vector is
+    * bit-identical on any engine replaying the formula — the oracle
+    * unrolls the identical three iterations. */
+  private val qPagerank = Q(
+    "q_pagerank",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      graft.api.Graph.pageRank(pairs, "id_a", "id_b", docs, "doc_id",
+          iterations = 3, damping = 0.85)
+        .select(col("id").as("doc_id"),
+          (floor(col("rank") * col("n_nodes") * 1000000) / 1000000.0).as("rank_n"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                       UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+                 ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+                 nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+                 r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                        FROM documents, nn),
+                 c1 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
+                        FROM ed JOIN r0 r ON r.id = ed.u GROUP BY ed.v),
+                 r1 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                          + CAST(0.85 AS DOUBLE) * coalesce(CAST(c1.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+                        FROM r0 r CROSS JOIN nn LEFT JOIN c1 ON c1.id = r.id),
+                 c2 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
+                        FROM ed JOIN r1 r ON r.id = ed.u GROUP BY ed.v),
+                 r2 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                          + CAST(0.85 AS DOUBLE) * coalesce(CAST(c2.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+                        FROM r1 r CROSS JOIN nn LEFT JOIN c2 ON c2.id = r.id),
+                 c3 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
+                        FROM ed JOIN r2 r ON r.id = ed.u GROUP BY ed.v),
+                 r3 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                          + CAST(0.85 AS DOUBLE) * coalesce(CAST(c3.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+                        FROM r2 r CROSS JOIN nn LEFT JOIN c3 ON c3.id = r.id)
+            SELECT r3.id AS doc_id,
+                   floor(r3.rank * nn.n * 1000000) / 1000000 AS rank_n
+            FROM r3 CROSS JOIN nn ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
-    qContamination)
+    qContamination, qPagerank)
 }

@@ -159,6 +159,43 @@ object VectorOps {
             ORDER BY vec_id""")
   )
 
+  /** Int8 scalar quantization (graft.api.Similarity.quantize): per-vector
+    * min/max range → [0,255] codes — the embedding storage-compression
+    * step. Output is scalar per vector: the dequantization params, the
+    * EXACT integer code checksum (a bit-level cross-engine check on the
+    * codes themselves, not just stats), and the worst reconstruction
+    * error (≤ qscale/2 by construction; 6dp floor — the derived doubles
+    * are bit-identical cross-engine, the floor only fixes print format).
+    * Map-side only; the sole exchange is the presentation sort. */
+  private val qEmbedQuantize = Q(
+    "q_embed_quantize",
+    (s, dir) =>
+      Similarity.quantize(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"),
+          (floor(col("qmin") * 1000000) / 1000000.0).as("qmin"),
+          (floor(col("qscale") * 1000000) / 1000000.0).as("qscale"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          (floor(col("max_abs_err") * 1000000) / 1000000.0).as("max_abs_err"))
+        .orderBy("vec_id"),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+                       FROM embeddings),
+                 m AS (SELECT vec_id, v, list_min(v) AS mn,
+                         (list_max(v) - list_min(v)) / 255 AS sc FROM v),
+                 q AS (SELECT vec_id, mn, sc,
+                         CASE WHEN sc > 0
+                           THEN CAST(list_sum(list_transform(v, e -> CAST(round((e - mn) / sc) AS BIGINT))) AS BIGINT)
+                           ELSE 0 END AS code_sum,
+                         CASE WHEN sc > 0
+                           THEN list_max(list_transform(v, e -> abs(e - (mn + round((e - mn) / sc) * sc))))
+                           ELSE 0.0 END AS max_abs_err
+                       FROM m)
+            SELECT vec_id, floor(mn * 1000000) / 1000000 AS qmin,
+                   floor(sc * 1000000) / 1000000 AS qscale,
+                   code_sum,
+                   floor(max_abs_err * 1000000) / 1000000 AS max_abs_err
+            FROM q ORDER BY vec_id""")
+  )
+
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf,
-    qEmbedCentroids, qEmbedClusters)
+    qEmbedCentroids, qEmbedClusters, qEmbedQuantize)
 }

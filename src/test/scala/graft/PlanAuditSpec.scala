@@ -134,6 +134,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)",
       "q_perplexity" -> "1-row corpus-constant broadcast (total token count)",
       "q_mix_temperature" -> "1-row corpus-constant broadcast (rate normalizer)",
+      "q_pagerank" -> "1-row corpus-constant broadcast (node count N)",
       "q_resample" -> "1-row bucket-range broadcast (min/max)",
       "q_resample_agg" -> "1-row bucket-range broadcast (min/max)",
       "q_histogram" -> "1-row value-range broadcast (min/max)")

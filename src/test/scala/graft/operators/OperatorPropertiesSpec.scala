@@ -740,6 +740,45 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out == Seq("a b" -> 2L, "b a" -> 2L), out.toString)
   }
 
+  test("quantize: codes in range, reconstruction within qscale/2, constant vector codes to zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.5f, 1.0f, -1.0f)),
+      (2L, Seq(3.0f, 3.0f, 3.0f, 3.0f)) // constant → qscale 0
+    ).toDF("vec_id", "embedding")
+    val out = graft.api.Similarity.quantize(df, "embedding").orderBy("vec_id")
+      .select("vec_id", "qscale", "codes", "max_abs_err")
+      .as[(Long, Double, Seq[Long], Double)].collect()
+    val (_, sc1, codes1, err1) = out(0)
+    assert(codes1.forall(c => c >= 0 && c <= 255), codes1.toString)
+    assert(codes1.min == 0L && codes1.max == 255L) // min/max map to range ends
+    assert(err1 <= sc1 / 2 + 1e-12, s"err $err1 vs qscale/2 ${sc1 / 2}")
+    val (_, sc2, codes2, err2) = out(1)
+    assert(sc2 == 0.0 && codes2.forall(_ == 0L) && err2 == 0.0)
+  }
+
+  test("pageRank ≡ hand-model on a path graph; isolated node keeps the floor; symmetric nodes tie") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("nid")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = graft.api.Graph.pageRank(pairs, "a", "b", ids, "nid",
+        iterations = 3, damping = 0.85)
+      .select("id", "rank").as[(Long, Double)].collect().toMap
+    var r = Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25)
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0)
+    val nbr = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L), 4L -> Seq.empty[Long])
+    for (_ <- 1 to 3)
+      r = r.map { case (nid, _) =>
+        nid -> (0.15 / 4 + 0.85 * nbr(nid).map(u => r(u) / deg(u)).sum)
+      }
+    // decimal(30,10) contribution rounding drifts < 1e-8 over 3 rounds
+    r.foreach { case (nid, exp) =>
+      assert(math.abs(out(nid) - exp) < 1e-6, s"node $nid: ${out(nid)} vs $exp")
+    }
+    assert(out(1L) == out(3L)) // symmetric endpoints tie exactly
+    assert(math.abs(out(4L) - 0.15 / 4) < 1e-12) // isolated node = (1−d)/N floor
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

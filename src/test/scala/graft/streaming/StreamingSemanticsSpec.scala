@@ -444,4 +444,48 @@ class StreamingSemanticsSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("w"), r.getAs[Long]("files"))).toMap
     assert(out == Map(1704067200000L -> 2L, 1704067500000L -> 1L))
   }
+
+  test("stream-stream interval join: cross-batch matches in-window, watermark drops late left rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L // 2024-01-01 00:00 UTC
+    def m(min: Long) = base + min * 60000L
+    val lMem = MemoryStream[(Long, Long, Long)] // (pid, user, ts_ms)
+    val rMem = MemoryStream[(Long, Long, Long)] // (eid, user, ts_ms)
+    def tsify(df: org.apache.spark.sql.DataFrame, id: String) =
+      df.toDF(id, "user", "ts_ms").withColumn("ts", timestamp_millis(col("ts_ms")))
+    val joined = StreamJoins.streamingIntervalJoin(
+        tsify(lMem.toDF(), "pid"), "ts",
+        tsify(rMem.toDF(), "eid"), "ts",
+        keyCol = "user", windowMs = 10 * 60000L, watermark = "10 minutes")
+      .select(col("l.pid"), col("r.eid"))
+    val q = joined.writeStream.format("memory").queryName("s_ivjoin")
+      .outputMode("append").start()
+    def emitted(): Set[(Long, Long)] = spark.table("s_ivjoin").collect()
+      .map(r => (r.getAs[Long]("pid"), r.getAs[Long]("eid"))).toSet
+    try {
+      // batch 1: p1@0 (user 1); e1@5 matches, e2@5 is user 2
+      lMem.addData((1L, 1L, m(0))); rMem.addData((1L, 1L, m(5)), (2L, 2L, m(5)))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, 1L)), emitted().toString)
+      // batch 2: e3@9 in p1's window, e4@11 outside it — e4 buffers
+      rMem.addData((3L, 1L, m(9)), (4L, 1L, m(11)))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, 1L), (1L, 3L)), emitted().toString)
+      // batch 3: p2@8 arrives AFTER the right rows — buffered e3/e4 (and
+      // not e1@5 < p2's start) join cross-batch
+      lMem.addData((2L, 1L, m(8)))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, 1L), (1L, 3L), (2L, 3L), (2L, 4L)), emitted().toString)
+      // advance both watermarks far ahead, then feed a left row far
+      // behind them — stream-stream join state is watermark-bounded, so
+      // the too-late row joins nothing
+      lMem.addData((90L, 9L, m(60))); rMem.addData((90L, 9L, m(60)))
+      q.processAllAvailable()
+      val afterAdvance = emitted()
+      lMem.addData((3L, 1L, m(0)))
+      q.processAllAvailable()
+      assert(emitted() == afterAdvance, s"late left row joined: ${emitted() -- afterAdvance}")
+    } finally q.stop()
+  }
 }
