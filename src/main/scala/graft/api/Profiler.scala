@@ -74,4 +74,39 @@ object Profiler {
         round(col("__lo") + col("bucket") * (col("__hi") - col("__lo")) / nBuckets, 4).as("hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** EQUAL-FREQUENCY (quantile) binning of a numeric column — the
+    * feature-engineering complement to [[histogram]]'s equal-width
+    * buckets: bucket b holds the values between the (b−1)/n and b/n
+    * exact interpolated percentiles, so a skewed column (prices, doc
+    * lengths) still fills every bucket ≈ evenly; heavy TIES at a cut
+    * value all land in the lower bucket (strict `>` against each cut),
+    * which is what makes the assignment deterministic and can leave a
+    * tie-swallowed bucket legitimately empty — hence explicit zero rows
+    * like histogram's. Returns (bucket 1..n, lo = the bucket's lower
+    * cut, NULL for bucket 1, cnt).
+    *
+    * Plan: the n−1 cut points are ONE exact-percentile aggregate (a
+    * 1-row array broadcast — the corpus-constant pattern); the data
+    * crosses one map-side `aggregate(cuts, …)` rank projection + a
+    * ≤ nBuckets hash aggregate. Cuts ≡ DuckDB quantile_cont (the
+    * q_agg_percentile interpolation parity). */
+  def quantileBins(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be ≥2, got $nBuckets")
+    val vals = df.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = vals.agg(expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
+    val counts = vals.crossJoin(broadcast(cuts))
+      .select((expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)")
+        + 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val spine = cuts.select(
+      explode(expr(s"sequence(1L, ${nBuckets}L)")).as("bucket"), col("cuts"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        when(col("bucket") > 1,
+          round(element_at(col("cuts"), (col("bucket") - 1).cast("int")), 4)).as("lo"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 }

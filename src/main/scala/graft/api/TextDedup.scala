@@ -302,6 +302,40 @@ object TextDedup {
         coalesce(col("n_train_dups"), lit(0L)).as("n_train_dups"))
   }
 
+  /** Corpus DIFF between two snapshots (crawls, dumps, versions): per
+    * group, how many documents were added (id only in new), removed (id
+    * only in old), changed (same id, different normalized fingerprint —
+    * null-safe, so a text that became NULL or vice versa counts as
+    * changed), and unchanged — the change-QA report a pipeline reads
+    * before reprocessing a refreshed source (an unchanged slice can
+    * reuse cached artifacts; a churned one can't).
+    *
+    * Plan: one equi-join by id (full outer — both sides keyed and
+    * shuffled once, or broadcast when a side is small), fingerprints
+    * computed map-side so the join carries 16 bytes + the group, then
+    * one group-sized aggregate. Group attribution: a changed/unchanged
+    * doc reports under its NEW group (a doc that switched sources is a
+    * change in its new home); removed docs report under their old one. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, byCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      fingerprint(col(textCol)).as("__ofp"), col(byCol).as("__og"),
+      lit(1).as("__in_old"))
+    val n = newDf.select(col(idCol).as("__id"),
+      fingerprint(col(textCol)).as("__nfp"), col(byCol).as("__ng"),
+      lit(1).as("__in_new"))
+    o.join(n, Seq("__id"), "full")
+      .groupBy(coalesce(col("__ng"), col("__og")).as(byCol))
+      .agg(
+        sum(when(col("__in_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__in_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__in_old").isNotNull && col("__in_new").isNotNull
+          && !(col("__ofp") <=> col("__nfp")), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__ofp") <=> col("__nfp")
+          && col("__in_old").isNotNull && col("__in_new").isNotNull, 1L)
+          .otherwise(0L)).as("n_unchanged"))
+  }
+
   /** Cross-group duplicate OVERLAP matrix: for every pair of groups
     * (sources, dumps, snapshots), how many distinct texts appear in
     * BOTH — the QA view that catches one crawl re-ingesting another

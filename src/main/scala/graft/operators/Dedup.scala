@@ -413,8 +413,54 @@ object Dedup {
             FROM r3 CROSS JOIN nn ORDER BY doc_id""")
   )
 
+  /** Corpus diff between two snapshots (graft.api.TextDedup.corpusDiff):
+    * per source, documents added / removed / changed / unchanged between
+    * a corpus and its refreshed crawl — the change-QA report that
+    * decides which sources can reuse cached pipeline artifacts. The
+    * "new" snapshot here is a deterministic transformation of the
+    * fixture (drop doc_id % 7, rewrite % 11, re-add % 13 under shifted
+    * ids), replayed identically by the oracle. One full-outer equi-join
+    * by id carrying 16-byte fingerprints + one group-sized aggregate. */
+  private val qCorpusDiff = Q(
+    "q_corpus_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val newc = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .union(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+      TextDedup.corpusDiff(docs, newc, "doc_id", "text", "source")
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH newc AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+                     source
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 13 = 0),
+                 o AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS ofp,
+                         source AS og FROM documents),
+                 n AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS nfp,
+                         source AS ng FROM newc),
+                 j AS (SELECT coalesce(n.ng, o.og) AS src,
+                         (o.doc_id IS NOT NULL) AS in_old,
+                         (n.doc_id IS NOT NULL) AS in_new,
+                         o.ofp, n.nfp
+                       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+            SELECT src AS source,
+              CAST(sum(CASE WHEN NOT in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+              CAST(sum(CASE WHEN NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              CAST(sum(CASE WHEN in_old AND in_new AND (ofp IS DISTINCT FROM nfp)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+              CAST(sum(CASE WHEN in_old AND in_new AND (ofp IS NOT DISTINCT FROM nfp)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+            FROM j GROUP BY src ORDER BY source NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
-    qContamination, qPagerank)
+    qContamination, qPagerank, qCorpusDiff)
 }

@@ -726,10 +726,36 @@ object TextOps {
             ORDER BY d.doc_id""")
   )
 
+  /** Equal-frequency (quantile) binning
+    * (graft.api.Profiler.quantileBins): the price distribution in 10
+    * ≈equal-count buckets — the feature-engineering complement to
+    * q_histogram's equal-width view (a skewed column still fills every
+    * bucket). Cuts are ONE exact-percentile aggregate broadcast as a
+    * 1-row array; assignment is a map-side strict-`>` rank against the
+    * cut list, ties land low. Oracle replays the identical cut list
+    * (quantile_cont parity) and rank formula. */
+  private val qBinQuantile = Q(
+    "q_bin_quantile",
+    (s, dir) =>
+      graft.api.Profiler.quantileBins(Tables.lineitem(s, dir), "l_extendedprice", 10)
+        .orderBy("bucket"),
+    Some("""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL),
+                 c AS (SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+                       FROM v),
+                 b AS (SELECT 1 + len(list_filter(c.cuts, e -> v.x > e)) AS bucket FROM v, c),
+                 cnt AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+                 s AS (SELECT unnest(generate_series(1, 10)) AS bucket, c.cuts FROM c)
+            SELECT CAST(s.bucket AS BIGINT) AS bucket,
+                   round(CASE WHEN s.bucket > 1 THEN s.cuts[CAST(s.bucket - 1 AS INT)] END, 4) AS lo,
+                   CAST(coalesce(cnt.cnt, 0) AS BIGINT) AS cnt
+            FROM s LEFT JOIN cnt USING (bucket) ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qPerplexity, qBpePairs, qPiiScrub, qPipelineE2e,
-    qPipelineNeardup, qProfile, qHistogram)
+    qPipelineNeardup, qProfile, qHistogram, qBinQuantile)
 }

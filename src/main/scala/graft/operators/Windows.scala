@@ -407,6 +407,44 @@ object Windows {
             ORDER BY spine.event_type NULLS FIRST, bucket_start_ms NULLS FIRST""")
   )
 
+  /** Session-distribution statistics: the sessionization QA view — how
+    * many sessions, how many events per session, and the p50/p90 active
+    * duration (max − min event time WITHIN the session; gap padding
+    * excluded so the number is engine-neutral). Built on the same
+    * session assignment q_session_window pins hash-exact; the global
+    * rollup aggregates |sessions| rows, two-phase. Exact interpolated
+    * percentiles ≡ DuckDB quantile_cont (the q_agg_percentile parity);
+    * avg is an exact long sum / count, deterministic. */
+  private val qSessionStats = Q(
+    "q_session_stats",
+    (s, dir) =>
+      graft.api.TimeSeries.sessionize(Tables.events(s, dir), "ts_t", "user_id", "30 minutes",
+          Seq(count(lit(1)).as("cnt"),
+            (max(col("ts_ms")) - min(col("ts_ms"))).as("dur_ms")))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("cnt").as("n_events"),
+          round(avg(col("cnt")), 4).as("avg_events"),
+          round(expr("percentile(dur_ms, 0.5)"), 4).as("p50_dur_ms"),
+          round(expr("percentile(dur_ms, 0.9)"), 4).as("p90_dur_ms")),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+                 l AS (SELECT user_id, tu,
+                         lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS prev FROM e),
+                 f AS (SELECT user_id, tu,
+                         CASE WHEN prev IS NULL OR tu - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+                 s AS (SELECT user_id, tu,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+                 sess AS (SELECT user_id, sid, count(*) AS cnt,
+                            max(tu // 1000) - min(tu // 1000) AS dur_ms
+                          FROM s GROUP BY user_id, sid)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(cnt) AS BIGINT) AS n_events,
+                   round(avg(cnt), 4) AS avg_events,
+                   round(quantile_cont(dur_ms, 0.5), 4) AS p50_dur_ms,
+                   round(quantile_cont(dur_ms, 0.9), 4) AS p90_dur_ms
+            FROM sess""")
+  )
+
   /** Rolling z-score anomaly detection
     * (graft.api.TimeSeries.rollingZscore): flag events whose value sits
     * more than 2σ from the mean of the same user's trailing 20-row
@@ -446,6 +484,6 @@ object Windows {
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
-    qRetention, qFunnel, qAnomaly)
+    qRetention, qFunnel, qAnomaly, qSessionStats)
 }
 

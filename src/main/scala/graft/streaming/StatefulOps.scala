@@ -222,6 +222,58 @@ object StatefulOps {
       .select(col("id"), col("matched_id"), col("jaccard"))
   }
 
+  /** One incoming metric point for [[streamingZscore]]. */
+  final case class ValRow(key: Long, id: Long, tsMs: Long, value: Double)
+
+  /** One flagged/scored point: z against the key's trailing window. */
+  final case class ZScore(key: Long, id: Long, tsMs: Long, value: Double, z: Double)
+
+  /** Streaming rolling z-score — the at-ingest form of
+    * `TimeSeries.rollingZscore`: each point scores against its key's
+    * trailing `windowRows` values, cross-batch, with state = ONE ring
+    * of `windowRows` doubles per key (bounded by construction — no TTL
+    * needed for the state SIZE; idle keys pin one ring each, the same
+    * trade-off as any keyed state).
+    *
+    * Arrival-order contract: within a micro-batch rows sort by (tsMs,
+    * id) — identical to the batch operator's window order — but state
+    * cannot re-order ACROSS batches (an out-of-order row scores against
+    * the ring as it stands; the batch form would have slotted it
+    * earlier). Replaying a key's rows in order reproduces the batch
+    * operator's scores EXACTLY: the moments replicate the batch decimal
+    * discipline (each value/value² rounded to scale-10 HALF_UP before
+    * the exact sum — the same rounding Catalyst's decimal(30,10) cast
+    * applies), and the double tree matches term for term. Warmup rows
+    * (ring not yet full) emit nothing, like the batch form. */
+  def streamingZscore(rows: Dataset[ValRow], windowRows: Int): Dataset[ZScore] = {
+    require(windowRows >= 2, s"windowRows must be ≥2, got $windowRows")
+    implicit val stateEnc = Encoders.kryo[Vector[Double]]
+    implicit val outEnc = Encoders.product[ZScore]
+    implicit val keyEnc = Encoders.scalaLong
+    def dec(v: Double): BigDecimal =
+      BigDecimal(v).setScale(10, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ValRow], state: GroupState[Vector[Double]]) =>
+          var ring = state.getOption.getOrElse(Vector.empty[Double])
+          val out = it.toVector.sortBy(r => (r.tsMs, r.id)).flatMap { r =>
+            ring = (ring :+ r.value).takeRight(windowRows)
+            if (ring.size < windowRows) None
+            else {
+              val n = windowRows.toLong
+              val s1 = ring.iterator.map(dec).sum.toDouble
+              val s2 = ring.iterator.map(v => dec(v * v)).sum.toDouble
+              val mean = s1 / n
+              val variance = (s2 - n * mean * mean) / (n - 1)
+              val z = if (variance > 0) (r.value - mean) / math.sqrt(variance) else 0.0
+              Some(ZScore(key, r.id, r.tsMs, r.value, z))
+            }
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** Streaming exact-dedup with per-key state. `ttlMs > 0` expires idle
     * state once the watermark passes last-event-time + ttl. */
   def streamingDedup(docs: Dataset[FpDoc], ttlMs: Long = 0L): Dataset[FpUpdate] = {

@@ -445,6 +445,44 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(out == Map(1704067200000L -> 2L, 1704067500000L -> 1L))
   }
 
+  test("streaming z-score ≡ batch rollingZscore on in-order replay, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two keys, 30 points each, spikes at different offsets
+    val rows = for {
+      k <- Seq(1L, 2L)
+      i <- 0 until 30
+    } yield StatefulOps.ValRow(k, i.toLong, i.toLong * 1000,
+      if (i == (if (k == 1L) 24 else 21)) 100.0 else 1.0 + k * 0.5)
+    val mem = MemoryStream[StatefulOps.ValRow]
+    val q = StatefulOps.streamingZscore(mem.toDS(), windowRows = 20)
+      .writeStream.format("memory").queryName("s_zscore").outputMode("append")
+      .start()
+    try {
+      // split MID-WINDOW so the ring must carry across the batch boundary
+      val (b1, b2) = rows.partition(_.id < 22)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("s_zscore").as[StatefulOps.ZScore].collect()
+      .map(z => (z.key, z.id) -> z.z).toMap
+    val batch = graft.api.TimeSeries.rollingZscore(
+        rows.toDF("user_id", "event_id", "ts_ms", "value"),
+        "user_id", "ts_ms", "event_id", "value", windowRows = 20)
+      .select(col("user_id"), col("event_id"), col("z"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, i, z) => (k, i) -> z }.toMap
+    assert(streaming.keySet == batch.keySet,
+      s"scored sets differ: ${streaming.keySet.diff(batch.keySet)} / ${batch.keySet.diff(streaming.keySet)}")
+    // EXACT equality: the streaming path replicates the batch decimal
+    // rounding + double tree term for term
+    streaming.foreach { case (ki, z) =>
+      assert(z == batch(ki), s"$ki: streaming $z != batch ${batch(ki)}")
+    }
+    // and the spikes are the extreme scores per key
+    assert(streaming((1L, 24L)) > 2 && streaming((2L, 21L)) > 2)
+  }
+
   test("stream-stream interval join: cross-batch matches in-window, watermark drops late left rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
