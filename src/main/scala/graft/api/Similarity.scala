@@ -56,15 +56,17 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val mn = array_min(v)
     val sc = (array_max(v) - mn) / (levels - 1)
+    // when/when WITHOUT otherwise: a NULL vector (sc null) yields NULL
+    // codes/err consistently, never a fabricated 0
     df.withColumn("qmin", mn)
       .withColumn("qscale", sc)
       .withColumn("codes",
         when(sc > 0, transform(v, e => round((e - mn) / sc).cast("long")))
-          .otherwise(transform(v, _ => lit(0L))))
+          .when(sc === 0, transform(v, _ => lit(0L))))
       .withColumn("max_abs_err",
         when(sc > 0,
           array_max(transform(v, e => abs(e - (mn + round((e - mn) / sc) * sc)))))
-          .otherwise(lit(0.0)))
+          .when(sc === 0, lit(0.0)))
   }
 
   /** Exact cosine near-dup pairs ≥ threshold. Quadratic — the

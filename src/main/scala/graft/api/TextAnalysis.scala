@@ -199,7 +199,9 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // the corpus token total is the (exact, long) sum of the vocab-sized
+    // count frame — never a third tokenize+explode scan of the corpus
+    val total = counts.agg(sum(col("c")).as("n_total"))
     toks.join(counts, "term")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tok"),
@@ -216,11 +218,10 @@ object TextAnalysis {
     * aggregate with map-side combine; returns the top-k pairs by count
     * with a pair tiebreak, via TakeOrderedAndProject (no global sort). */
   def adjacentPairs(df: DataFrame, textCol: String, topK: Int = 20): DataFrame =
-    df.select(split(col(textCol), " ").as("t"))
-      .select(explode(expr(
-        """CASE WHEN size(t) >= 2
-              THEN transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))
-              ELSE array() END""")).as("pair"))
+    // the pair stream IS the 2-gram shingle stream (with repeats) —
+    // derive it from THE one shingle definition, not a local copy
+    TextDedup.rawShingles(df.withColumn("__id", lit(0L)), "__id", textCol, n = 2)
+      .select(col("shingle").as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("pair"))

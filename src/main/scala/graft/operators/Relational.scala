@@ -451,10 +451,56 @@ object Relational {
             LIMIT 10""")
   )
 
+  /** TPC-H Q5 (local-supplier volume) adapted to the fixture: revenue
+    * per nation for ASIA-region customers served by a SAME-NATION
+    * supplier in one order year — the 6-table star join that exercises
+    * Catalyst's join reorder + dim broadcasting beyond Q3's 3 tables.
+    * Revenue sums cross the aggregate as DECIMAL(30,10) + 4dp floor
+    * (many rows per nation group — the q_resample_agg float boundary);
+    * both engines run the identical SQL text modulo view names. */
+  private val qSqlTpchQ5 = Q(
+    "q_sql_tpch_q5",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      Tables.region(s, dir).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT n_name,
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                        JOIN v_lineitem ON l_orderkey = o_orderkey
+                        JOIN v_supplier ON l_suppkey = s_suppkey
+                                       AND c_nationkey = s_nationkey
+                        JOIN v_nation ON s_nationkey = n_nationkey
+                        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY n_name""")
+    },
+    Some("""SELECT n_name,
+              floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                                       AND c_nationkey = s_nationkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY n_name""")
+  )
+
   val all: Seq[Q] = Seq(
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
     qAggCube, qApproxDistinct, qUnionAll, qIntersect, qExcept,
-    qIntersectAll, qExceptAll, qSqlTpchQ3)
+    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ5)
 }

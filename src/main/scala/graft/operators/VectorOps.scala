@@ -170,7 +170,12 @@ object VectorOps {
   private val qEmbedQuantize = Q(
     "q_embed_quantize",
     (s, dir) =>
-      Similarity.quantize(Tables.embeddings(s, dir), "embedding")
+      // align with the oracle's null semantics: rows without a vector
+      // are out of scope (same convention as q_embed_centroids)
+      Similarity.quantize(
+          Tables.embeddings(s, dir)
+            .filter(col("embedding").isNotNull && size(col("embedding")) > 0),
+          "embedding")
         .select(col("vec_id"),
           (floor(col("qmin") * 1000000) / 1000000.0).as("qmin"),
           (floor(col("qscale") * 1000000) / 1000000.0).as("qscale"),
@@ -178,7 +183,8 @@ object VectorOps {
           (floor(col("max_abs_err") * 1000000) / 1000000.0).as("max_abs_err"))
         .orderBy("vec_id"),
     Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
-                       FROM embeddings),
+                       FROM embeddings
+                       WHERE embedding IS NOT NULL AND len(embedding) > 0),
                  m AS (SELECT vec_id, v, list_min(v) AS mn,
                          (list_max(v) - list_min(v)) / 255 AS sc FROM v),
                  q AS (SELECT vec_id, mn, sc,

@@ -755,6 +755,11 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(err1 <= sc1 / 2 + 1e-12, s"err $err1 vs qscale/2 ${sc1 / 2}")
     val (_, sc2, codes2, err2) = out(1)
     assert(sc2 == 0.0 && codes2.forall(_ == 0L) && err2 == 0.0)
+    // a NULL vector yields NULL codes/err/params — never a fabricated 0
+    val nullRow = graft.api.Similarity.quantize(
+        Seq((3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"), "embedding")
+      .select("qmin", "qscale", "codes", "max_abs_err").collect()(0)
+    assert((0 until 4).forall(nullRow.isNullAt), nullRow.toString)
   }
 
   test("pageRank ≡ hand-model on a path graph; isolated node keeps the floor; symmetric nodes tie") {
