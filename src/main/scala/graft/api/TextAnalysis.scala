@@ -227,6 +227,50 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(topK)
 
+  /** Pointwise-mutual-information collocations: the top-k adjacent token
+    * pairs by PMI = ln(p(ab) / (p(a)·p(b))) among pairs seen ≥ minCount
+    * times — raw frequency ([[adjacentPairs]]) surfaces "of the"; PMI
+    * surfaces the genuinely ASSOCIATED pairs (named entities, technical
+    * terms), the other standard collocation lens. p(ab) is over the
+    * bigram total, p(a)/p(b) over the token total; the minCount floor is
+    * the standard guard against rare-pair PMI blowup.
+    *
+    * Cost: the unigram and bigram count aggregates (both map-side
+    * combining; the bigram stream reuses THE shared 2-gram shingle
+    * definition), two vocab-sized equi-joins attaching c(a)/c(b) to the
+    * ≥minCount pair list (AQE broadcasts the vocab when it fits), and
+    * both corpus totals as ONE 1-row broadcast — each total is the exact
+    * long sum of its vocab-sized count frame, never an extra corpus
+    * scan. Float discipline: PMI is one fixed expression of five ln's of
+    * exact longs — no accumulation anywhere — floored to 4dp, and the
+    * ordering key is the FLOORED value with a pair tiebreak, so any IEEE
+    * engine replaying the formula reproduces the exact list. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 30): DataFrame = {
+    require(minCount >= 1, s"minCount must be ≥1, got $minCount")
+    val toks = df.select(explode(split(col(textCol), " ")).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val bg = TextDedup.rawShingles(df.withColumn("__id", lit(0L)), "__id", textCol, n = 2)
+      .select(col("shingle").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(sum(col("c")).as("__n_tok"))
+      .crossJoin(bg.agg(sum(col("cnt")).as("__n_bg")))
+    // bigram tokens are space-free by construction (split on ' '), so
+    // the pair splits back losslessly into its two terms
+    val cand = bg.filter(col("cnt") >= minCount)
+      .withColumn("__a", split(col("pair"), " ").getItem(0))
+      .withColumn("__b", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("term").as("__a"), col("c").as("c_left")), "__a")
+      .join(uni.select(col("term").as("__b"), col("c").as("c_right")), "__b")
+    cand.crossJoin(broadcast(totals))
+      .select(col("pair"), col("cnt"), col("c_left"), col("c_right"),
+        (floor((log(col("cnt").cast("double")) - log(col("__n_bg").cast("double"))
+          - log(col("c_left").cast("double")) - log(col("c_right").cast("double"))
+          + lit(2.0) * log(col("__n_tok").cast("double"))) * 10000) / 10000.0).as("pmi"))
+      .orderBy(desc("pmi"), asc("pair"))
+      .limit(topK)
+  }
+
   /** Gopher-style repetition statistics per document: duplicate-token
     * fraction (1 − distinct/total) and top-bigram fraction (count of the
     * most frequent 2-gram / total 2-grams). The token stats are pure

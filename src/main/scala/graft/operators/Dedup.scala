@@ -413,6 +413,54 @@ object Dedup {
             FROM r3 CROSS JOIN nn ORDER BY doc_id""")
   )
 
+  /** Triangle census (graft.api.Graph.triangleStats) over the SAME
+    * trigram-Jaccard near-dup pair graph as q_pagerank: one row of exact
+    * counts (nodes, edges, wedges, triangles) — transitivity
+    * 3·triangles/wedges is the cluster-shape QA separating cliquish
+    * mirror clusters from loose chains. Degree-ordered orientation
+    * bounds join fan-out by O(√|E|) on any graph; all-integer output,
+    * no float hazard. */
+  private val qTriangles = Q(
+    "q_triangles",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      graft.api.Graph.triangleStats(pairs, "id_a", "id_b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 deg AS (SELECT u, count(*) AS deg FROM
+                           (SELECT doc_a AS u FROM pairs
+                            UNION ALL SELECT doc_b FROM pairs) GROUP BY u),
+                 o AS (SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+                                   THEN p.doc_a ELSE p.doc_b END AS a,
+                              CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+                                   THEN p.doc_b ELSE p.doc_a END AS b
+                       FROM pairs p JOIN deg da ON da.u = p.doc_a
+                                    JOIN deg db ON db.u = p.doc_b),
+                 tri AS (SELECT count(*) AS n_triangles
+                         FROM o e1 JOIN o e2 ON e2.a = e1.b
+                                   JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+                   (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT)
+                    FROM deg) AS n_wedges,
+                   (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles""")
+  )
+
   /** Corpus diff between two snapshots (graft.api.TextDedup.corpusDiff):
     * per source, documents added / removed / changed / unchanged between
     * a corpus and its refreshed crawl — the change-QA report that
@@ -462,5 +510,5 @@ object Dedup {
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
-    qContamination, qPagerank, qCorpusDiff)
+    qContamination, qPagerank, qTriangles, qCorpusDiff)
 }

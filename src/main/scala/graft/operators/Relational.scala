@@ -497,10 +497,50 @@ object Relational {
             ORDER BY n_name""")
   )
 
+  /** TPC-H Q10 (returned-item reporting) adapted to the fixture: the
+    * top-20 customers by revenue lost to returned lineitems in one
+    * quarter — Q5's star shrunk to the customer rollup but with a
+    * high-cardinality group key (custkey, not nation) and a
+    * TakeOrdered top-k over the aggregate. Same DECIMAL accumulation +
+    * 4dp floor as Q5; the order key is the FLOORED revenue with a
+    * custkey tiebreak, so the top-20 cut is engine-deterministic. */
+  private val qSqlTpchQ10 = Q(
+    "q_sql_tpch_q10",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+               floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                        JOIN v_lineitem ON l_orderkey = o_orderkey
+                        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+              floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
     qAggCube, qApproxDistinct, qUnionAll, qIntersect, qExcept,
-    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ5)
+    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ5, qSqlTpchQ10)
 }

@@ -697,6 +697,37 @@ object TextOps {
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")
   )
 
+  /** PMI collocations (graft.api.TextAnalysis.pmiCollocations): top-30
+    * adjacent token pairs by pointwise mutual information among pairs
+    * seen ≥5 times — the association lens q_bpe_pairs' raw counts miss.
+    * PMI is five ln's of exact longs in one fixed expression (no float
+    * accumulation), floored to 4dp; the order key is the floored value
+    * + pair tiebreak, so both engines reproduce the identical list. */
+  private val qCollocations = Q(
+    "q_collocations",
+    (s, dir) =>
+      graft.api.TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 5L, topK = 30),
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+                 c AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+                 nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM c),
+                 t2 AS (SELECT string_split(text, ' ') AS t FROM documents),
+                 bgs AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])) AS pair FROM t2),
+                 bg AS (SELECT pair, count(*) AS cnt FROM bgs GROUP BY pair),
+                 nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_bg FROM bg),
+                 j AS (SELECT bg.pair, bg.cnt, ca.c AS c_left, cb.c AS c_right
+                       FROM bg
+                       JOIN c ca ON ca.term = string_split(bg.pair, ' ')[1]
+                       JOIN c cb ON cb.term = string_split(bg.pair, ' ')[2]
+                       WHERE bg.cnt >= 5)
+            SELECT pair, cnt, c_left, c_right,
+              floor((ln(CAST(cnt AS DOUBLE)) - ln(CAST(n_bg AS DOUBLE))
+                     - ln(CAST(c_left AS DOUBLE)) - ln(CAST(c_right AS DOUBLE))
+                     + 2.0 * ln(CAST(n_tok AS DOUBLE))) * 10000) / 10000 AS pmi
+            FROM j, nb, nt ORDER BY pmi DESC, pair LIMIT 30""")
+  )
+
   /** Temperature-smoothed source mixing
     * (graft.api.Sampling.temperatureMix): per-source keep rates ∝
     * √share / share scaled to a ~50% corpus — the α = 0.5 multilingual
@@ -756,6 +787,6 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
-    qPerplexity, qBpePairs, qPiiScrub, qPipelineE2e,
+    qPerplexity, qBpePairs, qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qProfile, qHistogram, qBinQuantile)
 }

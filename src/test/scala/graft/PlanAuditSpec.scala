@@ -135,6 +135,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_perplexity" -> "1-row corpus-constant broadcast (total token count)",
       "q_mix_temperature" -> "1-row corpus-constant broadcast (rate normalizer)",
       "q_pagerank" -> "1-row corpus-constant broadcast (node count N)",
+      "q_collocations" -> "1-row corpus-constant broadcast (token/bigram totals)",
+      "q_triangles" -> "1-row stat-frame combination (nodes/edges/wedges × triangles)",
       "q_bin_quantile" -> "1-row corpus-constant broadcast (percentile cut array)",
       "q_resample" -> "1-row bucket-range broadcast (min/max)",
       "q_resample_agg" -> "1-row bucket-range broadcast (min/max)",

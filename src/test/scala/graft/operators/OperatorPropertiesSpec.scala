@@ -784,6 +784,47 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(math.abs(out(4L) - 0.15 / 4) < 1e-12) // isolated node = (1−d)/N floor
   }
 
+  test("triangleStats ≡ hand counts on K4 ∪ C4; canonicalizes dirty edges; empty graph all-zero") {
+    import spark.implicits._
+    // K4 on 1..4 (4 triangles, 6 edges, 12 wedges) ∪ 4-cycle on 11..14
+    // (0 triangles, 4 edges, 4 wedges) — fed DIRTY: reversed duplicates,
+    // a self-loop, and a null endpoint must all collapse/drop
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c4 = Seq((11L, 12L), (12L, 13L), (13L, 14L), (14L, 11L))
+    val dirty = (k4 ++ c4).map { case (a, b) => (java.lang.Long.valueOf(b), java.lang.Long.valueOf(a)) } ++ // reversed dups
+      k4.map { case (a, b) => (java.lang.Long.valueOf(a), java.lang.Long.valueOf(b)) } :+
+      ((java.lang.Long.valueOf(2L), java.lang.Long.valueOf(2L))) :+ // self-loop
+      ((java.lang.Long.valueOf(5L), null.asInstanceOf[java.lang.Long])) // null endpoint
+    val out = graft.api.Graph.triangleStats(dirty.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(out == ((8L, 10L, 16L, 4L)), out.toString)
+    val empty = graft.api.Graph.triangleStats(
+      Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long, Long)].collect()(0)
+    assert(empty == ((0L, 0L, 0L, 0L)), empty.toString)
+  }
+
+  test("pmiCollocations ≡ hand formula; always-together pair outranks frequent-but-independent") {
+    import spark.implicits._
+    // "aa bb" appear ONLY together (4×); the other tokens co-occur
+    // promiscuously (each pair 2×). One doc per line keeps bigram
+    // counting trivial. minCount = 2 — at 1, a singleton pair's PMI
+    // blows past the exclusive pair (the rare-pair hazard the floor
+    // exists for).
+    val docs = (Seq.fill(4)("aa bb")
+      ++ Seq("xx yy", "xx zz", "yy zz", "xx qq").flatMap(d => Seq(d, d))).toDF("text")
+    val out = graft.api.TextAnalysis.pmiCollocations(docs, "text", minCount = 2L, topK = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val byPair = out.map(r => r._1 -> r).toMap
+    // totals: 24 tokens, 12 bigrams; aa/bb occur 4× each, "aa bb" 4×
+    val expAaBb = math.floor((math.log(4.0) - math.log(12.0) - math.log(4.0) - math.log(4.0)
+      + 2.0 * math.log(24.0)) * 10000) / 10000.0
+    assert(byPair("aa bb") == (("aa bb", 4L, 4L, 4L, expAaBb)), byPair("aa bb").toString)
+    // the exclusive pair ranks strictly above every independent pair
+    assert(out.head._1 == "aa bb", out.map(_._1).mkString(","))
+    assert(out.tail.forall(_._5 < expAaBb), out.mkString(";"))
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
