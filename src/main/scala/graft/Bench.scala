@@ -24,7 +24,8 @@ object Bench {
     // warm-run methodology; warmup time is excluded from the metric.
     Seq("q_ann_join", "q_ann_ivf", "q_dedup_clusters", "q_dedup_ngram_jaccard",
       "q_dedup_minhash", "q_dedup_simhash", "q_heavy_hitters",
-      "q_pipeline_e2e", "q_dedup_survivors", "q_pipeline_neardup")
+      "q_pipeline_e2e", "q_dedup_survivors", "q_pipeline_neardup",
+      "q_triangles", "q_pagerank")
       .foreach { name =>
         // warmup must never fail the bench, but a silently-skipped name
         // (rename drift) would quietly time that pipeline cold — say so

@@ -109,4 +109,33 @@ object Profiler {
           round(element_at(col("cuts"), (col("bucket") - 1).cast("int")), 4)).as("lo"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** WINSORIZATION: clamp a numeric column into its [loFrac, hiFrac]
+    * exact interpolated percentile range — the outlier-trimming pass
+    * (event values, doc lengths, quality scores) that tames tails
+    * WITHOUT dropping rows. Adds `value_w` (the clamped double) and
+    * `clipped_low`/`clipped_high` (1/0 bigint flags). NULL values stay
+    * NULL in all three (clamping can't invent data).
+    *
+    * Plan: the two cut points are ONE exact-percentile aggregate
+    * broadcast as a 1-row frame (the corpus-constant pattern shared
+    * with [[quantileBins]]); the clamp itself is a pure map-side
+    * least/greatest — the output is bit-exact either the original
+    * double or a cut (percentile ≡ quantile_cont interpolation parity),
+    * no arithmetic touches the value. */
+  def winsorize(df: DataFrame, valueCol: String,
+      loFrac: Double = 0.01, hiFrac: Double = 0.99): DataFrame = {
+    require(loFrac >= 0 && hiFrac <= 1 && loFrac < hiFrac,
+      s"need 0 ≤ loFrac < hiFrac ≤ 1, got ($loFrac, $hiFrac)")
+    val cuts = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .agg(expr(s"percentile(__x, array($loFrac, $hiFrac))").as("__cuts"))
+    val v = col(valueCol).cast("double")
+    df.crossJoin(broadcast(cuts))
+      .withColumn("value_w",
+        least(greatest(v, col("__cuts").getItem(0)), col("__cuts").getItem(1)))
+      .withColumn("clipped_low", (v < col("__cuts").getItem(0)).cast("long"))
+      .withColumn("clipped_high", (v > col("__cuts").getItem(1)).cast("long"))
+      .drop("__cuts")
+  }
 }

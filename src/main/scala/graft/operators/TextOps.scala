@@ -783,10 +783,38 @@ object TextOps {
             FROM s LEFT JOIN cnt USING (bucket) ORDER BY bucket""")
   )
 
+  /** Winsorization (graft.api.Profiler.winsorize): event values clamped
+    * into their [p1, p99] range — outlier trimming without dropping
+    * rows. Clamped output is bit-exact the original value or a cut
+    * (the q_agg_percentile interpolation parity), flags are exact
+    * integer comparisons; output sampled by id to keep the dump lean.
+    * value_w floors at 4dp only because the CUT endpoints are derived
+    * doubles (invariant 1). */
+  private val qWinsorize = Q(
+    "q_winsorize",
+    (s, dir) =>
+      graft.api.Profiler.winsorize(Tables.events(s, dir), "value",
+          loFrac = 0.01, hiFrac = 0.99)
+        .filter(col("event_id") % 13 === 0)
+        .select(col("event_id"),
+          (floor(col("value_w") * 10000) / 10000.0).as("value_w"),
+          col("clipped_low"), col("clipped_high"))
+        .orderBy("event_id"),
+    Some("""WITH v AS (SELECT event_id, value FROM events),
+                 c AS (SELECT quantile_cont(value, 0.01) AS lo,
+                              quantile_cont(value, 0.99) AS hi
+                       FROM v WHERE value IS NOT NULL)
+            SELECT event_id,
+                   floor(least(greatest(value, lo), hi) * 10000) / 10000 AS value_w,
+                   CAST(value < lo AS BIGINT) AS clipped_low,
+                   CAST(value > hi AS BIGINT) AS clipped_high
+            FROM v, c WHERE event_id % 13 = 0 ORDER BY event_id""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qPerplexity, qBpePairs, qCollocations, qPiiScrub, qPipelineE2e,
-    qPipelineNeardup, qProfile, qHistogram, qBinQuantile)
+    qPipelineNeardup, qProfile, qHistogram, qBinQuantile, qWinsorize)
 }

@@ -445,6 +445,39 @@ object Windows {
             FROM sess""")
   )
 
+  /** Top session PATHS: the 20 most common within-session event-type
+    * sequences (first 8 events, '>'-joined) — the path-analysis staple
+    * (what do users actually DO in a session) over the same session
+    * assignment q_session_stats pins hash-exact. Within-session order is
+    * (ts_ms, event_id, event_type) — total, so the path string is
+    * deterministic; paths truncate at 8 events, bounding the group key.
+    * One session aggregate + one path-count aggregate + TakeOrdered;
+    * both count-desc and path tiebreaks explicit on both engines. */
+  private val qSessionPaths = Q(
+    "q_session_paths",
+    (s, dir) =>
+      graft.api.TimeSeries.sessionize(Tables.events(s, dir), "ts_t", "user_id", "30 minutes",
+          Seq(sort_array(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))).as("evs")))
+        .select(concat_ws(">", slice(col("evs.event_type"), 1, 8)).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("path"))
+        .limit(20),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events),
+                 l AS (SELECT user_id, event_id, event_type, tu,
+                         lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS prev FROM e),
+                 f AS (SELECT user_id, event_id, event_type, tu,
+                         CASE WHEN prev IS NULL OR tu - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+                 s AS (SELECT user_id, event_id, event_type, tu,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+                 p AS (SELECT array_to_string(
+                         (list(event_type ORDER BY tu // 1000, event_id, event_type))[1:8],
+                         '>') AS path
+                       FROM s GROUP BY user_id, sid)
+            SELECT path, CAST(count(*) AS BIGINT) AS cnt
+            FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 20""")
+  )
+
   /** Rolling z-score anomaly detection
     * (graft.api.TimeSeries.rollingZscore): flag events whose value sits
     * more than 2σ from the mean of the same user's trailing 20-row
@@ -484,6 +517,6 @@ object Windows {
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
-    qRetention, qFunnel, qAnomaly, qSessionStats)
+    qRetention, qFunnel, qAnomaly, qSessionStats, qSessionPaths)
 }
 

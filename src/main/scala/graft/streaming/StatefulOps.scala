@@ -306,4 +306,89 @@ object StatefulOps {
           }
       }
   }
+
+  /** One term occurrence, pre-assigned to its tumbling window (key =
+    * window start): `windowStartMs = tsMs - tsMs mod windowMs`. */
+  final case class TermRow(windowStartMs: Long, term: String, tsMs: Long)
+
+  /** Persisted per-window sketch: space-saving counters (≤ capacity)
+    * and the window's max event time. */
+  final case class HHState(terms: Seq[String], counts: Seq[Long],
+    errs: Seq[Long], maxTsMs: Long)
+
+  /** One final heavy hitter for a closed window. `est_count`
+    * overestimates the true count by ≤ `max_err` (the space-saving
+    * guarantee — exact when the window saw ≤ capacity distinct terms,
+    * then max_err = 0). */
+  final case class HeavyHitter(window_start_ms: Long, term: String,
+    est_count: Long, max_err: Long)
+
+  /** Streaming windowed heavy hitters — the at-ingest form of
+    * `Sketches.heavyHitters` (same space-saving update and eviction
+    * rule, SHARED via `Sketches.SpaceSaving`): the top-k most frequent
+    * terms per tumbling window, with state CAPPED at `capacity`
+    * counters per window no matter how many distinct terms the stream
+    * carries. The built-in `groupBy(window, term).count` alternative
+    * keeps state ∝ distinct (window, term) pairs — unbounded on
+    * high-cardinality streams; this is the bounded-memory replacement
+    * when only the head of the distribution matters.
+    *
+    * Results emit ONCE per window, when the watermark passes the
+    * window end (event-time timeout stamped at windowStart + windowMs;
+    * requires `withWatermark` upstream like [[streamingDedup]]'s TTL) —
+    * append-mode-clean finals, no retractions. Within a micro-batch,
+    * rows apply in (tsMs, term) order, so replay is deterministic;
+    * like the batch aggregator, counts from different ARRIVAL
+    * interleavings may differ within the documented error bound (the
+    * sketch trade-off, not a bug). Late rows (window already closed)
+    * are dropped by the timeout semantics. */
+  def streamingHeavyHitters(rows: Dataset[TermRow], windowMs: Long,
+      k: Int = 10, capacity: Int = 64): Dataset[HeavyHitter] = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(k >= 1 && capacity >= k, s"need 1 ≤ k ≤ capacity, got k=$k capacity=$capacity")
+    implicit val stateEnc = Encoders.product[HHState]
+    implicit val outEnc = Encoders.product[HeavyHitter]
+    implicit val keyEnc = Encoders.scalaLong
+    val sketch = new graft.api.Sketches.SpaceSaving(capacity)
+    rows.groupByKey(_.windowStartMs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (ws: Long, it: Iterator[TermRow], state: GroupState[HHState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed window end: emit the finals, drop state
+            val st = state.get
+            state.remove()
+            st.terms.indices.map(i => (st.terms(i), st.counts(i), st.errs(i)))
+              .sortBy { case (t, c, _) => (-c, t) }
+              .take(k)
+              .map { case (t, c, e) => HeavyHitter(ws, t, c, e) }
+              .iterator
+          } else {
+            val prev = state.getOption
+            val wm = state.getCurrentWatermarkMs()
+            if (prev.isEmpty && wm >= ws + windowMs) {
+              // the window already closed and emitted its finals —
+              // these rows are LATE (a timeout at ≤ watermark would
+              // throw; re-opening would double-emit). Drop them.
+              Iterator.empty
+            } else {
+              val buf: graft.api.Sketches.SSBuf =
+                scala.collection.mutable.HashMap.from(
+                  prev.map(st => st.terms.lazyZip(st.counts).lazyZip(st.errs)
+                    .map((t, c, e) => t -> (c, e))).getOrElse(Nil))
+              val batch = it.toVector.sortBy(r => (r.tsMs, r.term))
+              batch.foreach(r => sketch.reduce(buf, r.term))
+              val maxTs = math.max(prev.map(_.maxTsMs).getOrElse(Long.MinValue),
+                batch.map(_.tsMs).max)
+              val entries = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+              state.update(HHState(entries.map(_._1), entries.map(_._2._1),
+                entries.map(_._2._2), maxTs))
+              // finals fire when the watermark passes the window END
+              // (clamped above the current watermark — a batch can race
+              // the watermark past the window end while state exists)
+              state.setTimeoutTimestamp(math.max(ws + windowMs, wm + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
 }

@@ -169,6 +169,51 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(xRows == Seq((10L, true, 1L), (30L, true, 1L)), xRows.toString)
   }
 
+  test("streaming heavy hitters: finals on watermark, cross-batch counts, capped state, late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // window width 1 min
+    val W = 60000L
+    val mem = MemoryStream[(Long, String)] // (tsMs, term)
+    val rows = mem.toDF().toDF("tsMs", "term")
+      .withColumn("ts_t", timestamp_millis(col("tsMs")))
+      .withWatermark("ts_t", "1 second")
+      .withColumn("windowStartMs", col("tsMs") - pmod(col("tsMs"), lit(W)))
+      .as[StatefulOps.TermRow]
+    val q = StatefulOps.streamingHeavyHitters(rows, windowMs = W, k = 2, capacity = 3)
+      .writeStream.format("memory").queryName("s_hh").outputMode("append")
+      .start()
+    try {
+      // window 0 accumulates ACROSS two batches: aa×3, bb×2, cc×1
+      mem.addData((base + 1, "aa"), (base + 2, "bb"), (base + 3, "aa"))
+      q.processAllAvailable()
+      mem.addData((base + 4, "bb"), (base + 5, "aa"), (base + 6, "cc"))
+      q.processAllAvailable()
+      assert(spark.table("s_hh").count() == 0, "window still open — nothing may emit")
+      // capacity 3 with 4 distinct terms: dd evicts the min (cc, count 1)
+      // and inherits its count as the error floor → (2, err 1)
+      mem.addData((base + 7, "dd"))
+      q.processAllAvailable()
+      // advance the watermark past window 0's end → finals fire
+      mem.addData((base + W + 30000, "zz"))
+      q.processAllAvailable()
+      // a LATE row for closed window 0 must not re-open or double-emit
+      mem.addData((base + 8, "aa"))
+      q.processAllAvailable()
+      mem.addData((base + 3 * W, "yy"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.table("s_hh").collect()
+      .filter(_.getAs[Long]("window_start_ms") == base)
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("est_count"), r.getAs[Long]("max_err")))
+      .toSeq.sortBy(_._1)
+    // top-2 of window 0: aa exact 3, then dd overestimated 2 (err 1 —
+    // the space-saving eviction guarantee, same rule as the batch
+    // aggregator); bb (true 2, exact) ties dd on count and loses the
+    // term tiebreak? No: dd's (2, err) vs bb's (2, 0) — count ties break
+    // by term, "bb" < "dd", so bb is the second hitter
+    assert(w0 == Seq(("aa", 3L), ("bb", 2L)).map(t => (t._1, t._2, 0L)), w0.toString)
+  }
+
   test("streaming near-dup (MinHash-LSH state): cross/same-batch matches, no false flags") {
     implicit val sqlCtx = spark.sqlContext
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
