@@ -132,8 +132,11 @@ object Profiler {
       .agg(expr(s"percentile(__x, array($loFrac, $hiFrac))").as("__cuts"))
     val v = col(valueCol).cast("double")
     df.crossJoin(broadcast(cuts))
+      // least/greatest SKIP nulls (both engines) — unguarded, a NULL
+      // value would fabricate the low cut; the when-gate keeps NULL→NULL
       .withColumn("value_w",
-        least(greatest(v, col("__cuts").getItem(0)), col("__cuts").getItem(1)))
+        when(v.isNotNull,
+          least(greatest(v, col("__cuts").getItem(0)), col("__cuts").getItem(1))))
       .withColumn("clipped_low", (v < col("__cuts").getItem(0)).cast("long"))
       .withColumn("clipped_high", (v > col("__cuts").getItem(1)).cast("long"))
       .drop("__cuts")

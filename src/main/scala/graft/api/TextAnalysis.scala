@@ -241,10 +241,14 @@ object TextAnalysis {
     * ≥minCount pair list (AQE broadcasts the vocab when it fits), and
     * both corpus totals as ONE 1-row broadcast — each total is the exact
     * long sum of its vocab-sized count frame, never an extra corpus
-    * scan. Float discipline: PMI is one fixed expression of five ln's of
-    * exact longs — no accumulation anywhere — floored to 4dp, and the
-    * ordering key is the FLOORED value with a pair tiebreak, so any IEEE
-    * engine replaying the formula reproduces the exact list. */
+    * scan. Float discipline: the likelihood ratio builds from exact
+    * longs through correctly-rounded IEEE ops only (three divisions,
+    * two multiplications), then ONE ln — the single transcendental is
+    * the whole cross-engine surface (IEEE doesn't promise bit-equal ln
+    * across libms; one call minimizes the exposure the 5-ln expansion
+    * would multiply, and the 4dp floor + pair-tiebreak ordering absorb
+    * anything short of a floor-boundary ulp). No accumulation
+    * anywhere. */
   def pmiCollocations(df: DataFrame, textCol: String,
       minCount: Long = 5L, topK: Int = 30): DataFrame = {
     require(minCount >= 1, s"minCount must be ≥1, got $minCount")
@@ -264,9 +268,10 @@ object TextAnalysis {
       .join(uni.select(col("term").as("__b"), col("c").as("c_right")), "__b")
     cand.crossJoin(broadcast(totals))
       .select(col("pair"), col("cnt"), col("c_left"), col("c_right"),
-        (floor((log(col("cnt").cast("double")) - log(col("__n_bg").cast("double"))
-          - log(col("c_left").cast("double")) - log(col("c_right").cast("double"))
-          + lit(2.0) * log(col("__n_tok").cast("double"))) * 10000) / 10000.0).as("pmi"))
+        (floor(log((col("cnt").cast("double") / col("__n_bg").cast("double"))
+          * (col("__n_tok").cast("double") / col("c_left").cast("double"))
+          * (col("__n_tok").cast("double") / col("c_right").cast("double"))) * 10000)
+          / 10000.0).as("pmi"))
       .orderBy(desc("pmi"), asc("pair"))
       .limit(topK)
   }

@@ -700,9 +700,10 @@ object TextOps {
   /** PMI collocations (graft.api.TextAnalysis.pmiCollocations): top-30
     * adjacent token pairs by pointwise mutual information among pairs
     * seen ≥5 times — the association lens q_bpe_pairs' raw counts miss.
-    * PMI is five ln's of exact longs in one fixed expression (no float
-    * accumulation), floored to 4dp; the order key is the floored value
-    * + pair tiebreak, so both engines reproduce the identical list. */
+    * The likelihood ratio builds from exact longs through
+    * correctly-rounded IEEE ops, then ONE ln (the only transcendental —
+    * the whole cross-engine surface), floored to 4dp; the order key is
+    * the floored value + pair tiebreak. */
   private val qCollocations = Q(
     "q_collocations",
     (s, dir) =>
@@ -722,9 +723,9 @@ object TextOps {
                        JOIN c cb ON cb.term = string_split(bg.pair, ' ')[2]
                        WHERE bg.cnt >= 5)
             SELECT pair, cnt, c_left, c_right,
-              floor((ln(CAST(cnt AS DOUBLE)) - ln(CAST(n_bg AS DOUBLE))
-                     - ln(CAST(c_left AS DOUBLE)) - ln(CAST(c_right AS DOUBLE))
-                     + 2.0 * ln(CAST(n_tok AS DOUBLE))) * 10000) / 10000 AS pmi
+              floor(ln((CAST(cnt AS DOUBLE) / CAST(n_bg AS DOUBLE))
+                       * (CAST(n_tok AS DOUBLE) / CAST(c_left AS DOUBLE))
+                       * (CAST(n_tok AS DOUBLE) / CAST(c_right AS DOUBLE))) * 10000) / 10000 AS pmi
             FROM j, nb, nt ORDER BY pmi DESC, pair LIMIT 30""")
   )
 

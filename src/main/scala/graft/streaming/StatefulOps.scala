@@ -311,10 +311,11 @@ object StatefulOps {
     * window start): `windowStartMs = tsMs - tsMs mod windowMs`. */
   final case class TermRow(windowStartMs: Long, term: String, tsMs: Long)
 
-  /** Persisted per-window sketch: space-saving counters (≤ capacity)
-    * and the window's max event time. */
+  /** Persisted per-window sketch: space-saving counters (≤ capacity).
+    * No event-time field — the emission deadline is the window END
+    * (derived from the group key), never the data. */
   final case class HHState(terms: Seq[String], counts: Seq[Long],
-    errs: Seq[Long], maxTsMs: Long)
+    errs: Seq[Long])
 
   /** One final heavy hitter for a closed window. `est_count`
     * overestimates the true count by ≤ `max_err` (the space-saving
@@ -333,15 +334,17 @@ object StatefulOps {
     * high-cardinality streams; this is the bounded-memory replacement
     * when only the head of the distribution matters.
     *
-    * Results emit ONCE per window, when the watermark passes the
-    * window end (event-time timeout stamped at windowStart + windowMs;
-    * requires `withWatermark` upstream like [[streamingDedup]]'s TTL) —
-    * append-mode-clean finals, no retractions. Within a micro-batch,
-    * rows apply in (tsMs, term) order, so replay is deterministic;
-    * like the batch aggregator, counts from different ARRIVAL
-    * interleavings may differ within the documented error bound (the
-    * sketch trade-off, not a bug). Late rows (window already closed)
-    * are dropped by the timeout semantics. */
+    * Results emit ONCE per window, in the first micro-batch after the
+    * watermark passes the window end — via event-time timeout (stamped
+    * at windowStart + windowMs; requires `withWatermark` upstream like
+    * [[streamingDedup]]'s TTL), or directly from the data branch when a
+    * late row races the timeout into the same batch (the finals fire,
+    * the late row is NOT absorbed). Late rows after the finals are
+    * dropped — a closed window never re-opens; append-mode-clean, no
+    * retractions. Within a micro-batch, rows apply in (tsMs, term)
+    * order, so replay is deterministic; like the batch aggregator,
+    * counts from different ARRIVAL interleavings may differ within the
+    * documented error bound (the sketch trade-off, not a bug). */
   def streamingHeavyHitters(rows: Dataset[TermRow], windowMs: Long,
       k: Int = 10, capacity: Int = 64): Dataset[HeavyHitter] = {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
@@ -353,39 +356,43 @@ object StatefulOps {
     rows.groupByKey(_.windowStartMs)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
         (ws: Long, it: Iterator[TermRow], state: GroupState[HHState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed window end: emit the finals, drop state
-            val st = state.get
-            state.remove()
+          def finals(st: HHState): Iterator[HeavyHitter] =
             st.terms.indices.map(i => (st.terms(i), st.counts(i), st.errs(i)))
               .sortBy { case (t, c, _) => (-c, t) }
               .take(k)
               .map { case (t, c, e) => HeavyHitter(ws, t, c, e) }
               .iterator
+          if (state.hasTimedOut) {
+            // watermark passed window end: emit the finals, drop state
+            val st = state.get
+            state.remove()
+            finals(st)
           } else {
             val prev = state.getOption
             val wm = state.getCurrentWatermarkMs()
-            if (prev.isEmpty && wm >= ws + windowMs) {
-              // the window already closed and emitted its finals —
-              // these rows are LATE (a timeout at ≤ watermark would
-              // throw; re-opening would double-emit). Drop them.
-              Iterator.empty
+            if (wm >= ws + windowMs) {
+              // the watermark already passed this window's end — these
+              // rows are LATE and are NEVER absorbed. If the finals
+              // haven't fired yet (a late row raced the timeout into
+              // this batch), fire them now and drop the state; a
+              // closed window never re-opens or double-emits.
+              prev match {
+                case Some(st) => state.remove(); finals(st)
+                case None => Iterator.empty
+              }
             } else {
               val buf: graft.api.Sketches.SSBuf =
                 scala.collection.mutable.HashMap.from(
                   prev.map(st => st.terms.lazyZip(st.counts).lazyZip(st.errs)
                     .map((t, c, e) => t -> (c, e))).getOrElse(Nil))
-              val batch = it.toVector.sortBy(r => (r.tsMs, r.term))
-              batch.foreach(r => sketch.reduce(buf, r.term))
-              val maxTs = math.max(prev.map(_.maxTsMs).getOrElse(Long.MinValue),
-                batch.map(_.tsMs).max)
+              it.toVector.sortBy(r => (r.tsMs, r.term))
+                .foreach(r => sketch.reduce(buf, r.term))
               val entries = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
               state.update(HHState(entries.map(_._1), entries.map(_._2._1),
-                entries.map(_._2._2), maxTs))
-              // finals fire when the watermark passes the window END
-              // (clamped above the current watermark — a batch can race
-              // the watermark past the window end while state exists)
-              state.setTimeoutTimestamp(math.max(ws + windowMs, wm + 1))
+                entries.map(_._2._2)))
+              // finals fire when the watermark passes the window END —
+              // strictly above wm in this branch, so the stamp is valid
+              state.setTimeoutTimestamp(ws + windowMs)
               Iterator.empty
             }
           }

@@ -804,6 +804,27 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(empty == ((0L, 0L, 0L, 0L)), empty.toString)
   }
 
+  test("winsorize clamps tails to the cuts, passes interior values bit-exact, NULL stays NULL") {
+    import spark.implicits._
+    val df = (Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Some(4.0)), (5L, Some(100.0)), (6L, Option.empty[Double]))).toDF("id", "v")
+    val out = graft.api.Profiler.winsorize(df, "v", 0.1, 0.9)
+      .select("id", "value_w", "clipped_low", "clipped_high")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // NULL value → NULL in all three outputs (least/greatest would
+    // otherwise fabricate the low cut)
+    assert((1 to 3).forall(out(6L).isNullAt), out(6L).toString)
+    // the outlier clamps DOWN to the p90 cut and flags high only
+    assert(out(5L).getDouble(1) < 100.0 && out(5L).getLong(2) == 0L
+      && out(5L).getLong(3) == 1L, out(5L).toString)
+    // an interior value passes through bit-exact, unflagged
+    assert(out(3L).getDouble(1) == 3.0 && out(3L).getLong(2) == 0L
+      && out(3L).getLong(3) == 0L, out(3L).toString)
+    // the minimum clamps UP to the p10 cut and flags low only
+    assert(out(1L).getDouble(1) > 1.0 && out(1L).getLong(2) == 1L
+      && out(1L).getLong(3) == 0L, out(1L).toString)
+  }
+
   test("pmiCollocations ≡ hand formula; always-together pair outranks frequent-but-independent") {
     import spark.implicits._
     // "aa bb" appear ONLY together (4×); the other tokens co-occur
@@ -816,9 +837,9 @@ class OperatorPropertiesSpec extends SparkTestBase {
     val out = graft.api.TextAnalysis.pmiCollocations(docs, "text", minCount = 2L, topK = 10)
       .as[(String, Long, Long, Long, Double)].collect()
     val byPair = out.map(r => r._1 -> r).toMap
-    // totals: 24 tokens, 12 bigrams; aa/bb occur 4× each, "aa bb" 4×
-    val expAaBb = math.floor((math.log(4.0) - math.log(12.0) - math.log(4.0) - math.log(4.0)
-      + 2.0 * math.log(24.0)) * 10000) / 10000.0
+    // totals: 24 tokens, 12 bigrams; aa/bb occur 4× each, "aa bb" 4× —
+    // the expected value replays the impl's exact ratio-then-one-ln tree
+    val expAaBb = math.floor(math.log((4.0 / 12.0) * (24.0 / 4.0) * (24.0 / 4.0)) * 10000) / 10000.0
     assert(byPair("aa bb") == (("aa bb", 4L, 4L, 4L, expAaBb)), byPair("aa bb").toString)
     // the exclusive pair ranks strictly above every independent pair
     assert(out.head._1 == "aa bb", out.map(_._1).mkString(","))
