@@ -141,4 +141,37 @@ object Profiler {
       .withColumn("clipped_high", (v > col("__cuts").getItem(1)).cast("long"))
       .drop("__cuts")
   }
+
+  /** MAD-based robust outliers: rows whose |x − median| exceeds
+    * k · 1.4826 · MAD (MAD = median absolute deviation; 1.4826 makes it
+    * a consistent σ estimator under normality) — the robust complement
+    * to z-scores: a z-score's mean/σ are themselves dragged by the
+    * outliers being hunted, the median/MAD pair is 50%-breakdown-proof.
+    * Returns the flagged rows plus `abs_dev` (the |x − median|, for
+    * ranking). NULL values are never flagged.
+    *
+    * Plan: two fit passes (median, then MAD — each ONE exact-percentile
+    * aggregate broadcast as a 1-row frame, the corpus-constant pattern)
+    * + one map-side flag pass: 3 scans total, zero shuffles beyond the
+    * two 1-row aggregates. At 100 TB swap the exact percentiles for
+    * `approx_percentile` to make each fit one-pass-cheap. Float
+    * discipline: both cuts are interpolated percentiles (quantile_cont
+    * parity); |x − med| and the k·1.4826·mad threshold are single
+    * correctly-rounded IEEE expressions, so the flag set is
+    * engine-exact. */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = col(valueCol).cast("double")
+    val med = df.filter(v.isNotNull)
+      .select(v.as("__x"))
+      .agg(expr("percentile(__x, 0.5)").as("__med"))
+    val mad = df.filter(v.isNotNull).crossJoin(broadcast(med))
+      .select(abs(v - col("__med")).as("__ad"))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .withColumn("abs_dev", abs(v - col("__med")))
+      .filter(col("abs_dev") > lit(k) * lit(1.4826) * col("__mad"))
+      .drop("__med", "__mad")
+  }
 }

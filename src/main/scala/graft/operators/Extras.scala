@@ -70,6 +70,82 @@ object Extras {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Pearson correlation MATRIX over the four lineitem measures in one
+    * scan — the multi-column dependence QA (which measures move
+    * together) as the hardened, accumulation-order-PROOF form of
+    * q_agg_stats' native corr: every Σx/Σx²/Σxy crosses the aggregate
+    * as DECIMAL(30,10) (per-row products are single correctly-rounded
+    * IEEE doubles; their decimal sums are order-exact), then each
+    * correlation derives through one fixed double expression — division
+    * and sqrt are IEEE-correctly-rounded, so both engines replaying the
+    * formula agree bit-for-bit, unlike a float-accumulated native corr
+    * whose last digits depend on partition order. One map-side-combining
+    * aggregate (14 sums + count), matrix unpacked from the 1-row frame
+    * with stack — no join anywhere. */
+  private val qCorrelation = Q(
+    "q_correlation",
+    (s, dir) => {
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(30,10)")).cast("double")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p"),
+        col("l_discount").cast("double").as("d"),
+        col("l_tax").cast("double").as("t"))
+      val w = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("q")).as("sq"), dsum(col("p")).as("sp"),
+        dsum(col("d")).as("sd"), dsum(col("t")).as("st"),
+        dsum(col("q") * col("q")).as("sqq"), dsum(col("p") * col("p")).as("spp"),
+        dsum(col("d") * col("d")).as("sdd"), dsum(col("t") * col("t")).as("stt"),
+        dsum(col("q") * col("p")).as("sqp"), dsum(col("q") * col("d")).as("sqd"),
+        dsum(col("q") * col("t")).as("sqt"), dsum(col("p") * col("d")).as("spd"),
+        dsum(col("p") * col("t")).as("spt"), dsum(col("d") * col("t")).as("sdt"))
+      def corrExpr(sa: String, sb: String, saa: String, sbb: String, sab: String) =
+        s"floor((n * $sab - $sa * $sb) / sqrt((n * $saa - $sa * $sa) * (n * $sbb - $sb * $sb)) * 10000) / 10000"
+      w.select(expr(s"""stack(6,
+          'l_quantity', 'l_extendedprice', ${corrExpr("sq", "sp", "sqq", "spp", "sqp")},
+          'l_quantity', 'l_discount',      ${corrExpr("sq", "sd", "sqq", "sdd", "sqd")},
+          'l_quantity', 'l_tax',           ${corrExpr("sq", "st", "sqq", "stt", "sqt")},
+          'l_extendedprice', 'l_discount', ${corrExpr("sp", "sd", "spp", "sdd", "spd")},
+          'l_extendedprice', 'l_tax',      ${corrExpr("sp", "st", "spp", "stt", "spt")},
+          'l_discount', 'l_tax',           ${corrExpr("sd", "st", "sdd", "stt", "sdt")}
+        ) AS (col_x, col_y, corr)"""))
+        .orderBy("col_x", "col_y")
+    },
+    Some("""WITH s AS (SELECT
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sp,
+              CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sd,
+              CAST(sum(CAST(l_tax AS DECIMAL(30,10))) AS DOUBLE) AS st,
+              CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sqq,
+              CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS spp,
+              CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sdd,
+              CAST(sum(CAST(l_tax * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS stt,
+              CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sqp,
+              CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sqd,
+              CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS sqt,
+              CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS spd,
+              CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS spt,
+              CAST(sum(CAST(l_discount * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS sdt
+            FROM lineitem),
+            pairs AS (
+              SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                floor((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)) * 10000)/10000 AS corr FROM s
+              UNION ALL SELECT 'l_quantity', 'l_discount',
+                floor((n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)) * 10000)/10000 FROM s
+              UNION ALL SELECT 'l_quantity', 'l_tax',
+                floor((n*sqt - sq*st) / sqrt((n*sqq - sq*sq) * (n*stt - st*st)) * 10000)/10000 FROM s
+              UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                floor((n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)) * 10000)/10000 FROM s
+              UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                floor((n*spt - sp*st) / sqrt((n*spp - sp*sp) * (n*stt - st*st)) * 10000)/10000 FROM s
+              UNION ALL SELECT 'l_discount', 'l_tax',
+                floor((n*sdt - sd*st) / sqrt((n*sdd - sd*sd) * (n*stt - st*st)) * 10000)/10000 FROM s)
+            SELECT col_x, col_y, corr FROM pairs ORDER BY col_x, col_y""")
+  )
+
   /** Ordered string aggregation (listagg): sort inside the group for
     * determinism. */
   private val qAggListagg = Q(
@@ -384,7 +460,7 @@ object Extras {
             WHERE o_orderkey % 53 = 0 ORDER BY o_orderkey""")
   )
 
-  val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qAggListagg,
+  val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qCorrelation, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
     qJoinAsof, qJoinAsofTol, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
     qSkewSalted, qJoinFull, qUnpivot, qWindowDistribution)

@@ -812,10 +812,36 @@ object TextOps {
             FROM v, c WHERE event_id % 13 = 0 ORDER BY event_id""")
   )
 
+  /** MAD robust outliers (graft.api.Profiler.madOutliers): events whose
+    * value deviates from the corpus median by more than 3·1.4826·MAD —
+    * the 50%-breakdown-proof complement to q_anomaly's rolling z-score
+    * (whose mean/σ the outliers themselves drag). Median and MAD are
+    * exact interpolated percentiles (quantile_cont parity); deviation
+    * and threshold are single IEEE expressions, so the flag set is
+    * engine-exact. */
+  private val qMadOutliers = Q(
+    "q_mad_outliers",
+    (s, dir) =>
+      graft.api.Profiler.madOutliers(Tables.events(s, dir), "value", k = 3.0)
+        .select(col("event_id"), col("value"),
+          (floor(col("abs_dev") * 10000) / 10000.0).as("abs_dev"))
+        .orderBy("event_id"),
+    Some("""WITH m AS (SELECT quantile_cont(value, 0.5) AS med
+                       FROM events WHERE value IS NOT NULL),
+                 d AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad
+                       FROM events, m WHERE value IS NOT NULL)
+            SELECT event_id, value,
+                   floor(abs(value - med) * 10000) / 10000 AS abs_dev
+            FROM events, m, d
+            WHERE value IS NOT NULL AND abs(value - med) > 3.0 * 1.4826 * mad
+            ORDER BY event_id""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qPerplexity, qBpePairs, qCollocations, qPiiScrub, qPipelineE2e,
-    qPipelineNeardup, qProfile, qHistogram, qBinQuantile, qWinsorize)
+    qPipelineNeardup, qProfile, qHistogram, qBinQuantile, qWinsorize,
+    qMadOutliers)
 }

@@ -825,6 +825,17 @@ class OperatorPropertiesSpec extends SparkTestBase {
       && out(1L).getLong(3) == 0L, out(1L).toString)
   }
 
+  test("madOutliers flags exactly the hand-model outlier; NULLs never flagged") {
+    import spark.implicits._
+    // values 1..9 + 100: med 5.5, MAD 2.5, threshold 3·1.4826·2.5 ≈ 11.12
+    // → only 100 (dev 94.5) flags; the NULL row must not appear
+    val df = ((1 to 9).map(i => (i.toLong, Some(i.toDouble)))
+      :+ ((10L, Some(100.0))) :+ ((11L, Option.empty[Double]))).toDF("id", "v")
+    val out = graft.api.Profiler.madOutliers(df, "v", k = 3.0)
+      .select("id", "abs_dev").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((10L, 94.5)), out.mkString(","))
+  }
+
   test("pmiCollocations ≡ hand formula; always-together pair outranks frequent-but-independent") {
     import spark.implicits._
     // "aa bb" appear ONLY together (4×); the other tokens co-occur
