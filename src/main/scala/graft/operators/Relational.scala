@@ -330,6 +330,35 @@ object Relational {
     None
   )
 
+  /** MERGEABLE HLL sketch rollup — the incremental-distinct pattern at
+    * scale: per-day user sketches (`hll_sketch_agg`) roll up to a
+    * corpus total via `hll_union_agg` WITHOUT rescanning the raw data.
+    * At 100 TB this is how daily distinct-user counts become weekly/
+    * monthly ones: persist the (day, sketch) table — kilobytes per day
+    * — and union-merge any date range on demand; q_approx_distinct's
+    * one-shot estimate can't compose that way. Approximate → no SQL
+    * oracle; merge-consistency and accuracy vs exact are
+    * property-tested (OperatorPropertiesSpec "hll rollup"). Output: one
+    * row per day plus the merged total under day_idx NULL (explicit
+    * NULLS FIRST contract). Sketches are hash-deterministic — the
+    * determinism gate runs this twice like every query. */
+  private val qHllRollup = Q(
+    "q_hll_rollup",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day_idx"),
+          col("user_id"))
+        .groupBy("day_idx")
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      daily.select(col("day_idx"), hll_sketch_estimate(col("sk")).as("est_users"))
+        .unionByName(daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+          .select(lit(null).cast("long").as("day_idx"), col("est_users")))
+        .orderBy(asc_nulls_first("day_idx"))
+    },
+    None
+  )
+
   // ---- set operations ----------------------------------------------------
 
   private val qUnionAll = Q(
@@ -541,6 +570,6 @@ object Relational {
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
-    qAggCube, qApproxDistinct, qUnionAll, qIntersect, qExcept,
+    qAggCube, qApproxDistinct, qHllRollup, qUnionAll, qIntersect, qExcept,
     qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ5, qSqlTpchQ10)
 }

@@ -825,6 +825,32 @@ class OperatorPropertiesSpec extends SparkTestBase {
       && out(1L).getLong(3) == 0L, out(1L).toString)
   }
 
+  test("hll rollup: merged sketch ≡ whole-corpus sketch exactly; estimates within 5% of exact") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day"),
+        col("user_id"))
+    // merge-consistency: union of per-day sketches = one corpus sketch
+    // (same lgConfigK) — the property that makes persisted daily
+    // sketches rollup-able without rescanning
+    val merged = ev.groupBy("day").agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e")).as[Long].head()
+    val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("e"))
+      .as[Long].head()
+    assert(merged == whole, s"merged $merged != whole-corpus $whole")
+    // accuracy: lgConfigK=12 → rse ≈ 1.04/√4096 ≈ 1.6%; assert 5%
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05, s"est $merged vs exact $exact")
+    // per-day estimates each within 5% of their exact distinct
+    val perDay = ev.groupBy("day")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"),
+        count_distinct(col("user_id")).as("ex"))
+      .as[(Long, Long, Long)].collect()
+    perDay.foreach { case (d, est, ex) =>
+      assert(math.abs(est - ex).toDouble / ex <= 0.05, s"day $d: est $est vs exact $ex")
+    }
+  }
+
   test("madOutliers flags exactly the hand-model outlier; NULLs never flagged") {
     import spark.implicits._
     // values 1..9 + 100: med 5.5, MAD 2.5, threshold 3·1.4826·2.5 ≈ 11.12
