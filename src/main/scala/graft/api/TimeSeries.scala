@@ -48,6 +48,38 @@ object TimeSeries {
       .withColumn("session_start_ms", unix_millis(col("session_window.start")))
       .drop("session_window")
 
+  /** PER-ROW session assignment — the lag/cumulative-break formulation
+    * of [[sessionize]]'s `session_window` (break iff the time since the
+    * previous same-key event is >= `gap`; identical membership, since a
+    * session's exclusive end is last_ts + gap on both forms) — exposed
+    * per row so a downstream `row_number <= k` can BOUND any later
+    * per-session aggregation buffer before it builds (the hot-key
+    * guard: a bot emitting sub-gap events forever is one session, and a
+    * post-hoc slice over an unbounded collect_list still buffers every
+    * event first). One hash exchange on `keyCol`; the lag, running break
+    * sum, and within-session row_number all reuse that partitioning
+    * (HashPartitioning(key) satisfies the (key, session_id) clustering),
+    * as does a follow-up groupBy(key, session_id). `tieCols` extend the
+    * timestamp ordering to a total order so assignment and numbering are
+    * deterministic. Adds `session_id` (running break count, dense within
+    * each key, 1-based) and `sn` (1-based row position within its
+    * session under the same total order). `gap` is in `tsCol` units. */
+  def sessionIds(df: DataFrame, tsCol: String, keyCol: String, gap: Long,
+      tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gap > 0, s"gap must be positive, got $gap")
+    val order = col(tsCol).asc +: tieCols.map(col(_).asc)
+    val wKey = Window.partitionBy(keyCol).orderBy(order: _*)
+    val wRun = wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(wKey))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") >= gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(wRun))
+      .drop("__prev", "__brk")
+      .withColumn("sn",
+        row_number().over(Window.partitionBy(col(keyCol), col("session_id")).orderBy(order: _*)))
+  }
+
   /** As-of join: for each left row, the most recent right-side timestamp
     * at-or-before it within the same key. Implemented with the
     * union-window formulation — tag both sides, union, running max of the

@@ -447,33 +447,46 @@ object Windows {
 
   /** Top session PATHS: the 20 most common within-session event-type
     * sequences (first 8 events, '>'-joined) — the path-analysis staple
-    * (what do users actually DO in a session) over the same session
-    * assignment q_session_stats pins hash-exact. Within-session order is
-    * (ts_ms, event_id, event_type) — total, so the path string is
-    * deterministic; paths truncate at 8 events, bounding the group key.
-    * One session aggregate + one path-count aggregate + TakeOrdered;
-    * both count-desc and path tiebreaks explicit on both engines. */
+    * (what do users actually DO in a session). Uses the PER-ROW session
+    * assignment (graft.api.TimeSeries.sessionIds — the lag/cumulative-
+    * break form of the same 30-minute-gap semantics q_session_stats
+    * pins) so a `row_number <= 8` truncation runs BEFORE collect_list:
+    * the per-session aggregation buffer is bounded at 8 rows even when
+    * a hot key (a bot emitting sub-gap events forever) makes one
+    * session span millions of events — a post-hoc slice would buffer
+    * them all first. Within-session order is (tu, event_id, event_type)
+    * at µs precision — total on BOTH engines, so the kept-8 set and the
+    * path string are deterministic and identical. One user-key window
+    * shuffle (the session/row_number windows and the per-session
+    * collect all reuse HashPartitioning(user_id)) + one path-count
+    * shuffle + TakeOrdered; count-desc and path tiebreaks explicit. */
   private val qSessionPaths = Q(
     "q_session_paths",
     (s, dir) =>
-      graft.api.TimeSeries.sessionize(Tables.events(s, dir), "ts_t", "user_id", "30 minutes",
-          Seq(sort_array(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))).as("evs")))
-        .select(concat_ws(">", slice(col("evs.event_type"), 1, 8)).as("path"))
+      graft.api.TimeSeries.sessionIds(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+          "ts_us", "user_id", 1800000000L, Seq("event_id", "event_type"))
+        .filter(col("sn") <= 8)
+        .groupBy("user_id", "session_id")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))).as("evs"))
+        .select(concat_ws(">", col("evs.event_type")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("path"))
         .limit(20),
     Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events),
                  l AS (SELECT user_id, event_id, event_type, tu,
-                         lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS prev FROM e),
+                         lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id, event_type) AS prev FROM e),
                  f AS (SELECT user_id, event_id, event_type, tu,
                          CASE WHEN prev IS NULL OR tu - prev >= 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
                  s AS (SELECT user_id, event_id, event_type, tu,
-                         sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id, event_type
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+                 t AS (SELECT user_id, sid, event_type, tu, event_id,
+                         row_number() OVER (PARTITION BY user_id, sid
+                           ORDER BY tu, event_id, event_type) AS rn FROM s),
                  p AS (SELECT array_to_string(
-                         (list(event_type ORDER BY tu // 1000, event_id, event_type))[1:8],
-                         '>') AS path
-                       FROM s GROUP BY user_id, sid)
+                         list(event_type ORDER BY tu, event_id, event_type), '>') AS path
+                       FROM t WHERE rn <= 8 GROUP BY user_id, sid)
             SELECT path, CAST(count(*) AS BIGINT) AS cnt
             FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 20""")
   )

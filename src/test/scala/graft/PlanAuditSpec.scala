@@ -237,6 +237,24 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_session_paths: one user-key shuffle reused by session/truncation/collect, bounded collect below the sn-filter") {
+    val p = plan("q_session_paths")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2,
+      s"expected 2 hash exchanges (user window + path count — sid windows, row_number and the per-session collect must all reuse the user partitioning), got $hashEx\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-20 must be TakeOrdered, not a global sort\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "session paths must be window-only\n" + p)
+    // hot-key bound: the sn<=8 filter must sit BELOW the collect_list
+    // aggregate (plan strings print parents first)
+    val aggIdx = p.indexOf("collect_list")
+    val fIdx = p.indexOf("Filter")
+    assert(aggIdx >= 0 && fIdx >= 0 && aggIdx < fIdx,
+      "row_number truncation must run before the per-session collect\n" + p)
+  }
+
   test("q_pii_scrub: map-side only — sole exchange is the presentation sort") {
     val p = plan("q_pii_scrub")
     val exchanges = "Exchange".r.findAllIn(p).size

@@ -883,6 +883,50 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out.tail.forall(_._5 < expAaBb), out.mkString(";"))
   }
 
+  test("sessionIds: mega-session among small ones — assignment, bounded truncation, path parity") {
+    import spark.implicits._
+    // one bot key with 10k sub-gap events (ONE session at any scale — the
+    // hot-key hazard) + a human key with two sessions split by a 2×gap
+    val gap = 1000L
+    val bot = (0 until 10000).map(i => ("bot", i * 10L, i.toLong, s"e${i % 3}"))
+    val human = Seq(("h", 0L, 100L, "a"), ("h", 500L, 101L, "b"),
+      ("h", 3000L, 102L, "c"), ("h", 3400L, 103L, "d"))
+    val df = (bot ++ human).toDF("user_id", "ts_us", "event_id", "event_type")
+    val sids = graft.api.TimeSeries.sessionIds(df, "ts_us", "user_id", gap,
+      Seq("event_id", "event_type"))
+    // session membership: bot = one session; human = {a,b} then {c,d}
+    val botSessions = sids.filter($"user_id" === "bot").select("session_id").distinct().count()
+    assert(botSessions == 1, s"bot must be ONE session, got $botSessions")
+    val humanSid = sids.filter($"user_id" === "h")
+      .select("event_type", "session_id").as[(String, Long)].collect().toMap
+    assert(humanSid("a") == humanSid("b") && humanSid("c") == humanSid("d")
+      && humanSid("a") != humanSid("c"), humanSid.toString)
+    // sn numbers within-session under the total order; truncation keeps
+    // exactly the first k
+    val first8 = sids.filter($"user_id" === "bot" && $"sn" <= 8)
+      .orderBy("sn").select("event_id").as[Long].collect()
+    assert(first8.toSeq == (0L until 8L), first8.mkString(","))
+    // the q_session_paths shape over this frame: the bot path is the
+    // first-8 event types, NOT all 10k
+    val paths = sids.filter($"sn" <= 8)
+      .groupBy("user_id", "session_id")
+      .agg(sort_array(collect_list(struct($"ts_us", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id", concat_ws(">", $"evs.event_type").as("path"))
+      .as[(String, String)].collect().toMap
+    assert(paths("bot") == "e0>e1>e2>e0>e1>e2>e0>e1", paths("bot"))
+    // the truncation filter sits BELOW the collect aggregate in the plan
+    // (buffer bounded before it builds, not sliced after)
+    val p = sids.filter($"sn" <= 8)
+      .groupBy("user_id", "session_id")
+      .agg(collect_list($"event_id").as("evs"))
+      .queryExecution.executedPlan.toString
+    // plan strings print parents first, so the aggregate must appear
+    // BEFORE (above) the sn-filter for the filter to be its child
+    val aggIdx = p.indexOf("collect_list")
+    val filterIdx = p.indexOf("Filter")
+    assert(aggIdx >= 0 && filterIdx >= 0 && aggIdx < filterIdx, p)
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
