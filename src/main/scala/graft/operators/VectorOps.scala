@@ -159,6 +159,35 @@ object VectorOps {
             ORDER BY vec_id""")
   )
 
+  /** Embedding near-dup clusters AT SCALE: the same star-contraction
+    * clustering as q_embed_clusters, but the pair graph comes from
+    * `Similarity.annJoin` (LSH band-bucket equi-join + exact re-rank)
+    * instead of the exempted quadratic exact baseline — THE composition
+    * a 100 TB embedding dedup actually runs: candidate generation is
+    * bucketed (cost ∝ collisions, never n²), the re-rank makes every
+    * surviving edge exact-cosine-verified ≥ the threshold (so ANN only
+    * loses edges, never invents them: approximate recall, exact
+    * precision), and star contraction closes the transitive hull in
+    * O(log n) join-free rounds. Approximate → no SQL oracle; property
+    * tests pin (a) edge-precision 1.0 vs the exact pair set, (b)
+    * cluster-pair recall ≥ 0.8 vs the exact q_embed_clusters labels,
+    * (c) the candidate/re-rank plan is equi-join only — no exemption
+    * needed, which is the point. */
+  private val qEmbedClustersAnn = Q(
+    "q_embed_clusters_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.annJoin(emb, "vec_id", "embedding",
+          k = 5, nPlanes = 32, bands = 8, dim = 64)
+        .filter(col("sim") >= 0.4)
+        .select(col("id").as("id_a"), col("neighbor_id").as("id_b"))
+      graft.api.TextDedup.connectedComponentsStar(pairs, emb, "vec_id")
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    None
+  )
+
   /** Int8 scalar quantization (graft.api.Similarity.quantize): per-vector
     * min/max range → [0,255] codes — the embedding storage-compression
     * step. Output is scalar per vector: the dequantization params, the
@@ -203,5 +232,5 @@ object VectorOps {
   )
 
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf,
-    qEmbedCentroids, qEmbedClusters, qEmbedQuantize)
+    qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn, qEmbedQuantize)
 }

@@ -97,6 +97,47 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ann-join recall $recall ($hit/${exact.size})")
   }
 
+  test("ann clusters: exact edge precision, cluster-pair recall ≥ 0.8 vs exact labels, equi-join-only plan") {
+    // the scale composition (annJoin pairs → star contraction) against
+    // the exact-pair clustering it approximates
+    val exactLabels = graft.SparkEntry.queries("q_embed_clusters")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val annLabels = graft.SparkEntry.queries("q_embed_clusters_ann")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(annLabels.keySet == exactLabels.keySet, "every vector must be labeled")
+    // (a) edge precision 1.0: the exact re-rank means ANN can only LOSE
+    // edges, never invent them — every ANN same-cluster merge must be
+    // backed by true-cosine edges, so any ANN cluster is a subset of an
+    // exact cluster
+    annLabels.groupBy(_._2).values.foreach { members =>
+      val exactIds = members.keys.map(exactLabels).toSet
+      assert(exactIds.size == 1,
+        s"an ANN cluster spans ${exactIds.size} exact clusters — invented edge: $members")
+    }
+    // (b) cluster-pair recall: of the exact same-cluster pairs, ≥ 80%
+    // are still same-cluster under ANN labels
+    def samePairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+      labels.groupBy(_._2).values.flatMap { m =>
+        val ids = m.keys.toSeq.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val exactPairs = samePairs(exactLabels)
+    val annPairs = samePairs(annLabels)
+    assert(exactPairs.nonEmpty, "fixture must contain non-trivial exact clusters")
+    val recall = exactPairs.count(annPairs.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"cluster-pair recall $recall (${exactPairs.size} exact pairs)")
+    assert((annPairs -- exactPairs).isEmpty, "precision must be exact (re-ranked edges only)")
+    // (c) the candidate/re-rank pair plan is equi-join only — the reason
+    // this composition needs NO exemption while q_embed_neardup does
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairPlan = graft.api.Similarity.annJoin(emb, "vec_id", "embedding",
+        k = 5, nPlanes = 32, bands = 8, dim = 64)
+      .filter(col("sim") >= 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("BroadcastNestedLoopJoin") && !pairPlan.contains("CartesianProduct"),
+      "ANN pair generation degenerated to a non-equi join\n" + pairPlan)
+  }
+
   test("ivf join recovers ≥ 60% of the exact near-dup pairs (recall, 4-probe of 16 cells)") {
     val exact = graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
