@@ -36,13 +36,32 @@ object Bench {
         }
       }
     Hygiene.dropLeakedBlocks(spark)
+    // Queries over 1 s get median-of-3: a single rep on a shared box can
+    // catch a GC pause or scheduling spike (r4 recorded q_anomaly at
+    // 7.19 s vs a 1.60 s warm re-measure) — the RECORDED number must be
+    // the defensible one, not a narrative footnote. Sub-second queries
+    // stay single-rep: their absolute noise is bounded by their size.
+    val reps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
       // a failed query reports -1 (NOT its time-until-failure summed into
       // the total as if it had succeeded)
       val secs =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
+        try {
+          val r1 = once()
+          if (r1 > 1.0) {
+            Hygiene.dropLeakedBlocks(spark)
+            val r2 = once()
+            Hygiene.dropLeakedBlocks(spark)
+            val r3 = once()
+            reps(name) = Seq(r1, r2, r3)
+            Seq(r1, r2, r3).sorted.apply(1)
+          } else r1
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
@@ -52,8 +71,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep spread for every median'd query, so the artifact itself
+    // shows whether a number is noisy (max/min) without a re-measure
+    val rp = reps.map { case (k, v) => s"\"" + k + "\":[" + v.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
