@@ -116,4 +116,77 @@ object Pipeline {
       .drop("fp")
     Sampling.sample(clean, textCol, samplePct)
   }
+
+  /** [[prepareStream]] WITH the near-dedup stage — the streaming mirror
+    * of `prepare(nearDedup = true)`. Returns TWO streams off the same
+    * input (run each as its own query; they share no state):
+    *
+    *   - `_1` the KEPT stream: filter → exact dedup → decontaminate →
+    *     sample, exactly [[prepareStream]];
+    *   - `_2` the near-dup MATCH stream over the same
+    *     filtered/deduped/decontaminated docs:
+    *     [[graft.streaming.StatefulOps.bandRows]] →
+    *     [[graft.streaming.StatefulOps.streamingNearDedup]] — MinHash-LSH
+    *     band state, flags each doc whose signature estimate clears
+    *     `estThreshold` against ANY earlier doc (cross-batch).
+    *
+    * Decontamination runs BEFORE banding on the match branch (batch
+    * `prepare` excludes eval rows from the corpus at stage 1, so an eval
+    * doc must neither absorb nor flag a training doc here either).
+    *
+    * The drop decision completes OUTSIDE the stream: signature state
+    * carries 32 longs per doc per band and never text, so exact-Jaccard
+    * verification needs a batch view of the docs (the sink table the
+    * kept stream feeds). Wire the match stream through
+    * [[nearDupDropIds]] (foreachBatch or any batch view of the match
+    * sink) and anti-join the kept sink against the verified ids — the
+    * streaming analog of batch `nearDupSurvivors`' cluster contraction:
+    * state keeps the FIRST arrival of each near-dup cluster (= the min
+    * id on an in-order replay, the batch canonical), later arrivals are
+    * flagged and verified-dropped. */
+  def prepareStreamNearDedup(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, evalFp: DataFrame, minQuality: Double = 0.5,
+      minTok: Int = 20, maxTok: Int = 80, samplePct: Int = 100,
+      dedupWatermark: String = "10 minutes", shingleN: Int = 3,
+      bands: Int = 8, estThreshold: Double = 0.5, maxBucketDocs: Int = 64,
+      ttlMs: Long = 0L)
+      : (DataFrame, org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.BandMatch]) = {
+    import graft.streaming.StatefulOps
+    val filtered = TextAnalysis.languageId(
+        TextAnalysis.qualityScore(df, textCol), textCol)
+      .filter(col("pred_lang") =!= "und" && col("quality") >= minQuality &&
+        col("n_tok").between(minTok, maxTok))
+    def dedupedClean(): DataFrame = filtered
+      .withColumn("fp", unhex(TextDedup.fingerprint(col(textCol))))
+      .withWatermark(tsCol, dedupWatermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(broadcast(evalFp), Seq("fp"), "left_anti")
+      .drop("fp")
+    val kept = Sampling.sample(dedupedClean(), textCol, samplePct)
+    // fresh subtree for the second query: streaming queries must not
+    // share plan nodes (each binds its own state store)
+    val matches = StatefulOps.streamingNearDedup(
+      StatefulOps.bandRows(
+        dedupedClean().withColumn("__ts_ms", unix_millis(col(tsCol))),
+        idCol, textCol, "__ts_ms", n = shingleN, bands = bands),
+      threshold = estThreshold, maxBucketDocs = maxBucketDocs, ttlMs = ttlMs)
+    (kept, matches)
+  }
+
+  /** The reconcile-and-decide step for [[prepareStreamNearDedup]]'s
+    * match stream: exact-Jaccard-verify the signature flags against a
+    * batch doc view ([[graft.streaming.StatefulOps.exactVerifyMatches]]
+    * — kills estimate false positives, restoring batch precision 1.0)
+    * and return the DISTINCT verified ids to drop. The flagged `id` is
+    * always the LATER arrival (state holds earlier docs), so dropping
+    * flagged ids keeps the first arrival — the batch canonical on an
+    * in-order replay. Match-sized, never corpus-sized; anti-join the
+    * kept sink against this frame for the final training set. */
+  def nearDupDropIds(matches: DataFrame, docStore: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame =
+    graft.streaming.StatefulOps
+      .exactVerifyMatches(matches, docStore, idCol, textCol,
+        n = shingleN, threshold = jaccardThreshold)
+      .select(col("id")).distinct()
 }

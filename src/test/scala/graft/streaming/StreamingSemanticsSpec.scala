@@ -371,6 +371,84 @@ class StreamingSemanticsSpec extends SparkTestBase {
       s"stream-batch mismatch: extra=${streamed -- batch} missing=${batch -- streamed}")
   }
 
+  test("prepareStreamNearDedup ≡ batch prepare(nearDedup=true): cross-batch pair caught, FP reconciled away") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // The proven FP-generator corpus (see the reconcile test above), made
+    // language-identifiable: a leading "the" per doc → pred_lang = en,
+    // and every trigram still contains a unique token so cross-pair
+    // overlap stays zero. 21 tokens/doc: suffix-3 rewrites give exact
+    // trigram J = 16/22 ≈ 0.727 (true near-dups), suffix-7 give
+    // 12/26 ≈ 0.462 (< 0.5 — near-misses, some of which the 32-hash
+    // estimate WILL flag: the signature false positives the reconcile
+    // must remove). Base ids are even, variants odd.
+    def words(p: Int, cnt: Int, tag: String): Seq[String] =
+      (0 until cnt).map(w => s"p$p$tag$w")
+    def pairDocs(p: Int, rewritten: Int): Seq[(Long, String)] = {
+      val base = "the" +: words(p, 20, "w")
+      val varnt = base.dropRight(rewritten) ++ words(p, rewritten, "x")
+      Seq((2L * p, base.mkString(" ")), (2L * p + 1, varnt.mkString(" ")))
+    }
+    val nearMiss = (0 until 30).flatMap(pairDocs(_, 7))
+    val trueDups = (100 until 103).flatMap(pairDocs(_, 3))
+    // standalone docs: one becomes the eval doc (it must neither absorb
+    // nor flag anything), one stays a plain survivor
+    val solo = Seq((400L, ("the" +: words(200, 20, "s")).mkString(" ")),
+      (402L, ("the" +: words(201, 20, "s")).mkString(" ")))
+    val docs = (nearMiss ++ trueDups ++ solo).sortBy(_._1)
+    val docsDf = docs.toDF("doc_id", "text")
+    val isEval = col("doc_id") === 400L
+    val evalFp = docsDf.filter(isEval)
+      .select(unhex(graft.api.TextDedup.fingerprint(col("text"))).as("fp")).distinct()
+
+    // ground truth: the batch pipeline with the near-dedup stage
+    val batchKept = graft.api.Pipeline.prepare(docsDf, "doc_id", "text", isEval,
+        nearDedup = true, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Hygiene.dropLeakedBlocks(spark)
+    // sanity on the fixture: every odd true-dup variant dropped, the
+    // near-miss variants kept, solo survivor kept, eval doc absent
+    assert(Seq(201L, 203L, 205L).map(_ + 0).forall(id => !batchKept.contains(id)))
+    assert(batchKept.contains(402L) && !batchKept.contains(400L))
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts_t", timestamp_millis(lit(1704067200000L) + col("doc_id")))
+    val (kept, matches) = graft.api.Pipeline.prepareStreamNearDedup(
+      stream, "doc_id", "text", "ts_t", evalFp, estThreshold = 0.5)
+    val qk = kept.select("doc_id").writeStream.format("memory")
+      .queryName("snd_kept").outputMode("append").start()
+    val qm = matches.writeStream.format("memory")
+      .queryName("snd_matches").outputMode("append").start()
+    try {
+      // in-order replay, bases (even) then variants (odd) → every true
+      // near-dup pair is CROSS-BATCH: the band state must carry over
+      mem.addData(docs.filter(_._1 % 2 == 0))
+      qk.processAllAvailable(); qm.processAllAvailable()
+      mem.addData(docs.filter(_._1 % 2 == 1))
+      qk.processAllAvailable(); qm.processAllAvailable()
+    } finally { qk.stop(); qm.stop() }
+
+    val streamKept = spark.table("snd_kept").collect().map(_.getLong(0)).toSet
+    val rawMatches = spark.table("snd_matches")
+    val flagged = rawMatches.select("id").distinct().collect().map(_.getLong(0)).toSet
+    // the premise: ≥1 estimate false positive was flagged (a near-miss
+    // variant) — without the reconcile, parity would FAIL
+    val trueDropIds = Set(201L, 203L, 205L)
+    assert((flagged -- trueDropIds).nonEmpty,
+      s"no signature FP flagged — retune the corpus ($flagged)")
+    assert((streamKept -- flagged) != batchKept,
+      "raw flags already equal batch — the FP premise is broken")
+    // reconcile: exact-Jaccard verify against the doc store, then drop
+    val dropIds = graft.api.Pipeline.nearDupDropIds(rawMatches, docsDf,
+        "doc_id", "text", shingleN = 3, jaccardThreshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropIds == trueDropIds, s"verified drops $dropIds != $trueDropIds")
+    assert(streamKept -- dropIds == batchKept,
+      s"parity broken: extra=${(streamKept -- dropIds) -- batchKept} " +
+        s"missing=${batchKept -- (streamKept -- dropIds)}")
+  }
+
   test("salted aggregation equals plain aggregation (skew utility)") {
     import org.apache.spark.sql.functions._
     val plain = Tables.events(spark, sfDir)
