@@ -276,6 +276,93 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Iterative BPE vocabulary learner — the full merge LOOP
+    * [[adjacentPairs]] is one round of, at the standard character level:
+    * words decompose into single-character symbols plus a `</w>`
+    * end-of-word marker, and each round merges every (greedy,
+    * left-to-right) occurrence of the corpus-wide most frequent adjacent
+    * symbol pair, then recounts — Sennrich et al.'s subword algorithm as
+    * published.
+    *
+    * Scale shape (the reason BPE fits a 100 TB corpus at all): the
+    * corpus is scanned ONCE, into the word-frequency table — everything
+    * after runs over that VOCAB-sized frame (pair recount = one hash
+    * aggregate per round with map-side combine, weighted by word count;
+    * merge application = one fold projection), the unrolled-iteration
+    * shape PageRank/star-contraction already use, with each round's
+    * vocab localCheckpointed and the previous round's blocks dropped
+    * eagerly (memory ∝ one round). The per-round top-pair `.limit(1)
+    * .collect()` is a MODEL-sized read (one row per round — the learned
+    * merge table IS the model, like any ML fit; CLAUDE.md invariant 3's
+    * exemption family).
+    *
+    * Deterministic: ties on count break by (left, right) ascending.
+    * Merge application is the greedy left-to-right fold — in `aaa` with
+    * merge (a,a) the first two symbols merge, the third survives — via
+    * a Column-API `aggregate` fold (no SQL string interpolation of
+    * symbol values, so quotes/backslashes in tokens are safe). Rounds
+    * stop early if the vocabulary runs out of adjacent pairs. Returns
+    * (round, left, right, merged, cnt) — cnt is the pair's weighted
+    * count AT SELECTION TIME. */
+  def bpeLearn(df: DataFrame, textCol: String, rounds: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(rounds >= 1, s"rounds must be ≥1, got $rounds")
+    val spark = df.sparkSession
+    def dropCheckpoint(d: DataFrame): Unit =
+      d.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    // THE one corpus scan: word frequencies, then words become symbol
+    // arrays (chars + the end-of-word marker)
+    var vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(concat(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        array(lit("</w>"))).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    var r = 1
+    while (r <= rounds && !exhausted) {
+      // overlap-counting pair frequencies (the published algorithm's
+      // get_stats: zip(word, word[1:]) — overlaps count), weighted
+      val top = vocab
+        .select(explode(expr(
+          """CASE WHEN size(syms) >= 2
+                THEN transform(sequence(0, size(syms) - 2),
+                       i -> struct(syms[i] AS a, syms[i+1] AS b))
+                ELSE array() END""")).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, c))
+        // greedy left-to-right merge: fold symbols, replacing a trailing
+        // `a` with `ab` when `b` arrives (a fresh merged tail can't
+        // re-merge this round — its symbol no longer equals `a`)
+        val applied = vocab.select(aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s)))).as("syms"), col("cnt"))
+          .localCheckpoint()
+        dropCheckpoint(vocab)
+        vocab = applied
+      }
+      r += 1
+    }
+    dropCheckpoint(vocab)
+    import spark.implicits._
+    merges.result().toDF("round", "left", "right", "merged", "cnt")
+  }
+
   /** Gopher-style repetition statistics per document: duplicate-token
     * fraction (1 − distinct/total) and top-bigram fraction (count of the
     * most frequent 2-gram / total 2-grams). The token stats are pure

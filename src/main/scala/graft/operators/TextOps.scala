@@ -697,6 +697,23 @@ object TextOps {
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")
   )
 
+  /** Iterative BPE vocabulary LEARNER
+    * (graft.api.TextAnalysis.bpeLearn): 12 character-level merge rounds
+    * over the documents corpus — each round merges the most frequent
+    * adjacent symbol pair (count-desc, pair-asc tiebreak) everywhere and
+    * recounts, the published subword algorithm. One corpus scan builds
+    * the word-frequency table; every round after is vocab-sized.
+    * Iterative + driver-held merge table → no SQL oracle; the merge
+    * sequence is pinned against an independent plain-Scala model in
+    * OperatorPropertiesSpec ("bpeLearn ≡ plain-Scala reference"). */
+  private val qBpeLearn = Q(
+    "q_bpe_learn",
+    (s, dir) =>
+      graft.api.TextAnalysis.bpeLearn(Tables.documents(s, dir), "text", rounds = 12)
+        .orderBy("round"),
+    None
+  )
+
   /** PMI collocations (graft.api.TextAnalysis.pmiCollocations): top-30
     * adjacent token pairs by pointwise mutual information among pairs
     * seen ≥5 times — the association lens q_bpe_pairs' raw counts miss.
@@ -841,7 +858,7 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
-    qPerplexity, qBpePairs, qCollocations, qPiiScrub, qPipelineE2e,
+    qPerplexity, qBpePairs, qBpeLearn, qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qProfile, qHistogram, qBinQuantile, qWinsorize,
     qMadOutliers)
 }

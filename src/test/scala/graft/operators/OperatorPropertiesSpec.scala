@@ -968,6 +968,63 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(aggIdx >= 0 && filterIdx >= 0 && aggIdx < filterIdx, p)
   }
 
+  test("bpeLearn ≡ plain-Scala reference (merge sequence, counts, greedy overlap semantics)") {
+    import spark.implicits._
+    // independent reference implementation of the published algorithm
+    def refBpe(words: Seq[String], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = words.groupBy(identity).map {
+        case (w, ws) => (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong
+      }
+      def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+        syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+          else acc :+ s
+        }
+      (1 to rounds).iterator.flatMap { r =>
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (pc.isEmpty) None
+        else {
+          val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x, y) }
+          vocab = vocab.groupMapReduce { case (syms, _) => applyMerge(syms, a, b) }(_._2)(_ + _)
+          Some((r.toLong, a, b, a + b, c))
+        }
+      }.toSeq
+    }
+    // the classic fixture (low/lower/newest/widest) + an overlap trap:
+    // "aaaa" makes the greedy left-to-right rule observable ("aa" merges
+    // twice, the overlapping middle pair does not)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq.fill(8)("aaaa")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = graft.api.TextAnalysis.bpeLearn(docs, "text", rounds = 10)
+      .orderBy("round")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val want = refBpe(words, 10)
+    assert(got == want, s"\ngot:  ${got.mkString("\n      ")}\nwant: ${want.mkString("\n      ")}")
+    // greedy overlap semantics visible in the learned table: the (a,a)
+    // merge is counted 3× per "aaaa" at selection time (overlap counts),
+    // and "aaaa" contracts to [aa, aa, </w>] — the later (aa, aa</w>)
+    // merge only exists if application was non-overlapping left-to-right
+    val aa = got.find(m => m._2 == "a" && m._3 == "a")
+    assert(aa.exists(_._5 == 24L), s"expected (a,a) weighted count 24 (3 overlaps × 8 words): $aa")
+    assert(got.exists(m => m._2 == "aa" && m._3 == "aa</w>"),
+      s"expected a later (aa, aa</w>) merge proving left-to-right application: $got")
+    // determinism: a second run returns the identical table
+    val again = graft.api.TextAnalysis.bpeLearn(docs, "text", rounds = 10)
+      .orderBy("round").as[(Long, String, String, String, Long)].collect().toSeq
+    assert(again == got)
+    // early stop: a vocabulary that runs dry stops short without error
+    val tiny = Seq("q").toDF("text")
+    val short = graft.api.TextAnalysis.bpeLearn(tiny, "text", rounds = 10)
+      .as[(Long, String, String, String, Long)].collect()
+    assert(short.length == 1 && short.head._4 == "q</w>", short.mkString(","))
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
