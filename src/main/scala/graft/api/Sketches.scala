@@ -4,6 +4,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{functions => F}
 
 /** Sketch aggregations beyond Spark's built-ins (HLL, t-digest approx
   * percentile are covered by `approx_count_distinct` /
@@ -83,5 +84,127 @@ object Sketches {
   def heavyHitters(k: Int): Column => Column = {
     val fn = udaf(new SpaceSaving(k))
     (c: Column) => fn(c)
+  }
+
+  /** A DDSketch-style mergeable quantile sketch (Masson, Rim & Lee,
+    * "DDSketch: a fast and fully-mergeable quantile sketch with
+    * relative-error guarantees", VLDB 2019): sparse log-scale bucket
+    * counts over |x| with base γ = (1+α)/(1−α), a separate exact-zero
+    * count, and a mirrored store for negatives. Bucket midpoints are
+    * within relative error α of every value in the bucket, so any
+    * quantile estimate is within α·|true value|.
+    *
+    * Why THIS sketch for the persisted-rollup pattern (vs GK/KLL/
+    * t-digest): merging is a per-bucket counter SUM — commutative,
+    * associative, loss-free — so (a) merged-sketch == sketch-of-union
+    * EXACTLY, any grouping, and (b) results cannot depend on Spark's
+    * partition/shuffle arrival order, which is what the determinism
+    * gate requires and what rank-based sketches (whose merge is
+    * order-sensitive) cannot promise.
+    *
+    * Bucket count is bounded by O(log(valueRange)/α) observed buckets
+    * (sparse maps; ±~75k indexes at α=0.01 across the full double
+    * range, in practice a few hundred). NaN/±Inf inputs are skipped
+    * (not indexable); SQL NULLs must be filtered upstream (a typed
+    * aggregator would silently coerce them to 0.0). */
+  final case class DDSketch(pos: Map[Int, Long], neg: Map[Int, Long],
+      zero: Long, cnt: Long)
+
+  private def ddGamma(alpha: Double): Double = (1 + alpha) / (1 - alpha)
+
+  private def ddIndex(v: Double, lnGamma: Double): Int =
+    math.ceil(math.log(v) / lnGamma).toInt
+
+  private def ddAdd(m: Map[Int, Long], i: Int, c: Long): Map[Int, Long] =
+    m.updated(i, m.getOrElse(i, 0L) + c)
+
+  private def ddMergeMaps(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
+    b.foldLeft(a) { case (acc, (i, c)) => ddAdd(acc, i, c) }
+
+  private val ddEmpty = DDSketch(Map.empty, Map.empty, 0L, 0L)
+
+  class DDSketchAgg(alpha: Double)
+      extends Aggregator[java.lang.Double, DDSketch, DDSketch] {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    private val lnGamma = math.log(ddGamma(alpha))
+    def zero: DDSketch = ddEmpty
+    def reduce(b: DDSketch, a: java.lang.Double): DDSketch =
+      if (a == null || a.isNaN || a.isInfinite) b
+      else {
+        val v = a.doubleValue()
+        if (v == 0.0) b.copy(zero = b.zero + 1, cnt = b.cnt + 1)
+        else if (v > 0) b.copy(pos = ddAdd(b.pos, ddIndex(v, lnGamma), 1L), cnt = b.cnt + 1)
+        else b.copy(neg = ddAdd(b.neg, ddIndex(-v, lnGamma), 1L), cnt = b.cnt + 1)
+      }
+    def merge(a: DDSketch, b: DDSketch): DDSketch =
+      DDSketch(ddMergeMaps(a.pos, b.pos), ddMergeMaps(a.neg, b.neg),
+        a.zero + b.zero, a.cnt + b.cnt)
+    def finish(b: DDSketch): DDSketch = b
+    def bufferEncoder: Encoder[DDSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[DDSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  class DDMergeAgg extends Aggregator[DDSketch, DDSketch, DDSketch] {
+    def zero: DDSketch = ddEmpty
+    def reduce(b: DDSketch, a: DDSketch): DDSketch = merge(b, a)
+    def merge(a: DDSketch, b: DDSketch): DDSketch =
+      if (a == null) b else if (b == null) a
+      else DDSketch(ddMergeMaps(a.pos, b.pos), ddMergeMaps(a.neg, b.neg),
+        a.zero + b.zero, a.cnt + b.cnt)
+    def finish(b: DDSketch): DDSketch = b
+    def bufferEncoder: Encoder[DDSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[DDSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Quantile estimates from a [[DDSketch]]: the value at 0-based rank
+    * floor(q·(cnt−1)) — negatives walked most-negative-first, then
+    * zeros, then positives — estimated as the bucket midpoint
+    * 2γ^i/(γ+1) (within α·|x| of the true value). Pure and
+    * deterministic; empty sketch → null. */
+  def ddQuery(sk: DDSketch, alpha: Double, q: Double): Option[Double] = {
+    if (sk == null || sk.cnt == 0L) return None
+    val gamma = ddGamma(alpha)
+    def mid(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1)
+    val rank0 = math.floor(q * (sk.cnt - 1)).toLong
+    var cum = 0L
+    for (i <- sk.neg.keys.toSeq.sorted(Ordering[Int].reverse)) {
+      cum += sk.neg(i)
+      if (cum > rank0) return Some(-mid(i))
+    }
+    cum += sk.zero
+    if (cum > rank0) return Some(0.0)
+    for (i <- sk.pos.keys.toSeq.sorted) {
+      cum += sk.pos(i)
+      if (cum > rank0) return Some(mid(i))
+    }
+    // numerically unreachable (cum ends at cnt > rank0); cover anyway
+    Some(mid(sk.pos.keys.max))
+  }
+
+  /** Column forms. `ddSketch(0.01)(col("value"))` aggregates raw
+    * doubles into a sketch struct; `ddMerge()(col("sk"))` rolls sketch
+    * rows up; `ddQuantiles(0.01, Seq(0.5, 0.9))(col("sk"))` evaluates
+    * quantiles → array<double> (row-level, meant for GROUP-sized frames
+    * — days, strata — never raw corpus rows). */
+  def ddSketch(alpha: Double): Column => Column = {
+    val fn = udaf(new DDSketchAgg(alpha), Encoders.DOUBLE)
+    (c: Column) => fn(c)
+  }
+
+  def ddMerge(): Column => Column = {
+    val fn = udaf(new DDMergeAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[DDSketch]())
+    // the typed input encoder flattens the case class: pass its fields
+    (c: Column) => fn(c.getField("pos"), c.getField("neg"), c.getField("zero"), c.getField("cnt"))
+  }
+
+  def ddQuantiles(alpha: Double, qs: Seq[Double]): Column => Column = {
+    val f = F.udf((pos: Map[Int, Long], neg: Map[Int, Long], zero: Long, cnt: Long) =>
+      qs.map(q => ddQuery(DDSketch(pos, neg, zero, cnt), alpha, q).map(Double.box).orNull))
+    (c: Column) => f(c.getField("pos"), c.getField("neg"), c.getField("zero"), c.getField("cnt"))
   }
 }

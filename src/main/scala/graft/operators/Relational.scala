@@ -359,6 +359,47 @@ object Relational {
     None
   )
 
+  /** MERGEABLE QUANTILE sketch rollup — q_hll_rollup's persisted-sketch
+    * pattern for DISTRIBUTIONS (graft.api.Sketches.DDSketchAgg, the
+    * DDSketch log-bucket design): per-day value sketches roll up to
+    * any-date-range percentiles WITHOUT rescanning raw data — daily
+    * latency/length distributions composing to weekly/monthly p50/p90
+    * is the standard ask `percentile_approx`'s one-shot estimate can't
+    * serve. The bucket-counter-sum merge is commutative and loss-free,
+    * so the merged row is EXACTLY the whole-range sketch (stronger than
+    * HLL's register-max) and no Spark partition/arrival order can
+    * change the answer — rank-based sketches (GK/KLL) could not pass
+    * the determinism gate here. Long output shape (day_idx, q, est):
+    * per-day rows plus the merged range under day_idx NULL; quantile
+    * evaluation runs on the DAY-sized frame only. Approximate → no SQL
+    * oracle; merge-exactness, partition-order independence and the
+    * α·|x| error contract are property-tested (OperatorPropertiesSpec
+    * "ddsketch"). */
+  private val qQuantileRollup = Q(
+    "q_quantile_rollup",
+    (s, dir) => {
+      val alpha = 0.01
+      val qs = Seq(0.5, 0.9)
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day_idx"),
+          col("value"))
+        .groupBy("day_idx")
+        .agg(graft.api.Sketches.ddSketch(alpha)(col("value")).as("sk"))
+      def expand(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select(col("day_idx"),
+            posexplode(graft.api.Sketches.ddQuantiles(alpha, qs)(col("sk"))).as(Seq("qi", "est")))
+          .select(col("day_idx"),
+            element_at(typedLit(qs), col("qi") + 1).as("q"),
+            (floor(col("est") * 10000) / 10000.0).as("est"))
+      expand(daily)
+        .unionByName(expand(daily.agg(graft.api.Sketches.ddMerge()(col("sk")).as("sk"))
+          .select(lit(null).cast("long").as("day_idx"), col("sk"))))
+        .orderBy(asc_nulls_first("day_idx"), asc("q"))
+    },
+    None
+  )
+
   // ---- set operations ----------------------------------------------------
 
   private val qUnionAll = Q(
@@ -570,6 +611,6 @@ object Relational {
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
-    qAggCube, qApproxDistinct, qHllRollup, qUnionAll, qIntersect, qExcept,
+    qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qUnionAll, qIntersect, qExcept,
     qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ5, qSqlTpchQ10)
 }

@@ -1025,6 +1025,43 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(short.length == 1 && short.head._4 == "q</w>", short.mkString(","))
   }
 
+  test("ddsketch quantile rollup: exact mergeability, partition-order independence, α·|x| error") {
+    import spark.implicits._
+    import graft.api.Sketches
+    val alpha = 0.01
+    // mixed-sign data with zeros and a heavy tail, split over 5 "days"
+    val vals = (1 to 4000).map(i => math.exp(i % 17) * (if (i % 3 == 0) -1 else 1)) ++
+      Seq.fill(50)(0.0) ++ (1 to 500).map(_ * 0.001)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i % 5, v) }
+    val df = rows.toDF("day", "value")
+    def skOf(d: org.apache.spark.sql.DataFrame): Sketches.DDSketch =
+      d.agg(Sketches.ddSketch(alpha)(col("value")).as("sk"))
+        .select("sk.*").as[Sketches.DDSketch].head()
+    // 1. merged per-day sketches ≡ the whole-data sketch, field-exact
+    val whole = skOf(df)
+    val daily = df.groupBy("day").agg(Sketches.ddSketch(alpha)(col("value")).as("sk"))
+    val merged = daily.agg(Sketches.ddMerge()(col("sk")).as("sk"))
+      .select("sk.*").as[Sketches.DDSketch].head()
+    assert(merged == whole, "bucket-sum merge must be loss-free (merged != whole-data sketch)")
+    // 2. partition/arrival order cannot change the sketch
+    val shuffled = skOf(df.repartition(7, col("value")))
+    assert(shuffled == whole, "sketch depends on partitioning — merge is not order-free")
+    // 3. the relative-error contract at many quantiles, vs exact values
+    //    at the same rank convention (0-based floor(q·(n−1)))
+    val sorted = vals.sorted
+    for (q <- Seq(0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)) {
+      val exact = sorted(math.floor(q * (sorted.size - 1)).toInt)
+      val est = Sketches.ddQuery(whole, alpha, q).get
+      assert(math.abs(est - exact) <= alpha * math.abs(exact) + 1e-9,
+        s"q=$q est=$est exact=$exact exceeds α relative error")
+    }
+    // 4. NaN/Inf skipped, exact zeros land in the zero store
+    val dirty = (vals ++ Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+      .toDF("value")
+    assert(skOf(dirty) == whole, "NaN/Inf must be skipped, not indexed")
+    assert(whole.zero == 50L && whole.cnt == vals.size.toLong)
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
