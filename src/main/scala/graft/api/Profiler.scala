@@ -14,12 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
-  /** Exact per-column profile: (col_name, n_rows, n_nulls, n_distinct),
+  /** Per-column profile: (col_name, n_rows, n_nulls, n_distinct),
     * all BIGINT (engine-portable — no float formatting in the output).
     * `cols` defaults to every column of `df`. Internal aliases are
     * index-based and the emitted name is a quoted literal, so arbitrary
-    * column names (spaces, dots, quotes) are safe. */
-  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    * column names (spaces, dots, quotes) are safe.
+    *
+    * `approxDistinct = true` swaps `count_distinct` for
+    * `approx_count_distinct` (HLL++, default 5% rsd): exact multi-column
+    * distincts plan an Expand pass — the input re-emitted once PER
+    * PROFILED COLUMN through the aggregate — so at 100 TB × a wide
+    * table the cheap first-pass profile wants the sketch, which keeps
+    * the plan a single plain map-side-combining aggregate (no Expand,
+    * plan-pinned in PlanAuditSpec). Exact mode stays the default and
+    * the oracled form. */
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+      approxDistinct: Boolean = false): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "profile() needs at least one column")
     // one shared row count + per-column (nulls, distinct); aliases are
@@ -27,7 +37,8 @@ object Profiler {
     val aggs = count(lit(1)).as("__rows") +: names.zipWithIndex.flatMap { case (c, i) =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"__nulls_$i"),
-        count_distinct(col(c)).as(s"__dist_$i"))
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"__dist_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // stack takes a FLAT expression list (n rows × 4 values per row);

@@ -255,6 +255,28 @@ class PlanAuditSpec extends SparkTestBase {
       "row_number truncation must run before the per-session collect\n" + p)
   }
 
+  test("Profiler.profile approxDistinct: the per-column Expand pass disappears, exact keeps it") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = graft.api.Profiler.profile(docs)
+      .queryExecution.executedPlan.toString
+    val approx = graft.api.Profiler.profile(docs, approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    // exact multi-column distincts re-emit the input once per profiled
+    // column through an Expand; the HLL++ sketch path must not
+    assert(exact.contains("Expand"), "exact profile no longer plans the Expand this test pins\n" + exact)
+    assert(!approx.contains("Expand"),
+      "approx profile still plans an Expand — the cheap first-pass promise is broken\n" + approx)
+    assert("HashAggregate".r.findAllIn(approx).size >= 2,
+      "approx profile must stay a two-phase hash aggregate\n" + approx)
+    // and the swap changes ONLY the distinct estimator: same shape,
+    // same row/null counts
+    val e = graft.api.Profiler.profile(docs).orderBy("col_name")
+      .select("col_name", "n_rows", "n_nulls").collect().toSeq
+    val a = graft.api.Profiler.profile(docs, approxDistinct = true).orderBy("col_name")
+      .select("col_name", "n_rows", "n_nulls").collect().toSeq
+    assert(e == a, "row/null counts must be identical across modes")
+  }
+
   test("q_pii_scrub: map-side only — sole exchange is the presentation sort") {
     val p = plan("q_pii_scrub")
     val exchanges = "Exchange".r.findAllIn(p).size
