@@ -56,31 +56,51 @@ object Pipeline {
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("fp")))
       .filter(col(idCol) === col("__keep"))
       .drop("__keep")
-    val deduped =
-      if (!nearDedup) survivors
-      else {
-        // nearDupSurvivors consumes its input twice (pair generation +
-        // survivor anti-join), and `survivors` here is the expensive
-        // subtree — HOF quality/language scoring plus the corpus-wide
-        // fingerprint window shuffle. Materialize it once rather than
-        // re-executing that per consumer (the r2 lesson: checkpoint
-        // multiply-consumed AGGREGATION subtrees; plain scans don't
-        // qualify, this does). The snapshot's blocks stay pinned until
-        // the caller releases them — after materializing the result,
-        // call `graft.Hygiene.dropLeakedBlocks(spark)` (what Verify/
-        // Bench/the determinism suite do between queries) or unpersist
-        // via sparkContext.getPersistentRDDs. Construction is eager
-        // regardless of this checkpoint: the near-dedup clustering
-        // rounds themselves run jobs while the plan is being built.
-        val snap = survivors.localCheckpoint()
-        TextDedup.nearDupSurvivors(snap, idCol, textCol,
-          n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
-      }
-    val clean = deduped
+    def clean(d: DataFrame): DataFrame = d
       .join(broadcast(evalFp), Seq("fp"), "left_anti")
       .drop("fp")
-    Sampling.sample(clean, textCol, samplePct)
+    if (!nearDedup) Sampling.sample(clean(survivors), textCol, samplePct)
+    else {
+      // nearDupSurvivors consumes its input twice (pair generation +
+      // survivor anti-join), and `survivors` here is the expensive
+      // subtree — HOF quality/language scoring plus the corpus-wide
+      // fingerprint window shuffle. Materialize it once rather than
+      // re-executing that per consumer (the r2 lesson: checkpoint
+      // multiply-consumed AGGREGATION subtrees; plain scans don't
+      // qualify, this does). Construction is eager regardless: the
+      // clustering rounds run jobs while the plan is being built — so
+      // finish the remaining (map-side) stages, checkpoint the RESULT,
+      // and release every intermediate block this call pinned (the
+      // input snapshot, the contraction's final round) before
+      // returning. The ONLY persistent blocks left are the returned
+      // frame's own; [[release]] frees those when the caller is done.
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val snap = survivors.localCheckpoint()
+      val near = TextDedup.nearDupSurvivors(snap, idCol, textCol,
+        n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+      val out = Sampling.sample(clean(near), textCol, samplePct).localCheckpoint()
+      val keep = out.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Set(lr.rdd.id)
+        case _ => Set.empty[Int]
+      }
+      // diffed against `before`: only blocks THIS call created are
+      // swept — a caller's unrelated cached frames are never touched
+      sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
+        if (!before.contains(rddId) && !keep.contains(rddId)) rdd.unpersist(false)
+      }
+      out
+    }
   }
+
+  /** Free the materialized blocks backing a frame returned by
+    * `prepare(nearDedup = true)` once the caller is done with it. A
+    * no-op on any other frame. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** The corpus-prep pipeline AT INGEST — the streaming form of
     * [[prepare]] for a continuously-arriving corpus (e.g. the `arrivals`

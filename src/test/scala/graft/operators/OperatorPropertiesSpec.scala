@@ -1062,6 +1062,36 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(whole.zero == 50L && whole.cnt == vals.size.toLong)
   }
 
+  test("prepare(nearDedup=true) block hygiene: intermediates released, result self-contained, release() frees the rest") {
+    graft.Hygiene.dropLeakedBlocks(spark)
+    val sc = spark.sparkContext
+    def persisted(): Set[Int] =
+      sc.getPersistentRDDs.filter(_._2.getStorageLevel.isValid).keySet.toSet
+    val before = persisted()
+    // a caller-owned cached frame prepare must NOT sweep
+    val callerOwned = Tables.nation(spark, sfDir).cache()
+    callerOwned.count()
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val out = graft.api.Pipeline.prepare(docs, "doc_id", "text",
+      isEval = col("doc_id") % 97 === 0, samplePct = 50,
+      nearDedup = true, jaccardThreshold = 0.5, maxShingleDf = 10L)
+    val afterPrepare = persisted() -- before
+    // exactly ONE new persistent RDD: the materialized result itself —
+    // the input snapshot and the contraction's rounds are already gone
+    assert(afterPrepare.size == 2, // result + callerOwned
+      s"prepare leaked intermediates: ${afterPrepare.size - 2} extra persistent RDDs")
+    // the result is self-contained: consuming it twice is block-served
+    val n1 = out.count(); val n2 = out.select("doc_id").distinct().count()
+    assert(n1 > 0 && n1 == n2)
+    // release() frees the result's blocks and ONLY them
+    graft.api.Pipeline.release(out)
+    val afterRelease = persisted() -- before
+    // exactly the caller's own cache survives
+    assert(afterRelease.size == 1, s"release swept too much or too little: $afterRelease")
+    assert(callerOwned.count() > 0)
+    callerOwned.unpersist(blocking = false)
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
