@@ -34,12 +34,32 @@ object Graph {
     * iteration's aggregate as DECIMAL(30,10) — accumulation-order-proof
     * — and the damping update is one fixed double expression, so by
     * induction every iteration's rank vector is bit-identical on any
-    * IEEE engine replaying the formula. */
+    * IEEE engine replaying the formula.
+    *
+    * CONTRACT: both endpoints of every pair must appear in `allIds`.
+    * An edge endpoint outside the id universe silently loses rank mass
+    * (a source not in `allIds` has no rank row to contribute from; a
+    * destination not in `allIds` is dropped by the rank-frame left
+    * join) — a mismatched input produces plausible-looking but wrong
+    * ranks, not an error. Pass `validateIds = true` to pay one
+    * edge-sized anti-join count up front and fail LOUDLY instead (off
+    * by default: the near-dup pair graphs this serves derive their ids
+    * from the same corpus frame, where the contract holds by
+    * construction). */
   def pageRank(pairs: DataFrame, srcCol: String, dstCol: String,
       allIds: DataFrame, idCol: String,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 3, damping: Double = 0.85,
+      validateIds: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be ≥1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    if (validateIds) {
+      val u = allIds.select(col(idCol).as("id")).filter(col("id").isNotNull).distinct()
+      val stray = pairs.select(col(srcCol).as("id"))
+        .union(pairs.select(col(dstCol).as("id")))
+        .join(u, Seq("id"), "left_anti").count()
+      require(stray == 0L,
+        s"pageRank: $stray edge endpoint(s) missing from allIds — their rank mass would silently vanish")
+    }
     val p = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))

@@ -89,21 +89,30 @@ object Sampling {
     * normalizer sums them (strata-count-sized, but accumulation order
     * still engine-dependent), and the integer pct floors from one fixed
     * double expression — so any engine replaying the formula reproduces
-    * the exact corpus. Adds `pct` (the stratum's rate) to the kept rows. */
+    * the exact corpus. Adds `pct` (the stratum's rate) to the kept rows.
+    *
+    * NULL-stratum rows are DROPPED (the stratum equi-join can never
+    * match them) and are therefore excluded from the normalizer too —
+    * they must not dilute the rates of rows that can actually be kept.
+    * A tiny stratum whose rate would floor to 0 keeps pct = 1 instead
+    * (≈1% kept) — temperature mixing rebalances strata, it should never
+    * silently delete one; the cap and the floor bound every stratum's
+    * rate into [1, 100]. */
   def temperatureMix(df: DataFrame, onCol: String, strataCol: String,
       targetPct: Int, weight: Column => Column = sqrt): DataFrame = {
     require(targetPct > 0 && targetPct <= 100, s"targetPct must be in (0,100], got $targetPct")
-    val counts = df.groupBy(col(strataCol).as("__stratum"))
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__stratum"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", weight(col("__n").cast("double")).cast("decimal(30,10)"))
     val z = counts.agg(sum(col("__w")).as("__z"), sum(col("__n")).as("__total"))
     val rates = counts.crossJoin(broadcast(z))
       .select(col("__stratum"),
-        least(lit(100L), floor(
+        greatest(lit(1L), least(lit(100L), floor(
           lit(targetPct.toDouble) * col("__total").cast("double")
             * col("__w").cast("double")
-            / (col("__z").cast("double") * col("__n").cast("double"))))
-          .cast("long").as("pct"))
+            / (col("__z").cast("double") * col("__n").cast("double")))
+          .cast("long"))).as("pct"))
     df.join(broadcast(rates), col(strataCol) === col("__stratum"))
       .drop("__stratum")
       .filter(hashBucket(col(onCol)) < col("pct"))

@@ -53,7 +53,15 @@ object Similarity {
     * stats — can be compared across engines exactly. */
   def quantize(df: DataFrame, vecCol: String, levels: Int = 256): DataFrame = {
     require(levels >= 2, s"levels must be ≥2, got $levels")
-    val v = col(vecCol).cast("array<double>")
+    // an ELEMENT-level NULL would diverge cross-engine (Spark's
+    // aggregate fold poisons to NULL, DuckDB's list_sum skips, and
+    // array_min/max skip → codes with null holes instead of a loud
+    // NULL) — normalize such vectors to the whole-vector-NULL
+    // convention up front: every output column goes NULL together.
+    // `exists` is a plain array scan — bounded ×refs under
+    // CollapseProject, like the min/max scans below.
+    val raw = col(vecCol).cast("array<double>")
+    val v = when(!exists(raw, e => e.isNull), raw)
     val mn = array_min(v)
     val sc = (array_max(v) - mn) / (levels - 1)
     // when/when WITHOUT otherwise: a NULL vector (sc null) yields NULL

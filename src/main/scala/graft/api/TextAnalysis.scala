@@ -170,12 +170,14 @@ object TextAnalysis {
     * rewritten to `<EMAIL>` is not double-counted), so the per-pattern
     * counts are well-defined. Pure map-side codegen'd regex work, no
     * shuffle. Adds `clean` (the redacted text) and `n_pii` (total
-    * redactions, bigint). */
+    * redactions, bigint). A NULL text keeps `clean` NULL but counts
+    * n_pii = 0 — NULL would propagate through the count fold and then
+    * silently vanish from any downstream sum over n_pii. */
   def piiScrub(df: DataFrame, textCol: String,
       patterns: Seq[(String, String)] = defaultPiiPatterns): DataFrame = {
     val (clean, n) = patterns.foldLeft((col(textCol), lit(0L))) {
       case ((c, cnt), (pat, repl)) =>
-        (regexp_replace(c, pat, repl), cnt + regexp_count(c, lit(pat)))
+        (regexp_replace(c, pat, repl), cnt + coalesce(regexp_count(c, lit(pat)), lit(0L)))
     }
     df.withColumn("clean", clean).withColumn("n_pii", n)
   }

@@ -232,6 +232,14 @@ object TimeSeries {
     * deterministic) and keep only FULL windows — warmup rows where the
     * baseline is noise are not scored. Adds `win_n` and `z`.
     *
+    * NULL values: `win_n` counts NON-NULL values while the trailing
+    * frame spans `windowRows` PHYSICAL rows, so the full-window filter
+    * drops every window that CONTAINS a NULL value — a NULL excludes
+    * itself and the `windowRows − 1` windows that look back over it,
+    * not just its own row (stricter than plain warmup trimming;
+    * deliberate — a window with a hole has a weaker baseline than its
+    * neighbors, and scoring it would mix window sizes in one series).
+    *
     * One hash exchange (the key window) and pure window arithmetic — the
     * same shape as any per-key analytic at 100 TB. The trailing-frame
     * moments are computed as CUMULATIVE-sum differences (cum − lag(cum,

@@ -651,7 +651,8 @@ object TextOps {
                           len(regexp_extract_all(t2, '[0-9]{6,}')) AS n3,
                           regexp_replace(t2, '[0-9]{6,}', '<ID>', 'g') AS t3
                         FROM s2)
-            SELECT c_custkey, t3 AS clean, CAST(n1 + n2 + n3 AS BIGINT) AS n_pii
+            SELECT c_custkey, t3 AS clean,
+                   CAST(coalesce(n1, 0) + coalesce(n2, 0) + coalesce(n3, 0) AS BIGINT) AS n_pii
             FROM s3 ORDER BY c_custkey""")
   )
 
@@ -750,7 +751,9 @@ object TextOps {
     * (graft.api.Sampling.temperatureMix): per-source keep rates ∝
     * √share / share scaled to a ~50% corpus — the α = 0.5 multilingual
     * rebalancing recipe (upsample tails, downsample heads), capped at
-    * 100%. Rates derive from a strata-sized aggregate + 1-row
+    * 100% and floored at 1% (a tiny stratum is kept thin, never
+    * silently deleted); NULL strata are dropped AND excluded from the
+    * normalizer. Rates derive from a strata-sized aggregate + 1-row
     * normalizer; docs take a broadcast stratum join + the map-side
     * content-hash filter. The oracle replays the identical decimal
     * weight sum and double rate formula. */
@@ -763,11 +766,11 @@ object TextOps {
         .orderBy("doc_id"),
     Some("""WITH c AS (SELECT source, count(*) AS n,
                          CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(30,10)) AS w
-                       FROM documents GROUP BY source),
+                       FROM documents WHERE source IS NOT NULL GROUP BY source),
                  z AS (SELECT sum(w) AS z, sum(n) AS total FROM c),
                  r AS (SELECT c.source,
-                         least(100, CAST(floor(50.0 * CAST(z.total AS DOUBLE) * CAST(c.w AS DOUBLE)
-                           / (CAST(z.z AS DOUBLE) * CAST(c.n AS DOUBLE))) AS BIGINT)) AS pct
+                         greatest(1, least(100, CAST(floor(50.0 * CAST(z.total AS DOUBLE) * CAST(c.w AS DOUBLE)
+                           / (CAST(z.z AS DOUBLE) * CAST(c.n AS DOUBLE))) AS BIGINT))) AS pct
                        FROM c, z)
             SELECT d.doc_id, d.source, r.pct
             FROM documents d JOIN r USING (source)

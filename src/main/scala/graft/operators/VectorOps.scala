@@ -211,7 +211,9 @@ object VectorOps {
           aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
           (floor(col("max_abs_err") * 1000000) / 1000000.0).as("max_abs_err"))
         .orderBy("vec_id"),
-    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+    Some("""WITH v AS (SELECT vec_id,
+                         CASE WHEN len(list_filter(embedding, e -> e IS NULL)) > 0 THEN NULL
+                              ELSE list_transform(embedding, e -> CAST(e AS DOUBLE)) END AS v
                        FROM embeddings
                        WHERE embedding IS NOT NULL AND len(embedding) > 0),
                  m AS (SELECT vec_id, v, list_min(v) AS mn,
@@ -219,10 +221,10 @@ object VectorOps {
                  q AS (SELECT vec_id, mn, sc,
                          CASE WHEN sc > 0
                            THEN CAST(list_sum(list_transform(v, e -> CAST(round((e - mn) / sc) AS BIGINT))) AS BIGINT)
-                           ELSE 0 END AS code_sum,
+                           WHEN sc = 0 THEN 0 END AS code_sum,
                          CASE WHEN sc > 0
                            THEN list_max(list_transform(v, e -> abs(e - (mn + round((e - mn) / sc) * sc))))
-                           ELSE 0.0 END AS max_abs_err
+                           WHEN sc = 0 THEN 0.0 END AS max_abs_err
                        FROM m)
             SELECT vec_id, floor(mn * 1000000) / 1000000 AS qmin,
                    floor(sc * 1000000) / 1000000 AS qscale,

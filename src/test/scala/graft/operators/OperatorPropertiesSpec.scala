@@ -697,7 +697,8 @@ class OperatorPropertiesSpec extends SparkTestBase {
       (2L, "call 555-123-4567 or 555.987.6543"),
       (3L, "account 123456789 ok"),
       (4L, "plain text"),
-      (5L, "x@y.io id 000111222 tel 111-222-3333")).toDF("id", "text")
+      (5L, "x@y.io id 000111222 tel 111-222-3333"),
+      (6L, null: String)).toDF("id", "text")
     val out = graft.api.TextAnalysis.piiScrub(df, "text").orderBy("id")
       .select("clean", "n_pii").as[(String, Long)].collect()
     // the digits inside the email are gone BEFORE the id pattern runs —
@@ -707,6 +708,9 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out(2) == (("account <ID> ok", 1L)), out.mkString("; "))
     assert(out(3) == (("plain text", 0L)), out.mkString("; "))
     assert(out(4) == (("<EMAIL> id <ID> tel <PHONE>", 3L)), out.mkString("; "))
+    // NULL text: clean stays NULL, but n_pii is 0 — not a NULL that
+    // silently vanishes from downstream sums
+    assert(out(5) == ((null, 0L)), out.mkString("; "))
   }
 
   test("temperatureMix: tail stratum upsampled to cap, head downsampled, deterministic rerun") {
@@ -724,6 +728,33 @@ class OperatorPropertiesSpec extends SparkTestBase {
     val again = graft.api.Sampling.temperatureMix(frame, "text", "src", targetPct = 50)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("temperatureMix: NULL strata dropped without diluting rates; zero-rate strata floor to pct 1") {
+    import spark.implicits._
+    // the 90/10 corpus plus 40 NULL-stratum rows: NULL rows can never be
+    // kept (the stratum equi-join drops them), so they must not dilute
+    // the normalizer either — rates stay exactly the null-free 41/100
+    val withNulls = (0 until 90).map(i => (i.toLong, s"head doc $i", "head")) ++
+      (0 until 10).map(i => (100L + i, s"tail doc $i", "tail")) ++
+      (0 until 40).map(i => (200L + i, s"null doc $i", null: String))
+    val out = graft.api.Sampling.temperatureMix(
+      withNulls.toDF("doc_id", "text", "src"), "text", "src", targetPct = 50)
+    val rates = out.select("src", "pct").distinct().as[(String, Long)].collect().toMap
+    assert(rates == Map("head" -> 41L, "tail" -> 100L),
+      s"NULL rows diluted the normalizer: $rates")
+    assert(out.filter($"src".isNull).count() == 0)
+    // an n² weighting makes the 1-doc stratum's raw rate floor(0.51) = 0
+    // — the floor keeps it at pct 1 (thin, never silently deleted).
+    // "rare doc 155" hash-buckets to 0, so the kept row is observable.
+    val skewed = (0 until 99).map(i => (i.toLong, s"head doc $i", "big")) :+
+      (990L, "rare doc 155", "rare")
+    val kept = graft.api.Sampling.temperatureMix(
+      skewed.toDF("doc_id", "text", "src"), "text", "src", targetPct = 50,
+      weight = c => c * c)
+      .filter($"src" === "rare").select("doc_id", "pct").as[(Long, Long)].collect()
+    assert(kept.toSeq == Seq((990L, 1L)),
+      s"zero-rate stratum must floor to pct 1 and keep its bucket-0 doc: ${kept.toSeq}")
   }
 
   test("rollingZscore: flags exactly the injected spike, full windows only, constant tail scores 0") {
@@ -801,12 +832,27 @@ class OperatorPropertiesSpec extends SparkTestBase {
         Seq((3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"), "embedding")
       .select("qmin", "qscale", "codes", "max_abs_err").collect()(0)
     assert((0 until 4).forall(nullRow.isNullAt), nullRow.toString)
+    // an ELEMENT-level NULL normalizes to the same whole-vector-NULL
+    // convention (it would otherwise poison folds differently per
+    // engine — null holes in codes, skip-null min/max)
+    val holeRow = graft.api.Similarity.quantize(
+        Seq((4L, Seq[java.lang.Float](0.5f, null, 1.0f)))
+          .toDF("vec_id", "embedding"), "embedding")
+      .select("qmin", "qscale", "codes", "max_abs_err").collect()(0)
+    assert((0 until 4).forall(holeRow.isNullAt), holeRow.toString)
   }
 
   test("pageRank ≡ hand-model on a path graph; isolated node keeps the floor; symmetric nodes tie") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L).toDF("nid")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // CONTRACT check: an edge endpoint outside allIds silently loses
+    // rank mass — validateIds must fail loudly instead
+    val err = intercept[IllegalArgumentException] {
+      graft.api.Graph.pageRank(Seq((1L, 9L)).toDF("a", "b"), "a", "b",
+        ids, "nid", validateIds = true)
+    }
+    assert(err.getMessage.contains("missing from allIds"), err.getMessage)
     val out = graft.api.Graph.pageRank(pairs, "a", "b", ids, "nid",
         iterations = 3, damping = 0.85)
       .select("id", "rank").as[(Long, Double)].collect().toMap
