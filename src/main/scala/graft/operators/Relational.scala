@@ -521,6 +521,67 @@ object Relational {
             LIMIT 10""")
   )
 
+  /** TPC-H Q6 (forecasting revenue change): the single-table
+    * scan-filter-aggregate — three pushed-down predicates (date range,
+    * discount band, quantity cap) collapsing to ONE row. The whole
+    * query is a parquet scan with PushedFilters + a map-side-combining
+    * global aggregate: at 100 TB this is the shape that proves
+    * predicate pushdown and partial aggregation carry a query with no
+    * shuffle at all (one 1-row exchange). The one-group sum over many
+    * rows is exactly the float-boundary case — DECIMAL(30,10)
+    * accumulation + 4dp floor (CLAUDE.md invariant 1). */
+  private val qSqlTpchQ6 = Q(
+    "q_sql_tpch_q6",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    },
+    Some("""SELECT floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""")
+  )
+
+  /** TPC-H Q4 (order priority checking) adapted to the fixture (no
+    * l_commitdate column → the lateness predicate becomes "shipped
+    * after the order date"): orders per priority in one quarter having
+    * at least one such lineitem — the correlated EXISTS that Catalyst
+    * must rewrite to a LEFT SEMI join (one order counted once however
+    * many lineitems qualify). Exact integer counts; both engines run
+    * the identical SQL text. */
+  private val qSqlTpchQ4 = Q(
+    "q_sql_tpch_q4",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""")
+  )
+
   /** TPC-H Q5 (local-supplier volume) adapted to the fixture: revenue
     * per nation for ASIA-region customers served by a SAME-NATION
     * supplier in one order year — the 6-table star join that exercises
@@ -612,5 +673,5 @@ object Relational {
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
     qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qUnionAll, qIntersect, qExcept,
-    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ5, qSqlTpchQ10)
+    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ4, qSqlTpchQ5, qSqlTpchQ6, qSqlTpchQ10)
 }

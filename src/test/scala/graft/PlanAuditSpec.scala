@@ -277,6 +277,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(e == a, "row/null counts must be identical across modes")
   }
 
+  test("q_sql_tpch_q6: filters pushed to the scan, single-row exchange only; q4: EXISTS becomes a semi join") {
+    val p6 = plan("q_sql_tpch_q6")
+    // the PushedFilters list prints truncated — match the prefix
+    assert(p6.contains("PushedFilters") && p6.contains("GreaterThanOrEqual(l_shipda"), p6)
+    assert("Exchange".r.findAllIn(p6).size == 1,
+      "Q6 must be scan + partial agg + ONE single-partition exchange\n" + p6)
+    assert("HashAggregate".r.findAllIn(p6).size >= 2, p6)
+    val p4 = plan("q_sql_tpch_q4")
+    assert(p4.contains("LeftSemi"), "EXISTS must rewrite to a LEFT SEMI join\n" + p4)
+    assert(!p4.contains("BroadcastNestedLoopJoin") && !p4.contains("CartesianProduct"), p4)
+  }
+
   test("q_pii_scrub: map-side only — sole exchange is the presentation sort") {
     val p = plan("q_pii_scrub")
     val exchanges = "Exchange".r.findAllIn(p).size
