@@ -365,6 +365,45 @@ object TextAnalysis {
     merges.result().toDF("round", "left", "right", "merged", "cnt")
   }
 
+  /** Apply a learned BPE merge table ([[bpeLearn]]'s output, in round
+    * order) to a corpus: each document's words decompose to character
+    * symbols + the `</w>` marker, then every merge applies in sequence
+    * with the same greedy left-to-right fold the learner used —
+    * tokenization-at-scale as ONE map-side projection (no shuffle, no
+    * per-row driver involvement; the merge table is a compiled-in
+    * expression tree, the broadcast-free analog of a model broadcast —
+    * right for the few-hundred-merge vocabularies this library's query
+    * surface exercises; a production 50k-merge vocab would want a
+    * native expression carrying the table instead of an expression per
+    * merge). Returns (everything in `df`, `subwords`:
+    * array<array<string>> per word). Lossless by construction:
+    * concatenating a word's subwords and stripping the marker restores
+    * the word (property-tested).
+    *
+    * Scale note: encoding is a pure function of the WORD — for
+    * corpus-wide statistics run this over the distinct-word frequency
+    * table and weight by count (what q_bpe_encode does; one corpus
+    * scan, vocab-sized fold work), not over raw rows. Apply to raw
+    * rows only when per-document subword streams are actually needed
+    * downstream. */
+  def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    def mergeFold(ss: Column, a: String, b: String): Column =
+      aggregate(ss, array().cast("array<string>"),
+        (acc, s2) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && s2 === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s2))))
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val init = transform(words, w =>
+      concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+        array(lit("</w>"))))
+    val encoded = merges.foldLeft(init) { case (c, (a, b)) =>
+      transform(c, ss => mergeFold(ss, a, b))
+    }
+    df.withColumn("subwords", encoded)
+  }
+
   /** Gopher-style repetition statistics per document: duplicate-token
     * fraction (1 − distinct/total) and top-bigram fraction (count of the
     * most frequent 2-gram / total 2-grams). The token stats are pure

@@ -715,6 +715,36 @@ object TextOps {
     None
   )
 
+  /** BPE ENCODE (graft.api.TextAnalysis.bpeEncode): apply the 12-round
+    * learned merge table and report the top-30 subwords by corpus
+    * usage — the learn→apply round trip (the vocabulary the corpus
+    * actually tokenizes into, not just the merge list). The merge fold
+    * runs over the DISTINCT-WORD table, not corpus rows — encoding is
+    * a pure function of the word, so one corpus scan builds the
+    * word-frequency table and everything after is vocab-sized (the same
+    * reason the learner aggregates words first; the per-row form
+    * measured 6× slower on the same fixture). Iterative model → no SQL
+    * oracle; encode ≡ plain-Scala reference property-tested (incl.
+    * losslessness) in OperatorPropertiesSpec. */
+  private val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.api.TextAnalysis.bpeLearn(docs, "text", rounds = 12)
+        .orderBy("round").select("left", "right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      graft.api.TextAnalysis.bpeEncode(vocab, "w", merges)
+        .select(explode(flatten(col("subwords"))).as("subword"), col("wcnt"))
+        .groupBy("subword").agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(desc("cnt"), asc("subword"))
+        .limit(30)
+    },
+    None
+  )
+
   /** PMI collocations (graft.api.TextAnalysis.pmiCollocations): top-30
     * adjacent token pairs by pointwise mutual information among pairs
     * seen ≥5 times — the association lens q_bpe_pairs' raw counts miss.
@@ -861,7 +891,7 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
-    qPerplexity, qBpePairs, qBpeLearn, qCollocations, qPiiScrub, qPipelineE2e,
+    qPerplexity, qBpePairs, qBpeLearn, qBpeEncode, qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qProfile, qHistogram, qBinQuantile, qWinsorize,
     qMadOutliers)
 }

@@ -1138,6 +1138,54 @@ class OperatorPropertiesSpec extends SparkTestBase {
     callerOwned.unpersist(blocking = false)
   }
 
+  test("bpeEncode ≡ plain-Scala reference; lossless; learn→apply round trip on the fixture") {
+    import spark.implicits._
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    def refEncode(text: String, merges: Seq[(String, String)]): Seq[Vector[String]] =
+      text.split(" ").filter(_.nonEmpty).toSeq.map { w =>
+        merges.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+          case (syms, (a, b)) => applyMerge(syms, a, b)
+        }
+      }
+    val docs = Seq((1L, "low lower lowest"), (2L, "the lowly low"), (3L, "aaaa ab"))
+      .toDF("doc_id", "text")
+    val merges = Seq("l" -> "o", "lo" -> "w", "low" -> "</w>", "a" -> "a")
+    val got = graft.api.TextAnalysis.bpeEncode(docs, "text", merges)
+      .orderBy("doc_id").select("text", "subwords")
+      .as[(String, Seq[Seq[String]])].collect()
+    got.foreach { case (text, sw) =>
+      assert(sw.map(_.toVector) == refEncode(text, merges),
+        s"encode mismatch on '$text': $sw")
+      // lossless: subwords concat back to the word (marker stripped)
+      val words = text.split(" ").filter(_.nonEmpty).toSeq
+      assert(sw.map(_.mkString.stripSuffix("</w>")) == words, sw.toString)
+    }
+    // the greedy overlap rule is visible: "aaaa" → [aa, aa, </w>]
+    assert(got(2)._2.head == Seq("aa", "aa", "</w>"), got(2)._2.toString)
+    // learn→apply round trip on the real fixture: every subword the
+    // encoded corpus uses is either a single char, the marker, a
+    // learned merge result, or char+marker — nothing is invented
+    val fixture = Tables.documents(spark, sfDir).limit(50)
+    val learned = graft.api.TextAnalysis.bpeLearn(fixture, "text", rounds = 6)
+      .orderBy("round").select("left", "right", "merged")
+      .as[(String, String, String)].collect()
+    val mergedSet = learned.map(_._3).toSet
+    val subs = graft.api.TextAnalysis.bpeEncode(fixture, "text",
+        learned.map(t => (t._1, t._2)).toSeq)
+      .select(explode(flatten(col("subwords"))).as("s"))
+      .distinct().as[String].collect()
+    // initial symbols are single chars and the marker; any multi-char
+    // subword can only exist as a learned merge result
+    subs.foreach { s =>
+      assert(s.length == 1 || s == "</w>" || mergedSet.contains(s),
+        s"invented subword: '$s'")
+    }
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
