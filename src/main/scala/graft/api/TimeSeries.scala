@@ -122,6 +122,46 @@ object TimeSeries {
       .select(col("__lid").as(leftIdCol), bounded.as("asof_ts_ms"))
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right-side
+    * timestamp at-or-after it within the same key — the mirror of
+    * [[asofJoin]] (pandas merge_asof `direction='forward'`): "the next
+    * error after each purchase", the time-to-next-event attribution
+    * shape. Same union-window plan, one shuffle, no join: the running
+    * MIN of the right timestamp over the current-to-end frame, with
+    * left rows ordered BEFORE right rows at equal ts so an
+    * exactly-simultaneous right event is visible ("at or after"
+    * includes ties). `toleranceMs` bounds futurity: a match further
+    * than `leftTs + toleranceMs` reports NULL. Returns (leftIdCol,
+    * asof_ts_ms: nullable). */
+  def asofJoinForward(left: DataFrame, leftIdCol: String, leftTsMsCol: String,
+      leftKeyCol: String, right: DataFrame, rightTsMsCol: String,
+      rightKeyCol: String, toleranceMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(leftKeyCol).as("__k"), col(leftTsMsCol).as("__ts"),
+      col(leftIdCol).as("__lid"), lit(1).as("__is_left"),
+      lit(null).cast("long").as("__rts"))
+    val r = right.select(col(rightKeyCol).as("__k"), col(rightTsMsCol).as("__ts"),
+      lit(null).cast("long").as("__lid"), lit(0).as("__is_left"),
+      col(rightTsMsCol).cast("long").as("__rts"))
+    // left rows sort before right rows at equal ts (__is_left DESC:
+    // 1 before 0) so the tied right event falls inside the forward frame
+    val w = Window.partitionBy("__k").orderBy(asc("__ts"), desc("__is_left"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bounded = toleranceMs match {
+      case Some(tol) =>
+        require(tol >= 0, s"toleranceMs must be non-negative, got $tol")
+        // futurity = __asof - __ts, non-negative by construction; the
+        // subtraction form avoids the Long overflow of `__ts + tol`
+        // (same hazard as the backward tolerance, mirrored)
+        when(col("__asof") - col("__ts") <= tol, col("__asof"))
+      case None => col("__asof")
+    }
+    l.unionByName(r)
+      .withColumn("__asof", min("__rts").over(w))
+      .filter(col("__is_left") === 1)
+      .select(col("__lid").as(leftIdCol), bounded.as("asof_ts_ms"))
+  }
+
   /** Fixed-width resampling with GAP FILL: per key, per-bucket aggregates
     * over the corpus-wide [min, max] bucket range, with EXPLICIT filler
     * rows for empty buckets — the step that turns a sparse event stream

@@ -289,6 +289,30 @@ object Extras {
             ORDER BY p.event_id""")
   )
 
+  /** FORWARD as-of join (graft.api.TimeSeries.asofJoinForward): for each
+    * purchase, the NEXT error at-or-after it — time-to-next-event
+    * attribution, the mirror of q_join_asof. Same one-shuffle
+    * union-window plan (running MIN over the forward frame), no join;
+    * ties count ("at or after" includes an exactly-simultaneous
+    * error). */
+  private val qJoinAsofFwd = Q(
+    "q_join_asof_fwd",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.api.TimeSeries.asofJoinForward(
+          ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms", "user_id",
+          ev.filter(col("event_type") === "error"), "ts_ms", "user_id")
+        .withColumnRenamed("asof_ts_ms", "next_err_ms")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id,
+              (SELECT min(epoch_ms(e.ts)) FROM events e
+               WHERE e.event_type = 'error' AND e.user_id = p.user_id
+                 AND epoch_ms(e.ts) >= epoch_ms(p.ts)) AS next_err_ms
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id""")
+  )
+
   /** Sketch percentiles (t-digest-style approx, one pass, fixed memory) —
     * the 100 TB path where exact `percentile` shuffles every value.
     * Approximate → no SQL oracle; accuracy property-tested vs exact. */
@@ -462,6 +486,6 @@ object Extras {
 
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qCorrelation, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
-    qJoinAsof, qJoinAsofTol, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
+    qJoinAsof, qJoinAsofTol, qJoinAsofFwd, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
     qSkewSalted, qJoinFull, qUnpivot, qWindowDistribution)
 }

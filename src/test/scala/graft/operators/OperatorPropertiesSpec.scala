@@ -447,6 +447,27 @@ class OperatorPropertiesSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("event_id") ->
         Option(r.getAs[java.lang.Long]("last_err_ms")).map(_.toLong)).toMap
     assert(got == expected)
+    // the FORWARD mirror: earliest error at-or-after, per-row correlated min
+    val expectedFwd = ev.filter(_._4 == "purchase").map { case (id, ts, u, _) =>
+      val next = errors.filter(e => e._3 == u && e._2 >= ts)
+      id -> (if (next.isEmpty) None else Some(next.map(_._2).min))
+    }.toMap
+    val gotFwd = graft.SparkEntry.queries("q_join_asof_fwd")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("next_err_ms")).map(_.toLong)).toMap
+    assert(gotFwd == expectedFwd)
+    // forward tolerance: zero keeps only exact-time ties; huge ≡ none
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L), (2L, 200L, 1L)).toDF("id", "ts", "k")
+    val right = Seq((100L, 1L), (250L, 1L)).toDF("rts", "k")
+    val tol0 = graft.api.TimeSeries.asofJoinForward(left, "id", "ts", "k",
+        right, "rts", "k", toleranceMs = Some(0L))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("asof_ts_ms"))).toMap
+    assert(tol0(1L).contains(100L) && tol0(2L).isEmpty, tol0.toString)
+    val tolBig = graft.api.TimeSeries.asofJoinForward(left, "id", "ts", "k",
+        right, "rts", "k", toleranceMs = Some(Long.MaxValue))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("asof_ts_ms"))).toMap
+    assert(tolBig(1L).contains(100L) && tolBig(2L).contains(250L), tolBig.toString)
   }
 
   test("decontaminateNgram drops a verbatim eval quote inside novel text; short docs always kept") {

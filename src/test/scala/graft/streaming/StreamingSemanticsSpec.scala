@@ -449,6 +449,52 @@ class StreamingSemanticsSpec extends SparkTestBase {
         s"missing=${batchKept -- (streamKept -- dropIds)}")
   }
 
+  test("ddSketch in streaming tumbling windows ≡ batch sketches, field-exact across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.api.Sketches
+    // the counter-sum merge is order/grouping-free, so a streaming
+    // windowed sketch must equal the batch sketch FIELD-EXACTLY no
+    // matter how the rows split into micro-batches — the property that
+    // makes per-window persisted sketches trustworthy at ingest
+    val rows = (0 until 600).map { i =>
+      (1704067200000L + i * 1000L, math.sin(i * 0.7) * 100 + (i % 7))
+    }
+    val batch = rows.toDF("ts_ms", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(Sketches.ddSketch(0.01)(col("value")).as("sk"))
+      .select(unix_millis(col("window.start")).as("w"), col("sk"))
+      .as[(Long, Sketches.DDSketch)].collect().toMap
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("ts_ms", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(Sketches.ddSketch(0.01)(col("value")).as("sk"))
+      .select(unix_millis(col("window.start")).as("w"), col("sk"))
+      .writeStream.format("memory").queryName("s_ddsk").outputMode("complete")
+      .start()
+    try {
+      // adversarial split: mid-window boundary at row 137
+      mem.addData(rows.take(137)); q.processAllAvailable()
+      mem.addData(rows.drop(137)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_ddsk")
+      .as[(Long, Sketches.DDSketch)].collect().toMap
+    assert(streamed == batch,
+      s"streaming windowed sketches diverge from batch: ${streamed.keySet} vs ${batch.keySet}")
+    // and the estimates they imply agree with exact within α
+    val exact = rows.map(_._2).sorted
+    val merged = streamed.values.reduce((a, b) =>
+      Sketches.DDSketch(
+        (a.pos.keySet ++ b.pos.keySet).map(k => k -> (a.pos.getOrElse(k, 0L) + b.pos.getOrElse(k, 0L))).toMap,
+        (a.neg.keySet ++ b.neg.keySet).map(k => k -> (a.neg.getOrElse(k, 0L) + b.neg.getOrElse(k, 0L))).toMap,
+        a.zero + b.zero, a.cnt + b.cnt))
+    val est = Sketches.ddQuery(merged, 0.01, 0.5).get
+    val ex = exact(math.floor(0.5 * (exact.size - 1)).toInt)
+    assert(math.abs(est - ex) <= 0.01 * math.abs(ex) + 1e-9, s"est=$est exact=$ex")
+  }
+
   test("salted aggregation equals plain aggregation (skew utility)") {
     import org.apache.spark.sql.functions._
     val plain = Tables.events(spark, sfDir)
