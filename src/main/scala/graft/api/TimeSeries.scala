@@ -162,6 +162,49 @@ object TimeSeries {
       .select(col("__lid").as(leftIdCol), bounded.as("asof_ts_ms"))
   }
 
+  /** Trailing-window EWMA smoothing per key — the exponential smoothing
+    * primitive (pandas `ewm(adjust=True)` over a bounded trailing
+    * window): each row's smoothed value is
+    * Σ w_j·x_j / Σ w_j over its trailing `windowRows` rows (current
+    * included), w_j = (1−α)^age. One hash exchange (the key window) +
+    * a bounded `windowRows` collect per row + one fold — no self-join
+    * banding (which would be the BNLJ trap), no sequential recurrence.
+    *
+    * Cross-engine float discipline: pick a DYADIC α (0.5, 0.25, 0.75 —
+    * default 0.5) and every weight (1−α)^age is EXACT in binary, so
+    * each term x·w is ONE correctly-rounded IEEE multiply identical on
+    * any engine; terms then cross the sum as DECIMAL(30,10) (the
+    * q_resample_agg pattern — accumulation-order-proof), the weight
+    * total uses the closed form (1−(1−α)^m)/α (exact-input IEEE ops),
+    * and the final ratio is one division. NULL values must be filtered
+    * upstream (a NULL would silently shrink the window: collect_list
+    * skips it but the frame still spans physical rows). Adds `ewma`
+    * (unrounded double — callers floor for presentation) and `win_m`
+    * (rows actually in the window, < windowRows during warmup). */
+  def ewma(df: DataFrame, keyCol: String, tsMsCol: String, idCol: String,
+      valueCol: String, windowRows: Int, alpha: Double = 0.5): DataFrame = {
+    require(windowRows >= 1, s"windowRows must be ≥1, got $windowRows")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsMsCol).asc_nulls_first, col(idCol).asc_nulls_first)
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    val beta = 1.0 - alpha
+    val zero = lit(0).cast("decimal(30,10)")
+    val staged = df.withColumn("__vals", collect_list(col(valueCol).cast("double")).over(w))
+    val m = size(col("__vals"))
+    // oldest-first list: age of element j (0-based) is m−1−j
+    val num = aggregate(
+      transform(col("__vals"), (v, j) =>
+        (v * pow(lit(beta), (m - 1 - j).cast("double"))).cast("decimal(30,10)")),
+      zero, (acc, t) => (acc + t).cast("decimal(30,10)"))
+    val den = (lit(1.0) - pow(lit(beta), m.cast("double"))) / alpha
+    staged
+      .withColumn("win_m", m.cast("long"))
+      .withColumn("ewma", num.cast("double") / den)
+      .drop("__vals")
+  }
+
   /** Fixed-width resampling with GAP FILL: per key, per-bucket aggregates
     * over the corpus-wide [min, max] bucket range, with EXPLICIT filler
     * rows for empty buckets — the step that turns a sparse event stream

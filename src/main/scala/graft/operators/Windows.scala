@@ -491,6 +491,41 @@ object Windows {
             FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 20""")
   )
 
+  /** Trailing EWMA smoothing (graft.api.TimeSeries.ewma): each view
+    * event's value exponentially smoothed over the user's trailing
+    * 20-row window, α = 0.5 — the charting/denoising primitive next to
+    * q_anomaly's z-score. One user-key window shuffle, bounded 20-row
+    * collect + fold per row. Dyadic α makes every weight exact binary,
+    * each term one identical IEEE multiply on both engines, and terms
+    * cross the sum as DECIMAL(30,10) (the q_resample_agg pattern) — the
+    * oracle replays the identical formula via a banded self-join on row
+    * numbers (oracle-side only; the Spark plan is window-only). */
+  private val qEwma = Q(
+    "q_ewma",
+    (s, dir) =>
+      graft.api.TimeSeries.ewma(
+          Tables.events(s, dir).filter(col("event_type") === "view" && col("value").isNotNull),
+          "user_id", "ts_ms", "event_id", "value", windowRows = 20, alpha = 0.5)
+        .select(col("user_id"), col("event_id"), col("win_m"),
+          (floor(col("ewma") * 10000) / 10000.0).as("ewma"))
+        .orderBy("user_id", "event_id"),
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS tm
+                       FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+                 s AS (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id ORDER BY tm, event_id) AS rn
+                       FROM e),
+                 j AS (SELECT a.user_id, a.event_id,
+                         CAST(least(a.rn, 20) AS BIGINT) AS win_m,
+                         sum(CAST(b.value * pow(0.5, a.rn - b.rn) AS DECIMAL(30,10))) AS num,
+                         (1 - pow(0.5, least(a.rn, 20))) / 0.5 AS den
+                       FROM s a JOIN s b ON b.user_id = a.user_id
+                                        AND b.rn BETWEEN a.rn - 19 AND a.rn
+                       GROUP BY a.user_id, a.event_id, a.rn)
+            SELECT user_id, event_id, win_m,
+                   floor(CAST(num AS DOUBLE) / den * 10000) / 10000 AS ewma
+            FROM j ORDER BY user_id, event_id""")
+  )
+
   /** Rolling z-score anomaly detection
     * (graft.api.TimeSeries.rollingZscore): flag events whose value sits
     * more than 2σ from the mean of the same user's trailing 20-row
@@ -530,6 +565,6 @@ object Windows {
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
-    qRetention, qFunnel, qAnomaly, qSessionStats, qSessionPaths)
+    qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths)
 }
 

@@ -1207,6 +1207,34 @@ class OperatorPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("ewma: hand model, constant-series fixpoint, bounded window, window-only plan") {
+    import spark.implicits._
+    // series 1, 2, 4 at α = 0.5 (adjust=True normalized):
+    // t1: 1; t2: (0.5·1 + 1·2)/1.5 = 5/3; t3: (0.25·1 + 0.5·2 + 1·4)/1.75 = 3
+    val df = Seq((1L, 1000L, 1L, 1.0), (1L, 2000L, 2L, 2.0), (1L, 3000L, 3L, 4.0))
+      .toDF("k", "ts", "id", "v")
+    val out = graft.api.TimeSeries.ewma(df, "k", "ts", "id", "v", windowRows = 20)
+      .orderBy("id").select("win_m", "ewma").as[(Long, Double)].collect()
+    assert(out(0) == ((1L, 1.0)), out.mkString(","))
+    assert(math.abs(out(1)._2 - 5.0 / 3.0) < 1e-12 && out(1)._1 == 2L, out.mkString(","))
+    assert(math.abs(out(2)._2 - 3.0) < 1e-12 && out(2)._1 == 3L, out.mkString(","))
+    // constant series is a fixpoint at any α
+    val const = (1 to 50).map(i => (1L, i.toLong, i.toLong, 7.5)).toDF("k", "ts", "id", "v")
+    val cOut = graft.api.TimeSeries.ewma(const, "k", "ts", "id", "v",
+        windowRows = 10, alpha = 0.25)
+      .select("ewma").as[Double].collect()
+    assert(cOut.forall(e => math.abs(e - 7.5) < 1e-9), cOut.take(5).mkString(","))
+    // the window is BOUNDED: win_m caps at windowRows
+    val mOut = graft.api.TimeSeries.ewma(const, "k", "ts", "id", "v", windowRows = 10)
+      .select("win_m").as[Long].collect()
+    assert(mOut.max == 10L && mOut.min == 1L)
+    // plan: window-only, no join (the banded self-join would be the trap)
+    val p = graft.SparkEntry.queries("q_ewma")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window") && !p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
