@@ -105,28 +105,37 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The (id, band_id, bh) MinHash band keys of a per-doc shingle-set
+    * frame — the shared LSH bucketing of [[minhashPairs]] and the
+    * incremental index path. */
+  private def minhashBandKeys(docSh: DataFrame, bands: Int): DataFrame = {
+    require(32 % bands == 0, "bands must divide 32")
+    val rows = 32 / bands
+    docSh.select(col("id"), expr("graft_minhash(shs)").as("sig"))
+      .select(col("id"), col("sig"), explode(expr(s"sequence(0, ${bands - 1})")).as("band_id"))
+      .select(col("id"), col("band_id"), expr(
+        s"""xxhash64(concat_ws(',', cast(band_id AS STRING),
+             ${(0 until rows).map(r => s"cast(sig[band_id*$rows+$r] AS STRING)").mkString(", ")}))""").as("bh"))
+  }
+
+  private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .groupBy("id").agg(collect_list("shingle").as("shs"))
+
   /** MinHash+LSH near-dup pairs: 32 deterministic hash functions banded
     * `bands` × (32/bands); candidates sharing a band bucket are verified
     * with EXACT Jaccard over shingle sets (precision 1.0, recall governed
     * by the banding curve). Returns (id_a, id_b, jaccard) ≥ threshold. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, bands: Int = 8): DataFrame = {
-    require(32 % bands == 0, "bands must divide 32")
-    val rows = 32 / bands
     val spark = df.sparkSession
     graft.functions.VectorExprs.register(spark)
     // (id, shingle-set) feeds the signature path AND both exact-verify
     // joins below — localCheckpoint so the tokenize+distinct subtree
     // runs once, not once per consumer (the r2 regression pattern)
-    val docSh = shingles(df, idCol, textCol, n)
-      .groupBy("id").agg(collect_list("shingle").as("shs"))
-      .localCheckpoint()
-    val sig = docSh.select(col("id"), expr("graft_minhash(shs)").as("sig"))
-    val bandKeys = sig
-      .select(col("id"), col("sig"), explode(expr(s"sequence(0, ${bands - 1})")).as("band_id"))
-      .select(col("id"), col("band_id"), expr(
-        s"""xxhash64(concat_ws(',', cast(band_id AS STRING),
-             ${(0 until rows).map(r => s"cast(sig[band_id*$rows+$r] AS STRING)").mkString(", ")}))""").as("bh"))
+    val docSh = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val bandKeys = minhashBandKeys(docSh, bands)
     val cand = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
@@ -136,6 +145,71 @@ object TextDedup {
     cand
       .join(docSh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
       .join(docSh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The persistable MinHash band INDEX of a corpus: (id, band_id, bh),
+    * `bands` rows per document, 24 bytes each — write it out once and
+    * incremental ingests bucket-join against it instead of re-pairing
+    * the corpus ([[minhashPairsIncremental]]). Same hash family and
+    * banding as [[minhashPairs]], so index-based candidates are
+    * IDENTICAL to what the batch operator would generate. */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    minhashBandKeys(docShingleSets(df, idCol, textCol, n), bands)
+  }
+
+  /** INCREMENTAL near-dup detection — the arriving-batch form of
+    * [[minhashPairs]], the pattern that makes continuous corpus growth
+    * affordable: when 1% arrives, candidate generation must cost
+    * new-batch work, never corpus² work. New docs band-key themselves
+    * and equi-join the PERSISTED [[minhashBandIndex]] (new-vs-old) plus
+    * a self-join within the batch (new-vs-new); old-vs-old pairs are
+    * never revisited. Exact-Jaccard verification (precision 1.0, like
+    * the batch operator) re-reads text ONLY for the old docs that
+    * actually collided — a candidate-sized semi-join against `oldDf`,
+    * not an old-corpus scan. Because hash family, banding, and verify
+    * are shared with [[minhashPairs]], the result is EXACTLY the batch
+    * operator's pairs over (old ∪ new) restricted to pairs touching a
+    * new doc (property-tested). Returns (id_a, id_b, jaccard) ≥
+    * `threshold`, id_a < id_b; ids must be unique across old ∪ new. */
+  def minhashPairsIncremental(newDf: DataFrame, index: DataFrame,
+      oldDf: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5, bands: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(newDf.sparkSession)
+    // new-side shingle sets feed the signature path and the verify —
+    // checkpoint once, batch-sized
+    val newSh = docShingleSets(newDf, idCol, textCol, n).localCheckpoint()
+    val newKeys = minhashBandKeys(newSh, bands)
+    val candOld = newKeys.as("a")
+      .join(index.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .distinct()
+    val candNew = newKeys.as("a")
+      .join(newKeys.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // old text is touched only for colliding ids (candidate-sized)
+    val collidedOld = candOld.select(col("old_id").as("__hit")).distinct()
+    val oldSh = docShingleSets(
+      oldDf.join(collidedOld, col(idCol) === col("__hit"), "left_semi"),
+      idCol, textCol, n)
+    val shs = newSh.unionByName(oldSh)
+    candOld
+      .select(least(col("new_id"), col("old_id")).as("id_a"),
+        greatest(col("new_id"), col("old_id")).as("id_b"))
+      .unionByName(candNew)
+      .distinct()
+      .join(shs.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(shs.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)

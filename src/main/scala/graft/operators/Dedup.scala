@@ -76,6 +76,30 @@ object Dedup {
     None
   )
 
+  /** INCREMENTAL near-dup (TextDedup.minhashPairsIncremental): the
+    * arriving batch (doc_id % 7 = 0) detected against the PERSISTED
+    * band index of the standing corpus — candidate generation costs
+    * new-batch work, old-vs-old is never revisited, and old text is
+    * re-read only for colliding ids. Hash family shared with
+    * q_dedup_minhash → no SQL oracle; property test pins the result
+    * EXACTLY equal to batch minhashPairs(old ∪ new) restricted to
+    * pairs touching a new doc. */
+  private val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      val oldDocs = docs.filter(col("doc_id") % 7 =!= 0)
+      val index = TextDedup.minhashBandIndex(oldDocs, "doc_id", "text", n = 3, bands = 8)
+      TextDedup.minhashPairsIncremental(newDocs, index, oldDocs, "doc_id", "text",
+          n = 3, threshold = 0.5, bands = 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    None
+  )
+
   /** SimHash near-dup pairs with hamming ≤ 3 — EXACT output (block-LSH is
     * pigeonhole-complete at this distance), bucketing is purely pruning. */
   private val qDedupSimhash = Q(
@@ -507,7 +531,7 @@ object Dedup {
             FROM j GROUP BY src ORDER BY source NULLS FIRST""")
   )
 
-  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash,
+  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qContamination, qPagerank, qTriangles, qCorpusDiff)

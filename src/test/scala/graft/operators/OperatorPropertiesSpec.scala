@@ -1235,6 +1235,27 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("incremental minhash ≡ batch minhashPairs(old ∪ new) restricted to new-touching pairs") {
+    import graft.api.TextDedup
+    val docs = Tables.documents(spark, sfDir)
+    val newIds = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = TextDedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter(p => newIds.contains(p._1) || newIds.contains(p._2)).toSet
+    val got = graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expectedRounded = expected.map(p => (p._1, p._2,
+      BigDecimal(p._3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got == expectedRounded,
+      s"extra=${got -- expectedRounded} missing=${expectedRounded -- got}")
+    // the premise: the fixture actually exercises the index path
+    val gotNewOld = got.filter(p => newIds.contains(p._1) ^ newIds.contains(p._2))
+    assert(gotNewOld.nonEmpty, "no new-vs-old pair — retune the split")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
