@@ -274,6 +274,50 @@ object StatefulOps {
       }
   }
 
+  /** One smoothed point from [[streamingEwma]]. */
+  final case class EwmaRow(key: Long, id: Long, tsMs: Long, value: Double,
+      winM: Long, ewma: Double)
+
+  /** Streaming trailing-window EWMA — the at-ingest form of
+    * `TimeSeries.ewma`, same state shape as [[streamingZscore]]: one
+    * ring of `windowRows` doubles per key, cross-batch. Every point
+    * emits (warmup included — `winM` < windowRows mirrors the batch
+    * `win_m` column). Replaying a key's rows in order reproduces the
+    * batch operator's doubles EXACTLY: each term v·(1−α)^age is the
+    * identical IEEE multiply (dyadic α keeps the weight exact), terms
+    * sum through the same scale-10 HALF_UP decimals the batch cast
+    * applies, and the closed-form weight total and final division match
+    * term for term. Same arrival-order contract as streamingZscore:
+    * in-batch rows sort by (tsMs, id); state cannot re-order across
+    * batches. */
+  def streamingEwma(rows: Dataset[ValRow], windowRows: Int,
+      alpha: Double = 0.5): Dataset[EwmaRow] = {
+    require(windowRows >= 1, s"windowRows must be ≥1, got $windowRows")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    implicit val stateEnc = Encoders.kryo[Vector[Double]]
+    implicit val outEnc = Encoders.product[EwmaRow]
+    implicit val keyEnc = Encoders.scalaLong
+    val beta = 1.0 - alpha
+    def dec(v: Double): BigDecimal =
+      BigDecimal(v).setScale(10, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ValRow], state: GroupState[Vector[Double]]) =>
+          var ring = state.getOption.getOrElse(Vector.empty[Double])
+          val out = it.toVector.sortBy(r => (r.tsMs, r.id)).map { r =>
+            ring = (ring :+ r.value).takeRight(windowRows)
+            val m = ring.size
+            val num = ring.iterator.zipWithIndex
+              .map { case (v, j) => dec(v * math.pow(beta, (m - 1 - j).toDouble)) }
+              .sum
+            val den = (1.0 - math.pow(beta, m.toDouble)) / alpha
+            EwmaRow(key, r.id, r.tsMs, r.value, m.toLong, num.toDouble / den)
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** Streaming exact-dedup with per-key state. `ttlMs > 0` expires idle
     * state once the watermark passes last-event-time + ttl. */
   def streamingDedup(docs: Dataset[FpDoc], ttlMs: Long = 0L): Dataset[FpUpdate] = {

@@ -652,6 +652,40 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(streaming((1L, 24L)) > 2 && streaming((2L, 21L)) > 2)
   }
 
+  test("streaming EWMA ≡ batch TimeSeries.ewma on in-order replay, ring carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = for {
+      k <- Seq(1L, 2L)
+      i <- 0 until 30
+    } yield StatefulOps.ValRow(k, i.toLong, i.toLong * 1000,
+      math.sin(i * 0.9) * 10 + k)
+    val mem = MemoryStream[StatefulOps.ValRow]
+    val q = StatefulOps.streamingEwma(mem.toDS(), windowRows = 20)
+      .writeStream.format("memory").queryName("s_ewma").outputMode("append")
+      .start()
+    try {
+      // mid-window split: the ring must carry across the batch boundary
+      val (b1, b2) = rows.partition(_.id < 13)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("s_ewma").as[StatefulOps.EwmaRow].collect()
+      .map(e => (e.key, e.id) -> (e.winM, e.ewma)).toMap
+    val batch = graft.api.TimeSeries.ewma(
+        rows.toDF("user_id", "event_id", "ts_ms", "value"),
+        "user_id", "ts_ms", "event_id", "value", windowRows = 20)
+      .select(col("user_id"), col("event_id"), col("win_m"), col("ewma"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (k, i, m, e) => (k, i) -> ((m, e)) }.toMap
+    assert(streaming.keySet == batch.keySet)
+    // EXACT double equality: identical multiplies, identical scale-10
+    // decimal rounding, identical closed-form total and division
+    streaming.foreach { case (ki, me) =>
+      assert(me == batch(ki), s"$ki: streaming $me != batch ${batch(ki)}")
+    }
+  }
+
   test("stream-stream interval join: cross-batch matches in-window, watermark drops late left rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
