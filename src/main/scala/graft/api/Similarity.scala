@@ -77,6 +77,89 @@ object Similarity {
           .when(sc === 0, lit(0.0)))
   }
 
+  /** L2 nearest-codeword assignment against a SMALL literal codebook:
+    * per-row distances via one zip_with/aggregate HOF per codeword,
+    * argmin with first-occurrence (= smallest index) tie break. The
+    * distance array is referenced twice (position + min) — a bounded
+    * ×2 of k×dsub scalar ops, the same documented trade the quantize
+    * min/max scans make, not an unbounded HOF-chain re-evaluation. */
+  private def l2Code(sub: Column, codebook: Seq[Seq[Double]]): Column = {
+    val dists = transform(typedLit(codebook), c =>
+      aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, t) => a + t))
+    struct((array_position(dists, array_min(dists)) - 1).cast("int").as("code"),
+      array_min(dists).as("err"))
+  }
+
+  /** Fit a PRODUCT-QUANTIZATION codebook (Jégou et al., "Product
+    * quantization for nearest neighbor search", TPAMI 2011): the vector
+    * splits into `m` contiguous subvectors of dim/m, and each subspace
+    * fits its own k-codeword L2 quantizer (hash-seeded + Lloyd rounds,
+    * the [[fitIvf]] recipe with L2 assignment) — m·log2(k) bits per
+    * vector, 8× smaller than int8 scalar codes at m=8/k=256-free
+    * configs, and the codebook is the MODEL (m × k × dim/m doubles).
+    * Fit on a deterministic sample at 100 TB, apply to the corpus —
+    * the same split every graft fit uses. Deterministic: seeds are
+    * hash-ordered, means round 6dp, assignment ties take the smallest
+    * codeword index. */
+  def pqFit(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int = 8, k: Int = 16, dim: Int = 64, iterations: Int = 1): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"m must divide dim, got m=$m dim=$dim")
+    val dsub = dim / m
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("e"))
+    // one hash-ordered seed collect serves every subspace (k rows)
+    val seedRows: Seq[Seq[Double]] = em
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select(col("e")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    (0 until m).map { s =>
+      val lo = s * dsub
+      var codebook: Seq[Seq[Double]] = seedRows.map(_.slice(lo, lo + dsub))
+      val sub = slice(col("e"), lo + 1, dsub)
+      var it = 0
+      while (it < iterations) {
+        val sums = em
+          .select(l2Code(sub, codebook).getField("code").as("cid"), sub.as("sd"))
+          .groupBy("cid")
+          .agg(graft.functions.VecSumAgg.fn(col("sd")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => r.getAs[Int]("cid") -> (r.getSeq[Double](1), r.getAs[Long]("cnt"))).toMap
+        codebook = codebook.indices.map { ci =>
+          sums.get(ci) match {
+            case Some((v, cnt)) =>
+              v.map(x => BigDecimal(x / cnt).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            case None => codebook(ci)
+          }
+        }
+        it += 1
+      }
+      codebook
+    }
+  }
+
+  /** Apply a [[pqFit]] codebook: per vector, the m nearest-codeword
+    * indices and the total squared reconstruction error. Pure map-side
+    * math against the literal codebook — no shuffle, no join; the
+    * codes column is the 100 TB storage form (m small ints per vector).
+    * Returns (everything in `corpus`, `codes` array<int>, `pq_sqerr`
+    * double). Vectors that are NULL or of the wrong dimension get NULL
+    * codes/err (the quantize whole-vector-NULL convention). */
+  def pqEncode(corpus: DataFrame, embCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], dim: Int = 64): DataFrame = {
+    require(codebooks.nonEmpty, "empty codebook")
+    val m = codebooks.size
+    require(dim % m == 0, s"codebook count $m must divide dim $dim")
+    val dsub = dim / m
+    val e = when(col(embCol).isNotNull && size(col(embCol)) === dim,
+      col(embCol).cast("array<double>"))
+    val parts = (0 until m).map { s =>
+      l2Code(slice(e, s * dsub + 1, dsub), codebooks(s))
+    }
+    corpus
+      .withColumn("codes", array(parts.map(_.getField("code")): _*))
+      .withColumn("pq_sqerr", parts.map(_.getField("err")).reduce(_ + _))
+  }
+
   /** Exact cosine near-dup pairs ≥ threshold. Quadratic — the
     * correctness baseline; use [[annTopK]]'s bucket index at scale.
     * Norms are precomputed per vector. */

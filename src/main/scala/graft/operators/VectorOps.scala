@@ -188,6 +188,36 @@ object VectorOps {
     None
   )
 
+  /** PRODUCT quantization (graft.api.Similarity.pqFit/pqEncode — Jégou
+    * et al., TPAMI 2011): 8 subspaces × 16 L2 codewords over the 64-dim
+    * embeddings → 8 nibbles per vector (8× smaller than int8 scalar
+    * codes), the storage/recall step between scalar quantization and
+    * IVF. Fit is model-bounded (hash-seeded + one Lloyd round per
+    * subspace, the fitIvf recipe with L2 assignment); encode is pure
+    * map-side math against the literal codebook. Output: exact integer
+    * code checksum + 6dp-floored reconstruction error. K-means model →
+    * no SQL oracle; argmin optimality, Lloyd non-increase, determinism
+    * property-tested. */
+  private val qEmbedPq = Q(
+    "q_embed_pq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // fit on a deterministic 30% id-hash sample, apply to the corpus —
+      // the fit-on-sample split every graft fit documents for 100 TB
+      val books = Similarity.pqFit(
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(10)) < 3), "vec_id", "embedding",
+        m = 8, k = 16, dim = 64, iterations = 1)
+      Similarity.pqEncode(
+          emb.filter(col("embedding").isNotNull && size(col("embedding")) === 64),
+          "embedding", books, dim = 64)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          (floor(col("pq_sqerr") * 1000000) / 1000000.0).as("pq_sqerr"))
+        .orderBy("vec_id")
+    },
+    None
+  )
+
   /** Int8 scalar quantization (graft.api.Similarity.quantize): per-vector
     * min/max range → [0,255] codes — the embedding storage-compression
     * step. Output is scalar per vector: the dequantization params, the
@@ -234,5 +264,5 @@ object VectorOps {
   )
 
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf,
-    qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn, qEmbedQuantize)
+    qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn, qEmbedQuantize, qEmbedPq)
 }

@@ -1256,6 +1256,46 @@ class OperatorPropertiesSpec extends SparkTestBase {
     graft.Hygiene.dropLeakedBlocks(spark)
   }
 
+  test("product quantization: argmin-optimal codes (plain-Scala check), Lloyd non-increase, deterministic") {
+    import graft.api.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+    assert(books.size == 8 && books.forall(b => b.size == 16 && b.forall(_.size == 8)))
+    val encoded = Similarity.pqEncode(
+        emb.filter(col("embedding").isNotNull && size(col("embedding")) === 64),
+        "embedding", books, dim = 64)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("codes"), col("pq_sqerr"))
+      .collect()
+    assert(encoded.nonEmpty)
+    // codes in range; every code is the TRUE L2 argmin per subspace
+    // (smallest-index tiebreak), and pq_sqerr is the sum of the minima
+    encoded.take(200).foreach { r =>
+      val v = r.getSeq[Double](1)
+      val codes = r.getSeq[Int](2)
+      var total = 0.0
+      (0 until 8).foreach { s =>
+        val sub = v.slice(s * 8, s * 8 + 8)
+        val dists = books(s).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+        val best = dists.indexOf(dists.min)
+        assert(codes(s) == best, s"vec ${r.getLong(0)} sub $s: code ${codes(s)} != argmin $best")
+        total += dists.min
+      }
+      assert(math.abs(total - r.getDouble(3)) < 1e-9)
+    }
+    // one Lloyd round cannot increase total distortion vs the raw seeds
+    val seedBooks = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, k = 16, dim = 64, iterations = 0)
+    def totalErr(bks: Seq[Seq[Seq[Double]]]): Double =
+      Similarity.pqEncode(
+          emb.filter(col("embedding").isNotNull && size(col("embedding")) === 64),
+          "embedding", bks, dim = 64)
+        .agg(sum("pq_sqerr")).head().getDouble(0)
+    assert(totalErr(books) <= totalErr(seedBooks) + 1e-6,
+      "a Lloyd round increased distortion")
+    // deterministic refit
+    assert(books == Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64))
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
