@@ -93,6 +93,52 @@ object Pipeline {
     }
   }
 
+  /** Pipeline OBSERVABILITY: per-stage in/out/dropped counts for the
+    * [[prepare]] stage chain (keep-filter → exact dedup → decontaminate
+    * → sample) — the accounting view a corpus-prep run publishes so a
+    * surprising final count can be blamed on the right stage. Computed
+    * WITHOUT running the pipeline four times: every doc gets one
+    * cumulative survival flag per stage in a single pass (the dedup
+    * flag is a window-min among filter-survivors, decontamination a
+    * broadcast flag join), then ONE aggregate row unpivots via `stack`
+    * — the same corpus scan + fingerprint shuffle + eval broadcast bill
+    * as [[prepare]] itself. Returns (stage_no, stage, n_in, n_out,
+    * n_dropped), stage-ordered. */
+  def stageReport(df: DataFrame, idCol: String, textCol: String, isEval: Column,
+      minQuality: Double = 0.5, minTok: Int = 20, maxTok: Int = 80,
+      samplePct: Int = 100): DataFrame = {
+    val fp = unhex(TextDedup.fingerprint(col(textCol)))
+    val evalFp = df.filter(isEval).select(fp.as("fp")).distinct()
+    val flagged = TextAnalysis.languageId(
+        TextAnalysis.qualityScore(df.filter(!isEval), textCol), textCol)
+      .withColumn("__f1", col("pred_lang") =!= "und" && col("quality") >= minQuality &&
+        col("n_tok").between(minTok, maxTok))
+      .withColumn("fp", fp)
+      // dedup runs AFTER the filter: the fingerprint's keeper is the
+      // min id among FILTER SURVIVORS of that fingerprint (min skips
+      // the nulls the when() leaves for filtered-out rows)
+      .withColumn("__keep_id",
+        min(when(col("__f1"), col(idCol))).over(Window.partitionBy("fp")))
+      .withColumn("__f2", col("__f1") && col(idCol) === col("__keep_id"))
+      .join(broadcast(evalFp.withColumn("__ev", lit(1))), Seq("fp"), "left")
+      .withColumn("__f3", col("__f2") && col("__ev").isNull)
+      .withColumn("__f4", col("__f3") && Sampling.hashBucket(col(textCol)) < samplePct)
+    flagged
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("__f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__f3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("__f4"), 1L).otherwise(0L)).as("n4"))
+      .select(expr(
+        """stack(4,
+             1L, 'keep_filter',   n0, n1,
+             2L, 'exact_dedup',   n1, n2,
+             3L, 'decontaminate', n2, n3,
+             4L, 'sample',        n3, n4) AS (stage_no, stage, n_in, n_out)"""))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .orderBy("stage_no")
+  }
+
   /** Free the materialized blocks backing a frame returned by
     * `prepare(nearDedup = true)` once the caller is done with it. A
     * no-op on any other frame. */

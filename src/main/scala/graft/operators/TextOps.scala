@@ -492,6 +492,70 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** Pipeline stage ACCOUNTING (graft.api.Pipeline.stageReport): the
+    * per-stage in/out/dropped counts for the same q_pipeline_e2e run —
+    * the observability view that blames a surprising final count on the
+    * right stage. One pass: cumulative survival flags per doc + a single
+    * stack-unpivoted aggregate row; same scan/shuffle bill as the
+    * pipeline itself. The oracle chains scalar counts over the identical
+    * CTE stages. */
+  private val qPipelineReport = Q(
+    "q_pipeline_report",
+    (s, dir) =>
+      graft.api.Pipeline.stageReport(Tables.documents(s, dir), "doc_id", "text",
+        isEval = col("doc_id") % 97 === 0, samplePct = 50),
+    Some("""WITH base AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+                 m AS (SELECT doc_id, text,
+                   len(string_split(text,' ')) AS n_tok,
+                   CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+                   (CAST(length(text) AS DOUBLE) - (len(string_split(text,' ')) - 1)) / len(string_split(text,' ')) AS avg_tok_len
+                 FROM base),
+                 q AS (SELECT doc_id, text, n_tok,
+                   round(least(1.0, n_tok / 50.0) * 0.4 + ttr * 0.4
+                         + least(1.0, avg_tok_len / 8.0) * 0.2, 4) AS quality
+                 FROM m),
+                 sc AS (SELECT doc_id,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to'])) AS s_en,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y'])) AS s_es,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','und','das','ist'])) AS s_de,
+                   len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','et','les','un'])) AS s_fr
+                 FROM base),
+                 lid AS (SELECT doc_id,
+                   CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+                 FROM sc),
+                 filt AS (SELECT q.doc_id, q.text
+                          FROM q JOIN lid USING (doc_id)
+                          WHERE lid.pred_lang <> 'und' AND q.quality >= 0.5
+                            AND q.n_tok BETWEEN 20 AND 80),
+                 ded AS (SELECT * FROM (SELECT f.*,
+                           min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS keep
+                         FROM filt f) WHERE doc_id = keep),
+                 ev AS (SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                        FROM documents WHERE doc_id % 97 = 0),
+                 clean AS (SELECT * FROM ded
+                           WHERE NOT EXISTS (SELECT 1 FROM ev
+                             WHERE ev.fp = md5(lower(regexp_replace(ded.text, '\s+', ' ', 'g'))))),
+                 samp AS (SELECT * FROM clean
+                          WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 50)
+            SELECT stage_no, stage, CAST(n_in AS BIGINT) AS n_in,
+                   CAST(n_out AS BIGINT) AS n_out,
+                   CAST(n_in - n_out AS BIGINT) AS n_dropped
+            FROM (
+              SELECT CAST(1 AS BIGINT) AS stage_no, 'keep_filter' AS stage,
+                     (SELECT count(*) FROM base) AS n_in, (SELECT count(*) FROM filt) AS n_out
+              UNION ALL SELECT 2, 'exact_dedup',
+                     (SELECT count(*) FROM filt), (SELECT count(*) FROM ded)
+              UNION ALL SELECT 3, 'decontaminate',
+                     (SELECT count(*) FROM ded), (SELECT count(*) FROM clean)
+              UNION ALL SELECT 4, 'sample',
+                     (SELECT count(*) FROM clean), (SELECT count(*) FROM samp)) t
+            ORDER BY stage_no""")
+  )
+
   /** The composed pipeline with the NEAR-dedup stage ON
     * (graft.api.Pipeline, nearDedup = true): keep-filter → exact dedup →
     * n-gram Jaccard clustering with one canonical doc kept per near-dup
@@ -892,6 +956,6 @@ object TextOps {
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qPerplexity, qBpePairs, qBpeLearn, qBpeEncode, qCollocations, qPiiScrub, qPipelineE2e,
-    qPipelineNeardup, qProfile, qHistogram, qBinQuantile, qWinsorize,
+    qPipelineNeardup, qPipelineReport, qProfile, qHistogram, qBinQuantile, qWinsorize,
     qMadOutliers)
 }

@@ -1296,6 +1296,19 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(books == Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64))
   }
 
+  test("stageReport reconciles exactly with the pipeline it accounts for") {
+    val rep = graft.SparkEntry.queries("q_pipeline_report")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.map(_._2).toSeq ==
+      Seq("keep_filter", "exact_dedup", "decontaminate", "sample"))
+    // chained: each stage's n_in is the previous stage's n_out; drops ≥ 0
+    rep.sliding(2).foreach { case Array(a, b) => assert(b._3 == a._4, s"$a -> $b") }
+    rep.foreach { r => assert(r._5 == r._3 - r._4 && r._5 >= 0, r.toString) }
+    // the accounting's final survivors == the actual pipeline's output
+    val e2e = graft.SparkEntry.queries("q_pipeline_e2e")(spark, sfDir).count()
+    assert(rep.last._4 == e2e, s"report says ${rep.last._4}, pipeline emits $e2e")
+  }
+
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
