@@ -50,6 +50,46 @@ object Profiler {
       s"stack(${names.size}, $stacked) AS (col_name, n_rows, n_nulls, n_distinct)"))
   }
 
+  /** Shannon ENTROPY (nats) of categorical columns — the distribution-
+    * concentration QA metric next to [[profile]]'s distinct counts: a
+    * `source` column with 5 values at H ≈ ln 5 is balanced, the same 5
+    * values at H ≈ 0.1 means one source dominates the corpus (the thing
+    * a temperature-mix is about to "fix" blindly). NULLs are excluded
+    * from the distribution (they're [[profile]]'s n_nulls, not a
+    * category). Returns one row per column:
+    * (col_name, n_distinct, entropy, norm_entropy) — norm = H / ln k,
+    * the 0..1 balance score, NULL for single-valued columns.
+    *
+    * Plan: per column, one (value) hash aggregate (vocab-sized) whose
+    * count frame is re-aggregated to a single row — the data is scanned
+    * once per column, nothing corpus-sized crosses a second shuffle; the
+    * per-column rows union. Float discipline: H = ln N − (Σ c·ln c)/N;
+    * each c·ln c term is ln of an INTEGRAL double (the unigramNll ln
+    * parity) cast to DECIMAL(30,10) before the sum, derived doubles
+    * floor to 4dp — engine-exact cross-checkable. */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropy() needs at least one column")
+    val perCol = cols.map { c =>
+      val counts = df.select(col(c).as("__v")).filter(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).as("__c"))
+      counts.agg(
+        count(lit(1)).as("__k"),
+        sum(col("__c")).as("__n"),
+        sum((log(col("__c").cast("double")) * col("__c").cast("double"))
+          .cast("decimal(30,10)")).as("__s"))
+        .select(
+          lit(c).as("col_name"),
+          col("__k").as("n_distinct"),
+          (floor((log(col("__n").cast("double"))
+            - col("__s").cast("double") / col("__n").cast("double")) * 1e4) / 1e4)
+            .as("entropy"))
+    }
+    perCol.reduce(_ unionAll _)
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          floor(col("entropy") / log(col("n_distinct").cast("double")) * 1e4) / 1e4))
+  }
+
   /** Exact equi-width HISTOGRAM of a numeric column: `nBuckets` buckets
     * over the corpus [min, max], EXPLICIT zero rows for empty buckets
     * (the distribution QA view — length/price/score histograms; a plain

@@ -160,6 +160,100 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    * `depth` hash rows × `width` counters; add = +1 at one cell per row,
+    * estimate(x) = min over rows — always ≥ the true count, and ≤ true
+    * + (e/width)·N with probability 1 − e^−depth. The per-item-count
+    * member of the persisted-sketch-rollup family (HLL = distincts,
+    * DDSketch = quantiles, CMS = frequencies): per-day sketches compose
+    * to any date range by per-cell counter SUM — commutative,
+    * associative, loss-free — so merged-sketch == sketch-of-union
+    * EXACTLY and no result can depend on partition arrival order.
+    * Hashes are MurmurHash3(string, seed = row index): pure, fixed —
+    * replayable across JVMs. NULL inputs are skipped (count them
+    * upstream; a null category is profile territory). */
+  final case class CMSketch(counts: Array[Long], total: Long)
+
+  private def cmsIdx(x: String, row: Int, width: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(x, row), width)
+
+  class CmsAgg(depth: Int, width: Int)
+      extends Aggregator[String, CMSketch, CMSketch] {
+    require(depth > 0 && width > 0, s"need positive depth/width, got ($depth, $width)")
+    def zero: CMSketch = CMSketch(new Array[Long](depth * width), 0L)
+    def reduce(b: CMSketch, x: String): CMSketch =
+      if (x == null) b
+      else {
+        var i = 0
+        while (i < depth) {
+          b.counts(i * width + cmsIdx(x, i, width)) += 1
+          i += 1
+        }
+        CMSketch(b.counts, b.total + 1)
+      }
+    def merge(a: CMSketch, b: CMSketch): CMSketch = {
+      var i = 0
+      while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+      CMSketch(a.counts, a.total + b.total)
+    }
+    def finish(b: CMSketch): CMSketch = b
+    def bufferEncoder: Encoder[CMSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[CMSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  class CmsMergeAgg extends Aggregator[CMSketch, CMSketch, CMSketch] {
+    def zero: CMSketch = CMSketch(Array.emptyLongArray, 0L)
+    private def add(a: CMSketch, b: CMSketch): CMSketch =
+      if (a == null || a.counts.isEmpty) b
+      else if (b == null || b.counts.isEmpty) a
+      else {
+        require(a.counts.length == b.counts.length,
+          s"CMS shape mismatch: ${a.counts.length} vs ${b.counts.length}")
+        var i = 0
+        while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+        CMSketch(a.counts, a.total + b.total)
+      }
+    def reduce(b: CMSketch, a: CMSketch): CMSketch = add(b, a)
+    def merge(a: CMSketch, b: CMSketch): CMSketch = add(a, b)
+    def finish(b: CMSketch): CMSketch = b
+    def bufferEncoder: Encoder[CMSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[CMSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column forms. `cmsSketch(5, 1024)(col("key"))` aggregates string
+    * keys into a sketch struct; `cmsMerge()(col("sk"))` rolls sketch
+    * rows up; `cmsEstimates(5, 1024, probes)(col("sk"))` evaluates the
+    * probe keys → array<bigint> (row-level, for GROUP-sized frames). */
+  def cmsSketch(depth: Int, width: Int): Column => Column = {
+    val fn = udaf(new CmsAgg(depth, width), Encoders.STRING)
+    (c: Column) => fn(c)
+  }
+
+  def cmsMerge(): Column => Column = {
+    val fn = udaf(new CmsMergeAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CMSketch]())
+    (c: Column) => fn(c.getField("counts"), c.getField("total"))
+  }
+
+  def cmsEstimates(depth: Int, width: Int, probes: Seq[String]): Column => Column = {
+    val f = F.udf((counts: Array[Long], total: Long) =>
+      probes.map { p =>
+        var best = Long.MaxValue
+        var i = 0
+        while (i < depth) {
+          val c = counts(i * width + cmsIdx(p, i, width))
+          if (c < best) best = c
+          i += 1
+        }
+        best
+      })
+    (c: Column) => f(c.getField("counts"), c.getField("total"))
+  }
+
   /** Quantile estimates from a [[DDSketch]]: the value at 0-based rank
     * floor(q·(cnt−1)) — negatives walked most-negative-first, then
     * zeros, then positives — estimated as the bucket midpoint

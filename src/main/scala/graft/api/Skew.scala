@@ -29,4 +29,35 @@ object Skew {
       .agg(partial.head, partial.tail: _*)
     pre.groupBy(keyCols.map(col): _*).agg(fin.head, fin.tail: _*)
   }
+
+  /** KEY-SKEW PROFILE: the measurement you run BEFORE choosing a
+    * mitigation — the top-N hottest values of a prospective join/groupBy
+    * key with, per key: row count, corpus share, and `skew_x` = count ÷
+    * the mean rows-per-key (a uniform key profiles at skew_x ≈ 1; a key
+    * at skew_x 500 is the reducer that will straggle, and tells you the
+    * salt bucket count to reach for). NULL keys profile like any other
+    * value — a mostly-NULL join key is the most common skew of all.
+    *
+    * Plan: one (key) hash aggregate (map-side combining, so the hot key
+    * itself doesn't skew the PROFILE — each partition pre-collapses it
+    * to one partial row), whose vocab-sized count frame is re-aggregated
+    * to a 1-row (total, n_keys) broadcast (the sanctioned
+    * corpus-constant crossJoin) and top-N'd — nothing corpus-sized
+    * crosses a second exchange. share/skew_x are single IEEE divides on
+    * exact longs, floored to 4dp. */
+  def keyProfile(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("__total"), count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        (floor(col("cnt").cast("double") / col("__total").cast("double") * 1e4) / 1e4)
+          .as("share"),
+        (floor(col("cnt").cast("double")
+          / (col("__total").cast("double") / col("__nkeys").cast("double")) * 1e4) / 1e4)
+          .as("skew_x"))
+      .orderBy(col("cnt").desc, col("key").asc_nulls_first)
+      .limit(topN)
+  }
 }

@@ -668,10 +668,131 @@ object Relational {
             LIMIT 20""")
   )
 
+  /** TPC-H Q12 (shipping modes / order priority) adapted to the fixture
+    * (no l_shipmode or l_receiptdate → the mode dimension becomes
+    * l_linestatus and "received in 1996" becomes "shipped in 1996"):
+    * per line status, how many 1996-shipped lineitems belong to
+    * urgent/high-priority orders vs the rest — the conditional-count
+    * fact⋈fact join. All-integer output, zero float hazard. */
+  private val qSqlTpchQ12 = Q(
+    "q_sql_tpch_q12",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")
+    },
+    Some("""SELECT l_linestatus,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus""")
+  )
+
+  /** TPC-H Q14 (promotion effect) adapted to the fixture (p_type is a
+    * plain category, so `= 'PROMO'` replaces `LIKE 'PROMO%'`): the
+    * share of one month's revenue from promo parts — the
+    * conditional-sum / total-sum ratio. Both sums accumulate as
+    * DECIMAL(30,10); the ratio is ONE IEEE divide on two exactly-agreed
+    * decimal-cast doubles, then the 4dp floor — deterministic
+    * cross-engine (the q_resample_agg discipline applied to a ratio). */
+  private val qSqlTpchQ14 = Q(
+    "q_sql_tpch_q14",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS promo_revenue
+        FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+    },
+    Some("""SELECT floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+  )
+
+  /** TPC-H Q18 (large-volume customers): top-100 orders whose total
+    * quantity exceeds 250, with the owning customer — the
+    * aggregate-HAVING-join shape (pre-aggregate lineitem, filter on the
+    * aggregate, then join the dims). l_quantity is integral 1..50 so
+    * double sums are order-independent-exact and the HAVING cut agrees
+    * cross-engine without decimal staging; o_totalprice orders raw
+    * parquet doubles with the orderkey tiebreak; the date leaves as
+    * epoch-ms per the output convention. */
+  private val qSqlTpchQ18 = Q(
+    "q_sql_tpch_q18",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS o_date_ms,
+               o_totalprice,
+               sum(l_quantity) AS sum_qty
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                        JOIN v_lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING sum(l_quantity) > 250
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey,
+              epoch_ms(o_orderdate) AS o_date_ms,
+              o_totalprice,
+              sum(l_quantity) AS sum_qty
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            HAVING sum(l_quantity) > 250
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100""")
+  )
+
+  /** TPC-H Q19 (discounted revenue) adapted to the fixture (no
+    * p_container/l_shipmode → those legs drop from each disjunct):
+    * revenue over three OR-ed (brand, size-range, quantity-range)
+    * baskets — the disjunctive join predicate Catalyst must keep OUT of
+    * the join keys (equi-join on partkey; the disjunction is a post-join
+    * filter). Single decimal-accumulated floored sum. */
+  private val qSqlTpchQ19 = Q(
+    "q_sql_tpch_q19",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+        FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""")
+    },
+    Some("""SELECT floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000 AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""")
+  )
+
   val all: Seq[Q] = Seq(
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
     qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qUnionAll, qIntersect, qExcept,
-    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ4, qSqlTpchQ5, qSqlTpchQ6, qSqlTpchQ10)
+    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ4, qSqlTpchQ5, qSqlTpchQ6,
+    qSqlTpchQ10, qSqlTpchQ12, qSqlTpchQ14, qSqlTpchQ18, qSqlTpchQ19)
 }

@@ -657,6 +657,62 @@ object TextOps {
             ) ORDER BY col_name""")
   )
 
+  /** Column entropy (graft.api.Profiler.entropy): Shannon entropy of the
+    * documents corpus' lang and source distributions — the concentration
+    * QA metric q_profile's distinct counts can't give (5 sources can be
+    * balanced or 99%-one-crawl; only H tells them apart, and it's what a
+    * temperature-mix decision reads). Per column one vocab-sized hash
+    * aggregate re-aggregated to a single row; c·ln c terms accumulate as
+    * DECIMAL(30,10) (ln of integral doubles — the unigramNll parity). */
+  private val qEntropy = Q(
+    "q_entropy",
+    (s, dir) =>
+      graft.api.Profiler.entropy(Tables.documents(s, dir), Seq("lang", "source"))
+        .orderBy("col_name"),
+    Some("""WITH lc AS (SELECT lang AS v, count(*) AS c FROM documents
+                        WHERE lang IS NOT NULL GROUP BY 1),
+                 la AS (SELECT count(*) AS k, sum(c) AS n,
+                               sum(CAST(ln(CAST(c AS DOUBLE)) * CAST(c AS DOUBLE) AS DECIMAL(30,10))) AS s
+                        FROM lc),
+                 sc AS (SELECT source AS v, count(*) AS c FROM documents
+                        WHERE source IS NOT NULL GROUP BY 1),
+                 sa AS (SELECT count(*) AS k, sum(c) AS n,
+                               sum(CAST(ln(CAST(c AS DOUBLE)) * CAST(c AS DOUBLE) AS DECIMAL(30,10))) AS s
+                        FROM sc),
+                 u AS (SELECT 'lang' AS col_name, CAST(k AS BIGINT) AS n_distinct,
+                              floor((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 10000) / 10000 AS entropy
+                       FROM la
+                       UNION ALL
+                       SELECT 'source', CAST(k AS BIGINT),
+                              floor((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 10000) / 10000
+                       FROM sa)
+            SELECT col_name, n_distinct, entropy,
+                   CASE WHEN n_distinct > 1
+                        THEN floor(entropy / ln(CAST(n_distinct AS DOUBLE)) * 10000) / 10000
+                   END AS norm_entropy
+            FROM u ORDER BY col_name""")
+  )
+
+  /** Key-skew profile (graft.api.Skew.keyProfile): the top-20 hottest
+    * user_ids in the event stream with corpus share and skew_x (count ÷
+    * mean-rows-per-key) — the measurement that decides whether the next
+    * join/groupBy on this key needs Skew.saltedAggregate and with how
+    * many buckets. One map-side-combining key aggregate + a 1-row
+    * (total, n_keys) corpus-constant broadcast + top-N. */
+  private val qSkewProfile = Q(
+    "q_skew_profile",
+    (s, dir) =>
+      graft.api.Skew.keyProfile(Tables.events(s, dir), "user_id", 20),
+    Some("""WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+                 t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c)
+            SELECT key, CAST(cnt AS BIGINT) AS cnt,
+                   floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 10000) / 10000 AS share,
+                   floor(CAST(cnt AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE)) * 10000) / 10000 AS skew_x
+            FROM c, t
+            ORDER BY cnt DESC, key ASC NULLS FIRST
+            LIMIT 20""")
+  )
+
   /** Equi-width histogram (graft.api.Profiler.histogram): the price
     * distribution in 20 buckets with explicit zero rows — the
     * distribution-QA view (length/score/price histograms) a profile's
@@ -956,6 +1012,6 @@ object TextOps {
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qPerplexity, qBpePairs, qBpeLearn, qBpeEncode, qCollocations, qPiiScrub, qPipelineE2e,
-    qPipelineNeardup, qPipelineReport, qProfile, qHistogram, qBinQuantile, qWinsorize,
-    qMadOutliers)
+    qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
+    qHistogram, qBinQuantile, qWinsorize, qMadOutliers)
 }

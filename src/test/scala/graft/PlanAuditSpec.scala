@@ -142,7 +142,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_resample_agg" -> "1-row bucket-range broadcast (min/max)",
       "q_histogram" -> "1-row value-range broadcast (min/max)",
       "q_winsorize" -> "1-row corpus-constant broadcast (percentile cut points)",
-      "q_mad_outliers" -> "1-row robust-stats broadcasts (median, MAD)")
+      "q_mad_outliers" -> "1-row robust-stats broadcasts (median, MAD)",
+      "q_skew_profile" -> "1-row corpus-constant broadcast (total, n_keys)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —
