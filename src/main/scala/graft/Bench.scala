@@ -76,7 +76,16 @@ object Bench {
     val rp = reps.map { case (k, v) => s"\"" + k + "\":[" + v.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"sf":"$sfDir"}"""
+    println(line)
+    // the driver artifact keeps only the tail of stdout, which clips the
+    // per-query map once the surface is large — ALSO write the line to a
+    // file so the full map always survives (best-effort: an unwritable
+    // path must not fail the bench)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] file dump skipped: ${e.getMessage}") }
     spark.stop()
   }
 }

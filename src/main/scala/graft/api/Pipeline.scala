@@ -74,21 +74,22 @@ object Pipeline {
       // input snapshot, the contraction's final round) before
       // returning. The ONLY persistent blocks left are the returned
       // frame's own; [[release]] frees those when the caller is done.
+      // Ckpt.tracking scopes the sweep to the checkpoint ids THIS call
+      // creates (snap + the contraction rounds + the result): unlike a
+      // getPersistentRDDs before/after diff, a frame persisted
+      // CONCURRENTLY by another thread on the shared SparkContext can
+      // never be swept — for a localCheckpoint'd frame that loss would
+      // be unrecoverable (lineage truncated).
       val sc = df.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val snap = survivors.localCheckpoint()
-      val near = TextDedup.nearDupSurvivors(snap, idCol, textCol,
-        n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
-      val out = Sampling.sample(clean(near), textCol, samplePct).localCheckpoint()
-      val keep = out.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => Set(lr.rdd.id)
-        case _ => Set.empty[Int]
+      val (out, created) = Ckpt.tracking {
+        val snap = Ckpt(survivors)
+        val near = TextDedup.nearDupSurvivors(snap, idCol, textCol,
+          n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)
+        Ckpt(Sampling.sample(clean(near), textCol, samplePct))
       }
-      // diffed against `before`: only blocks THIS call created are
-      // swept — a caller's unrelated cached frames are never touched
-      sc.getPersistentRDDs.foreach { case (rddId, rdd) =>
-        if (!before.contains(rddId) && !keep.contains(rddId)) rdd.unpersist(false)
-      }
+      val keep = Ckpt.rddId(out).toSet
+      created.diff(keep).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       out
     }
   }

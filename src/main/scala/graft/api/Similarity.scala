@@ -150,13 +150,23 @@ object Similarity {
     val m = codebooks.size
     require(dim % m == 0, s"codebook count $m must divide dim $dim")
     val dsub = dim / m
-    val e = when(col(embCol).isNotNull && size(col(embCol)) === dim,
+    // element-level NULLs normalize to whole-vector NULL up front (the
+    // quantize convention): a null element would otherwise poison the
+    // per-subspace distance folds into per-field NULLs while leaving
+    // sibling subspaces coded — half-coded junk rows
+    val e = when(col(embCol).isNotNull && size(col(embCol)) === dim &&
+        !exists(col(embCol), x => x.isNull),
       col(embCol).cast("array<double>"))
     val parts = (0 until m).map { s =>
       l2Code(slice(e, s * dsub + 1, dsub), codebooks(s))
     }
+    // array(struct.getField) would yield a non-NULL array of m NULL
+    // elements for a NULL/wrong-dim vector (struct() itself is never
+    // NULL, only its fields) — gate on e so the WHOLE codes column
+    // nulls together, matching quantize's whole-vector-NULL convention
     corpus
-      .withColumn("codes", array(parts.map(_.getField("code")): _*))
+      .withColumn("codes",
+        when(e.isNotNull, array(parts.map(_.getField("code")): _*)))
       .withColumn("pq_sqerr", parts.map(_.getField("err")).reduce(_ + _))
   }
 

@@ -241,15 +241,27 @@ object Sketches {
 
   def cmsEstimates(depth: Int, width: Int, probes: Seq[String]): Column => Column = {
     val f = F.udf((counts: Array[Long], total: Long) =>
-      probes.map { p =>
-        var best = Long.MaxValue
-        var i = 0
-        while (i < depth) {
-          val c = counts(i * width + cmsIdx(p, i, width))
-          if (c < best) best = c
-          i += 1
+      // a CmsMergeAgg.zero that merged nothing is an empty array — an
+      // empty sketch holds no mass, so every probe estimates 0 (the
+      // same answer a populated sketch gives for a never-added key when
+      // its cells are untouched); any OTHER length is a caller passing
+      // a sketch built with different depth/width — fail loudly rather
+      // than silently probing wrong cells
+      if (counts.isEmpty) probes.map(_ => 0L)
+      else {
+        require(counts.length == depth * width,
+          s"CMS shape mismatch: sketch has ${counts.length} cells, " +
+            s"probe expects depth*width = ${depth * width}")
+        probes.map { p =>
+          var best = Long.MaxValue
+          var i = 0
+          while (i < depth) {
+            val c = counts(i * width + cmsIdx(p, i, width))
+            if (c < best) best = c
+            i += 1
+          }
+          best
         }
-        best
       })
     (c: Column) => f(c.getField("counts"), c.getField("total"))
   }
@@ -260,6 +272,11 @@ object Sketches {
     * 2γ^i/(γ+1) (within α·|x| of the true value). Pure and
     * deterministic; empty sketch → null. */
   def ddQuery(sk: DDSketch, alpha: Double, q: Double): Option[Double] = {
+    // out-of-range q would walk past the cumulative counts and fall
+    // into the fallback (which .max-throws on an empty positive store);
+    // fail loudly at the API boundary instead (mirrors DDSketchAgg's
+    // alpha require)
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
     if (sk == null || sk.cnt == 0L) return None
     val gamma = ddGamma(alpha)
     def mid(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1)

@@ -324,7 +324,7 @@ object TextAnalysis {
       .select(concat(
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
         array(lit("</w>"))).as("syms"), col("cnt"))
-      .localCheckpoint()
+      .transform(Ckpt.apply)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     var r = 1
@@ -354,7 +354,7 @@ object TextAnalysis {
             size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(s)))).as("syms"), col("cnt"))
-          .localCheckpoint()
+          .transform(Ckpt.apply)
         dropCheckpoint(vocab)
         vocab = applied
       }

@@ -84,7 +84,7 @@ object TextDedup {
       }
     // posting lists only (sorted ids, shingle text dropped) — reused by
     // the pair emission AND the per-doc size count
-    val posting = guarded.select(array_sort(col("ids")).as("ids")).localCheckpoint()
+    val posting = guarded.select(array_sort(col("ids")).as("ids")).transform(Ckpt.apply)
     val sz = posting.select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("nsh"))
     // ordered pairs (ids[i], ids[j]) for i < j within each posting list;
@@ -134,7 +134,7 @@ object TextDedup {
     // (id, shingle-set) feeds the signature path AND both exact-verify
     // joins below — localCheckpoint so the tokenize+distinct subtree
     // runs once, not once per consumer (the r2 regression pattern)
-    val docSh = docShingleSets(df, idCol, textCol, n).localCheckpoint()
+    val docSh = docShingleSets(df, idCol, textCol, n).transform(Ckpt.apply)
     val bandKeys = minhashBandKeys(docSh, bands)
     val cand = bandKeys.as("a")
       .join(bandKeys.as("b"),
@@ -183,7 +183,7 @@ object TextDedup {
     graft.functions.VectorExprs.register(newDf.sparkSession)
     // new-side shingle sets feed the signature path and the verify —
     // checkpoint once, batch-sized
-    val newSh = docShingleSets(newDf, idCol, textCol, n).localCheckpoint()
+    val newSh = docShingleSets(newDf, idCol, textCol, n).transform(Ckpt.apply)
     val newKeys = minhashBandKeys(newSh, bands)
     val candOld = newKeys.as("a")
       .join(index.as("b"),
@@ -237,14 +237,14 @@ object TextDedup {
       idCol: String, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
+      .transform(Ckpt.apply)
     // propagate only over nodes that HAVE edges (near-dup graphs are
     // sparse — most documents are singletons); the full id set joins
     // back once at the end, so per-round work scales with the graph,
     // not the corpus
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .transform(Ckpt.apply)
     // coalesce: sum over ZERO rows is NULL — an empty pair graph (clean
     // corpus) must yield all-singleton clusters, not a crash
     def labelSum(): Long =
@@ -264,7 +264,7 @@ object TextDedup {
         .join(neighborMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
+        .transform(Ckpt.apply)
       dropCheckpoint(labels) // next is materialized; memory ∝ one round
       labels = next
       val s = labelSum()
@@ -604,7 +604,7 @@ object TextDedup {
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(Ckpt.apply)
     // hash-sum in decimal(38,0): a long sum of xxhash64 values overflows
     // (ANSI mode throws); decimal headroom covers any edge count
     def checksum(e: DataFrame): (Long, BigDecimal) = {
@@ -623,10 +623,10 @@ object TextDedup {
     // costs one extra all-no-op iteration, hence the + 1 (same contract
     // as connectedComponents above).
     while (!converged && round < maxRounds + 1) {
-      val ls = largeStarStep(edges).localCheckpoint()
+      val ls = largeStarStep(edges).transform(Ckpt.apply)
       dropCheckpoint(edges) // ls is materialized; last round's blocks are dead
       val cls = checksum(ls)
-      val ss = smallStarStep(ls).localCheckpoint()
+      val ss = smallStarStep(ls).transform(Ckpt.apply)
       dropCheckpoint(ls)
       val css = checksum(ss)
       converged = cls == prev && css == cls

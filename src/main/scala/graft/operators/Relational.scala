@@ -400,6 +400,47 @@ object Relational {
     None
   )
 
+  /** MERGEABLE FREQUENCY sketch rollup — the per-item-COUNT member of
+    * the persisted-sketch-rollup family (q_hll_rollup = distincts,
+    * q_quantile_rollup = quantiles; graft.api.Sketches.CmsAgg, the
+    * Count-Min design): per-day event-type sketches roll up to
+    * any-date-range per-key frequency estimates WITHOUT rescanning raw
+    * data — "how often did each tracked term appear this week" from
+    * kilobyte-sized daily sketches. The per-cell counter-sum merge is
+    * commutative and loss-free, so the merged row is EXACTLY the
+    * whole-range sketch and no partition/arrival order can change it
+    * (the q_quantile_rollup determinism argument). Estimates carry the
+    * CMS one-sided guarantee: ≥ the true count always, ≤ true +
+    * (e/width)·N w.h.p. Long output shape (day_idx, key, est): per-day
+    * rows plus the merged range under day_idx NULL; probe evaluation
+    * runs on the DAY-sized sketch frame only, never raw rows.
+    * Approximate → no SQL oracle; merge-exactness, the overestimate-only
+    * bound, and the empty/shape-mismatch probe guards are
+    * property-tested (OperatorPropertiesSpec "cms frequency rollup"). */
+  private val qFreqRollup = Q(
+    "q_freq_rollup",
+    (s, dir) => {
+      val depth = 5; val width = 1024
+      val tracked = Seq("click", "error", "purchase", "signup", "view", "absent_key")
+      val daily = Tables.events(s, dir)
+        .select(expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day_idx"),
+          col("event_type"))
+        .groupBy("day_idx")
+        .agg(graft.api.Sketches.cmsSketch(depth, width)(col("event_type")).as("sk"))
+      def expand(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select(col("day_idx"),
+            posexplode(graft.api.Sketches.cmsEstimates(depth, width, tracked)(col("sk")))
+              .as(Seq("ki", "est")))
+          .select(col("day_idx"), element_at(typedLit(tracked), col("ki") + 1).as("key"),
+            col("est"))
+      expand(daily)
+        .unionByName(expand(daily.agg(graft.api.Sketches.cmsMerge()(col("sk")).as("sk"))
+          .select(lit(null).cast("long").as("day_idx"), col("sk"))))
+        .orderBy(asc_nulls_first("day_idx"), asc("key"))
+    },
+    None
+  )
+
   // ---- set operations ----------------------------------------------------
 
   private val qUnionAll = Q(
@@ -792,7 +833,8 @@ object Relational {
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
-    qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qUnionAll, qIntersect, qExcept,
+    qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qFreqRollup,
+    qUnionAll, qIntersect, qExcept,
     qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ4, qSqlTpchQ5, qSqlTpchQ6,
     qSqlTpchQ10, qSqlTpchQ12, qSqlTpchQ14, qSqlTpchQ18, qSqlTpchQ19)
 }

@@ -1127,6 +1127,58 @@ class OperatorPropertiesSpec extends SparkTestBase {
       .toDF("value")
     assert(skOf(dirty) == whole, "NaN/Inf must be skipped, not indexed")
     assert(whole.zero == 50L && whole.cnt == vals.size.toLong)
+    // 5. out-of-range q fails loudly at the API boundary (an unchecked
+    //    q>1 used to crash with .max on an empty positive store instead)
+    intercept[IllegalArgumentException](Sketches.ddQuery(whole, alpha, 1.5))
+    intercept[IllegalArgumentException](Sketches.ddQuery(whole, alpha, -0.1))
+  }
+
+  test("cms frequency rollup: exact mergeability, overestimate-only bound, probe guards") {
+    import spark.implicits._
+    import graft.api.Sketches
+    val depth = 5; val width = 256
+    // zipf-ish key mix over 4 "days", with one key absent entirely
+    val keys = (1 to 3000).map(i => s"k${i % (i % 7 + 1)}") ++ Seq.fill(40)("rare")
+    val rows = keys.zipWithIndex.map { case (k, i) => (i % 4, k) }
+    val df = rows.toDF("day", "key")
+    def skOf(d: org.apache.spark.sql.DataFrame): Sketches.CMSketch =
+      d.agg(Sketches.cmsSketch(depth, width)(col("key")).as("sk"))
+        .select("sk.*").as[Sketches.CMSketch].head()
+    // 1. merged per-day sketches ≡ the whole-data sketch, cell-exact
+    val whole = skOf(df)
+    val daily = df.groupBy("day").agg(Sketches.cmsSketch(depth, width)(col("key")).as("sk"))
+    val merged = daily.agg(Sketches.cmsMerge()(col("sk")).as("sk"))
+      .select("sk.*").as[Sketches.CMSketch].head()
+    assert(merged.counts.sameElements(whole.counts) && merged.total == whole.total,
+      "cell-sum merge must be loss-free (merged != whole-data sketch)")
+    // 2. partition/arrival order cannot change the sketch
+    val shuffled = skOf(df.repartition(7, col("key")))
+    assert(shuffled.counts.sameElements(whole.counts) && shuffled.total == whole.total)
+    // 3. estimates: ALWAYS ≥ exact (one-sided), ≤ exact + (e/width)·N
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = exact.keys.toSeq.sorted :+ "never_seen"
+    val ests = Seq(Tuple1(whole)).toDF("sk")
+      .select(Sketches.cmsEstimates(depth, width, probes)(col("sk")).as("e"))
+      .head().getSeq[Long](0)
+    val bound = math.ceil(math.E / width * keys.size).toLong
+    probes.zip(ests).foreach { case (p, est) =>
+      val tru = exact.getOrElse(p, 0L)
+      assert(est >= tru, s"$p: CMS must never underestimate ($est < $tru)")
+      assert(est <= tru + bound, s"$p: est $est exceeds $tru + e/width·N ($bound)")
+    }
+    // 4. probing an empty (never-merged) sketch → all zeros, not a crash
+    val emptyEsts = Seq(Tuple1(Sketches.CMSketch(Array.emptyLongArray, 0L))).toDF("sk")
+      .select(Sketches.cmsEstimates(depth, width, probes)(col("sk")).as("e"))
+      .head().getSeq[Long](0)
+    assert(emptyEsts.forall(_ == 0L))
+    // 5. a genuinely mis-shaped sketch fails loudly (never probes wrong
+    //    cells silently); mismatched merges fail in CmsMergeAgg.require
+    val bad = intercept[Exception] {
+      Seq(Tuple1(Sketches.CMSketch(new Array[Long](3), 0L))).toDF("sk")
+        .select(Sketches.cmsEstimates(depth, width, probes)(col("sk")).as("e"))
+        .head()
+    }
+    assert(bad.getMessage != null)
   }
 
   test("prepare(nearDedup=true) block hygiene: intermediates released, result self-contained, release() frees the rest") {
@@ -1294,6 +1346,24 @@ class OperatorPropertiesSpec extends SparkTestBase {
       "a Lloyd round increased distortion")
     // deterministic refit
     assert(books == Similarity.pqFit(emb, "vec_id", "embedding", m = 8, k = 16, dim = 64))
+    // NULL / wrong-dimension / element-NULL vectors null the WHOLE codes
+    // column together with pq_sqerr (the quantize whole-vector-NULL
+    // convention) — never a non-NULL array of m NULL elements
+    import spark.implicits._
+    val good = (0 until 64).map(_.toDouble)
+    val withElemNull = Seq[(Long, Option[Seq[java.lang.Double]])](
+      (1L, Some(good.map(Double.box))),
+      (2L, None),                                                          // NULL vector
+      (3L, Some(good.take(10).map(Double.box))),                           // wrong dim
+      (4L, Some(good.map(Double.box).updated(5, null: java.lang.Double)))) // element NULL
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(withElemNull, "embedding", books, dim = 64)
+      .select("vec_id", "codes", "pq_sqerr").orderBy("vec_id").collect()
+    assert(enc(0).getSeq[Int](1).size == 8 && !enc(0).isNullAt(2))
+    enc.drop(1).foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2),
+        s"vec ${r.getLong(0)}: expected whole-NULL codes/err, got $r")
+    }
   }
 
   test("stageReport reconciles exactly with the pipeline it accounts for") {
