@@ -393,4 +393,91 @@ object Similarity {
       iterations: Int = 1): DataFrame =
     ivfJoinWith(corpus, idCol, embCol,
       fitIvf(corpus, idCol, embCol, nCentroids, iterations), k, nProbe)
+
+  /** Per-probe ADC lookup table (Jégou et al., TPAMI 2011 §IV.A):
+    * `lut[s][c]` = squared L2 between the probe's s-th subvector and
+    * codeword c of subspace s — m×k doubles computed ONCE per probe row
+    * (m·k·dsub flops), after which every candidate's approximate
+    * distance is m table lookups instead of a dim-wide fold. */
+  private def adcLut(pe: Column, codebooks: Seq[Seq[Seq[Double]]], dsub: Int): Column =
+    array(codebooks.zipWithIndex.map { case (book, s) =>
+      transform(typedLit(book), cw =>
+        aggregate(zip_with(slice(pe, s * dsub + 1, dsub), cw, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, t) => a + t))
+    }: _*)
+
+  /** IVF-ADC search over PQ CODES (the IVFADC composition of Jégou et
+    * al., TPAMI 2011 §IV — what real 100 TB vector stores run): the
+    * index side carries only (cell, m PQ codes) per vector — never the
+    * embedding — so at scale the standing index is m bytes/vector, 64×
+    * smaller than float64 at m=8/dim=64. Per probe: the `nProbe`
+    * nearest cells are probed (cell EQUI-join, the [[ivfJoinWith]]
+    * shape), each candidate scored with the asymmetric distance
+    * Σ_s lut[s][codes[s]] (m lookups against the probe's precomputed
+    * [[adcLut]]), the best `k·shortlist` ADC candidates per probe kept,
+    * and ONLY that shortlist joins the embeddings back for the exact
+    * re-rank — the two-level filter (coarse cells → ADC → exact) that
+    * makes the expensive exact math shortlist-sized, never
+    * collision-sized.
+    *
+    * The probe stream rides the LUT (m·k doubles) through the cell
+    * shuffle — a per-probe constant, the published IVFADC trade
+    * (recomputing the LUT per candidate would be m·k·dsub flops × the
+    * collision count). The ADC projection runs pipelined on the join
+    * output, so the window shuffle that ranks the shortlist carries
+    * (pid, id, adc) triples only. Per-pair multiplicity: one cell per
+    * index vector × distinct probe cells → a pair meets at most once
+    * (no distinct — the [[ivfJoinWith]] argument).
+    *
+    * ADC orders by L2 of whatever vectors were encoded; for a COSINE
+    * contract, pass unit-normalized vectors (then L2 = 2 − 2·cos,
+    * order-identical) and re-rank stays cosine — the q_ann_ivfpq
+    * recipe. Returns (id, neighbor_id, sim, rank ≤ k) like [[annJoin]].
+    */
+  def ivfPqJoin(corpus: DataFrame, idCol: String, embCol: String,
+      centers: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int = 10, nProbe: Int = 4, shortlist: Int = 4,
+      dim: Int = 64): DataFrame = {
+    reg(corpus)
+    require(codebooks.nonEmpty && dim % codebooks.size == 0,
+      s"codebook count ${codebooks.size} must divide dim $dim")
+    val dsub = dim / codebooks.size
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+    val cc = typedLit(centers)
+    // the standing index: (cell, codes) only — m small ints per vector
+    val index = pqEncode(em, "e", codebooks, dim)
+      .select(col("id"),
+        element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1)
+          .as("cid"),
+        col("codes"))
+    // probe stream: LUT + cells computed once per probe, then cell fan-out
+    val probes = em.select(col("id").as("pid"),
+        adcLut(col("e").cast("array<double>"), codebooks, dsub).as("lut"),
+        call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)).as("cells"))
+      .select(col("pid"), col("lut"), explode(col("cells")).as("cid"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(asc("adc"), asc("id"))
+    val cand = probes.join(index, "cid")
+      .filter(col("pid") =!= col("id"))
+      // project to (pid, id, adc) IN the join stage: the lut/codes never
+      // cross the window shuffle
+      .select(col("pid"), col("id"),
+        aggregate(zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+          lit(0.0), (a, t) => a + t).as("adc"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= k * shortlist)
+      .select("pid", "id")
+    // exact re-rank on the shortlist only
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
+    cand
+      .join(em.select(col("id").as("pid"), col("e").as("pe")), "pid")
+      .join(em, "id")
+      .withColumn("sim", round(cosine(col("e"), col("pe")), 4))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("pid").as("id"), col("id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
 }

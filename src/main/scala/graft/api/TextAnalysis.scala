@@ -214,6 +214,52 @@ object TextAnalysis {
       .select(col("id"), col("n_tok"), col("avg_nll"))
   }
 
+  /** Interpolated BIGRAM-LM negative log-likelihood per document — the
+    * higher-order step past [[unigramNll]] that CCNet-style filtering
+    * actually uses: per bigram position,
+    * P(b|a) = λ·c(ab)/c(a) + (1−λ)·c(b)/N (Jelinek-Mercer smoothing —
+    * the unigram back-off term means an unseen-in-context token is
+    * penalized, not zeroed), avg_nll = −(1/n_big)·Σ ln P. Docs with
+    * fewer than two tokens have no bigram positions and drop out.
+    *
+    * Cost: the unigram and bigram count aggregates (both map-side
+    * combining; the bigram stream IS the shared 2-gram shingle
+    * definition, the q_collocations reuse), one pair-count equi-join
+    * plus two vocab-sized unigram joins attaching c(a)/c(b) (AQE
+    * broadcasts the vocab when it fits), one per-doc aggregate, and the
+    * token total N as a 1-row broadcast. Float discipline: λ defaults
+    * DYADIC (0.75 → both λ and 1−λ scale exactly), the two divisions
+    * and two products are single correctly-rounded IEEE ops, ONE ln per
+    * position is the whole transcendental surface, and the per-doc sum
+    * crosses as DECIMAL(30,10) (order-free) — the unigramNll
+    * discipline, unchanged. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0,1], got $lambda")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_total"))
+    val bg = TextDedup.rawShingles(df, idCol, textCol, n = 2)
+      .select(col("id"), col("shingle").as("pair"))
+    val bgc = bg.groupBy("pair").agg(count(lit(1)).as("cab"))
+    bg.join(bgc, "pair")
+      // tokens are space-split, so the 2-shingle splits back losslessly
+      .withColumn("__a", split(col("pair"), " ").getItem(0))
+      .withColumn("__b", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("term").as("__a"), col("c").as("ca")), "__a")
+      .join(uni.select(col("term").as("__b"), col("c").as("cb")), "__b")
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        log(lit(lambda) * (col("cab").cast("double") / col("ca")) +
+          lit(1 - lambda) * (col("cb").cast("double") / col("n_total"))).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_big"),
+        sum(col("lp").cast("decimal(30,10)")).as("__s"))
+      .withColumn("avg_nll", -(col("__s").cast("double") / col("n_big")))
+      .select(col("id"), col("n_big"), col("avg_nll"))
+  }
+
   /** Corpus-wide adjacent-token-pair frequencies — the first scan of BPE
     * vocabulary induction (each merge round is this exact aggregate over
     * the re-tokenized stream). One Generator fan-out + one hash

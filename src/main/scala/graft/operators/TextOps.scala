@@ -802,6 +802,43 @@ object TextOps {
             FROM d, tot ORDER BY d.doc_id""")
   )
 
+  /** Interpolated BIGRAM-LM perplexity scoring
+    * (graft.api.TextAnalysis.bigramNll, λ=0.75 Jelinek-Mercer): per-doc
+    * average negative log-likelihood of each bigram transition under
+    * λ·c(ab)/c(a) + (1−λ)·c(b)/N — the higher-order CCNet-style LM
+    * signal q_perplexity's unigram stops short of. Reuses the shared
+    * 2-gram shingle stream (q_collocations' bigram definition); the
+    * dyadic λ + single-ln-per-position + DECIMAL(30,10) per-doc sum
+    * keep both engines bit-aligned (invariant-1 discipline). Docs with
+    * <2 tokens have no transitions and drop out on both sides. */
+  private val qPerplexityBigram = Q(
+    "q_perplexity_bigram",
+    (s, dir) =>
+      graft.api.TextAnalysis.bigramNll(Tables.documents(s, dir), "doc_id", "text",
+          lambda = 0.75)
+        .select(col("id").as("doc_id"), col("n_big"),
+          (floor(col("avg_nll") * 10000) / 10000.0).as("avg_nll"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 toks AS (SELECT doc_id, unnest(t) AS term FROM t),
+                 uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+                 tot AS (SELECT count(*) AS n_total FROM toks),
+                 bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1])) AS pair FROM t),
+                 bgc AS (SELECT pair, count(*) AS cab FROM bg GROUP BY pair),
+                 sc AS (SELECT bg.doc_id,
+                          ln(0.75 * (CAST(bgc.cab AS DOUBLE) / ua.c) +
+                             0.25 * (CAST(ub.c AS DOUBLE) / tot.n_total)) AS lp
+                        FROM bg
+                        JOIN bgc USING (pair)
+                        JOIN uni ua ON ua.term = string_split(bg.pair, ' ')[1]
+                        JOIN uni ub ON ub.term = string_split(bg.pair, ' ')[2], tot)
+            SELECT doc_id, count(*) AS n_big,
+                   floor(-(CAST(sum(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) / count(*)) * 10000) / 10000
+                     AS avg_nll
+            FROM sc GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** BPE-style adjacent-pair statistics
     * (graft.api.TextAnalysis.adjacentPairs): the top-20 most frequent
     * adjacent token pairs corpus-wide — the scan each BPE vocabulary
@@ -1011,7 +1048,8 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
-    qPerplexity, qBpePairs, qBpeLearn, qBpeEncode, qCollocations, qPiiScrub, qPipelineE2e,
+    qPerplexity, qPerplexityBigram, qBpePairs, qBpeLearn, qBpeEncode,
+    qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers)
 }

@@ -95,6 +95,46 @@ object VectorOps {
     None
   )
 
+  /** IVF-PQ (IVFADC) ANN JOIN — the composition a production-scale
+    * vector store runs (graft.api.Similarity.ivfPqJoin; Jégou et al.,
+    * TPAMI 2011 §IV): coarse IVF cells prune the corpus, PQ codes (m=8
+    * nibbles/vector — the standing index is 64× smaller than the
+    * float64 embeddings) score candidates via the asymmetric-distance
+    * lookup table, and only the per-probe ADC shortlist pays the exact
+    * cosine re-rank. Vectors are unit-normalized first so ADC's L2
+    * ordering IS the cosine ordering (L2² = 2 − 2·cos on unit vectors);
+    * the reported sim is exact cosine, so like every graft ANN, the
+    * approximation can only LOSE neighbors, never misscore one. Both
+    * models (16 IVF centers + 8×16 PQ codebooks) fit on the same
+    * deterministic 30% id-hash sample — the fit-on-sample split every
+    * graft fit documents for 100 TB. Approximate → no SQL oracle;
+    * pair recall vs the exact baseline, ADC-vs-exact shortlist
+    * consistency, and the codes-only index shape are property-tested
+    * (OperatorPropertiesSpec "ivf-pq"). */
+  private val qAnnIvfPq = Q(
+    "q_ann_ivfpq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.functions.VectorExprs.register(s)
+      val base = emb
+        .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+        .withColumn("nrm", sqrt(call_function("vec_dot", col("ed"), col("ed"))))
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"), transform(col("ed"), x => x / col("nrm")).as("unit"))
+      val fitSample = base.filter(pmod(xxhash64(col("vec_id")), lit(10)) < 3)
+      val centers = Similarity.fitIvf(fitSample, "vec_id", "unit",
+        nCentroids = 16, iterations = 1)
+      val books = Similarity.pqFit(fitSample, "vec_id", "unit",
+        m = 8, k = 16, dim = 64, iterations = 1)
+      Similarity.ivfPqJoin(base, "vec_id", "unit", centers, books,
+          k = 5, nProbe = 4, shortlist = 4, dim = 64)
+        .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy("vec_id", "rank")
+    },
+    None
+  )
+
   /** Per-label embedding centroids via the element-wise vector-sum
     * aggregate ([[graft.functions.VecSumAgg]] — the IVF Lloyd-update
     * shape as a user-facing query): ONE row per label crosses the
@@ -264,5 +304,6 @@ object VectorOps {
   )
 
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf,
-    qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn, qEmbedQuantize, qEmbedPq)
+    qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn, qEmbedQuantize,
+    qEmbedPq)
 }

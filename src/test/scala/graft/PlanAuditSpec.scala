@@ -133,6 +133,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_tfidf" -> "1-row corpus-constant broadcast (N)",
       "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)",
       "q_perplexity" -> "1-row corpus-constant broadcast (total token count)",
+      "q_perplexity_bigram" -> "1-row corpus-constant broadcast (total token count)",
       "q_mix_temperature" -> "1-row corpus-constant broadcast (rate normalizer)",
       "q_pagerank" -> "1-row corpus-constant broadcast (node count N)",
       "q_collocations" -> "1-row corpus-constant broadcast (token/bigram totals)",

