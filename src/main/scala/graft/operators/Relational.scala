@@ -829,6 +829,185 @@ object Relational {
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""")
   )
 
+  /** Register the named fixture tables as SAME-NAMED temp views and run
+    * ONE SQL text on Spark that is also, verbatim, the DuckDB oracle —
+    * the two engines execute the identical string, so the query and its
+    * oracle can never drift apart (the earlier TPC-H queries duplicate
+    * the text into v_-prefixed views; new ones use this single source). */
+  private def sqlQ(name: String, tables: Seq[String], sql: String): Q =
+    Q(name,
+      (s, dir) => {
+        tables.foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
+        s.sql(sql)
+      },
+      Some(sql))
+
+  /** TPC-H Q7 (volume shipping) adapted to fixture nation names: revenue
+    * between two trading nations per (supplier nation, customer nation,
+    * ship year) — the classic two-dimension star join with a symmetric
+    * OR-pair predicate Catalyst must evaluate post-join while keeping
+    * the joins themselves equi-keyed. DECIMAL accumulation + 4dp floor;
+    * year extracted then cast BIGINT (Spark INT vs DuckDB BIGINT). */
+  private val qSqlTpchQ7 = sqlQ(
+    "q_sql_tpch_q7",
+    Seq("supplier", "lineitem", "orders", "customer", "nation"),
+    """SELECT supp_nation, cust_nation, l_year,
+              floor(CAST(sum(volume) AS DOUBLE) * 10000) / 10000 AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) AS volume
+             FROM supplier
+             JOIN lineitem ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""")
+
+  /** TPC-H Q8 (national market share) adapted to the fixture: one
+    * nation's share of a region's revenue for one part type, per order
+    * year — the widest join in the suite (7 tables, nation joined
+    * TWICE under different roles) feeding a conditional-sum ratio. Both
+    * sums accumulate DECIMAL; the share is ONE IEEE divide + 4dp floor
+    * (the q14 ratio discipline). */
+  private val qSqlTpchQ8 = sqlQ(
+    "q_sql_tpch_q8",
+    Seq("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    """SELECT o_year,
+              floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                    / CAST(sum(volume) AS DOUBLE) * 10000) / 10000 AS mkt_share
+       FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) AS volume,
+                    n2.n_name AS nation
+             FROM part
+             JOIN lineitem ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+       GROUP BY o_year
+       ORDER BY o_year""")
+
+  /** TPC-H Q13 (customer distribution) adapted to the fixture (the
+    * comment-pattern exclusion becomes an order-priority exclusion):
+    * how many customers placed 0, 1, 2, … qualifying orders — the
+    * LEFT-OUTER-join-with-join-side-predicate + two-level aggregate
+    * shape (the predicate must stay IN the join condition: a WHERE
+    * would silently turn the outer join inner and lose the 0-order
+    * customers). All-integer output. */
+  private val qSqlTpchQ13 = sqlQ(
+    "q_sql_tpch_q13",
+    Seq("customer", "orders"),
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""")
+
+  /** TPC-H Q15 (top supplier): the supplier(s) with maximum quarterly
+    * revenue — the aggregate-then-scalar-max-subquery shape (the CTE is
+    * referenced twice; Catalyst plans the scalar max as a 1-row
+    * subquery broadcast). The max-equality compare runs on the EXACT
+    * decimal revenue (never the floored double), so ties are bit-safe
+    * cross-engine; the floor is presentation only. */
+  private val qSqlTpchQ15 = sqlQ(
+    "q_sql_tpch_q15",
+    Seq("lineitem", "supplier"),
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name,
+              floor(CAST(total_revenue AS DOUBLE) * 10000) / 10000 AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey""")
+
+  /** TPC-H Q17 (small-quantity-order revenue) adapted to the fixture
+    * (brand + size band replaces brand + container): revenue lost to
+    * below-20%-of-average-quantity orders — the correlated SCALAR
+    * aggregate subquery per part, which Catalyst must rewrite to an
+    * aggregate + equi-join (never a per-row re-scan). The per-part avg
+    * derives as exact-long-valued sum/count with ONE divide, so the
+    * quantity cut agrees bit-exactly cross-engine. */
+  private val qSqlTpchQ17 = sqlQ(
+    "q_sql_tpch_q17",
+    Seq("lineitem", "part"),
+    """SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0 * 10000) / 10000
+                AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#1' AND p_size <= 10
+         AND l_quantity < (SELECT 0.2 * (CAST(sum(l_quantity) AS DOUBLE) / count(*))
+                           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+
+  /** TPC-H Q21 (suppliers who kept orders waiting) adapted to the
+    * fixture (no receipt/commit dates → "late" = shipped more than 60
+    * days after the order date): per supplier, finished multi-supplier
+    * orders where THIS supplier was the only late one — the
+    * double-correlated EXISTS + NOT-EXISTS shape (semi join + anti join
+    * against the same fact table, both correlated on the outer order
+    * AND the outer supplier). All-integer output, top-20 with name
+    * tiebreak. */
+  private val qSqlTpchQ21 = sqlQ(
+    "q_sql_tpch_q21",
+    Seq("supplier", "lineitem", "orders"),
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 20""")
+
+  /** TPC-H Q22 (global sales opportunity) adapted to the fixture (the
+    * phone country code becomes the nation key; "never ordered" becomes
+    * "no orders in 1996" — every fixture customer has SOME order):
+    * wealthy-but-inactive customers per country — the NOT-EXISTS
+    * anti-join + uncorrelated scalar-average-subquery shape. The
+    * average derives as decimal-sum/count with ONE divide so the
+    * acctbal cut agrees bit-exactly cross-engine. */
+  private val qSqlTpchQ22 = sqlQ(
+    "q_sql_tpch_q22",
+    Seq("customer", "orders"),
+    """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+              floor(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) * 10000) / 10000
+                AS totacctbal
+       FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+             FROM customer
+             WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+               AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+                                FROM customer
+                                WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')) custsale
+       GROUP BY cntrycode
+       ORDER BY cntrycode""")
+
   val all: Seq[Q] = Seq(
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
@@ -836,5 +1015,6 @@ object Relational {
     qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qFreqRollup,
     qUnionAll, qIntersect, qExcept,
     qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ4, qSqlTpchQ5, qSqlTpchQ6,
-    qSqlTpchQ10, qSqlTpchQ12, qSqlTpchQ14, qSqlTpchQ18, qSqlTpchQ19)
+    qSqlTpchQ7, qSqlTpchQ8, qSqlTpchQ10, qSqlTpchQ12, qSqlTpchQ13, qSqlTpchQ14,
+    qSqlTpchQ15, qSqlTpchQ17, qSqlTpchQ18, qSqlTpchQ19, qSqlTpchQ21, qSqlTpchQ22)
 }
