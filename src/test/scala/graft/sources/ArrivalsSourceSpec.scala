@@ -435,4 +435,53 @@ class ArrivalsSourceSpec extends SparkTestBase {
     val out = Files.createTempDirectory("arrivals-lcout-").toString
     (1 to 10).foreach { _ => runToParquet(dir, out, cp) }
   }
+
+  test("composition: arrivals → event-time windows → streaming heavy hitters, " +
+      "cross-batch counts + commit renames through the stateful query") {
+    // the arrivals-to-analytics showcase: ONE query is both the
+    // directory's committing consumer (renames) and the analytics
+    // pipeline (watermarked tumbling windows → bounded top-k state)
+    val dir = tmpDir()
+    val W = 60000L
+    val base = 1704067200000L // window-aligned minute
+    // micro-batch 1 seeds window 0: alpha×2, beta×1
+    write(dir, "alpha_1", "a", base + 1000)
+    write(dir, "alpha_2", "a", base + 2000)
+    write(dir, "beta_1", "b", base + 3000)
+    val arrivals = spark.readStream.format("arrivals")
+      .option("path", dir.getAbsolutePath).load()
+    val hh = graft.streaming.ArrivalsAnalytics.fileHeavyHitters(
+      arrivals, W, delay = "1 second", k = 2, capacity = 8)
+    val q = hh.writeStream.format("memory").queryName("t_compose")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      awaitCond(Seq("alpha_1", "alpha_2", "beta_1")
+        .forall(n => new File(dir, n + ".COMPLETED").exists()))
+      assert(spark.table("t_compose").count() == 0,
+        "window 0 still open — nothing may emit")
+      // micro-batch 2 accumulates into the SAME open window across the
+      // batch boundary: alpha×1, beta×1, gamma×1
+      write(dir, "alpha_3", "a", base + 4000)
+      write(dir, "beta_2", "b", base + 5000)
+      write(dir, "gamma_1", "c", base + 6000)
+      q.processAllAvailable()
+      assert(spark.table("t_compose").count() == 0)
+      // a file in the NEXT window advances the watermark past window
+      // 0's end → window-0 finals fire exactly once
+      write(dir, "zeta_1", "z", base + W + 30000)
+      q.processAllAvailable()
+      awaitCond(spark.table("t_compose").count() >= 2)
+      awaitCond(Seq("alpha_3", "beta_2", "gamma_1", "zeta_1")
+        .forall(n => new File(dir, n + ".COMPLETED").exists()))
+    } finally q.stop()
+    val w0 = spark.table("t_compose").collect()
+      .filter(_.getAs[Long]("window_start_ms") == base)
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("est_count"),
+        r.getAs[Long]("max_err")))
+      .toSeq.sortBy(_._1)
+    // top-2 producers of window 0, exact (capacity 8 > 3 distinct)
+    assert(w0 == Seq(("alpha", 3L, 0L), ("beta", 2L, 0L)), w0.toString)
+  }
 }
