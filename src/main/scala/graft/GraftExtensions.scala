@@ -28,6 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nearest_centroids"),
       new ExpressionInfo(classOf[VectorExprs.NearestCentroids].getName, "graft_nearest_centroids"),
       VectorExprs.buildNearestCentroids(_)))
+    ext.injectFunction((FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[VectorExprs.AdcDistance].getName, "graft_adc"),
+      VectorExprs.buildAdc(_)))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[VectorExprs.PqEncodeExpr].getName, "graft_pq_encode"),
+      VectorExprs.buildPqEncode(_)))
+    ext.injectFunction((FunctionIdentifier("graft_adc_lut"),
+      new ExpressionInfo(classOf[VectorExprs.AdcLutExpr].getName, "graft_adc_lut"),
+      VectorExprs.buildAdcLut(_)))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -112,29 +112,40 @@ object Similarity {
     val seedRows: Seq[Seq[Double]] = em
       .orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("e")).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    (0 until m).map { s =>
-      val lo = s * dsub
-      var codebook: Seq[Seq[Double]] = seedRows.map(_.slice(lo, lo + dsub))
-      val sub = slice(col("e"), lo + 1, dsub)
-      var it = 0
-      while (it < iterations) {
-        val sums = em
-          .select(l2Code(sub, codebook).getField("code").as("cid"), sub.as("sd"))
-          .groupBy("cid")
-          .agg(graft.functions.VecSumAgg.fn(col("sd")).as("s"), count(lit(1)).as("cnt"))
-          .collect()
-          .map(r => r.getAs[Int]("cid") -> (r.getSeq[Double](1), r.getAs[Long]("cnt"))).toMap
-        codebook = codebook.indices.map { ci =>
-          sums.get(ci) match {
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seedRows.map(_.slice(s * dsub, s * dsub + dsub)))
+    // ALL m subspace Lloyd updates ride ONE job per round: each row fans
+    // out to its m (subspace, code, subvector) assignments via
+    // posexplode (a bounded ×m of dsub-arrays = exactly the original
+    // row's doubles re-sliced, never a corpus-scale blowup), then a
+    // single (s, cid)-keyed aggregation computes every codebook's sums.
+    // The per-subspace form ran m sequential Spark jobs per round —
+    // identical arithmetic, m× the scheduling/scan latency.
+    var it = 0
+    while (it < iterations) {
+      val bks = books
+      val sums = em
+        .select(posexplode(array((0 until m).map { s =>
+          val sub = slice(col("e"), s * dsub + 1, dsub)
+          struct(l2Code(sub, bks(s)).getField("code").as("cid"), sub.as("sd"))
+        }: _*)).as(Seq("s", "r")))
+        .groupBy(col("s"), col("r.cid").as("cid"))
+        .agg(graft.functions.VecSumAgg.fn(col("r.sd")).as("sum"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getAs[Int]("s"), r.getAs[Int]("cid")) ->
+          (r.getSeq[Double](2), r.getAs[Long]("cnt"))).toMap
+      books = (0 until m).map { s =>
+        books(s).indices.map { ci =>
+          sums.get((s, ci)) match {
             case Some((v, cnt)) =>
               v.map(x => BigDecimal(x / cnt).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            case None => codebook(ci)
+            case None => books(s)(ci)
           }
         }
-        it += 1
       }
-      codebook
+      it += 1
     }
+    books
   }
 
   /** Apply a [[pqFit]] codebook: per vector, the m nearest-codeword
@@ -149,25 +160,22 @@ object Similarity {
     require(codebooks.nonEmpty, "empty codebook")
     val m = codebooks.size
     require(dim % m == 0, s"codebook count $m must divide dim $dim")
-    val dsub = dim / m
-    // element-level NULLs normalize to whole-vector NULL up front (the
-    // quantize convention): a null element would otherwise poison the
-    // per-subspace distance folds into per-field NULLs while leaving
-    // sibling subspaces coded — half-coded junk rows
-    val e = when(col(embCol).isNotNull && size(col(embCol)) === dim &&
-        !exists(col(embCol), x => x.isNull),
-      col(embCol).cast("array<double>"))
-    val parts = (0 until m).map { s =>
-      l2Code(slice(e, s * dsub + 1, dsub), codebooks(s))
-    }
-    // array(struct.getField) would yield a non-NULL array of m NULL
-    // elements for a NULL/wrong-dim vector (struct() itself is never
-    // NULL, only its fields) — gate on e so the WHOLE codes column
-    // nulls together, matching quantize's whole-vector-NULL convention
+    require(m * codebooks.head.head.size == dim,
+      s"codebook geometry ${m}×${codebooks.head.head.size} does not cover dim $dim")
+    reg(corpus)
+    // ONE native m×k×dsub argmin loop per row (graft_pq_encode) — this
+    // runs over the FULL corpus (the standing-index build), so per-row
+    // cost here IS the 100 TB encode cost; the HOF spelling it replaces
+    // paid a lambda frame per element. NULL / wrong-dim / NULL-element
+    // vectors → NULL struct, so codes and pq_sqerr null TOGETHER (the
+    // quantize whole-vector-NULL convention). The struct is referenced
+    // twice in the projection (codes + err) — the documented bounded ×2
+    // trade, matching the min/max scans in quantize.
+    val pq = call_function("graft_pq_encode",
+      col(embCol).cast("array<double>"), typedLit(codebooks))
     corpus
-      .withColumn("codes",
-        when(e.isNotNull, array(parts.map(_.getField("code")): _*)))
-      .withColumn("pq_sqerr", parts.map(_.getField("err")).reduce(_ + _))
+      .withColumn("codes", pq.getField("codes"))
+      .withColumn("pq_sqerr", pq.getField("err"))
   }
 
   /** Exact cosine near-dup pairs ≥ threshold. Quadratic — the
@@ -394,18 +402,6 @@ object Similarity {
     ivfJoinWith(corpus, idCol, embCol,
       fitIvf(corpus, idCol, embCol, nCentroids, iterations), k, nProbe)
 
-  /** Per-probe ADC lookup table (Jégou et al., TPAMI 2011 §IV.A):
-    * `lut[s][c]` = squared L2 between the probe's s-th subvector and
-    * codeword c of subspace s — m×k doubles computed ONCE per probe row
-    * (m·k·dsub flops), after which every candidate's approximate
-    * distance is m table lookups instead of a dim-wide fold. */
-  private def adcLut(pe: Column, codebooks: Seq[Seq[Seq[Double]]], dsub: Int): Column =
-    array(codebooks.zipWithIndex.map { case (book, s) =>
-      transform(typedLit(book), cw =>
-        aggregate(zip_with(slice(pe, s * dsub + 1, dsub), cw, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, t) => a + t))
-    }: _*)
-
   /** IVF-ADC search over PQ CODES (the IVFADC composition of Jégou et
     * al., TPAMI 2011 §IV — what real 100 TB vector stores run): the
     * index side carries only (cell, m PQ codes) per vector — never the
@@ -441,7 +437,6 @@ object Similarity {
     reg(corpus)
     require(codebooks.nonEmpty && dim % codebooks.size == 0,
       s"codebook count ${codebooks.size} must divide dim $dim")
-    val dsub = dim / codebooks.size
     val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
       .select(col(idCol).as("id"), col(embCol).as("e"))
     val cc = typedLit(centers)
@@ -451,9 +446,11 @@ object Similarity {
         element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1)
           .as("cid"),
         col("codes"))
-    // probe stream: LUT + cells computed once per probe, then cell fan-out
+    // probe stream: LUT + cells computed once per probe (both native —
+    // graft_adc_lut is one m·k·dsub loop per row), then cell fan-out
     val probes = em.select(col("id").as("pid"),
-        adcLut(col("e").cast("array<double>"), codebooks, dsub).as("lut"),
+        call_function("graft_adc_lut", col("e").cast("array<double>"), typedLit(codebooks))
+          .as("lut"),
         call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)).as("cells"))
       .select(col("pid"), col("lut"), explode(col("cells")).as("cid"))
     val wAdc = org.apache.spark.sql.expressions.Window
@@ -461,10 +458,10 @@ object Similarity {
     val cand = probes.join(index, "cid")
       .filter(col("pid") =!= col("id"))
       // project to (pid, id, adc) IN the join stage: the lut/codes never
-      // cross the window shuffle
+      // cross the window shuffle; graft_adc keeps the per-collision
+      // scoring inside whole-stage codegen (one m-lookup loop per row)
       .select(col("pid"), col("id"),
-        aggregate(zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
-          lit(0.0), (a, t) => a + t).as("adc"))
+        call_function("graft_adc", col("lut"), col("codes")).as("adc"))
       .withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= k * shortlist)
       .select("pid", "id")

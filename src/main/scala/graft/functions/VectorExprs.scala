@@ -285,6 +285,207 @@ object VectorExprs {
       copy(left = l, right = r)
   }
 
+  /** Shared base for the two PQ model-apply expressions: a FOLDABLE
+    * nested-literal codebook (m × k × dsub doubles) precomputed once
+    * into primitive arrays driver-side, then tight per-row loops on
+    * executors (the [[NearestCentroids]] recipe — CodegenFallback, but
+    * the interpreter overhead is one call per ROW, not one lambda frame
+    * per element like the HOF spelling these replace). */
+  sealed trait PqModelExpression extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val embOk = left.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      val bookOk = right.foldable && (right.dataType match {
+        case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+        case _ => false
+      })
+      if (embOk && bookOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${prettyName} expects (float/double array, literal array<array<array<double>>> " +
+          s"codebooks), got ${left.dataType} / ${right.dataType}")
+    }
+    protected lazy val isFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    /** books(s)(c) = codeword c of subspace s, dsub doubles each. */
+    protected lazy val books: Array[Array[Array[Double]]] = {
+      val bb = right.eval().asInstanceOf[ArrayData]
+      Array.tabulate(bb.numElements()) { s =>
+        val book = bb.getArray(s)
+        Array.tabulate(book.numElements())(c => book.getArray(c).toDoubleArray())
+      }
+    }
+    protected lazy val dsub: Int = books.head.head.length
+    protected lazy val dim: Int = books.length * dsub
+    protected def elem(a: ArrayData, i: Int): Double =
+      if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    /** True if the vector can be coded: right dim, no NULL elements. */
+    protected def usable(a: ArrayData): Boolean = {
+      if (a.numElements() != dim) return false
+      var i = 0
+      while (i < dim) { if (a.isNullAt(i)) return false; i += 1 }
+      true
+    }
+  }
+
+  /** graft_pq_encode(emb, codebooks) → struct(codes array<int>, err
+    * double): per subspace, the L2-nearest codeword index
+    * (first-occurrence tie break = smallest index, matching the HOF
+    * `array_position(dists, array_min(dists))` spelling this replaces)
+    * plus the summed squared reconstruction error. One m×k×dsub loop
+    * per row — this is the standing-index builder `Similarity.pqEncode`
+    * runs over the FULL corpus, so per-row cost here is the dominant
+    * 100 TB encode cost. NULL / wrong-dim / NULL-element vectors →
+    * NULL struct (both fields null together — the whole-vector-NULL
+    * quantize convention). */
+  case class PqEncodeExpr(left: Expression, right: Expression) extends PqModelExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("codes", ArrayType(IntegerType, containsNull = false)),
+      StructField("err", DoubleType)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(emb: Any, booksIgnored: Any): Any = {
+      val a = emb.asInstanceOf[ArrayData]
+      if (!usable(a)) return null
+      val m = books.length
+      val codes = new Array[Int](m)
+      var err = 0.0
+      var s = 0
+      while (s < m) {
+        val book = books(s); val lo = s * dsub
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < book.length) {
+          val cw = book(c)
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val t = elem(a, lo + i) - cw(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(s) = best; err += bestD
+        s += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(codes), err)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** graft_adc_lut(probe, codebooks) → array<array<double>>:
+    * lut[s][c] = squared L2 between the probe's s-th subvector and
+    * codeword c (Jégou TPAMI'11 §IV.A) — m·k·dsub flops ONCE per probe
+    * row, after which every candidate costs m lookups via
+    * [[AdcDistance]]. NULL / wrong-dim / NULL-element probes → NULL. */
+  case class AdcLutExpr(left: Expression, right: Expression) extends PqModelExpression {
+    override def dataType: DataType = ArrayType(
+      ArrayType(DoubleType, containsNull = false), containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(emb: Any, booksIgnored: Any): Any = {
+      val a = emb.asInstanceOf[ArrayData]
+      if (!usable(a)) return null
+      val m = books.length
+      val lut = new Array[Any](m)
+      var s = 0
+      while (s < m) {
+        val book = books(s); val lo = s * dsub
+        val row = new Array[Double](book.length)
+        var c = 0
+        while (c < book.length) {
+          val cw = book(c)
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val t = elem(a, lo + i) - cw(i)
+            d += t * t
+            i += 1
+          }
+          row(c) = d
+          c += 1
+        }
+        lut(s) = new GenericArrayData(row)
+        s += 1
+      }
+      new GenericArrayData(lut)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** adc(lut, codes) = Σ_s lut[s][codes[s]] — the PQ asymmetric-distance
+    * accumulation (Jégou et al., TPAMI 2011 §IV.A) as ONE codegen'd
+    * loop. This is the hot stage of `Similarity.ivfPqJoin`: one eval
+    * per cell-join collision, so it must stay inside whole-stage
+    * codegen (the HOF spelling `aggregate(zip_with(lut, codes,
+    * element_at))` allocates a lambda frame per element per row).
+    * Shape mismatch (|codes| ≠ |lut|), a NULL element, or an
+    * out-of-range code yields NULL — a candidate scored against the
+    * wrong model must diverge loudly, not drift (the vec_dot
+    * length-mismatch contract). */
+  case class AdcDistance(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val lutOk = left.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      }
+      val codesOk = right.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }
+      if (lutOk && codesOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_adc expects (array<array<double>> lut, array<int> codes), " +
+          s"got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val lut = l.asInstanceOf[ArrayData]; val codes = r.asInstanceOf[ArrayData]
+      val m = lut.numElements()
+      if (codes.numElements() != m) return null
+      var s = 0.0; var i = 0
+      while (i < m) {
+        if (codes.isNullAt(i) || lut.isNullAt(i)) return null
+        val c = codes.getInt(i)
+        val row = lut.getArray(i)
+        if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+        s += row.getDouble(c)
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val m = ctx.freshName("m"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val c = ctx.freshName("c")
+        val row = ctx.freshName("row")
+        s"""
+           |int $m = $a.numElements();
+           |if ($b.numElements() != $m) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $m; $i++) {
+           |    if ($b.isNullAt($i) || $a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    int $c = $b.getInt($i);
+           |    org.apache.spark.sql.catalyst.util.ArrayData $row = $a.getArray($i);
+           |    if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+           |      ${ev.isNull} = true; break;
+           |    }
+           |    $s += $row.getDouble($c);
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $s;
+           |}
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Arity-checked expression builders (a wrong-arity SQL call must fail
     * analysis with a clear message, not IndexOutOfBoundsException). */
   def buildVecDot(es: Seq[Expression]): Expression = {
@@ -294,6 +495,18 @@ object VectorExprs {
   def buildSimHash(es: Seq[Expression]): Expression = {
     require(es.length == 1, s"graft_simhash expects 1 argument, got ${es.length}")
     SimHash64(es.head)
+  }
+  def buildAdc(es: Seq[Expression]): Expression = {
+    require(es.length == 2, s"graft_adc expects (lut, codes), got ${es.length} args")
+    AdcDistance(es(0), es(1))
+  }
+  def buildPqEncode(es: Seq[Expression]): Expression = {
+    require(es.length == 2, s"graft_pq_encode expects (emb, codebooks), got ${es.length} args")
+    PqEncodeExpr(es(0), es(1))
+  }
+  def buildAdcLut(es: Seq[Expression]): Expression = {
+    require(es.length == 2, s"graft_adc_lut expects (emb, codebooks), got ${es.length} args")
+    AdcLutExpr(es(0), es(1))
   }
   def buildMinHash(es: Seq[Expression]): Expression = {
     require(es.length == 1, s"graft_minhash expects 1 argument, got ${es.length}")
@@ -334,5 +547,8 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_hyperplane_keys", buildHyperplaneKeys, "internal")
     reg.createOrReplaceTempFunction("graft_nearest_centroids", buildNearestCentroids, "internal")
     reg.createOrReplaceTempFunction("graft_might_contain", buildMightContain, "internal")
+    reg.createOrReplaceTempFunction("graft_adc", buildAdc, "internal")
+    reg.createOrReplaceTempFunction("graft_pq_encode", buildPqEncode, "internal")
+    reg.createOrReplaceTempFunction("graft_adc_lut", buildAdcLut, "internal")
   }
 }

@@ -1407,6 +1407,45 @@ class OperatorPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("native PQ expressions: adc_lut ≡ plain-Scala tables, adc ≡ lut lookups, loud NULLs") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    // m=2 subspaces, k=3 codewords, dsub=2 (dim=4) — small enough to
+    // hand-verify, typed as the nested literal the expressions take
+    val books: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(0.5, -0.5)),
+      Seq(Seq(2.0, 2.0), Seq(-1.0, 0.0), Seq(0.25, 0.75)))
+    val v = Seq(0.1, 0.2, 0.3, 0.4)
+    val df = Seq((1L, v)).toDF("id", "e")
+    val lut = df.select(call_function("graft_adc_lut", col("e"), typedLit(books)).as("lut"))
+      .head().getSeq[scala.collection.Seq[Double]](0).map(_.toList).toList
+    // same arithmetic, same accumulation order → bit-exact equality
+    val expected = books.zipWithIndex.map { case (book, s) =>
+      val sub = v.slice(s * 2, s * 2 + 2)
+      book.map(cw => sub.zip(cw).map { case (x, y) => (x - y) * (x - y) }.sum).toList
+    }.toList
+    assert(lut == expected, s"$lut vs $expected")
+    // adc(lut, codes) = Σ lut[s][codes[s]], bit-exact
+    val adc = df.select(call_function("graft_adc",
+        call_function("graft_adc_lut", col("e"), typedLit(books)),
+        typedLit(Seq(0, 2))).as("adc"))
+      .head().getDouble(0)
+    assert(adc == expected(0)(0) + expected(1)(2), s"$adc")
+    // loud NULLs: shape mismatch, out-of-range code, NULL probe element
+    def adcOf(codes: Seq[Int]) = df.select(call_function("graft_adc",
+      call_function("graft_adc_lut", col("e"), typedLit(books)),
+      typedLit(codes)).as("a")).head()
+    assert(adcOf(Seq(0)).isNullAt(0), "|codes| != |lut| must be NULL")
+    assert(adcOf(Seq(0, 3)).isNullAt(0), "out-of-range code must be NULL")
+    val badProbe = Seq((1L, Seq[java.lang.Double](0.1, null, 0.3, 0.4))).toDF("id", "e")
+    assert(badProbe.select(call_function("graft_adc_lut",
+      col("e").cast("array<double>"), typedLit(books))).head().isNullAt(0),
+      "NULL probe element must NULL the lut")
+    assert(df.select(call_function("graft_adc_lut",
+      slice(col("e"), 1, 3), typedLit(books))).head().isNullAt(0),
+      "wrong-dim probe must NULL the lut")
+  }
+
   test("stageReport reconciles exactly with the pipeline it accounts for") {
     val rep = graft.SparkEntry.queries("q_pipeline_report")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
