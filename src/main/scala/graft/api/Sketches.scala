@@ -318,4 +318,146 @@ object Sketches {
       qs.map(q => ddQuery(DDSketch(pos, neg, zero, cnt), alpha, q).map(Double.box).orNull))
     (c: Column) => f(c.getField("pos"), c.getField("neg"), c.getField("zero"), c.getField("cnt"))
   }
+
+  // ---- KMV (theta) distinct/intersection sketch ---------------------------
+
+  /** K-Minimum-Values ("theta") sketch (Beyer et al., "On synopses for
+    * distinct-value estimation under multiset operations", SIGMOD 2007;
+    * the DataSketches theta family): the k smallest DISTINCT 63-bit
+    * hash values seen, sorted ascending. This is the set-OPERATION
+    * member of the persisted-sketch-rollup family — HLL estimates
+    * distincts but cannot intersect two summaries; KMV supports
+    * distinct, UNION (merge = k smallest of the union of samples:
+    * commutative, associative, loss-free → merged ≡ sketch-of-union
+    * field-EXACT, the family's determinism contract), and
+    * INTERSECTION / Jaccard between independently-built sketches — the
+    * corpus-overlap question ("how much does source A share with B")
+    * answered from kilobyte summaries without co-shuffling raw grams.
+    *
+    * Estimators: distinct = (k−1)/θ where θ = k-th minimum normalized
+    * to (0,1]; EXACT (= sample size) while the sketch is not yet full.
+    * Intersection (theta style): cut both samples at θ = min(θ_a, θ_b),
+    * |∩ below θ| / θ — exact when both sketches are un-full. Relative
+    * error ~ 1/√(k−2) per estimate. Hash collisions conflate items
+    * (identical across engines and runs — deterministic, like every
+    * graft hash decision); NULL inputs are skipped. */
+  final case class KMVSketch(vals: Seq[Long], k: Int)
+
+  private val TWO63 = math.pow(2.0, 63) // hash values are 63-bit non-negative
+
+  class KmvAgg(k: Int) extends Aggregator[java.lang.Long, mutable.HashSet[Long], KMVSketch] {
+    require(k >= 16, s"k must be ≥ 16 for usable error bounds, got $k")
+    // buffer = a hash set trimmed back to the k smallest whenever it
+    // grows past 8k (amortized O(1)/row; trimming to the k smallest can
+    // never discard a value that belongs in the final k smallest, so
+    // the result is independent of when trims happen — and therefore of
+    // partition/arrival order)
+    private def trim(b: mutable.HashSet[Long]): mutable.HashSet[Long] = {
+      if (b.size > k) {
+        val arr = b.toArray
+        java.util.Arrays.sort(arr)
+        b.clear()
+        var i = 0
+        while (i < k) { b.add(arr(i)); i += 1 }
+      }
+      b
+    }
+    def zero: mutable.HashSet[Long] = mutable.HashSet.empty
+    def reduce(b: mutable.HashSet[Long], x: java.lang.Long): mutable.HashSet[Long] = {
+      if (x != null) {
+        b.add(x.longValue() & Long.MaxValue) // 63-bit non-negative
+        if (b.size > 8 * k) trim(b)
+      }
+      b
+    }
+    def merge(a: mutable.HashSet[Long], b: mutable.HashSet[Long]): mutable.HashSet[Long] = {
+      b.foreach(a.add)
+      trim(a)
+    }
+    def finish(b: mutable.HashSet[Long]): KMVSketch = {
+      val arr = b.toArray
+      java.util.Arrays.sort(arr)
+      KMVSketch(arr.take(k).toSeq, k)
+    }
+    def bufferEncoder: Encoder[mutable.HashSet[Long]] = Encoders.kryo[mutable.HashSet[Long]]
+    def outputEncoder: Encoder[KMVSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Roll persisted [[KMVSketch]] rows up (the q_hll_rollup shape for
+    * theta sketches): union semantics, loss-free, order-free. A
+    * mismatched k is a caller error (the CMS shape-mismatch contract);
+    * the zero (k = 0) adopts the first real sketch's k. */
+  class KmvMergeAgg extends Aggregator[KMVSketch, KMVSketch, KMVSketch] {
+    def zero: KMVSketch = KMVSketch(Nil, 0)
+    private def add(a: KMVSketch, b: KMVSketch): KMVSketch =
+      if (a == null || a.k == 0) b
+      else if (b == null || b.k == 0) a
+      else {
+        require(a.k == b.k, s"KMV k mismatch: ${a.k} vs ${b.k}")
+        KMVSketch((a.vals ++ b.vals).distinct.sorted.take(a.k), a.k)
+      }
+    def reduce(b: KMVSketch, a: KMVSketch): KMVSketch = add(b, a)
+    def merge(a: KMVSketch, b: KMVSketch): KMVSketch = add(a, b)
+    def finish(b: KMVSketch): KMVSketch = b
+    def bufferEncoder: Encoder[KMVSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[KMVSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Distinct-count estimate. Exact (= sample size) while un-full. */
+  def kmvDistinct(sk: KMVSketch): Double =
+    if (sk == null || sk.k == 0 || sk.vals.isEmpty) 0.0
+    else if (sk.vals.size < sk.k) sk.vals.size.toDouble
+    else if (sk.vals.last == 0L) sk.vals.size.toDouble // degenerate: all-zero hashes
+    else (sk.k - 1).toDouble * TWO63 / sk.vals.last
+
+  /** Theta-style intersection between two sketches built with the same
+    * hash: (shared-distinct estimate, Jaccard estimate). The sample of
+    * a FULL sketch is its k−1 values strictly below θ = the k-th
+    * minimum; an un-full sketch's sample is everything (θ = 2^63).
+    * Both samples cut at min(θ_a, θ_b) so they are uniform samples of
+    * the SAME region of hash space — the property that makes |∩|/θ
+    * unbiased. Exact when both sketches are un-full. */
+  def kmvOverlap(a: KMVSketch, b: KMVSketch): (Double, Double) = {
+    if (a == null || b == null || a.vals.isEmpty || b.vals.isEmpty) return (0.0, 0.0)
+    def theta(sk: KMVSketch): Long =
+      if (sk.vals.size < sk.k) Long.MaxValue else sk.vals.last
+    val th = math.min(theta(a), theta(b))
+    val sa = a.vals.iterator.filter(v => v < th || th == Long.MaxValue).toSet
+    val sb = b.vals.iterator.filter(v => v < th || th == Long.MaxValue).toSet
+    val inter = (sa & sb).size
+    val uni = (sa | sb).size
+    val scale = if (th == Long.MaxValue) 1.0 else TWO63 / th
+    val estShared = inter * scale
+    val jac = if (uni == 0) 0.0 else inter.toDouble / uni
+    (estShared, jac)
+  }
+
+  /** Column forms. `kmvSketch(256)(xxhash64(col("g")))` aggregates
+    * PRE-HASHED long keys into a sketch struct; `kmvMerge()(col("sk"))`
+    * rolls sketch rows up; `kmvOverlapCols(...)` evaluates a sketch
+    * PAIR → struct(est_a, est_b, est_shared, jaccard) — row-level, for
+    * GROUP-sized sketch frames (source pairs), never raw corpus rows. */
+  def kmvSketch(k: Int): Column => Column = {
+    val fn = udaf(new KmvAgg(k), Encoders.LONG.asInstanceOf[Encoder[java.lang.Long]])
+    (c: Column) => fn(c)
+  }
+
+  def kmvMerge(): Column => Column = {
+    val fn = udaf(new KmvMergeAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KMVSketch]())
+    (c: Column) => fn(c.getField("vals"), c.getField("k"))
+  }
+
+  def kmvOverlapCols(a: Column, b: Column): Column = {
+    val f = F.udf((va: Seq[Long], ka: Int, vb: Seq[Long], kb: Int) => {
+      val ska = KMVSketch(va, ka); val skb = KMVSketch(vb, kb)
+      val (shared, jac) = kmvOverlap(ska, skb)
+      (kmvDistinct(ska), kmvDistinct(skb), shared, jac)
+    })
+    f(a.getField("vals"), a.getField("k"), b.getField("vals"), b.getField("k"))
+      .cast("struct<est_a:double,est_b:double,est_shared:double,jaccard:double>")
+  }
 }

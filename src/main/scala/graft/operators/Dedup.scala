@@ -282,6 +282,49 @@ object Dedup {
             ORDER BY group_a NULLS FIRST, group_b NULLS FIRST""")
   )
 
+  /** KMV (theta) sketch source overlap — q_source_overlap's SCALE path
+    * (graft.api.Sketches.KmvAgg; Beyer et al. SIGMOD'07, the
+    * DataSketches theta family): per-source K-Minimum-Values sketches
+    * over the 3-gram hash stream, pairwise intersection/Jaccard
+    * estimated from the kilobyte summaries. The exact form co-shuffles
+    * the full gram stream per source pair; here each source's grams
+    * aggregate ONCE (map-side partial, k longs across the wire) and
+    * the pairing runs on the GROUP-cardinality sketch frame — nGroups²
+    * sketch pairs, corpus-size-independent, the same model-sized-frame
+    * class as the 1-row constant broadcasts (documented BNLJ
+    * exemption). Sketches are persistable and union-mergeable
+    * (merged ≡ sketch-of-union field-exact), so per-shard sketches
+    * roll up without rescanning — the q_hll_rollup pattern extended to
+    * set INTERSECTION, which HLL cannot answer. Approximate → no SQL
+    * oracle; merge exactness, un-full-exactness (≡ the q_source_overlap
+    * oracle numbers when k covers the strata), and the estimator error
+    * bound are property-tested (OperatorPropertiesSpec "kmv"). */
+  private val qKmvOverlap = Q(
+    "q_kmv_overlap",
+    (s, dir) => {
+      val k = 256
+      val grams = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .select(col("source"), explode(expr(TextDedup.shingleArraySql("t", 3))).as("g"))
+      val sketches = grams
+        .select(col("source"), xxhash64(col("g")).as("h"))
+        .groupBy("source")
+        .agg(graft.api.Sketches.kmvSketch(k)(col("h")).as("sk"))
+      val a = sketches.select(col("source").as("group_a"), col("sk").as("ska"))
+      val b = sketches.select(col("source").as("group_b"), col("sk").as("skb"))
+      // group-sized UDF pair evaluation; the struct's two field reads
+      // are the documented bounded ×2 on a sketch-frame-sized projection
+      val ov = graft.api.Sketches.kmvOverlapCols(col("ska"), col("skb"))
+      a.crossJoin(b).filter(col("group_a") < col("group_b"))
+        .select(col("group_a"), col("group_b"),
+          round(ov.getField("est_shared"), 2).as("est_shared"),
+          round(ov.getField("jaccard"), 4).as("jaccard"))
+        .orderBy("group_a", "group_b")
+    },
+    None
+  )
+
   /** Gram-level Bloom decontamination — q_decontaminate_ngram's exact
     * answer (same oracle), the shape for when even the eval gram HASH
     * set outgrows a broadcast: Bloom bits prefilter, bloom-negative
@@ -534,5 +577,5 @@ object Dedup {
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
-    qContamination, qPagerank, qTriangles, qCorpusDiff)
+    qKmvOverlap, qContamination, qPagerank, qTriangles, qCorpusDiff)
 }

@@ -144,7 +144,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_histogram" -> "1-row value-range broadcast (min/max)",
       "q_winsorize" -> "1-row corpus-constant broadcast (percentile cut points)",
       "q_mad_outliers" -> "1-row robust-stats broadcasts (median, MAD)",
-      "q_skew_profile" -> "1-row corpus-constant broadcast (total, n_keys)")
+      "q_skew_profile" -> "1-row corpus-constant broadcast (total, n_keys)",
+      "q_kmv_overlap" -> "GROUP-cardinality sketch-pair cross (nGroups² kilobyte sketches, corpus-size-independent)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —

@@ -1174,6 +1174,54 @@ class OperatorPropertiesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Sketches.ddQuery(whole, alpha, -0.1))
   }
 
+  test("kmv theta sketch: un-full exactness, merge ≡ sketch-of-union, full-sketch error bound") {
+    import spark.implicits._
+    import graft.api.Sketches
+    def toSk(r: org.apache.spark.sql.Row): Sketches.KMVSketch =
+      Sketches.KMVSketch(r.getSeq[Long](0).toList, r.getInt(1))
+    // synthetic overlap with k > distinct (un-full sketches): every
+    // estimator is EXACT — A = 0..99, B = 50..150, |∩| = 50, |∪| = 151
+    val a = (0 until 100).map(i => ("A", s"item_$i"))
+    val b = (50 to 150).map(i => ("B", s"item_$i"))
+    val df = (a ++ b).toDF("src", "item").select(col("src"), xxhash64(col("item")).as("h"))
+    val sk = df.groupBy("src").agg(Sketches.kmvSketch(1024)(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> toSk(r.getStruct(1))).toMap
+    assert(Sketches.kmvDistinct(sk("A")) == 100.0)
+    assert(Sketches.kmvDistinct(sk("B")) == 101.0)
+    val (shared, jac) = Sketches.kmvOverlap(sk("A"), sk("B"))
+    assert(shared == 50.0, s"shared $shared")
+    assert(math.abs(jac - 50.0 / 151.0) < 1e-12, s"jaccard $jac")
+    assert(Sketches.kmvOverlap(sk("A"), sk("A")) == (100.0, 1.0), "self-overlap identity")
+    // merge ≡ sketch-of-union FIELD-EXACT through the column rollup
+    // (k = 64 < distinct so real truncation is exercised), and
+    // partition/arrival order cannot change the sketch
+    val whole = toSk(df.agg(Sketches.kmvSketch(64)(col("h")).as("sk")).head.getStruct(0))
+    val rolled = toSk(df.groupBy("src").agg(Sketches.kmvSketch(64)(col("h")).as("sk"))
+      .agg(Sketches.kmvMerge()(col("sk")).as("sk")).head.getStruct(0))
+    assert(rolled == whole, "merged per-src sketches must equal the whole-data sketch")
+    val shuffled = toSk(df.repartition(7, col("h"))
+      .agg(Sketches.kmvSketch(64)(col("h")).as("sk")).head.getStruct(0))
+    assert(shuffled == whole)
+    // full sketch (5000 distinct, k = 256): (k−1)/θ estimator lands
+    // within the ~1/√(k−2) error regime — generous 3σ-ish bound
+    val big = (0 until 5000).map(i => s"v_$i").toDF("item")
+      .select(xxhash64(col("item")).as("h"))
+    val est = Sketches.kmvDistinct(
+      toSk(big.agg(Sketches.kmvSketch(256)(col("h")).as("sk")).head.getStruct(0)))
+    assert(math.abs(est - 5000) / 5000.0 < 0.2, s"distinct est $est vs 5000")
+    // the registered query: C(nSources, 2) rows, jaccard ∈ [0, 1]
+    val rows = graft.SparkEntry.queries("q_kmv_overlap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nSrc = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2, s"${rows.length} pairs for $nSrc sources")
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0 && r.getAs[Double]("est_shared") >= 0.0, r.toString)
+    }
+  }
+
   test("cms frequency rollup: exact mergeability, overestimate-only bound, probe guards") {
     import spark.implicits._
     import graft.api.Sketches
