@@ -40,7 +40,15 @@ object TimeSeries {
       .withColumn("win_start_ms", unix_millis(col("window.start")))
       .drop("window")
 
-  /** Per-key session windows with a fixed gap. */
+  /** Per-key session windows with a fixed gap. Streaming-ready as-is:
+    * on a `withWatermark`ed input in append mode, Spark's session store
+    * merges same-key events into the open session ACROSS micro-batches
+    * and emits each session exactly once when the watermark passes its
+    * end (last event + gap); rows behind the watermark are dropped and
+    * can never re-open a closed session. Streamed sessions equal this
+    * same function run in batch over the non-late rows —
+    * StreamingSemanticsSpec "streaming sessionize" pins merge, close,
+    * late-drop, and batch parity. */
   def sessionize(df: DataFrame, tsCol: String, keyCol: String, gap: String,
       aggs: Seq[Column]): DataFrame =
     df.groupBy(session_window(col(tsCol), gap), col(keyCol))

@@ -729,4 +729,57 @@ class StreamingSemanticsSpec extends SparkTestBase {
       assert(emitted() == afterAdvance, s"late left row joined: ${emitted() -- afterAdvance}")
     } finally q.stop()
   }
+
+  test("streaming sessionize (session_window): cross-batch merge, close on watermark, " +
+      "late drop, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val mem = MemoryStream[(String, Long)] // (user, tsMs)
+    // the SAME TimeSeries.sessionize the batch q_session_window family
+    // uses — streaming mode is just a watermarked input + append sink
+    val events = mem.toDF().toDF("user", "tsMs")
+      .withColumn("ts_t", timestamp_millis(col("tsMs")))
+      .withWatermark("ts_t", "10 seconds")
+    val sess = graft.api.TimeSeries.sessionize(events, "ts_t", "user", "30 seconds",
+      Seq(count(lit(1)).as("n_events"), max("tsMs").as("last_ts")))
+    val q = sess.writeStream.format("memory").queryName("s_sessionize")
+      .outputMode("append").start()
+    def rows(): Seq[(String, Long, Long, Long)] = spark.table("s_sessionize").collect()
+      .map(r => (r.getAs[String]("user"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("last_ts"), r.getAs[Long]("session_start_ms"))).toSeq
+    try {
+      mem.addData(("u1", base), ("u1", base + 10000))
+      q.processAllAvailable()
+      // the next batch's u1 event is within 30 s of the open session's
+      // end: it must MERGE into the same session across the batch
+      // boundary, not start a new one
+      mem.addData(("u1", base + 25000), ("u2", base + 5000))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "no session may emit while the watermark is inside it")
+      // an event far ahead closes everything older (wm → base+110 s)
+      mem.addData(("u1", base + 120000))
+      q.processAllAvailable()
+      val closed = rows().sortBy(_._1)
+      assert(closed == Seq(
+        ("u1", 3L, base + 25000, base),      // one merged 3-event session
+        ("u2", 1L, base + 5000, base + 5000)),
+        closed.toString)
+      // a row behind the watermark is dropped — no emission, no re-open
+      mem.addData(("u1", base + 7000))
+      q.processAllAvailable()
+      assert(rows().sortBy(_._1) == closed, "late row must not re-open a closed session")
+    } finally q.stop()
+    // batch parity: the closed sessions equal TimeSeries.sessionize run
+    // in batch over exactly the non-late rows
+    val batch = graft.api.TimeSeries.sessionize(
+      Seq(("u1", base), ("u1", base + 10000), ("u1", base + 25000),
+        ("u2", base + 5000), ("u1", base + 120000)).toDF("user", "tsMs")
+        .withColumn("ts_t", timestamp_millis(col("tsMs"))),
+      "ts_t", "user", "30 seconds",
+      Seq(count(lit(1)).as("n_events"), max("tsMs").as("last_ts")))
+      .filter(col("last_ts") < base + 120000) // the still-open streaming session
+      .select("user", "n_events", "last_ts", "session_start_ms")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(batch == rows().sortBy(_._1), s"batch $batch != streamed ${rows()}")
+  }
 }
