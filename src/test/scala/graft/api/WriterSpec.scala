@@ -1,0 +1,75 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Output-side operators: compaction sizing/round-trip and clustered
+  * layout (file-level min/max disjointness — the property parquet
+  * skipping prunes on). */
+class WriterSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"writer-$name-")
+    d.toFile.deleteOnExit()
+    d.resolve("out").toString
+  }
+
+  test("compact: many small files → ceil(bytes/target) files, content round-trips exactly") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    val frag = tmp("frag")
+    // simulate a high-parallelism append: 64 tiny files
+    docs.repartition(64).write.parquet(frag)
+    assert(spark.read.parquet(frag).inputFiles.length == 64)
+    val bytes = Writer.dirBytes(spark, frag)
+    assert(bytes > 0)
+    val target = bytes / 4 // → exactly 4-5 files depending on ceil
+    val out = tmp("compacted")
+    val (before, after) = Writer.compact(spark, frag, out, target)
+    assert(before == 64)
+    val expected = math.ceil(bytes.toDouble / target).toInt
+    assert(after == expected, s"got $after files, expected $expected")
+    // content identical as a multiset
+    val a = docs.collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out).select("doc_id", "text", "source")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "compaction changed the data")
+  }
+
+  test("compact: target larger than the table collapses to one file") {
+    val frag = tmp("frag1")
+    Tables.documents(spark, sfDir).select("doc_id").repartition(16).write.parquet(frag)
+    val out = tmp("one")
+    val (_, after) = Writer.compact(spark, frag, out, targetBytes = 10L << 30)
+    assert(after == 1)
+  }
+
+  test("writeClustered: per-file key ranges are disjoint (the skipping precondition), round-trip exact") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts_ms", "user_id")
+    val out = tmp("clustered")
+    Writer.writeClustered(ev, out, Seq("ts_ms"), nFiles = 8)
+    val files = spark.read.parquet(out).inputFiles
+    assert(files.length >= 2 && files.length <= 8, files.length.toString)
+    // each file covers its own slice: (min, max) intervals must not
+    // overlap across files — exactly what range partitioning promises
+    // and what parquet min/max stats prune on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("ts_ms"), max("ts_ms")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: $aMax > $bMin")
+      case _ =>
+    }
+    // and the rewrite loses nothing
+    assert(spark.read.parquet(out).count() == ev.count())
+    // the pruning payoff is visible in the plan: a ts_ms range filter
+    // reaches the scan as a pushed filter over the clustered layout
+    val pruned = spark.read.parquet(out)
+      .filter(col("ts_ms") >= 1704067200000L && col("ts_ms") < 1704153600000L)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(ts_ms), GreaterThanOrEqual(ts_ms"), scan)
+  }
+}
