@@ -282,6 +282,81 @@ object Dedup {
             ORDER BY group_a NULLS FIRST, group_b NULLS FIRST""")
   )
 
+  /** C4-style intra-corpus SPAN dedup (Raffel et al., JMLR 2020 §2.2 —
+    * "we discard all but one of any three-sentence span occurring more
+    * than once in the data set", the step that removes boilerplate
+    * repeated ACROSS documents that document-level dedup cannot see):
+    * every document splits into non-overlapping 10-token spans (the
+    * sentence proxy for the fixture's token streams; the final partial
+    * span included so every token belongs to exactly one span), a span
+    * occurring anywhere else in the corpus keeps only its FIRST
+    * occurrence (min (doc_id, pos) — deterministic), and each document
+    * reassembles from its surviving spans in order.
+    *
+    * Scale shape: the keeper election is groupBy(span).agg(min(struct))
+    * — a partial-aggregatable MIN, so a viral boilerplate span combines
+    * map-side instead of sorting its full occurrence list through one
+    * reducer (the window-rank formulation's skew trap); survivors then
+    * equi-join the keeper frame (distinct-span-sized) and one doc_id
+    * shuffle rebuilds the text. Spans are keyed by their STRING here so
+    * the DuckDB oracle agrees byte-for-byte; at 100 TB key by
+    * xxhash64(span) and the shuffle carries 8-byte keys (the
+    * fingerprint trade every dedup op documents). */
+  private val qDedupSpans = Q(
+    "q_dedup_spans",
+    (s, dir) => {
+      val w = 10
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val spans = toks.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(t) / ${w}.0) AS INT) - 1),
+              i -> array_join(slice(t, i * $w + 1, $w), ' '))""")).as(Seq("pos", "span")))
+      val keepers = spans.groupBy("span")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      val kept = spans.join(keepers, "span")
+        .filter(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))
+        .select("doc_id", "pos", "span")
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+            x => x.getField("span")), " ").as("text_dedup"))
+      val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      totals.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE text IS NOT NULL),
+                 spans AS (SELECT doc_id,
+                             unnest(list_transform(
+                               generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+                               i -> struct_pack(pos := i,
+                                 span := array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))))
+                             AS s
+                           FROM toks),
+                 sp AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM spans),
+                 kept AS (SELECT doc_id, pos, span FROM (
+                            SELECT doc_id, pos, span,
+                                   row_number() OVER (PARTITION BY span
+                                     ORDER BY doc_id, pos) AS rn
+                            FROM sp) WHERE rn = 1),
+                 reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                                string_agg(span, ' ' ORDER BY pos) AS text_dedup
+                         FROM kept GROUP BY doc_id),
+                 tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+                         FROM sp GROUP BY doc_id)
+            SELECT t.doc_id, t.n_spans,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   COALESCE(r.text_dedup, '') AS text_dedup
+            FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+            ORDER BY t.doc_id""")
+  )
+
   /** KMV (theta) sketch source overlap — q_source_overlap's SCALE path
     * (graft.api.Sketches.KmvAgg; Beyer et al. SIGMOD'07, the
     * DataSketches theta family): per-source K-Minimum-Values sketches
@@ -577,5 +652,5 @@ object Dedup {
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
-    qKmvOverlap, qContamination, qPagerank, qTriangles, qCorpusDiff)
+    qKmvOverlap, qDedupSpans, qContamination, qPagerank, qTriangles, qCorpusDiff)
 }
