@@ -402,6 +402,28 @@ object Similarity {
     ivfJoinWith(corpus, idCol, embCol,
       fitIvf(corpus, idCol, embCol, nCentroids, iterations), k, nProbe)
 
+  /** Fit PQ codebooks on RESIDUALS v − center(cell(v)) — the model
+    * [[ivfPqJoin]]'s `residual = true` mode expects (Jégou TPAMI'11
+    * §IV: the coarse quantizer absorbs the between-cell variance, PQ
+    * spends its codewords on the within-cell remainder). Assignment and
+    * residualization are map-side against the literal centers; the
+    * Lloyd rounds are the standard [[pqFit]] on the residual frame —
+    * fit on a deterministic sample at 100 TB like every graft fit. */
+  def pqFitResidual(corpus: DataFrame, idCol: String, embCol: String,
+      centers: Seq[Seq[Double]], m: Int = 8, k: Int = 16, dim: Int = 64,
+      iterations: Int = 1): Seq[Seq[Seq[Double]]] = {
+    reg(corpus)
+    val cc = typedLit(centers)
+    val res = corpus.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
+      .select(col(idCol).as("id"),
+        zip_with(col(embCol).cast("array<double>"),
+          element_at(cc,
+            element_at(call_function("graft_nearest_centroids",
+              col(embCol), cc, lit(1)), 1) + 1),
+          (x, c) => x - c).as("res"))
+    pqFit(res, "id", "res", m, k, dim, iterations)
+  }
+
   /** IVF-ADC search over PQ CODES (the IVFADC composition of Jégou et
     * al., TPAMI 2011 §IV — what real 100 TB vector stores run): the
     * index side carries only (cell, m PQ codes) per vector — never the
@@ -429,30 +451,53 @@ object Similarity {
     * contract, pass unit-normalized vectors (then L2 = 2 − 2·cos,
     * order-identical) and re-rank stays cosine — the q_ann_ivfpq
     * recipe. Returns (id, neighbor_id, sim, rank ≤ k) like [[annJoin]].
+    *
+    * `residual = true` is the FULL IVFADC of the paper: codes quantize
+    * the residual v − center(cell(v)) instead of v itself (fit the
+    * codebooks with [[pqFitResidual]]). Since p − x =
+    * (p − center) − (x − center) inside a probed cell, ADC still
+    * estimates the same ||p − x||² — but residuals cluster far tighter
+    * than raw vectors, so the same m×k codebook spends its codewords on
+    * a smaller ball = lower quantization error = a more faithful ADC
+    * shortlist at identical index bytes. Price: the LUT is per
+    * (probe, probed-cell) — nProbe LUTs per probe instead of one (the
+    * published trade, §IV.A); everything downstream of the cell join is
+    * unchanged.
     */
   def ivfPqJoin(corpus: DataFrame, idCol: String, embCol: String,
       centers: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       k: Int = 10, nProbe: Int = 4, shortlist: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, residual: Boolean = false): DataFrame = {
     reg(corpus)
     require(codebooks.nonEmpty && dim % codebooks.size == 0,
       s"codebook count ${codebooks.size} must divide dim $dim")
     val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
       .select(col(idCol).as("id"), col(embCol).as("e"))
     val cc = typedLit(centers)
-    // the standing index: (cell, codes) only — m small ints per vector
-    val index = pqEncode(em, "e", codebooks, dim)
-      .select(col("id"),
-        element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1)
-          .as("cid"),
-        col("codes"))
-    // probe stream: LUT + cells computed once per probe (both native —
-    // graft_adc_lut is one m·k·dsub loop per row), then cell fan-out
-    val probes = em.select(col("id").as("pid"),
-        call_function("graft_adc_lut", col("e").cast("array<double>"), typedLit(codebooks))
-          .as("lut"),
-        call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)).as("cells"))
-      .select(col("pid"), col("lut"), explode(col("cells")).as("cid"))
+    def minus(v: Column, cid: Column): Column =
+      zip_with(v, element_at(cc, cid + 1), (x, c) => x - c)
+    // the standing index: (cell, codes) only — m small ints per vector;
+    // residual mode encodes v − center(own cell)
+    val withCell = em.withColumn("cid",
+      element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1))
+    val encIn =
+      if (residual)
+        withCell.withColumn("enc", minus(col("e").cast("array<double>"), col("cid")))
+      else withCell.withColumn("enc", col("e"))
+    val index = pqEncode(encIn, "enc", codebooks, dim)
+      .select(col("id"), col("cid"), col("codes"))
+    // probe stream: cells first, then the LUT — raw mode computes ONE
+    // LUT per probe (cell-independent); residual mode computes one per
+    // (probe, probed cell) from the probe's residual in that cell's
+    // frame (both native — graft_adc_lut is one m·k·dsub loop per row)
+    val probeCells = em.select(col("id").as("pid"), col("e"),
+        explode(call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)))
+          .as("cid"))
+    val probes = probeCells.select(col("pid"), col("cid"),
+      call_function("graft_adc_lut",
+        if (residual) minus(col("e").cast("array<double>"), col("cid"))
+        else col("e").cast("array<double>"),
+        typedLit(codebooks)).as("lut"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(asc("adc"), asc("id"))
     val cand = probes.join(index, "cid")

@@ -125,10 +125,13 @@ object VectorOps {
       val fitSample = base.filter(pmod(xxhash64(col("vec_id")), lit(10)) < 3)
       val centers = Similarity.fitIvf(fitSample, "vec_id", "unit",
         nCentroids = 16, iterations = 1)
-      val books = Similarity.pqFit(fitSample, "vec_id", "unit",
+      // RESIDUAL codebooks (the full IVFADC): PQ quantizes v − center,
+      // so the same 8×16 codebook covers a far tighter ball than raw
+      // vectors — better ADC fidelity at identical index bytes
+      val books = Similarity.pqFitResidual(fitSample, "vec_id", "unit", centers,
         m = 8, k = 16, dim = 64, iterations = 1)
       Similarity.ivfPqJoin(base, "vec_id", "unit", centers, books,
-          k = 5, nProbe = 4, shortlist = 4, dim = 64)
+          k = 5, nProbe = 4, shortlist = 4, dim = 64, residual = true)
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank")
     },
