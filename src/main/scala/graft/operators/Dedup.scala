@@ -357,6 +357,96 @@ object Dedup {
             ORDER BY t.doc_id""")
   )
 
+  /** Exact-SUBSTRING dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022 — ExactSubstr): remove
+    * every duplicated token run of length ≥ L at ARBITRARY alignment,
+    * keeping only its first occurrence. [[qDedupSpans]]'s fixed
+    * non-overlapping windows miss a duplicate that straddles a span
+    * boundary; here every SLIDING L-gram votes, so any shared run ≥ L
+    * tokens is covered wherever it starts. The paper builds a suffix
+    * array; the equivalent distributed formulation: (1) every doc emits
+    * its sliding L-grams with positions, (2) each gram elects its first
+    * (doc_id, pos) occurrence (partial-aggregatable MIN — no suffix
+    * array, no window-rank skew), (3) every NON-first occurrence marks
+    * tokens [pos, pos+L) as duplicated — a bounded ×L fan-out of
+    * DUP-OCCURRENCE rows only, never the corpus — (4) docs reassemble
+    * from uncovered tokens (anti-join on token index). Output: the
+    * scrubbed text + token accounting per document. */
+  private val qDedupSubstrings = Q(
+    "q_dedup_substrings",
+    (s, dir) => {
+      val L = 8
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val tokens = toks.select(col("doc_id"),
+        posexplode(col("t")).as(Seq("idx", "tok")))
+      val grams = toks
+        .filter(size(col("t")) >= L)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(t) - $L),
+                i -> array_join(slice(t, i + 1, $L), ' '))""")).as(Seq("pos", "g")))
+      val keepers = grams.groupBy("g")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      // non-first occurrences → the token indices they cover (×L of the
+      // dup-occurrence count, corpus-independent)
+      val covered = grams.join(keepers, "g")
+        .filter(col("doc_id") =!= col("k.doc_id") || col("pos") =!= col("k.pos"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + L - 1)).as("idx"))
+        .distinct()
+      val kept = tokens.join(covered, Seq("doc_id", "idx"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_dedup"))
+      val totals = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      totals.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE text IS NOT NULL),
+                 tokens AS (SELECT doc_id,
+                              unnest(list_transform(generate_series(1, len(t)),
+                                i -> struct_pack(idx := i - 1, tok := t[i]))) AS s
+                            FROM toks),
+                 tk AS (SELECT doc_id, s.idx AS idx, s.tok AS tok FROM tokens),
+                 grams AS (SELECT doc_id,
+                             unnest(list_transform(generate_series(1, len(t) - 7),
+                               i -> struct_pack(pos := i - 1,
+                                 g := array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
+                           FROM toks WHERE len(t) >= 8),
+                 gr AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM grams),
+                 dup AS (SELECT doc_id, pos FROM (
+                           SELECT doc_id, pos,
+                                  row_number() OVER (PARTITION BY g
+                                    ORDER BY doc_id, pos) AS rn
+                           FROM gr) WHERE rn > 1),
+                 covered AS (SELECT DISTINCT t.doc_id, t.idx
+                             FROM tk t JOIN dup d
+                               ON t.doc_id = d.doc_id
+                              AND t.idx BETWEEN d.pos AND d.pos + 7),
+                 kept AS (SELECT t.doc_id, t.idx, t.tok FROM tk t
+                          LEFT JOIN covered c
+                            ON t.doc_id = c.doc_id AND t.idx = c.idx
+                          WHERE c.idx IS NULL),
+                 reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok_kept,
+                                string_agg(tok, ' ' ORDER BY idx) AS text_dedup
+                         FROM kept GROUP BY doc_id),
+                 tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+                         FROM tk GROUP BY doc_id)
+            SELECT tot.doc_id, tot.n_tok,
+                   COALESCE(reb.n_tok_kept, 0) AS n_tok_kept,
+                   COALESCE(reb.text_dedup, '') AS text_dedup
+            FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+            ORDER BY tot.doc_id""")
+  )
+
   /** KMV (theta) sketch source overlap — q_source_overlap's SCALE path
     * (graft.api.Sketches.KmvAgg; Beyer et al. SIGMOD'07, the
     * DataSketches theta family): per-source K-Minimum-Values sketches
@@ -652,5 +742,6 @@ object Dedup {
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
-    qKmvOverlap, qDedupSpans, qContamination, qPagerank, qTriangles, qCorpusDiff)
+    qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
+    qTriangles, qCorpusDiff)
 }
