@@ -696,4 +696,89 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** C4-style intra-corpus SPAN dedup (Raffel et al., JMLR 2020 §2.2):
+    * documents split into NON-overlapping `spanTokens`-token spans (the
+    * final partial span included — every token belongs to exactly one
+    * span); a span occurring anywhere else in the corpus keeps only its
+    * first (id, pos) occurrence, and each document reassembles from its
+    * surviving spans in order. Returns (idCol, n_spans, n_kept,
+    * text_dedup) — a fully-scrubbed doc keeps its row with empty text.
+    *
+    * Keeper election is groupBy(span).agg(min(struct)) — a
+    * partial-aggregatable MIN, so a viral boilerplate span combines
+    * map-side instead of sorting its occurrence list through one
+    * reducer (the window-rank skew trap); survivors equi-join the
+    * distinct-span-sized keeper frame; one id shuffle rebuilds text.
+    * Spans key by their STRING for cross-engine exactness; at 100 TB
+    * key by xxhash64(span) for 8-byte shuffle keys. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    val w = spanTokens
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val spans = toks.select(col("id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(t) / ${w}.0) AS INT) - 1),
+            i -> array_join(slice(t, i * $w + 1, $w), ' '))""")).as(Seq("pos", "span")))
+    val keepers = spans.groupBy("span")
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+    val kept = spans.join(keepers, "span")
+      .filter(col("id") === col("k.id") && col("pos") === col("k.pos"))
+      .select("id", "pos", "span")
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), " ").as("text_dedup"))
+    val totals = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Exact-SUBSTRING dedup (Lee et al., ACL 2022 — ExactSubstr): remove
+    * every duplicated token run of length ≥ `minRun` at ARBITRARY
+    * alignment, keeping its first occurrence — the duplicate that
+    * straddles a [[spanDedup]] boundary is caught here. The paper's
+    * suffix array reformulated distributed: sliding `minRun`-grams each
+    * elect their first (id, pos) via partial-aggregatable MIN; every
+    * NON-first occurrence marks tokens [pos, pos+minRun) duplicated (a
+    * bounded ×minRun fan-out of DUP-OCCURRENCE rows, never the corpus);
+    * documents reassemble from uncovered tokens via an anti-join on
+    * (id, token index). Returns (idCol, n_tok, n_tok_kept,
+    * text_dedup). */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 8): DataFrame = {
+    require(minRun > 1, s"minRun must be > 1, got $minRun")
+    val L = minRun
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val tokens = toks.select(col("id"), posexplode(col("t")).as(Seq("idx", "tok")))
+    val grams = toks
+      .filter(size(col("t")) >= L)
+      .select(col("id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(t) - $L),
+              i -> array_join(slice(t, i + 1, $L), ' '))""")).as(Seq("pos", "g")))
+    val keepers = grams.groupBy("g")
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+    val covered = grams.join(keepers, "g")
+      .filter(col("id") =!= col("k.id") || col("pos") =!= col("k.pos"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + L - 1)).as("idx"))
+      .distinct()
+    val kept = tokens.join(covered, Seq("id", "idx"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_tok_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_dedup"))
+    val totals = tokens.groupBy("id").agg(count(lit(1)).as("n_tok"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tok"),
+        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -304,32 +304,9 @@ object Dedup {
     * fingerprint trade every dedup op documents). */
   private val qDedupSpans = Q(
     "q_dedup_spans",
-    (s, dir) => {
-      val w = 10
-      val toks = Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val spans = toks.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, cast(ceil(size(t) / ${w}.0) AS INT) - 1),
-              i -> array_join(slice(t, i * $w + 1, $w), ' '))""")).as(Seq("pos", "span")))
-      val keepers = spans.groupBy("span")
-        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-      val kept = spans.join(keepers, "span")
-        .filter(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))
-        .select("doc_id", "pos", "span")
-      val rebuilt = kept.groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("span")))),
-            x => x.getField("span")), " ").as("text_dedup"))
-      val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-      totals.join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      TextDedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", spanTokens = 10)
+        .orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                           FROM documents WHERE text IS NOT NULL),
                  spans AS (SELECT doc_id,
@@ -374,41 +351,9 @@ object Dedup {
     * scrubbed text + token accounting per document. */
   private val qDedupSubstrings = Q(
     "q_dedup_substrings",
-    (s, dir) => {
-      val L = 8
-      val toks = Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-      val tokens = toks.select(col("doc_id"),
-        posexplode(col("t")).as(Seq("idx", "tok")))
-      val grams = toks
-        .filter(size(col("t")) >= L)
-        .select(col("doc_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, size(t) - $L),
-                i -> array_join(slice(t, i + 1, $L), ' '))""")).as(Seq("pos", "g")))
-      val keepers = grams.groupBy("g")
-        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-      // non-first occurrences → the token indices they cover (×L of the
-      // dup-occurrence count, corpus-independent)
-      val covered = grams.join(keepers, "g")
-        .filter(col("doc_id") =!= col("k.doc_id") || col("pos") =!= col("k.pos"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + L - 1)).as("idx"))
-        .distinct()
-      val kept = tokens.join(covered, Seq("doc_id", "idx"), "left_anti")
-      val rebuilt = kept.groupBy("doc_id").agg(
-        count(lit(1)).as("n_tok_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
-            x => x.getField("tok")), " ").as("text_dedup"))
-      val totals = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-      totals.join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
-          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      TextDedup.substringDedup(Tables.documents(s, dir), "doc_id", "text", minRun = 8)
+        .orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                           FROM documents WHERE text IS NOT NULL),
                  tokens AS (SELECT doc_id,
