@@ -1008,13 +1008,180 @@ object Relational {
        GROUP BY cntrycode
        ORDER BY cntrycode""")
 
+  /** TPC-H Q1 (pricing summary report) in FULL — q_agg_pricing carries
+    * the shape with a slimmed aggregate list; this is the literal eight-
+    * aggregate report incl. the tax-compounded sum_charge and avg_disc.
+    * All four sums accumulate DECIMAL(30,10) (order-free) and their 4dp
+    * floor runs INSIDE the decimal domain (×10000 and floor are exact on
+    * decimals; the result is integer-valued, so the double cast is exact
+    * too) — money sums of 2-decimal inputs land EXACTLY on the 1e-4
+    * grid, where the usual cast-then-floor straddles a 1-ulp
+    * cross-engine boundary (caught at sf0.01: Spark's
+    * BigDecimal.doubleValue vs DuckDB's int128-scaled cast disagreed on
+    * 289473120.03). The avgs divide off-grid, so cast-then-floor stays
+    * safe there. */
+  private val qSqlTpchQ1 = sqlQ(
+    "q_sql_tpch_q1",
+    Seq("lineitem"),
+    """SELECT l_returnflag, l_linestatus,
+              CAST(floor(sum(CAST(l_quantity AS DECIMAL(30,10))) * 10000) AS DOUBLE) / 10000 AS sum_qty,
+              CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(30,10))) * 10000) AS DOUBLE) / 10000 AS sum_base_price,
+              CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 10000) AS DOUBLE) / 10000 AS sum_disc_price,
+              CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) * 10000) AS DOUBLE) / 10000 AS sum_charge,
+              floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*) * 10000) / 10000 AS avg_qty,
+              floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(*) * 10000) / 10000 AS avg_price,
+              floor(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*) * 10000) / 10000 AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""")
+
+  /** TPC-H Q2 (minimum cost supplier) adapted to the fixture: no
+    * partsupp table exists, so lineitem IS the supplier↔part link and
+    * "supply cost" derives as each (part, supplier)'s minimum shipped
+    * unit price. The load-bearing shape survives intact: a CTE
+    * referenced twice — once as the candidate frame, once inside the
+    * CORRELATED scalar-min subquery Catalyst rewrites to an aggregate +
+    * equi-join (never a per-row re-scan). The min-equality compare runs
+    * on the raw double (identical per-row divides → identical min in
+    * both engines); the floor is presentation only. */
+  private val qSqlTpchQ2 = sqlQ(
+    "q_sql_tpch_q2",
+    Seq("lineitem", "part", "supplier", "nation", "region"),
+    """WITH costs AS (
+         SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+         FROM lineitem
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'
+         GROUP BY l_partkey, l_suppkey)
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+              floor(unit_cost * 10000) / 10000 AS supply_cost
+       FROM costs
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_size <= 15 AND p_type = 'LARGE'
+         AND unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+                          WHERE c2.l_partkey = p_partkey)
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+
+  /** TPC-H Q9 (product type profit) adapted to the fixture: supply cost
+    * (partsupp.ps_supplycost) becomes a retail-price-derived proxy
+    * (10% of p_retailprice per unit), keeping the 5-table star join +
+    * per-(nation, year) profit aggregation intact. The profit expression
+    * is per-row double arithmetic (identical cross-engine) cast to
+    * DECIMAL(30,10) BEFORE the sum, so accumulation order can't drift
+    * the total. */
+  private val qSqlTpchQ9 = sqlQ(
+    "q_sql_tpch_q9",
+    Seq("part", "lineitem", "supplier", "orders", "nation"),
+    """SELECT nation, o_year,
+              floor(CAST(sum(amount) AS DOUBLE) * 10000) / 10000 AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                    CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * 0.1 * l_quantity AS DECIMAL(30,10)) AS amount
+             FROM part
+             JOIN lineitem ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE p_name LIKE '%gear%') profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""")
+
+  /** TPC-H Q11 (important stock identification) adapted to the fixture:
+    * part "value" held by one nation's suppliers derives from shipped
+    * revenue instead of partsupp stock value. The shape is the point of
+    * the query: a CTE aggregated twice — per-part values filtered
+    * against a 1-row GLOBAL-fraction scalar subquery (a subquery
+    * broadcast, not a join). Both sides of the threshold compare derive
+    * from the same exact DECIMAL sums with one double multiply each, so
+    * the cut is deterministic cross-engine. */
+  private val qSqlTpchQ11 = sqlQ(
+    "q_sql_tpch_q11",
+    Seq("lineitem", "supplier", "nation"),
+    """WITH value_by_part AS (
+         SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS val
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1'
+         GROUP BY l_partkey)
+       SELECT l_partkey, floor(CAST(val AS DOUBLE) * 10000) / 10000 AS val
+       FROM value_by_part
+       WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.0015
+                                    FROM value_by_part)
+       ORDER BY val DESC, l_partkey""")
+
+  /** TPC-H Q16 (parts/supplier relationship) adapted to the fixture:
+    * lineitem links suppliers to parts (no partsupp), and the
+    * "customer complaints" supplier exclusion becomes a negative
+    * account balance — kept as a CORRELATED NOT EXISTS (a plain anti
+    * equi-join in both engines; a NOT IN would plan null-aware and risk
+    * a BNLJ for nothing, the keys are non-null). count(DISTINCT
+    * l_suppkey) expands to Spark's two-shuffle exact-distinct plan. */
+  private val qSqlTpchQ16 = sqlQ(
+    "q_sql_tpch_q16",
+    Seq("lineitem", "part", "supplier"),
+    """SELECT p_brand, p_type, p_size,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+         AND NOT EXISTS (SELECT 1 FROM supplier
+                         WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+
+  /** TPC-H Q20 (potential part promotion) adapted to the fixture: with
+    * no partsupp.ps_availqty, "can supply" becomes "DOMINATED supply" —
+    * suppliers who shipped more than half of a small-part's total 1996
+    * volume. The nested-IN shape survives: the outer supplier filter
+    * probes an aggregated-subquery IN-list built from a per-(supplier,
+    * part) aggregate joined against the per-part window total (the
+    * correlated-HAVING of the original, rewritten as the explicit
+    * aggregate + equi-join Catalyst would produce). DECIMAL quantity
+    * sums; the half-threshold compare is one double multiply per side. */
+  private val qSqlTpchQ20 = sqlQ(
+    "q_sql_tpch_q20",
+    Seq("supplier", "lineitem", "part", "nation"),
+    """SELECT s_suppkey, s_name
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_suppkey IN (
+           SELECT sp.l_suppkey
+           FROM (SELECT l_suppkey, l_partkey,
+                        sum(CAST(l_quantity AS DECIMAL(30,10))) AS qty
+                 FROM lineitem JOIN part ON p_partkey = l_partkey
+                 WHERE p_type = 'SMALL'
+                   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                 GROUP BY l_suppkey, l_partkey) sp
+           JOIN (SELECT l_partkey AS pk,
+                        sum(CAST(l_quantity AS DECIMAL(30,10))) AS total
+                 FROM lineitem JOIN part ON p_partkey = l_partkey
+                 WHERE p_type = 'SMALL'
+                   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                 GROUP BY l_partkey) pt ON sp.l_partkey = pt.pk
+           WHERE CAST(qty AS DOUBLE) > 0.5 * CAST(total AS DOUBLE))
+       ORDER BY s_suppkey""")
+
   val all: Seq[Q] = Seq(
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
     qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qFreqRollup,
     qUnionAll, qIntersect, qExcept,
-    qIntersectAll, qExceptAll, qSqlTpchQ3, qSqlTpchQ4, qSqlTpchQ5, qSqlTpchQ6,
-    qSqlTpchQ7, qSqlTpchQ8, qSqlTpchQ10, qSqlTpchQ12, qSqlTpchQ13, qSqlTpchQ14,
-    qSqlTpchQ15, qSqlTpchQ17, qSqlTpchQ18, qSqlTpchQ19, qSqlTpchQ21, qSqlTpchQ22)
+    qIntersectAll, qExceptAll, qSqlTpchQ1, qSqlTpchQ2, qSqlTpchQ3, qSqlTpchQ4,
+    qSqlTpchQ5, qSqlTpchQ6,
+    qSqlTpchQ7, qSqlTpchQ8, qSqlTpchQ9, qSqlTpchQ10, qSqlTpchQ11, qSqlTpchQ12,
+    qSqlTpchQ13, qSqlTpchQ14,
+    qSqlTpchQ15, qSqlTpchQ16, qSqlTpchQ17, qSqlTpchQ18, qSqlTpchQ19, qSqlTpchQ20,
+    qSqlTpchQ21, qSqlTpchQ22)
 }
