@@ -472,4 +472,96 @@ object TextAnalysis {
         (lit(1.0) - col("n_dist").cast("double") / col("n_tok")).as("dup_token_frac"),
         (col("top_cnt").cast("double") / col("total")).as("top_bigram_frac"))
   }
+
+  /** Gopher-style quality GATES (Rae et al. 2021, MassiveText filtering,
+    * Appendix A) — the rule battery that decides keep/drop per document,
+    * as opposed to [[qualityScore]]'s soft score: token count within
+    * [minTok, maxTok], mean word length within [minWlen, maxWlen], the
+    * most-frequent-token fraction at most `maxTopFrac` (the repetition
+    * gate), and at least `minStopHits` distinct stopwords present (the
+    * "is this prose" gate). Returns per doc the measured signals, each
+    * rule's verdict, and the conjunction `keep`.
+    *
+    * Cost: the signals ride the doc row map-side except the
+    * most-frequent-token fraction, which needs the (id, token) hash
+    * aggregate + per-id max — both map-side-combining (the tfidf tf
+    * shape), one id-keyed shuffle. Bullet/ellipsis line rules from the
+    * paper are omitted: this corpus has no line structure, and they are
+    * row-local string predicates a caller can and-in trivially. Ratios
+    * are single int/int divisions rounded to 4 (one correctly-rounded
+    * IEEE op — no accumulation, so plain round is cross-engine safe). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTok: Long = 15, maxTok: Long = 1000,
+      minWlen: Double = 3.0, maxWlen: Double = 10.0,
+      maxTopFrac: Double = 0.25, minStopHits: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): DataFrame = {
+    require(minTok <= maxTok, s"minTok $minTok > maxTok $maxTok")
+    require(minWlen <= maxWlen, s"minWlen $minWlen > maxWlen $maxWlen")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__t"),
+        length(col(textCol)).cast("long").as("__nch"))
+    val top = base.select(col("id"), explode(col("__t")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("__topc"))
+    base.join(top, Seq("id"))
+      .withColumn("n_tok", size(col("__t")).cast("long"))
+      .withColumn("mean_wlen",
+        round((col("__nch") - (col("n_tok") - 1)).cast("double") / col("n_tok"), 4))
+      .withColumn("top_frac", round(col("__topc").cast("double") / col("n_tok"), 4))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("__t")),
+          typedLit(stopwords))).cast("long"))
+      .withColumn("rule_len", col("n_tok").between(minTok, maxTok))
+      .withColumn("rule_wlen", col("mean_wlen").between(minWlen, maxWlen))
+      .withColumn("rule_rep", col("top_frac") <= maxTopFrac)
+      .withColumn("rule_stop", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("rule_len") && col("rule_wlen") && col("rule_rep") && col("rule_stop"))
+      .select("id", "n_tok", "mean_wlen", "top_frac", "stop_hits",
+        "rule_len", "rule_wlen", "rule_rep", "rule_stop", "keep")
+  }
+
+  /** DSIR-style unigram IMPORTANCE WEIGHTS (Xie et al., NeurIPS 2023 —
+    * Data Selection via Importance Resampling, with word-level unigram
+    * features in place of the paper's hashed n-grams so the weight is
+    * oracle-exact): per document, log w = Σ_tokens ln(p_target(w) /
+    * p_raw(w)) where both unigram models are add-α smoothed over the RAW
+    * vocabulary — the score that upsamples raw data distributed like the
+    * target slice (`targetPred`). Returns (id, n_tok, logw) with logw
+    * floored at 4 decimals.
+    *
+    * Cost: two vocab-sized count aggregates over ONE exploded token
+    * stream (target counts ride the same shuffle keyed by term), the
+    * per-term log-ratio evaluated once per DISTINCT term, one
+    * vocab-sized join back to the token stream (AQE broadcasts it when
+    * it fits), one per-doc aggregate; corpus totals are a 1-row
+    * broadcast. Float discipline: α = 0.5 makes every smoothed count a
+    * half-integer, so numerator and denominator are EXACT (≤2^53)
+    * integers 2c+1 and 2N+αV·2 cast once to double; one multiply, one
+    * divide, ONE ln per distinct term is the whole transcendental
+    * surface; the per-doc sum crosses as DECIMAL(30,10) (order-free)
+    * and the result floors — the unigramNll discipline. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), targetPred.as("__is_tgt"),
+        explode(split(col(textCol), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("ct"))
+    // totals + vocab size: exact longs off the vocab-sized count frame
+    val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val lw = counts.crossJoin(broadcast(tot))
+      .select(col("term"),
+        log(((col("ct") * 2 + 1).cast("double") * (col("nr") * 2 + col("v")).cast("double"))
+          / ((col("cr") * 2 + 1).cast("double") * (col("nt") * 2 + col("v")).cast("double")))
+          .as("__lw"))
+    toks.select("id", "term").join(lw, "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("__lw").cast("decimal(30,10)")).as("__s"))
+      .withColumn("logw", floor(col("__s").cast("double") * 1e4) / 1e4)
+      .select("id", "n_tok", "logw")
+  }
 }

@@ -440,6 +440,65 @@ object TextOps {
             FROM tok LEFT JOIN ba USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** Gopher rule battery (Rae et al. 2021): measured signals + per-rule
+    * verdicts + the keep conjunction. All signals map-side except the
+    * most-frequent-token fraction (one id-keyed hash aggregate). */
+  private val qGopherRules = Q(
+    "q_gopher_rules",
+    (s, dir) =>
+      graft.api.TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                            length(text) AS nch
+                          FROM documents WHERE text IS NOT NULL),
+                 tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+                          SELECT doc_id, unnest(toks) AS tok FROM base)
+                        GROUP BY doc_id, tok),
+                 tp AS (SELECT doc_id, max(c) AS topc FROM tc GROUP BY doc_id),
+                 m AS (SELECT b.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                         round(CAST(nch - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS mean_wlen,
+                         round(CAST(topc AS DOUBLE) / len(toks), 4) AS top_frac,
+                         CAST(len(list_intersect(list_distinct(toks),
+                           ['the','a','of','and','to'])) AS BIGINT) AS stop_hits
+                       FROM base b JOIN tp USING (doc_id))
+            SELECT doc_id, n_tok, mean_wlen, top_frac, stop_hits,
+              n_tok BETWEEN 15 AND 1000 AS rule_len,
+              mean_wlen BETWEEN 3.0 AND 10.0 AS rule_wlen,
+              top_frac <= 0.25 AS rule_rep,
+              stop_hits >= 2 AS rule_stop,
+              (n_tok BETWEEN 15 AND 1000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+                AND top_frac <= 0.25 AND stop_hits >= 2 AS keep
+            FROM m ORDER BY doc_id""")
+  )
+
+  /** DSIR-style importance log-weights toward the lang='en' slice
+    * (Xie et al. NeurIPS'23) — vocab-sized log-ratio model, one token
+    * join, decimal per-doc sum. */
+  private val qDsirWeights = Q(
+    "q_dsir_weights",
+    (s, dir) =>
+      graft.api.TextAnalysis.importanceWeights(
+          Tables.documents(s, dir), "doc_id", "text", col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, (lang = 'en') AS is_tgt,
+                            unnest(string_split(text, ' ')) AS term
+                          FROM documents WHERE text IS NOT NULL),
+                 counts AS (SELECT term, count(*) AS cr,
+                              sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct
+                            FROM toks GROUP BY term),
+                 tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM counts),
+                 lw AS (SELECT term,
+                          ln((CAST(ct * 2 + 1 AS DOUBLE) * CAST(nr * 2 + v AS DOUBLE))
+                             / (CAST(cr * 2 + 1 AS DOUBLE) * CAST(nt * 2 + v AS DOUBLE))) AS lwv
+                        FROM counts, tot)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              floor(CAST(sum(CAST(lwv AS DECIMAL(30,10))) AS DOUBLE) * 1e4) / 1e4 AS logw
+            FROM toks t JOIN lw USING (term)
+            GROUP BY t.doc_id ORDER BY t.doc_id""")
+  )
+
   /** The composed corpus-preparation pipeline end-to-end
     * (graft.api.Pipeline): keep-filter → exact dedup → decontaminate →
     * 50% deterministic sample, in the shuffle-minimal stage order. One
@@ -1048,6 +1107,7 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
+    qGopherRules, qDsirWeights,
     qPerplexity, qPerplexityBigram, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
