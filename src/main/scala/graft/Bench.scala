@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -76,7 +77,12 @@ object Bench {
     val rp = reps.map { case (k, v) => s"\"" + k + "\":[" + v.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"sf":"$sfDir"}"""
+    // failures are first-class: the headline total EXCLUDES failed queries
+    // (it would otherwise improve when queries break), so name them and
+    // count them at top level (VERDICT r6 item 3)
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"reps":$rp,"sf":"$sfDir"}"""
     println(line)
     // the driver artifact keeps only the tail of stdout, which clips the
     // per-query map once the surface is large — ALSO write the line to a

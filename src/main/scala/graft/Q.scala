@@ -15,13 +15,20 @@ final case class Q(
 
 /** Table loaders for the driver-generated parquet fixtures (TESTDATA.md).
   *
-  * `events.ts` is physically INT64 TIMESTAMP(NANOS) which Spark's parquet
-  * reader rejects by default; we read it as a raw nanos long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive
+  * `events.ts` has appeared in two physical forms across fixture
+  * generations: INT64 TIMESTAMP(NANOS) (rounds 1-5; Spark's reader rejects
+  * it unless `spark.sql.legacy.parquet.nanosAsLong` reads it as a raw
+  * nanos long) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 6+;
+  * Spark reads TimestampNTZType). The loader detects which one it got and
+  * normalizes to a single downstream contract:
+  *   - `ts`     epoch NANOSECONDS (long)    — what every operator consumes
   *   - `ts_ms`  epoch milliseconds (long)   — cheap, codegen-friendly key
   *   - `ts_t`   TimestampType (micros, UTC) — for window()/session_window()
   * Truncation nanos→micros→millis is floor-composable, so bucket math on
   * any of the three representations agrees with DuckDB's `epoch_ms(ts)`.
+  * The NTZ→timestamp cast interprets the wall clock in the session zone;
+  * every graft entry point pins `spark.sql.session.timeZone=UTC`, matching
+  * DuckDB's UTC-naive reading of the same column.
   */
 /** Driver-process hygiene shared by Verify/Bench/MiniBench: iterative
   * operators localCheckpoint intermediate frames, whose blocks stay
@@ -56,9 +63,17 @@ object Tables {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-    raw
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-long fixture
+        raw
+          .withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS) fixture (NTZ or LTZ)
+        raw
+          .withColumn("ts_t", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts", unix_micros(col("ts_t")) * lit(1000L))
+          .withColumn("ts_ms", expr("ts div 1000000"))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -225,4 +225,37 @@ object Profiler {
       .filter(col("abs_dev") > lit(k) * lit(1.4826) * col("__mad"))
       .drop("__med", "__mad")
   }
+
+  /** [[madOutliers]]'s 100 TB scale variant (the swap the exact form's
+    * scaladoc promises): both percentile fits run through
+    * `approx_percentile` (Greenwald-Khanna summaries — bounded-memory
+    * partial aggregates that MERGE, vs exact `percentile` which buffers
+    * every value in the final reduce task and cannot survive a 100 TB
+    * column). `accuracy` is Spark's 1/rank-error knob: the fitted cut is
+    * some value whose rank is within n/accuracy of the true median's.
+    * With accuracy ≥ n the summaries never compress, the fits are
+    * rank-exact, and the flag set EQUALS the exact operator's (the
+    * property OperatorPropertiesSpec pins); at 100 TB pick accuracy ~1e5
+    * and read the threshold as a rank-fuzzy cut — rows near the boundary
+    * may flip vs exact, everything else agrees.
+    *
+    * Same shape/columns as the exact form: 3 scans, two 1-row
+    * broadcasts, map-side flag pass. */
+  def madOutliersApprox(df: DataFrame, valueCol: String, k: Double = 3.0,
+      accuracy: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val v = col(valueCol).cast("double")
+    val med = df.filter(v.isNotNull)
+      .select(v.as("__x"))
+      .agg(expr(s"approx_percentile(__x, 0.5, $accuracy)").as("__med"))
+    val mad = df.filter(v.isNotNull).crossJoin(broadcast(med))
+      .select(abs(v - col("__med")).as("__ad"))
+      .agg(expr(s"approx_percentile(__ad, 0.5, $accuracy)").as("__mad"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .withColumn("abs_dev", abs(v - col("__med")))
+      .filter(col("abs_dev") > lit(k) * lit(1.4826) * col("__mad"))
+      .drop("__med", "__mad")
+  }
 }

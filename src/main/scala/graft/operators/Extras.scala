@@ -73,34 +73,49 @@ object Extras {
   /** Pearson correlation MATRIX over the four lineitem measures in one
     * scan — the multi-column dependence QA (which measures move
     * together) as the hardened, accumulation-order-PROOF form of
-    * q_agg_stats' native corr: every Σx/Σx²/Σxy crosses the aggregate
-    * as DECIMAL(30,10) (per-row products are single correctly-rounded
-    * IEEE doubles; their decimal sums are order-exact), then each
-    * correlation derives through one fixed double expression — division
-    * and sqrt are IEEE-correctly-rounded, so both engines replaying the
-    * formula agree bit-for-bit, unlike a float-accumulated native corr
-    * whose last digits depend on partition order. One map-side-combining
-    * aggregate (14 sums + count), matrix unpacked from the 1-row frame
+    * q_agg_stats' native corr. Exactness scheme (r7, replacing the
+    * DECIMAL(30,10) sums that cost ~4.7 s in per-row BigDecimal work):
+    * the four measures are 2-decimal data, so every product is an exact
+    * 4-decimal rational; the IEEE double product sits within 5e-6 of it
+    * (error ≤ 2·|p|·ulp(p) + ulp(p²) ≈ 3e-6 + 2e-6 at the 1.1e10 max),
+    * so `round(x·1e4)` recovers the exact scaled integer. Each integer
+    * (≤ 1.1e14) is split into three base-2^16 digits whose LONG sums are
+    * order-exact and overflow-free to ~1.4e14 rows (Long.Max/65535 —
+    * ≈ 20 PB of lineitem; revisit the split beyond that). The sums are
+    * reconstructed through one FIXED double expression that the DuckDB
+    * oracle mirrors operation-for-operation — identical IEEE trees give
+    * bit-identical doubles, so the derived correlations (division and
+    * sqrt are correctly rounded) agree bit-for-bit, unlike a
+    * float-accumulated native corr whose last digits depend on partition
+    * order. One map-side-combining codegen aggregate (42 long sums +
+    * count, no per-row BigDecimal), matrix unpacked from the 1-row frame
     * with stack — no join anywhere. */
   private val qCorrelation = Q(
     "q_correlation",
     (s, dir) => {
-      def dsum(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(30,10)")).cast("double")
+      val terms = Seq(
+        "q" -> "q", "p" -> "p", "d" -> "d", "t" -> "t",
+        "qq" -> "q*q", "pp" -> "p*p", "dd" -> "d*d", "tt" -> "t*t",
+        "qp" -> "q*p", "qd" -> "q*d", "qt" -> "q*t",
+        "pd" -> "p*d", "pt" -> "p*t", "dt" -> "d*t")
       val li = Tables.lineitem(s, dir).select(
         col("l_quantity").cast("double").as("q"),
         col("l_extendedprice").cast("double").as("p"),
         col("l_discount").cast("double").as("d"),
         col("l_tax").cast("double").as("t"))
-      val w = li.agg(
-        count(lit(1)).cast("double").as("n"),
-        dsum(col("q")).as("sq"), dsum(col("p")).as("sp"),
-        dsum(col("d")).as("sd"), dsum(col("t")).as("st"),
-        dsum(col("q") * col("q")).as("sqq"), dsum(col("p") * col("p")).as("spp"),
-        dsum(col("d") * col("d")).as("sdd"), dsum(col("t") * col("t")).as("stt"),
-        dsum(col("q") * col("p")).as("sqp"), dsum(col("q") * col("d")).as("sqd"),
-        dsum(col("q") * col("t")).as("sqt"), dsum(col("p") * col("d")).as("spd"),
-        dsum(col("p") * col("t")).as("spt"), dsum(col("d") * col("t")).as("sdt"))
+      val scaled = li.select(terms.map { case (n, e) =>
+        expr(s"cast(round(($e) * 10000) as bigint)").as(s"v_$n") }: _*)
+      val digitSums = terms.flatMap { case (n, _) => Seq(
+        sum(expr(s"v_$n % 65536")).as(s"w0_$n"),
+        sum(expr(s"(v_$n div 65536) % 65536")).as(s"w1_$n"),
+        sum(expr(s"v_$n div 4294967296")).as(s"w2_$n")) }
+      val allAggs = count(lit(1)).cast("double").as("n") +: digitSums
+      val w0 = scaled.agg(allAggs.head, allAggs.tail: _*)
+      // bit-exact reconstruction: three exact long sums → one fixed
+      // double expression, mirrored verbatim in the oracle SQL
+      val w = w0.select(col("n") +: terms.map { case (n, _) =>
+        expr(s"(cast(w2_$n as double) * 4294967296 + cast(w1_$n as double) * 65536 + cast(w0_$n as double)) / 10000")
+          .as(s"s$n") }: _*) // names land as sq/sp/…/sdt, matching corrExpr
       def corrExpr(sa: String, sb: String, saa: String, sbb: String, sab: String) =
         s"floor((n * $sab - $sa * $sb) / sqrt((n * $saa - $sa * $sa) * (n * $sbb - $sb * $sb)) * 10000) / 10000"
       w.select(expr(s"""stack(6,
@@ -113,23 +128,39 @@ object Extras {
         ) AS (col_x, col_y, corr)"""))
         .orderBy("col_x", "col_y")
     },
-    Some("""WITH s AS (SELECT
-              CAST(count(*) AS DOUBLE) AS n,
-              CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sq,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sp,
-              CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sd,
-              CAST(sum(CAST(l_tax AS DECIMAL(30,10))) AS DOUBLE) AS st,
-              CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sqq,
-              CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS spp,
-              CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sdd,
-              CAST(sum(CAST(l_tax * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS stt,
-              CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sqp,
-              CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sqd,
-              CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS sqt,
-              CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS spd,
-              CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS spt,
-              CAST(sum(CAST(l_discount * l_tax AS DECIMAL(30,10))) AS DOUBLE) AS sdt
+    Some("""WITH v AS (SELECT
+              CAST(round((l_quantity) * 10000) AS BIGINT) AS v_q,
+              CAST(round((l_extendedprice) * 10000) AS BIGINT) AS v_p,
+              CAST(round((l_discount) * 10000) AS BIGINT) AS v_d,
+              CAST(round((l_tax) * 10000) AS BIGINT) AS v_t,
+              CAST(round((l_quantity * l_quantity) * 10000) AS BIGINT) AS v_qq,
+              CAST(round((l_extendedprice * l_extendedprice) * 10000) AS BIGINT) AS v_pp,
+              CAST(round((l_discount * l_discount) * 10000) AS BIGINT) AS v_dd,
+              CAST(round((l_tax * l_tax) * 10000) AS BIGINT) AS v_tt,
+              CAST(round((l_quantity * l_extendedprice) * 10000) AS BIGINT) AS v_qp,
+              CAST(round((l_quantity * l_discount) * 10000) AS BIGINT) AS v_qd,
+              CAST(round((l_quantity * l_tax) * 10000) AS BIGINT) AS v_qt,
+              CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT) AS v_pd,
+              CAST(round((l_extendedprice * l_tax) * 10000) AS BIGINT) AS v_pt,
+              CAST(round((l_discount * l_tax) * 10000) AS BIGINT) AS v_dt
             FROM lineitem),
+            s AS (SELECT
+              CAST(count(*) AS DOUBLE) AS n,
+              (CAST(sum(v_q // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_q // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_q % 65536) AS DOUBLE)) / 10000 AS sq,
+              (CAST(sum(v_p // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_p // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_p % 65536) AS DOUBLE)) / 10000 AS sp,
+              (CAST(sum(v_d // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_d // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_d % 65536) AS DOUBLE)) / 10000 AS sd,
+              (CAST(sum(v_t // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_t // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_t % 65536) AS DOUBLE)) / 10000 AS st,
+              (CAST(sum(v_qq // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_qq // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_qq % 65536) AS DOUBLE)) / 10000 AS sqq,
+              (CAST(sum(v_pp // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_pp // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_pp % 65536) AS DOUBLE)) / 10000 AS spp,
+              (CAST(sum(v_dd // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_dd // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_dd % 65536) AS DOUBLE)) / 10000 AS sdd,
+              (CAST(sum(v_tt // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_tt // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_tt % 65536) AS DOUBLE)) / 10000 AS stt,
+              (CAST(sum(v_qp // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_qp // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_qp % 65536) AS DOUBLE)) / 10000 AS sqp,
+              (CAST(sum(v_qd // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_qd // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_qd % 65536) AS DOUBLE)) / 10000 AS sqd,
+              (CAST(sum(v_qt // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_qt // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_qt % 65536) AS DOUBLE)) / 10000 AS sqt,
+              (CAST(sum(v_pd // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_pd // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_pd % 65536) AS DOUBLE)) / 10000 AS spd,
+              (CAST(sum(v_pt // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_pt // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_pt % 65536) AS DOUBLE)) / 10000 AS spt,
+              (CAST(sum(v_dt // 4294967296) AS DOUBLE) * 4294967296 + CAST(sum((v_dt // 65536) % 65536) AS DOUBLE) * 65536 + CAST(sum(v_dt % 65536) AS DOUBLE)) / 10000 AS sdt
+            FROM v),
             pairs AS (
               SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
                 floor((n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)) * 10000)/10000 AS corr FROM s

@@ -145,6 +145,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_winsorize" -> "1-row corpus-constant broadcast (percentile cut points)",
       "q_mad_outliers" -> "1-row robust-stats broadcasts (median, MAD)",
       "q_skew_profile" -> "1-row corpus-constant broadcast (total, n_keys)",
+      "q_dsir_weights" -> "1-row corpus-constant broadcast (token totals, vocab size)",
       "q_kmv_overlap" -> "GROUP-cardinality sketch-pair cross (nGroups² kilobyte sketches, corpus-size-independent)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
