@@ -233,11 +233,14 @@ object Profiler {
     * every value in the final reduce task and cannot survive a 100 TB
     * column). `accuracy` is Spark's 1/rank-error knob: the fitted cut is
     * some value whose rank is within n/accuracy of the true median's.
-    * With accuracy ≥ n the summaries never compress, the fits are
-    * rank-exact, and the flag set EQUALS the exact operator's (the
-    * property OperatorPropertiesSpec pins); at 100 TB pick accuracy ~1e5
-    * and read the threshold as a rank-fuzzy cut — rows near the boundary
-    * may flip vs exact, everything else agrees.
+    * Convention difference vs the exact form even at uncompressed
+    * accuracy: `approx_percentile` returns a DATA value where
+    * `percentile` interpolates between the two middle ranks, so the cut
+    * can shift by one inter-point gap — rows inside that sliver may flip,
+    * everything else agrees (OperatorPropertiesSpec pins the flag set
+    * between the exact operator at k·1.2 and k·0.8 at both fine and
+    * coarse accuracy). At 100 TB pick accuracy ~1e5 and read the
+    * threshold as a rank-fuzzy cut.
     *
     * Same shape/columns as the exact form: 3 scans, two 1-row
     * broadcasts, map-side flag pass. */

@@ -76,4 +76,33 @@ object Writer {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(outPath)
   }
+
+  /** Write `df` as a BUCKETED parquet table: rows hash-partitioned into
+    * `nBuckets` files by `bucketCols` and sorted by `sortCols` within
+    * each, registered as `table` in the session catalog (bucketing
+    * lives in table metadata — a bare parquet path can't carry it).
+    *
+    * This is the co-located-join layout: two tables bucketed the same
+    * way joined on the bucket keys plan ZERO Exchange — at 100 TB that
+    * deletes the dominant cost of every recurring fact-to-fact join
+    * (the daily events⋈events or corpus⋈index job), paying the shuffle
+    * ONCE at write time instead of per query. Sorted buckets
+    * additionally let the join sort-merge without sorting. The
+    * WriterSpec plan test pins the no-Exchange property; bucket-pruning
+    * on equality predicates comes free from the same metadata.
+    *
+    * Like the other writers this targets a NEW location: `path` is the
+    * table's external storage; drop/rename choreography stays with the
+    * caller. */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val w = df.write.format("parquet").option("path", path)
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

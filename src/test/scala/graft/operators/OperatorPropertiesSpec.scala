@@ -1011,6 +1011,35 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 94.5)), out.mkString(","))
   }
 
+  test("madOutliersApprox flags the hand-model outlier; stays in the exact ±20%-k sandwich") {
+    import spark.implicits._
+    // same hand model as the exact test; approx median is the DATA value
+    // 5 (no interpolation), so the outlier's abs_dev is |100−5| = 95
+    val df = ((1 to 9).map(i => (i.toLong, Some(i.toDouble)))
+      :+ ((10L, Some(100.0))) :+ ((11L, Option.empty[Double]))).toDF("id", "v")
+    val approx = graft.api.Profiler.madOutliersApprox(df, "v", k = 3.0, accuracy = 10000)
+      .select("id", "abs_dev").as[(Long, Double)].collect()
+    assert(approx.toSeq == Seq((10L, 95.0)), approx.mkString(","))
+    // larger skewed corpus (n_chars over documents): at BOTH an
+    // uncompressed accuracy and the coarse accuracy a 100 TB run would
+    // use, the approx flag set stays sandwiched between the exact
+    // operator at k·1.2 and k·0.8 — rank error (and the
+    // data-value-vs-interpolated median convention) shifts the cut
+    // slightly, it cannot invent or lose far outliers
+    val docs = Tables.documents(spark, sfDir)
+    def ids(out: org.apache.spark.sql.DataFrame): Set[Long] =
+      out.select("doc_id").as[Long].collect().toSet
+    val tight = ids(graft.api.Profiler.madOutliers(docs, "n_chars", k = 2.4))
+    val wide = ids(graft.api.Profiler.madOutliers(docs, "n_chars", k = 1.6))
+    for (acc <- Seq(100, 1000000)) {
+      val flagged = ids(graft.api.Profiler.madOutliersApprox(docs, "n_chars", k = 2.0,
+        accuracy = acc))
+      assert(tight.subsetOf(flagged) && flagged.subsetOf(wide),
+        s"accuracy=$acc: approx flag set not between k·1.2 and k·0.8 exact sets: " +
+          s"${(tight -- flagged).size} missing, ${(flagged -- wide).size} extra")
+    }
+  }
+
   test("pmiCollocations ≡ hand formula; always-together pair outranks frequent-but-independent") {
     import spark.implicits._
     // "aa bb" appear ONLY together (4×); the other tokens co-occur

@@ -730,6 +730,53 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming left-outer asof join: most-recent-within-tolerance, nulls for no match, one row per left") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    def m(min: Long) = base + min * 60000L
+    val trades = MemoryStream[(Long, Long, Long)] // (tid, sym, ts_ms)
+    val quotes = MemoryStream[(Long, Long, Long)] // (px, sym, ts_ms)
+    def tsify(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.toDF(v, "sym", "ts_ms").withColumn("ts", timestamp_millis(col("ts_ms")))
+    val joined = StreamJoins.streamingAsofJoin(
+      tsify(trades.toDF(), "tid"), "ts",
+      tsify(quotes.toDF(), "px"), "ts",
+      keyCol = "sym", toleranceMs = 10 * 60000L, watermark = "10 minutes",
+      leftIdCol = "tid", rightValCol = "px")
+    val q = joined.writeStream.format("memory").queryName("s_asof")
+      .outputMode("append").start()
+    def emitted(): Map[Long, (Option[Long], Option[Long])] =
+      spark.table("s_asof").collect().map { r =>
+        r.getAs[Long]("tid") -> ((Option(r.getAs[Any]("asof_ts")).map(_ => r.getAs[java.sql.Timestamp]("asof_ts").getTime),
+          Option(r.getAs[Any]("px")).map(_ => r.getAs[Long]("px"))))
+      }.toMap
+    try {
+      // quotes for sym 1 at @0 (px 100) and @4 (px 104); sym 2 at @4 (px 204)
+      quotes.addData((100L, 1L, m(0)), (104L, 1L, m(4)), (204L, 2L, m(4)))
+      // trades: t1 sym1 @5 (asof → px 104), t2 sym1 @3 (asof → px 100),
+      // t3 sym3 @5 (no quotes at all → nulls), t4 sym2 @20 — the @4
+      // quote is 16 min stale, outside the 10-min tolerance → nulls
+      trades.addData((1L, 1L, m(5)), (2L, 1L, m(3)), (3L, 3L, m(5)), (4L, 2L, m(20)))
+      q.processAllAvailable()
+      // nothing emits until the watermark passes the trades' timestamps
+      // (append-mode chained-stateful contract); push it with fresh data
+      trades.addData((90L, 9L, m(60))); quotes.addData((900L, 9L, m(60)))
+      q.processAllAvailable()
+      trades.addData((91L, 9L, m(80))); quotes.addData((901L, 9L, m(80)))
+      q.processAllAvailable()
+      val got = emitted()
+      assert(got.get(1L).contains((Some(m(4)), Some(104L))), got.toString)
+      assert(got.get(2L).contains((Some(m(0)), Some(100L))), got.toString)
+      assert(got.get(3L).contains((None, None)), got.toString)
+      assert(got.get(4L).contains((None, None)), got.toString)
+      // exactly one row per left trade — the aggregation collapsed the
+      // multi-quote candidate sets
+      assert(spark.table("s_asof").groupBy("tid").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionize (session_window): cross-batch merge, close on watermark, " +
       "late drop, batch parity") {
     implicit val sqlCtx = spark.sqlContext
