@@ -30,6 +30,34 @@ object Skew {
     pre.groupBy(keyCols.map(col): _*).agg(fin.head, fin.tail: _*)
   }
 
+  /** Replicate-salt JOIN: the manual mitigation for a hot join key when
+    * the small side can't broadcast (too big for executor memory) and
+    * AQE's skew split can't help (it subdivides sort-merge partitions of
+    * the BIG side, but every subdivision still probes the one reducer's
+    * worth of hot-key rows — and it never fires for shuffled-hash
+    * plans it didn't pick). The big side gets a deterministic salt
+    * (`pmod(xxhash64(saltOn), saltBuckets)` — no rand(), replayable),
+    * the small side is replicated ×saltBuckets via one `explode`, and
+    * the join runs on (keys, salt): the hot key's rows now land on
+    * `saltBuckets` reducers instead of one, at the price of a
+    * saltBuckets× copy of the SMALL side only.
+    *
+    * `keyCols` are using-columns (same name both sides — rename before
+    * calling). Only `inner` and `left` are meaningful: the big side
+    * keeps exactly its own salt per row, so its rows emit once;
+    * right/full would count replicated small rows and are rejected.
+    * [[keyProfile]]'s `skew_x` on the join key picks `saltBuckets`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      saltBuckets: Int, saltOn: Column, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left only, got $joinType")
+    val bigS = big.withColumn("__salt", pmod(xxhash64(saltOn), lit(saltBuckets.toLong)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
+    bigS.join(smallS, keyCols :+ "__salt", joinType).drop("__salt")
+  }
+
   /** KEY-SKEW PROFILE: the measurement you run BEFORE choosing a
     * mitigation — the top-N hottest values of a prospective join/groupBy
     * key with, per key: row count, corpus share, and `skew_x` = count ÷

@@ -540,7 +540,15 @@ object TextAnalysis {
     * integers 2c+1 and 2N+αV·2 cast once to double; one multiply, one
     * divide, ONE ln per distinct term is the whole transcendental
     * surface; the per-doc sum crosses as DECIMAL(30,10) (order-free)
-    * and the result floors — the unigramNll discipline. */
+    * and the result floors — the unigramNll discipline.
+    *
+    * Cost note: the exploded token stream feeds BOTH the vocab count
+    * aggregate and the final per-doc join, and the vocab frame feeds
+    * both the totals row and the log-weight projection — two full
+    * corpus tokenization passes per run (the tfidf/bm25 two-branch
+    * shape). At scale, if the vocab frame is large or the input scan
+    * expensive, `localCheckpoint` the token/count frames to pay each
+    * once. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column): DataFrame = {
     val toks = df.filter(col(textCol).isNotNull)

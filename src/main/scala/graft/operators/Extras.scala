@@ -439,6 +439,30 @@ object Extras {
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Replicate-salt JOIN over the hot-key shape (150 users × ~70 events
+    * each at sf0.01; at 100 TB the same shape is billions of rows per
+    * key): big side salted on event_id, small side replicated ×8, join
+    * on (user_id, salt) — semantics identical to the plain join, which
+    * is exactly what the oracle states. */
+  private val qSkewSaltedJoin = Q(
+    "q_skew_salted_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.api.Skew.saltedJoin(ev, cust, Seq("user_id"), 8, col("event_id"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 1e4) / 1e4)
+            .as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS cnt,
+              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000)/10000 AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
   /** FULL OUTER join: customers with finished vs pending orders —
     * unmatched rows survive from BOTH sides (nulls coalesced to 0). */
   private val qJoinFull = Q(
@@ -518,5 +542,5 @@ object Extras {
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qCorrelation, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
     qJoinAsof, qJoinAsofTol, qJoinAsofFwd, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
-    qSkewSalted, qJoinFull, qUnpivot, qWindowDistribution)
+    qSkewSalted, qSkewSaltedJoin, qJoinFull, qUnpivot, qWindowDistribution)
 }

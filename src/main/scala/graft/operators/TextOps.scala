@@ -442,14 +442,28 @@ object TextOps {
 
   /** Gopher rule battery (Rae et al. 2021): measured signals + per-rule
     * verdicts + the keep conjunction. All signals map-side except the
-    * most-frequent-token fraction (one id-keyed hash aggregate). */
+    * most-frequent-token fraction (one id-keyed hash aggregate).
+    * Thresholds/stopwords are defined ONCE here and interpolated into
+    * BOTH the Spark call and the oracle SQL, so a parameter change
+    * cannot silently diverge the two sides (r6 ADVICE). */
+  private object GopherParams {
+    val minTok = 15L; val maxTok = 1000L
+    val minWlen = 3.0; val maxWlen = 10.0
+    val maxTopFrac = 0.25; val minStopHits = 2
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    def sqlList: String = stopwords.mkString("['", "','", "']")
+  }
   private val qGopherRules = Q(
     "q_gopher_rules",
     (s, dir) =>
-      graft.api.TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+      graft.api.TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+          minTok = GopherParams.minTok, maxTok = GopherParams.maxTok,
+          minWlen = GopherParams.minWlen, maxWlen = GopherParams.maxWlen,
+          maxTopFrac = GopherParams.maxTopFrac, minStopHits = GopherParams.minStopHits,
+          stopwords = GopherParams.stopwords)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
-    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+    Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
                             length(text) AS nch
                           FROM documents WHERE text IS NOT NULL),
                  tc AS (SELECT doc_id, tok, count(*) AS c FROM (
@@ -460,15 +474,17 @@ object TextOps {
                          round(CAST(nch - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS mean_wlen,
                          round(CAST(topc AS DOUBLE) / len(toks), 4) AS top_frac,
                          CAST(len(list_intersect(list_distinct(toks),
-                           ['the','a','of','and','to'])) AS BIGINT) AS stop_hits
+                           ${GopherParams.sqlList})) AS BIGINT) AS stop_hits
                        FROM base b JOIN tp USING (doc_id))
             SELECT doc_id, n_tok, mean_wlen, top_frac, stop_hits,
-              n_tok BETWEEN 15 AND 1000 AS rule_len,
-              mean_wlen BETWEEN 3.0 AND 10.0 AS rule_wlen,
-              top_frac <= 0.25 AS rule_rep,
-              stop_hits >= 2 AS rule_stop,
-              (n_tok BETWEEN 15 AND 1000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
-                AND top_frac <= 0.25 AND stop_hits >= 2 AS keep
+              n_tok BETWEEN ${GopherParams.minTok} AND ${GopherParams.maxTok} AS rule_len,
+              mean_wlen BETWEEN ${GopherParams.minWlen} AND ${GopherParams.maxWlen} AS rule_wlen,
+              top_frac <= ${GopherParams.maxTopFrac} AS rule_rep,
+              stop_hits >= ${GopherParams.minStopHits} AS rule_stop,
+              (n_tok BETWEEN ${GopherParams.minTok} AND ${GopherParams.maxTok})
+                AND (mean_wlen BETWEEN ${GopherParams.minWlen} AND ${GopherParams.maxWlen})
+                AND top_frac <= ${GopherParams.maxTopFrac}
+                AND stop_hits >= ${GopherParams.minStopHits} AS keep
             FROM m ORDER BY doc_id""")
   )
 

@@ -1011,6 +1011,34 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 94.5)), out.mkString(","))
   }
 
+  test("saltedJoin ≡ plain join (inner multiset, left-outer nulls); rejects replicating join types") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("event_id", "user_id", "c_mktsegment")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(graft.api.Skew.saltedJoin(ev, cust, Seq("user_id"), 8, col("event_id")))
+      == canon(ev.join(cust, Seq("user_id"))))
+    // left outer: a big-side row with no small match emits exactly once,
+    // with nulls — not buckets× times
+    val sparseCust = cust.filter(col("user_id") % 2 === 0)
+    val lo = graft.api.Skew.saltedJoin(ev, sparseCust, Seq("user_id"), 8,
+      col("event_id"), "left")
+    assert(canon(lo) == canon(ev.join(sparseCust, Seq("user_id"), "left")))
+    intercept[IllegalArgumentException] {
+      graft.api.Skew.saltedJoin(ev, cust, Seq("user_id"), 8, col("event_id"), "full")
+    }
+    // the salt actually spreads: the salted big side carries >1 distinct
+    // salt per hot key (the whole point)
+    val spread = ev.withColumn("__salt",
+        pmod(xxhash64(col("event_id")), lit(8L)))
+      .groupBy("user_id").agg(countDistinct(col("__salt")).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    assert(spread > 1, s"hot keys not spread: min distinct salts = $spread")
+  }
+
   test("madOutliersApprox flags the hand-model outlier; stays in the exact ±20%-k sandwich") {
     import spark.implicits._
     // same hand model as the exact test; approx median is the DATA value
