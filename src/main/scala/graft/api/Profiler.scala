@@ -193,6 +193,34 @@ object Profiler {
       .drop("__cuts")
   }
 
+  /** [[winsorize]]'s 100 TB scale variant: the two cut points fit via
+    * `approx_percentile` (mergeable GK summaries) instead of exact
+    * `percentile` (which buffers the whole column in the final reduce
+    * task). The clamp itself is unchanged and still bit-exact against
+    * whatever cuts the fit produced — the only divergence from the
+    * exact form is the cut position (rank error ≤ n/accuracy, plus the
+    * data-value-vs-interpolated convention), so clipped rows differ
+    * only within that sliver of the tails. Same shape: one sketch
+    * aggregate, one 1-row broadcast, map-side clamp. */
+  def winsorizeApprox(df: DataFrame, valueCol: String,
+      loFrac: Double = 0.01, hiFrac: Double = 0.99,
+      accuracy: Int = 10000): DataFrame = {
+    require(loFrac >= 0 && hiFrac <= 1 && loFrac < hiFrac,
+      s"need 0 ≤ loFrac < hiFrac ≤ 1, got ($loFrac, $hiFrac)")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val cuts = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .agg(expr(s"approx_percentile(__x, array($loFrac, $hiFrac), $accuracy)").as("__cuts"))
+    val v = col(valueCol).cast("double")
+    df.crossJoin(broadcast(cuts))
+      .withColumn("value_w",
+        when(v.isNotNull,
+          least(greatest(v, col("__cuts").getItem(0)), col("__cuts").getItem(1))))
+      .withColumn("clipped_low", (v < col("__cuts").getItem(0)).cast("long"))
+      .withColumn("clipped_high", (v > col("__cuts").getItem(1)).cast("long"))
+      .drop("__cuts")
+  }
+
   /** MAD-based robust outliers: rows whose |x − median| exceeds
     * k · 1.4826 · MAD (MAD = median absolute deviation; 1.4826 makes it
     * a consistent σ estimator under normality) — the robust complement

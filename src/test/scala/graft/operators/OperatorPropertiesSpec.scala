@@ -1011,6 +1011,33 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 94.5)), out.mkString(","))
   }
 
+  test("winsorizeApprox: NULL-preserving clamp into approx cuts; interior values untouched vs exact") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val exact = graft.api.Profiler.winsorize(docs, "n_chars", 0.1, 0.9)
+      .select(col("doc_id"), col("value_w"), col("clipped_low") + col("clipped_high"))
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map { case (k, v, c) => k -> ((v, c)) }.toMap
+    val approx = graft.api.Profiler.winsorizeApprox(docs, "n_chars", 0.1, 0.9,
+      accuracy = 1000000)
+      .select(col("doc_id"), col("value_w"), col("clipped_low") + col("clipped_high"))
+      .as[(Long, Option[Double], Option[Long])].collect()
+    assert(approx.length == exact.size)
+    approx.foreach { case (id, vw, clipped) =>
+      val (evw, eclipped) = exact(id)
+      // a row BOTH forms leave unclipped carries the identical original
+      // double; divergence is confined to rows at least one form clipped
+      // (the cut-convention sliver at the tails)
+      if (clipped.contains(0L) && eclipped.contains(0L))
+        assert(vw == evw, s"doc $id: unclipped values differ ($vw vs $evw)")
+      assert(vw.isDefined == evw.isDefined, s"doc $id: NULL handling diverged")
+    }
+    // the clamp engaged on both tails (the fixture spans enough range)
+    val flags = graft.api.Profiler.winsorizeApprox(docs, "n_chars", 0.1, 0.9)
+      .agg(sum("clipped_low"), sum("clipped_high")).head()
+    assert(flags.getLong(0) > 0 && flags.getLong(1) > 0, flags.toString)
+  }
+
   test("saltedJoin ≡ plain join (inner multiset, left-outer nulls); rejects replicating join types") {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
