@@ -32,7 +32,12 @@ object StreamJoins {
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     val l = left.withWatermark(leftTsCol, watermark).alias("l")
     val r = right.withWatermark(rightTsCol, watermark).alias("r")
-    val win = make_dt_interval(lit(0), lit(0), lit(0), lit(windowMs / 1000.0))
+    // an interval LITERAL, not make_dt_interval: StreamingJoinHelper can
+    // only derive the outer-join state bound (when the nullable side's
+    // eviction watermark comes from the range condition) through literal
+    // interval arithmetic — a make_dt_interval call defeats the
+    // extraction and fails leftOuter analysis
+    val win = expr(s"INTERVAL $windowMs MILLISECOND")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
@@ -70,7 +75,7 @@ object StreamJoins {
     require(toleranceMs > 0, s"toleranceMs must be positive, got $toleranceMs")
     val l = left.withWatermark(leftTsCol, watermark).alias("l")
     val r = right.withWatermark(rightTsCol, watermark).alias("r")
-    val tol = make_dt_interval(lit(0), lit(0), lit(0), lit(toleranceMs / 1000.0))
+    val tol = expr(s"INTERVAL $toleranceMs MILLISECOND") // literal: see streamingIntervalJoin
     l.join(r,
         col(s"l.$keyCol") === col(s"r.$keyCol") &&
           col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") &&
@@ -79,6 +84,41 @@ object StreamJoins {
       .groupBy(col(s"l.$leftIdCol").as(leftIdCol),
         col(s"l.$keyCol").as(keyCol), col(s"l.$leftTsCol").as(leftTsCol))
       .agg(max(struct(col(s"r.$rightTsCol").as("asof_ts"),
+        col(s"r.$rightValCol").as(rightValCol))).as("__m"))
+      .select(col(leftIdCol), col(keyCol), col(leftTsCol),
+        col(s"__m.asof_ts"), col(s"__m.$rightValCol"))
+  }
+
+  /** FORWARD streaming as-of — [[streamingAsofJoin]]'s mirror, the
+    * batch `TimeSeries.asofJoinForward` on live streams: for every left
+    * row, the single EARLIEST right row of the same key with
+    * rightTs ∈ [leftTs, leftTs + tolMs), or nulls when none arrives in
+    * time (first-response-after-request, next-error-after-deploy).
+    * Same two watermark-bounded stateful operators; the collapse is
+    * `min(struct(ts, value))` — null right timestamps sort HIGH under
+    * min's null-skipping only when the struct itself is null, which it
+    * is exactly for the unmatched-left case (homogeneous groups: a left
+    * row either matched ≥1 rights or carries the single null row), so
+    * the null contract matches the backward form. A left row's answer
+    * is complete once the watermark passes leftTs + tolerance; Spark's
+    * chained-append contract already waits for the join's state bound,
+    * so emission timing is the same class as the backward join. */
+  def streamingAsofJoinForward(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String, keyCol: String,
+      toleranceMs: Long, watermark: String,
+      leftIdCol: String, rightValCol: String): DataFrame = {
+    require(toleranceMs > 0, s"toleranceMs must be positive, got $toleranceMs")
+    val l = left.withWatermark(leftTsCol, watermark).alias("l")
+    val r = right.withWatermark(rightTsCol, watermark).alias("r")
+    val tol = expr(s"INTERVAL $toleranceMs MILLISECOND") // literal: see streamingIntervalJoin
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
+          col(s"r.$rightTsCol") < col(s"l.$leftTsCol") + tol,
+        "leftOuter")
+      .groupBy(col(s"l.$leftIdCol").as(leftIdCol),
+        col(s"l.$keyCol").as(keyCol), col(s"l.$leftTsCol").as(leftTsCol))
+      .agg(min(struct(col(s"r.$rightTsCol").as("asof_ts"),
         col(s"r.$rightValCol").as(rightValCol))).as("__m"))
       .select(col(leftIdCol), col(keyCol), col(leftTsCol),
         col(s"__m.asof_ts"), col(s"__m.$rightValCol"))

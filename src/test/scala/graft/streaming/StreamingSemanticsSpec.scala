@@ -730,6 +730,41 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join leftOuter: unmatched left emits nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    def m(min: Long) = base + min * 60000L
+    val lMem = MemoryStream[(Long, Long, Long)]
+    val rMem = MemoryStream[(Long, Long, Long)]
+    def tsify(df: org.apache.spark.sql.DataFrame, id: String) =
+      df.toDF(id, "user", "ts_ms").withColumn("ts", timestamp_millis(col("ts_ms")))
+    val joined = StreamJoins.streamingIntervalJoin(
+        tsify(lMem.toDF(), "pid"), "ts",
+        tsify(rMem.toDF(), "eid"), "ts",
+        keyCol = "user", windowMs = 10 * 60000L, watermark = "10 minutes",
+        joinType = "leftOuter")
+      .select(col("l.pid"), col("r.eid"))
+    val q = joined.writeStream.format("memory").queryName("s_ivjoin_lo")
+      .outputMode("append").start()
+    def emitted(): Set[(Long, Option[Long])] = spark.table("s_ivjoin_lo").collect()
+      .map(r => (r.getAs[Long]("pid"),
+        Option(r.getAs[Any]("eid")).map(_ => r.getAs[Long]("eid")))).toSet
+    try {
+      // p1 (user 1) matches e1; p2 (user 2) has no right rows at all
+      lMem.addData((1L, 1L, m(0)), (2L, 2L, m(0))); rMem.addData((1L, 1L, m(5)))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, Some(1L))), emitted().toString)
+      // push both watermarks past p2's window end → the held-back
+      // unmatched left row emits with nulls (Spark's outer contract)
+      lMem.addData((90L, 9L, m(60))); rMem.addData((90L, 9L, m(60)))
+      q.processAllAvailable()
+      lMem.addData((91L, 9L, m(80))); rMem.addData((91L, 9L, m(80)))
+      q.processAllAvailable()
+      assert(emitted().contains((2L, None)), emitted().toString)
+    } finally q.stop()
+  }
+
   test("streaming left-outer asof join: most-recent-within-tolerance, nulls for no match, one row per left") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -774,6 +809,47 @@ class StreamingSemanticsSpec extends SparkTestBase {
       // multi-quote candidate sets
       assert(spark.table("s_asof").groupBy("tid").count()
         .filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming forward asof join: earliest-within-tolerance, nulls when nothing arrives in time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    def m(min: Long) = base + min * 60000L
+    val reqs = MemoryStream[(Long, Long, Long)]  // (rid, svc, ts_ms)
+    val resp = MemoryStream[(Long, Long, Long)]  // (code, svc, ts_ms)
+    def tsify(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.toDF(v, "svc", "ts_ms").withColumn("ts", timestamp_millis(col("ts_ms")))
+    val joined = StreamJoins.streamingAsofJoinForward(
+      tsify(reqs.toDF(), "rid"), "ts",
+      tsify(resp.toDF(), "code"), "ts",
+      keyCol = "svc", toleranceMs = 10 * 60000L, watermark = "10 minutes",
+      leftIdCol = "rid", rightValCol = "code")
+    val q = joined.writeStream.format("memory").queryName("s_asof_fwd")
+      .outputMode("append").start()
+    def emitted(): Map[Long, (Option[Long], Option[Long])] =
+      spark.table("s_asof_fwd").collect().map { r =>
+        r.getAs[Long]("rid") -> ((Option(r.getAs[Any]("asof_ts")).map(_ => r.getAs[java.sql.Timestamp]("asof_ts").getTime),
+          Option(r.getAs[Any]("code")).map(_ => r.getAs[Long]("code"))))
+      }.toMap
+    try {
+      // responses for svc 1 at @4 (code 104) and @7 (code 107)
+      resp.addData((104L, 1L, m(4)), (107L, 1L, m(7)))
+      // r1 svc1 @3 → earliest at-or-after within 10 min = @4/104;
+      // r2 svc1 @5 → @7/107; r3 svc2 @5 → no responses at all → nulls;
+      // r4 svc1 @20 → nothing in [20, 30) → nulls
+      reqs.addData((1L, 1L, m(3)), (2L, 1L, m(5)), (3L, 2L, m(5)), (4L, 1L, m(20)))
+      q.processAllAvailable()
+      reqs.addData((90L, 9L, m(60))); resp.addData((900L, 9L, m(60)))
+      q.processAllAvailable()
+      reqs.addData((91L, 9L, m(80))); resp.addData((901L, 9L, m(80)))
+      q.processAllAvailable()
+      val got = emitted()
+      assert(got.get(1L).contains((Some(m(4)), Some(104L))), got.toString)
+      assert(got.get(2L).contains((Some(m(7)), Some(107L))), got.toString)
+      assert(got.get(3L).contains((None, None)), got.toString)
+      assert(got.get(4L).contains((None, None)), got.toString)
     } finally q.stop()
   }
 
