@@ -244,6 +244,45 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(w0 == Seq(("aa", 3L), ("bb", 2L)).map(t => (t._1, t._2, 0L)), w0.toString)
   }
 
+  test("streaming heavy hitters: open-window sketch AND its event-time timer survive restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val W = 60000L
+    val mem = MemoryStream[(Long, String)]
+    val rows = mem.toDF().toDF("tsMs", "term")
+      .withColumn("ts_t", timestamp_millis(col("tsMs")))
+      .withWatermark("ts_t", "1 second")
+      .withColumn("windowStartMs", col("tsMs") - pmod(col("tsMs"), lit(W)))
+      .as[StatefulOps.TermRow]
+    val cp = java.nio.file.Files.createTempDirectory("hh-cp-").toString
+    val out = java.nio.file.Files.createTempDirectory("hh-out-").resolve("p").toString
+    def start() = StatefulOps.streamingHeavyHitters(rows, windowMs = W, k = 2, capacity = 3)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData((base + 1, "aa"), (base + 2, "aa"), (base + 3, "bb"))
+      q1.processAllAvailable() // window 0 still open — sketch + timer in state
+    } finally q1.stop()
+    // rows for the SAME open window arrive during the outage
+    mem.addData((base + 4, "bb"), (base + 5, "bb"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // watermark passes window end AFTER the restart — the recovered
+      // EventTimeTimeout timer (not a fresh one) must fire the finals
+      mem.addData((base + W + 30000, "zz")); q2.processAllAvailable()
+      mem.addData((base + 2 * W + 30000, "zz")); q2.processAllAvailable()
+    } finally q2.stop()
+    val w0 = spark.read.parquet(out).collect()
+      .filter(_.getAs[Long]("window_start_ms") == base)
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("est_count")))
+      .toSeq.sortBy(_._1)
+    // bb 1-before + 2-after = 3, aa 2-before: counts CONTINUED across the
+    // restart (a from-zero sketch would report bb 2, aa absent)
+    assert(w0 == Seq(("aa", 2L), ("bb", 3L)), w0.toString)
+  }
+
   test("streaming near-dup (MinHash-LSH state): cross/same-batch matches, no false flags") {
     implicit val sqlCtx = spark.sqlContext
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
