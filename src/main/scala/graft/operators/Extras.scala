@@ -443,7 +443,12 @@ object Extras {
     * each at sf0.01; at 100 TB the same shape is billions of rows per
     * key): big side salted on event_id, small side replicated ×8, join
     * on (user_id, salt) — semantics identical to the plain join, which
-    * is exactly what the oracle states. */
+    * is exactly what the oracle states. At fixture scale the planner
+    * broadcasts the replicated side (so no shuffle exists to skew);
+    * the mitigation's target is the non-broadcastable small side, where
+    * the same (keys, salt) condition spreads the hot key's shuffle
+    * partition — the salt rides whichever join strategy is picked.
+    * OperatorPropertiesSpec holds the ≡-plain-join contract. */
   private val qSkewSaltedJoin = Q(
     "q_skew_salted_join",
     (s, dir) => {
