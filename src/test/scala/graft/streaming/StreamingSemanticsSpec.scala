@@ -617,7 +617,23 @@ class StreamingSemanticsSpec extends SparkTestBase {
       "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")
       .collect().head.getDouble(0)
     assert(v == 9.0)
-    assert(new graft.GraftExtensions() != null) // config entry point constructible
+    // the spark.sql.extensions entry point must inject the SAME function
+    // surface register() provides — drive it through a real
+    // SparkSessionExtensions into a FunctionRegistry and look each up
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    // registerFunctions is private[sql] in Scala but public in bytecode
+    ext.getClass
+      .getMethod("registerFunctions",
+        classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+      .invoke(ext, reg)
+    val expected = Seq("vec_dot", "graft_simhash", "graft_minhash",
+      "graft_hyperplane_keys", "graft_nearest_centroids", "graft_adc",
+      "graft_pq_encode", "graft_adc_lut", "graft_might_contain")
+    val missing = expected.filterNot(n =>
+      reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    assert(missing.isEmpty, s"extension entry point failed to register: $missing")
   }
 
   test("vec_dot returns NULL on array length mismatch (not a truncated product)") {
