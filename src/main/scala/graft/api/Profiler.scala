@@ -161,6 +161,37 @@ object Profiler {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** [[quantileBins]]'s 100 TB scale variant: the n−1 cut points fit via
+    * `approx_percentile` (one mergeable GK-summary aggregate) instead of
+    * exact `percentile`'s buffer-everything final task. Bucket
+    * assignment, tie rule (strict `>` against each cut), spine zeros,
+    * and output shape are IDENTICAL — only the cut positions can sit a
+    * rank-error (n/accuracy, plus the data-value-vs-interpolated
+    * convention) away from the exact fit, so per-bucket counts wobble by
+    * at most the rows inside those slivers. */
+  def quantileBinsApprox(df: DataFrame, valueCol: String, nBuckets: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be ≥2, got $nBuckets")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val vals = df.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = vals.agg(
+      expr(s"approx_percentile(x, array(${fracs.mkString(", ")}), $accuracy)")
+        .cast("array<double>").as("cuts"))
+    val counts = vals.crossJoin(broadcast(cuts))
+      .select((expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)")
+        + 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val spine = cuts.select(
+      explode(expr(s"sequence(1L, ${nBuckets}L)")).as("bucket"), col("cuts"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        when(col("bucket") > 1,
+          round(element_at(col("cuts"), (col("bucket") - 1).cast("int")), 4)).as("lo"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** WINSORIZATION: clamp a numeric column into its [loFrac, hiFrac]
     * exact interpolated percentile range — the outlier-trimming pass
     * (event values, doc lengths, quality scores) that tames tails

@@ -1011,6 +1011,27 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 94.5)), out.mkString(","))
   }
 
+  test("quantileBinsApprox: same shape/total as exact; per-bucket counts within rank-error of even") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.filter(col("n_chars").isNotNull).count()
+    def bins(out: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      out.select(col("bucket"), col("cnt")).as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val exact = bins(graft.api.Profiler.quantileBins(docs, "n_chars", 10))
+    val approx = bins(graft.api.Profiler.quantileBinsApprox(docs, "n_chars", 10,
+      accuracy = 1000000))
+    // identical shape: all 10 buckets present, every row assigned once
+    assert(approx.map(_._1) == (1L to 10L) && exact.map(_._1) == (1L to 10L))
+    assert(approx.map(_._2).sum == n && exact.map(_._2).sum == n)
+    // at uncompressed accuracy the only divergence is the cut convention
+    // (data value vs interpolation) — each bucket within a small band of
+    // the exact fit
+    approx.zip(exact).foreach { case ((b, ca), (_, ce)) =>
+      assert(math.abs(ca - ce) <= math.max(4L, n / 50),
+        s"bucket $b: approx $ca vs exact $ce")
+    }
+  }
+
   test("winsorizeApprox: NULL-preserving clamp into approx cuts; interior values untouched vs exact") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
