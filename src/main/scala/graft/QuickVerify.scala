@@ -19,9 +19,17 @@ object QuickVerify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // same failure-surfacing contract as Verify: failures land in
+    // errors.json by name rather than aborting the remaining names
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[quickverify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
+      }
       Hygiene.dropLeakedBlocks(spark)
     }
     def q(s: String): String = "\"" + s.flatMap {
@@ -36,6 +44,8 @@ object QuickVerify {
     val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
