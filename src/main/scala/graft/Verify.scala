@@ -1,9 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries with no oracle (approximate/iterative ops that ANSI SQL can't
+  * replicate) additionally get a driver-visible self-consistency record in
+  * `self_check.json`: rows > 0 plus an order-independent content hash of
+  * TWO independent executions (the determinism QueryDeterminismSpec pins,
+  * re-proven here in the gate artifact so `no_oracle` is distinguishable
+  * from broken). */
 object Verify {
+  /** Order/partition-independent content hash: xxhash64 over all columns
+    * (sorted by name), summed as decimal so row order and partitioning
+    * can't change the value and ANSI overflow can't throw. */
+  private def contentHash(df: DataFrame): (Long, String) = {
+    val cols = df.columns.sorted.map(col)
+    val agg = df
+      .select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("n"), sum("h").as("s"))
+      .head()
+    val n = agg.getLong(0)
+    val s = if (agg.isNullAt(1)) "0" else agg.getDecimal(1).toBigInteger.toString
+    (n, s)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,10 +41,21 @@ object Verify {
     // row the driver's compare can misread as "not gated" — collect every
     // failure for errors.json (VERDICT r6 item 3)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // name -> (rows, self_consistent, hash) for queries with no DuckDB oracle
+    val selfChecks =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Boolean, String)]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (!SparkEntry.oracleSql.contains(name)) {
+          Hygiene.dropLeakedBlocks(spark)
+          val (n1, h1) = contentHash(fn(spark, sfDir))
+          Hygiene.dropLeakedBlocks(spark)
+          val (n2, h2) = contentHash(fn(spark, sfDir))
+          selfChecks(name) = (n1, n1 > 0 && n1 == n2 && h1 == h2, h1)
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
         errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
@@ -46,6 +79,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val selfJson = selfChecks.map { case (k, (rows, consistent, hash)) =>
+      s"${q(k)}: {${q("check")}: ${q("self_consistent")}, " +
+        s"${q("rows")}: $rows, ${q("self_consistent")}: $consistent, " +
+        s"${q("hash")}: ${q(hash)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/self_check.json"), selfJson)
+    val selfBad = selfChecks.collect { case (k, (_, false, _)) => k }
+    if (selfBad.nonEmpty)
+      System.err.println(
+        s"[verify] ${selfBad.size} self-checks FAILED: ${selfBad.mkString(", ")}")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

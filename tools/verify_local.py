@@ -58,5 +58,18 @@ for name, sql in sorted(oracle.items()):
     else:
         ok += 1
         print(f"OK {name} ({len(sdf)} rows)")
+
+# No-oracle queries: graft.Verify records rows>0 + a two-run
+# order-independent content hash in self_check.json — count them in the
+# gate so "no oracle" is distinguishable from broken.
+self_path = f"{out_dir}/self_check.json"
+if os.path.exists(self_path):
+    for name, rec in sorted(json.load(open(self_path)).items()):
+        if rec.get("self_consistent") and rec.get("rows", 0) > 0:
+            ok += 1
+            print(f"OK {name} (self-consistent, {rec['rows']} rows)")
+        else:
+            fail += 1
+            print(f"SELF-CHECK FAILED {name}: {rec}")
 print(f"\n{ok} ok, {fail} failed")
 sys.exit(1 if fail else 0)
