@@ -60,9 +60,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `StreamingQueryProgress.sources[i].metrics` alongside the
   *     engine's own numInputRows.
   *
-  * Scale: the driver only LISTS the directory (one RPC-ish listing per
-  * trigger) and ships plain metadata; executors never touch the
-  * filesystem — partitions carry their rows. The filesystem is resolved
+  * Scale: the driver only LISTS the directory and ships plain metadata;
+  * executors never touch the filesystem — partitions carry their rows.
+  * Listing is CURSORED, not per-trigger: one full listing builds an
+  * ordered in-memory backlog that subsequent triggers drain with zero
+  * listing calls (a million-file backlog costs ONE directory scan per
+  * drain cycle, not one per trigger); a (mtime, name) watermark —
+  * persisted in every offset — admits only unseen files when
+  * `listingRefreshTriggers` asks for mid-drain refreshes, and the
+  * drained-backlog full list is the gap catch for files at or below the
+  * watermark (failed renames, clock-skewed arrivals). The `listingCalls`
+  * source metric exposes the complexity class. The filesystem is resolved
   * through the active SparkSession's Hadoop configuration, so `path` may
   * be any scheme the session is configured for (file://, hdfs://, s3a://;
   * a CephFS mount is just file:// as in the reference, README.md:3).
@@ -97,7 +105,8 @@ final case class ArrivalsOptions(
     consumeOrder: String,
     maxFilesPerTrigger: Int,
     executorRenameThreshold: Int,
-    timeZone: String) {
+    timeZone: String,
+    listingRefreshTriggers: Int) {
   require(path.nonEmpty, "option 'path' is required")
   require(Set("OLDEST", "YOUNGEST", "RANDOM").contains(consumeOrder),
     s"consumeOrder must be OLDEST|YOUNGEST|RANDOM, got '$consumeOrder'")
@@ -105,6 +114,7 @@ final case class ArrivalsOptions(
   if (ignorePattern.nonEmpty) ignorePattern.r // fail fast on bad regex
   require(executorRenameThreshold > 0, "executorRenameThreshold must be > 0")
   java.time.ZoneId.of(timeZone) // fail fast on bad zone id
+  require(listingRefreshTriggers >= 0, "listingRefreshTriggers must be >= 0")
 }
 
 object ArrivalsOptions {
@@ -126,7 +136,14 @@ object ArrivalsOptions {
       // set this to the ingest host's zone for byte-fidelity with it.
       // Default stays UTC — the typed last_modified column is zoneless
       // either way (epoch micros).
-      timeZone = norm.getOrElse("timezone", "UTC"))
+      timeZone = norm.getOrElse("timezone", "UTC"),
+      // with a backlog in hand the source does NOT re-list per trigger
+      // (the scale fix for million-file backlogs); >0 re-lists
+      // incrementally past the watermark every N drain triggers so
+      // mid-backlog arrivals are seen with bounded staleness. 0 (default)
+      // re-lists only when the backlog drains — the reference's own
+      // cached-listing-iterator semantics (CephFSEventReader.java:32-33).
+      listingRefreshTriggers = norm.getOrElse("listingrefreshtriggers", "0").toInt)
     // backoff keys are inert (see warnInertOptions) but must still be
     // VALIDATED AND WARNED on every construction path — a user-supplied
     // schema bypasses inferSchema entirely, so neither can live there
@@ -302,7 +319,12 @@ object ConsumeOrder {
   }
 }
 
-/** Offset = (monotonic batch seq, the exact file set of that batch).
+/** Offset = (monotonic batch seq, the exact file set of that batch, and
+  * the listing cursor's high-watermark — the largest (mtime, name) the
+  * source has admitted to its backlog, persisted so the cursor position
+  * survives restarts and is inspectable in the offset log; the header
+  * record is `seq` alone — also the pre-cursor legacy layout, still
+  * parsed — or `seq\tw mtime\tw name`).
   * Self-contained: replay after restart re-emits rows from the offset log
   * alone, never from a re-listing (the files may already be renamed).
   *
@@ -312,10 +334,15 @@ object ConsumeOrder {
   * fails the restart with "N sources in the checkpoint offsets". Records
   * are -separated, fields \t-separated, with \\ \n \r \t  escaped in
   * paths (file paths are arbitrary byte-ish strings). */
-final case class ArrivalsOffset(seq: Long, files: Seq[FileMeta]) extends Offset {
-  override def json(): String =
-    (seq.toString +: files.map(f => s"${f.mtimeMs}\t${ArrivalsOffset.esc(f.path)}"))
+final case class ArrivalsOffset(seq: Long, files: Seq[FileMeta],
+    watermark: Option[(Long, String)] = None) extends Offset {
+  override def json(): String = {
+    val header = seq.toString + watermark.map { case (m, n) =>
+      s"\t$m\t${ArrivalsOffset.esc(n)}"
+    }.getOrElse("")
+    (header +: files.map(f => s"${f.mtimeMs}\t${ArrivalsOffset.esc(f.path)}"))
       .mkString("\u0001")
+  }
 }
 
 object ArrivalsOffset {
@@ -342,11 +369,14 @@ object ArrivalsOffset {
   }
   def fromJson(json: String): ArrivalsOffset = {
     val recs = json.split("\u0001", -1)
+    // header: `seq` (legacy, pre-watermark layout) or `seq\tmtime\tname`
+    val head = recs.head.split('\t')
+    val wm = if (head.length >= 3) Some((head(1).toLong, unesc(head(2)))) else None
     val files = recs.drop(1).filter(_.nonEmpty).map { l =>
       val tab = l.indexOf('\t')
       FileMeta(unesc(l.substring(tab + 1)), l.substring(0, tab).toLong)
     }
-    ArrivalsOffset(recs.head.toLong, files.toSeq)
+    ArrivalsOffset(head(0).toLong, files.toSeq, wm)
   }
 }
 
@@ -364,6 +394,7 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
   private val filesRenamed = new java.util.concurrent.atomic.AtomicLong()
   private val renameFailures = new java.util.concurrent.atomic.AtomicLong()
   private val pendingGauge = new java.util.concurrent.atomic.AtomicLong()
+  private val listingCalls = new java.util.concurrent.atomic.AtomicLong()
 
   override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] =
     Map(
@@ -372,7 +403,12 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
       "filesRenamed" -> filesRenamed.get.toString,
       "renameFailures" -> renameFailures.get.toString,
       "lastBatchFiles" -> lastOffset.files.size.toString,
-      "lastBatchSeq" -> lastOffset.seq.toString).asJava
+      "lastBatchSeq" -> lastOffset.seq.toString,
+      // directory-listing RPCs issued since start: with a backlog in hand
+      // this must NOT grow per trigger (the million-file-backlog scale
+      // guard — specs pin the complexity class through this counter)
+      "listingCalls" -> listingCalls.get.toString,
+      "listingWatermark" -> watermark.map { case (m, n) => s"$m/$n" }.getOrElse("")).asJava
   // The most recent offset the engine is working against: either the last
   // offset WE returned this run, or (until we return one) the offset
   // restored from the checkpoint. Its files are excluded from new batches
@@ -401,36 +437,77 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
     }
   }
 
-  // RANDOM-mode listing snapshot (ref fidelity: CephFSEventReader.java:
-  // 32-33,107-110,123-124 caches its directory listing in an instance
-  // iterator and re-lists ONLY when it drains — files arriving mid-drain
-  // are not seen until the next rescan). Driver-only state, rebuilt from
-  // a fresh listing after restart; replay safety is unaffected because
-  // rows always come from the offset log, never from this queue.
-  private val randomSnapshot = scala.collection.mutable.Queue.empty[FileMeta]
+  // Ordered pending backlog — ONE listing builds it, subsequent triggers
+  // drain it with ZERO listing calls (the scale fix for million-file
+  // backlogs: per-trigger re-listing is O(dir) × O(backlog/trigger)
+  // driver work; FS APIs can't filter a listing server-side, so NOT
+  // listing beats listing incrementally). This generalizes the
+  // reference's cached-listing-iterator (CephFSEventReader.java:
+  // 32-33,107-110,123-124: re-lists ONLY when the iterator drains —
+  // files arriving mid-drain wait for the next rescan) from RANDOM to
+  // every consumeOrder; `listingRefreshTriggers` bounds the staleness
+  // with periodic incremental refreshes past the watermark. Driver-only
+  // state, rebuilt from a fresh full listing after restart; replay
+  // safety is unaffected because rows always come from the offset log,
+  // never from this queue.
+  private val backlog = scala.collection.mutable.Queue.empty[FileMeta]
+  // Largest (mtime, name) ever admitted to the backlog in this listing
+  // cycle — the incremental-refresh cursor, persisted in each offset.
+  @volatile private var watermark: Option[(Long, String)] = None
+  private var triggersSinceListing = 0
 
-  /** Pending = listed candidates minus the current offset's files (they
-    * are offered-but-not-yet-renamed; re-listing them would duplicate).
-    * In RANDOM mode the listing is snapshotted and drained across
-    * triggers before any re-list, reproducing the reference's cached
-    * iterator; the pendingFiles gauge then reports the snapshot's
-    * remainder (what the source still intends to offer before rescan). */
+  private def wmKey(f: FileMeta): (Long, String) = (f.mtimeMs, f.name)
+  private def pastWatermark(f: FileMeta): Boolean =
+    watermark.forall { case (m, n) => f.mtimeMs > m || (f.mtimeMs == m && f.name > n) }
+
+  private def enumerate(): Seq[FileMeta] = {
+    listingCalls.incrementAndGet()
+    ArrivalsUtil.listCandidates(fs, dirPath, opts, ignoreRe)
+  }
+
+  /** Pending = up to maxFilesPerTrigger files dequeued from the backlog.
+    * Empty backlog → one FULL listing (minus the current offset's files:
+    * offered-but-not-yet-renamed; re-admitting them would duplicate)
+    * rebuilds it and resets the watermark — the full list is also the
+    * gap catch: files AT OR BELOW the watermark (failed renames,
+    * clock-skewed or late-copied arrivals with old mtimes) are admitted
+    * here, so no file is ever lost, only deferred to the next drain.
+    * Non-empty backlog → no listing at all, unless
+    * `listingRefreshTriggers` is due, in which case one INCREMENTAL
+    * listing admits just the candidates past the (mtime, name)
+    * watermark and order-merges them in. The pendingFiles gauge reports
+    * the backlog's remainder (what the source still intends to offer
+    * before the next rescan). */
   private def pending(): Seq[FileMeta] = {
     val offered = lastOffset.files.map(_.path).toSet
-    if (opts.consumeOrder == "RANDOM") {
-      if (randomSnapshot.isEmpty)
-        randomSnapshot.enqueueAll(
-          ArrivalsUtil.listCandidates(fs, dirPath, opts, ignoreRe)
-            .filterNot(f => offered.contains(f.path)))
-      pendingGauge.set(randomSnapshot.size)
-      (0 until math.min(opts.maxFilesPerTrigger, randomSnapshot.size))
-        .map(_ => randomSnapshot.dequeue())
+    if (backlog.isEmpty) {
+      val cand = enumerate().filterNot(f => offered.contains(f.path))
+      backlog.enqueueAll(ConsumeOrder.order(cand, opts.consumeOrder))
+      watermark = if (cand.isEmpty) None else Some(cand.map(wmKey).max)
+      triggersSinceListing = 0
     } else {
-      val cand = ArrivalsUtil.listCandidates(fs, dirPath, opts, ignoreRe)
-        .filterNot(f => offered.contains(f.path))
-      pendingGauge.set(cand.size) // true backlog, before the trigger cap
-      ConsumeOrder.order(cand, opts.consumeOrder).take(opts.maxFilesPerTrigger)
+      triggersSinceListing += 1
+      if (opts.listingRefreshTriggers > 0 &&
+          triggersSinceListing >= opts.listingRefreshTriggers) {
+        val fresh = enumerate()
+          .filter(f => pastWatermark(f) && !offered.contains(f.path))
+        if (fresh.nonEmpty) {
+          watermark = Some((watermark.toSeq ++ fresh.map(wmKey)).max)
+          // RANDOM appends (cached-iterator spirit: new arrivals go last);
+          // ordered modes re-order the merged set — O(backlog log backlog)
+          // per refresh, amortized by the refresh interval
+          val merged =
+            if (opts.consumeOrder == "RANDOM") backlog.toSeq ++ fresh
+            else ConsumeOrder.order(backlog.toSeq ++ fresh, opts.consumeOrder)
+          backlog.clear()
+          backlog.enqueueAll(merged)
+        }
+        triggersSinceListing = 0
+      }
     }
+    pendingGauge.set(backlog.size)
+    (0 until math.min(opts.maxFilesPerTrigger, backlog.size))
+      .map(_ => backlog.dequeue())
   }
 
   override def initialOffset(): Offset = ArrivalsOffset(0L, Nil)
@@ -448,7 +525,7 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
     val p = pending()
     if (p.isEmpty) lastOffset
     else {
-      lastOffset = ArrivalsOffset(lastOffset.seq + 1, p)
+      lastOffset = ArrivalsOffset(lastOffset.seq + 1, p, watermark)
       offeredAny = true
       filesOffered.addAndGet(p.size)
       lastOffset
@@ -474,7 +551,15 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
     // them. Comparing seq numbers here would be wrong — in-memory seqs
     // reset on restart and can be arbitrarily behind or colliding with
     // checkpointed ones (either direction loses or duplicates files).
-    if (!offeredAny) lastOffset = o
+    // The restored watermark is diagnostic continuity only: the restart's
+    // first pending() finds an empty backlog and does a FULL list (which
+    // resets the cursor) — filtering that rebuild by a restored watermark
+    // would LOSE the listed-but-not-yet-offered files below it that died
+    // with the previous process's in-memory backlog.
+    if (!offeredAny) {
+      lastOffset = o
+      watermark = o.watermark
+    }
     o
   }
 
