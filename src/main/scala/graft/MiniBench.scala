@@ -10,16 +10,19 @@ object MiniBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val names = args.toSeq
     names.foreach { n => try SparkEntry.queries(n)(spark, sfDir).count() catch { case e: Throwable => System.err.println(s"warm $n: $e") } }
     names.foreach { n =>
-      Hygiene.dropLeakedBlocks(spark)
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"MINIBENCH $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      } catch {
-        case e: Throwable => println(s"MINIBENCH $n FAILED: ${e.getMessage}")
+      (1 to reps).foreach { r =>
+        Hygiene.dropLeakedBlocks(spark)
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(n)(spark, sfDir).count()
+          println(f"MINIBENCH $n rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch {
+          case e: Throwable => println(s"MINIBENCH $n rep$r FAILED: ${e.getMessage}")
+        }
       }
     }
     spark.stop()

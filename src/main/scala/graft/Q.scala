@@ -63,7 +63,7 @@ object Tables {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-long fixture
         raw
           .withColumn("ts_ms", expr("ts div 1000000"))
@@ -74,6 +74,12 @@ object Tables {
           .withColumn("ts", unix_micros(col("ts_t")) * lit(1000L))
           .withColumn("ts_ms", expr("ts div 1000000"))
     }
+    // Shared final projection: the contract is order-stable as well as
+    // type-stable (fixture order with ts normalized in place, then ts_ms,
+    // ts_t) — without it the branches would emit different column orders
+    // and positional consumers (select("*") writes, by-position compares)
+    // would silently diverge across fixture generations.
+    normalized.select((raw.columns ++ Seq("ts_ms", "ts_t")).map(col): _*)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -74,23 +74,94 @@ object Graph {
     val ids = allIds.select(col(idCol).as("id"))
       .filter(col("id").isNotNull).distinct()
     val nRow = ids.agg(count(lit(1)).as("n_nodes"))
-    var ranks = ids
+    val init = ids
       .crossJoin(broadcast(nRow))
       .withColumn("rank", lit(1.0) / col("n_nodes"))
-    for (_ <- 1 to iterations) {
+    def step(ranks: DataFrame): DataFrame = {
       val contrib = withDeg
         .join(ranks.select(col("id").as("u"), col("rank")), "u")
         .select(col("v").as("id"),
           (col("rank") / col("deg")).cast("decimal(30,10)").as("c"))
         .groupBy("id").agg(sum(col("c")).as("csum"))
-      ranks = ranks.select("id", "n_nodes")
+      ranks.select("id", "n_nodes")
         .join(contrib, Seq("id"), "left")
         .withColumn("rank",
           lit(1 - damping) / col("n_nodes") +
             lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)))
         .drop("csum")
     }
+    var ranks = init
+    for (_ <- 1 to iterations) ranks = step(ranks)
     ranks
+  }
+
+  /** CONVERGENCE-mode PageRank: same per-iteration formula as
+    * [[pageRank]], but iterates until the L∞ rank delta drops below
+    * `tol` (or `maxIterations` rounds), returning the ranks AND the
+    * number of iterations actually run — the library form for graphs
+    * where the right iteration count isn't known up front. The fixed-
+    * iteration [[pageRank]] keeps the plan-unrolled, action-free shape
+    * the oracle compares; this form necessarily acts per round:
+    *
+    * Scale shape: each round localCheckpoints the node-sized rank frame
+    * (an unbounded round count would otherwise grow the lineage without
+    * limit — the CC-operator discipline) and reads back a SINGLE 1-row
+    * max-|delta| aggregate (stat-sized driver traffic, the ML-fit
+    * exemption class; never node-count-sized). Successive-iterate L∞
+    * distance < tol bounds the distance to the true fixpoint by
+    * tol·d/(1−d) (damped-contraction bound with contraction factor d).
+    *
+    * Same id-universe CONTRACT as [[pageRank]] (`validateIds` to check). */
+  def pageRankConverged(pairs: DataFrame, srcCol: String, dstCol: String,
+      allIds: DataFrame, idCol: String,
+      maxIterations: Int = 20, damping: Double = 0.85, tol: Double = 1e-6,
+      validateIds: Boolean = false): (DataFrame, Int) = {
+    require(maxIterations >= 1, s"maxIterations must be ≥1, got $maxIterations")
+    require(tol > 0, s"tol must be positive, got $tol")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    if (validateIds) {
+      val u = allIds.select(col(idCol).as("id")).filter(col("id").isNotNull).distinct()
+      val stray = pairs.select(col(srcCol).as("id"))
+        .union(pairs.select(col(dstCol).as("id")))
+        .join(u, Seq("id"), "left_anti").count()
+      require(stray == 0L,
+        s"pageRankConverged: $stray edge endpoint(s) missing from allIds — their rank mass would silently vanish")
+    }
+    val p = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "u").localCheckpoint()
+    val ids = allIds.select(col(idCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val nRow = ids.agg(count(lit(1)).as("n_nodes"))
+    var ranks = ids
+      .crossJoin(broadcast(nRow))
+      .withColumn("rank", lit(1.0) / col("n_nodes"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (iters < maxIterations && !converged) {
+      val next = ranks.select("id", "n_nodes")
+        .join(withDeg
+          .join(ranks.select(col("id").as("u"), col("rank")), "u")
+          .select(col("v").as("id"),
+            (col("rank") / col("deg")).cast("decimal(30,10)").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("csum")),
+          Seq("id"), "left")
+        .withColumn("rank",
+          lit(1 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)))
+        .drop("csum")
+        .localCheckpoint()
+      val deltaRow = next
+        .join(ranks.select(col("id"), col("rank").as("__prev")), "id")
+        .agg(max(abs(col("rank") - col("__prev"))).as("d")).head()
+      // empty graph → null max → nothing left to converge
+      converged = deltaRow.isNullAt(0) || deltaRow.getDouble(0) < tol
+      ranks = next
+      iters += 1
+    }
+    (ranks, iters)
   }
 
   /** Global triangle census over an UNDIRECTED pair graph: one row of

@@ -42,6 +42,14 @@ object Skew {
     * `saltBuckets` reducers instead of one, at the price of a
     * saltBuckets× copy of the SMALL side only.
     *
+    * `saltOn` MUST have high cardinality WITHIN each join-key value (a
+    * row id, an event id — anything that varies across the hot key's
+    * rows). Salting on the join key itself is a silent no-op exactly on
+    * the skew this exists to fix: `xxhash64(joinKey)` is constant across
+    * a hot key's rows, so they all land in ONE salt bucket again. The
+    * bare-column misuse is rejected; expressions of the key alone can't
+    * be detected — that contract is on the caller.
+    *
     * `keyCols` are using-columns (same name both sides — rename before
     * calling). Only `inner` and `left` are meaningful: the big side
     * keeps exactly its own salt per row, so its rows emit once;
@@ -52,6 +60,12 @@ object Skew {
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
       s"saltedJoin supports inner/left only, got $joinType")
+    // col("k").toString == "k": catches the plain-column form of the
+    // salt-on-the-join-key misuse at call time
+    require(!keyCols.exists(_.equalsIgnoreCase(saltOn.toString)),
+      s"saltOn ($saltOn) is a join key: every hot-key row would hash to one " +
+        "salt bucket, silently disabling the mitigation — salt on a " +
+        "high-cardinality-within-key column (e.g. a row id) instead")
     val bigS = big.withColumn("__salt", pmod(xxhash64(saltOn), lit(saltBuckets.toLong)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))

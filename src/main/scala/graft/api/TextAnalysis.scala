@@ -543,12 +543,13 @@ object TextAnalysis {
     * and the result floors — the unigramNll discipline.
     *
     * Cost note: the exploded token stream feeds BOTH the vocab count
-    * aggregate and the final per-doc join, and the vocab frame feeds
-    * both the totals row and the log-weight projection — two full
-    * corpus tokenization passes per run (the tfidf/bm25 two-branch
-    * shape). At scale, if the vocab frame is large or the input scan
-    * expensive, `localCheckpoint` the token/count frames to pay each
-    * once. */
+    * aggregate and the final per-doc join; without a cut the plan
+    * tokenizes the corpus twice. The vocab-sized count frame is
+    * `localCheckpoint`ed (the posting-list-family discipline) so the
+    * count branch pays its corpus scan once at build time and the
+    * RETURNED plan re-tokenizes only for the per-doc join — one corpus
+    * scan per execution. The checkpoint is vocab-sized (distinct terms),
+    * never corpus-sized. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column): DataFrame = {
     val toks = df.filter(col(textCol).isNotNull)
@@ -557,6 +558,7 @@ object TextAnalysis {
     val counts = toks.groupBy("term").agg(
       count(lit(1)).as("cr"),
       sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
     // totals + vocab size: exact longs off the vocab-sized count frame
     val tot = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
       count(lit(1)).as("v"))

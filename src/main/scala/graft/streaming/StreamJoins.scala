@@ -95,11 +95,13 @@ object StreamJoins {
     * rightTs ∈ [leftTs, leftTs + tolMs), or nulls when none arrives in
     * time (first-response-after-request, next-error-after-deploy).
     * Same two watermark-bounded stateful operators; the collapse is
-    * `min(struct(ts, value))` — null right timestamps sort HIGH under
-    * min's null-skipping only when the struct itself is null, which it
-    * is exactly for the unmatched-left case (homogeneous groups: a left
-    * row either matched ≥1 rights or carries the single null row), so
-    * the null contract matches the backward form. A left row's answer
+    * `min(struct(ts, value))`. The unmatched-left null contract rests on
+    * group HOMOGENEITY, not null-skipping: an outer-join null pad yields
+    * `struct(null, null)` — a NON-null struct that min does not skip —
+    * but a left row's group is either all real matches (the pad never
+    * appears) or exactly the single pad row, so min returns the
+    * struct(null,null) row directly in the unmatched case and the null
+    * contract matches the backward form. A left row's answer
     * is complete once the watermark passes leftTs + tolerance; Spark's
     * chained-append contract already waits for the join's state bound,
     * so emission timing is the same class as the backward join. */

@@ -66,19 +66,48 @@ class FixtureSchemaSpec extends SparkTestBase {
       "embedding" -> Set(ArrayType(FloatType, true), ArrayType(FloatType, false)),
       "label" -> exact(IntegerType)))
 
+  /** Schema inference for the pin. `events` infers with
+    * `nanosAsLong` set (set-infer-restore, mirroring [[Tables.events]]):
+    * without it an INT64 TIMESTAMP(NANOS) fixture makes spark.read.parquet
+    * throw during footer inference, degrading the one-line drift diagnosis
+    * to a raw reader exception and leaving the LongType accept unreachable.
+    * Any residual read failure becomes a drift diagnostic, not a crash. */
+  private def inferSchema(table: String): Either[String, StructType] =
+    try {
+      if (table == "events") {
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try Right(Tables.table(spark, sfDir, table).schema)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else Right(Tables.table(spark, sfDir, table).schema)
+    } catch {
+      case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+    }
+
   test("fixture tables resolve to types the engine's loaders handle") {
     val diags = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
-      val schema = Tables.table(spark, sfDir, table).schema
-      cols.toSeq.sortBy(_._1).flatMap { case (name, ok) =>
-        schema.find(_.name == name) match {
-          case None =>
-            Some(s"$table.$name: MISSING (fixture dropped/renamed a column the engine reads)")
-          case Some(f) if !ok.contains(f.dataType) =>
-            Some(s"$table.$name: resolved ${f.dataType.simpleString}, engine handles " +
-              s"{${ok.map(_.simpleString).mkString(", ")}} — fixture regenerated with a new " +
-              "physical type; update the loader (Tables.scala) and this pin together")
-          case _ => None
-        }
+      inferSchema(table) match {
+        case Left(err) =>
+          Seq(s"$table: UNREADABLE ($err) — fixture regenerated with a physical " +
+            "type Spark's reader rejects; update the loader (Q.scala) and this pin together")
+        case Right(schema) =>
+          cols.toSeq.sortBy(_._1).flatMap { case (name, ok) =>
+            schema.find(_.name == name) match {
+              case None =>
+                Some(s"$table.$name: MISSING (fixture dropped/renamed a column the engine reads)")
+              case Some(f) if !ok.contains(f.dataType) =>
+                Some(s"$table.$name: resolved ${f.dataType.simpleString}, engine handles " +
+                  s"{${ok.map(_.simpleString).mkString(", ")}} — fixture regenerated with a new " +
+                  "physical type; update the loader (Tables.scala) and this pin together")
+              case _ => None
+            }
+          }
       }
     }
     assert(diags.isEmpty, "\nFIXTURE SCHEMA DRIFT:\n" + diags.mkString("\n"))
@@ -90,6 +119,12 @@ class FixtureSchemaSpec extends SparkTestBase {
     assert(byName("ts") == LongType, s"ts must normalize to nanos long, got ${byName("ts")}")
     assert(byName("ts_ms") == LongType)
     assert(byName("ts_t") == TimestampType)
+    // order-stable contract: both loader branches must emit the same
+    // column ORDER (fixture order, ts in place, ts_ms/ts_t appended) so
+    // positional consumers can't diverge across fixture generations
+    assert(ev.columns.takeRight(2).toSeq == Seq("ts_ms", "ts_t"),
+      s"ts_ms/ts_t must be the trailing appended columns, got ${ev.columns.mkString(",")}")
+    assert(ev.columns.count(Set("ts", "ts_ms", "ts_t")) == 3)
     // value-level sanity: the three representations agree and sit in a
     // plausible epoch range (2000-01-01 .. 2100-01-01 in ms)
     val row = ev.selectExpr(

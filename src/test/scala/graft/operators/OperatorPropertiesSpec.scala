@@ -933,6 +933,58 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(math.abs(out(4L) - 0.15 / 4) < 1e-12) // isolated node = (1−d)/N floor
   }
 
+  test("pageRankConverged stops early at the fixpoint and matches the unrolled oracle within tol") {
+    import spark.implicits._
+    // 4-ring: every node has degree 2 and the uniform start IS the
+    // fixpoint — the very first delta is 0, so convergence must stop the
+    // loop after one round regardless of the maxIterations budget
+    val ringIds = Seq(1L, 2L, 3L, 4L).toDF("nid")
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val (ringRanks, ringIters) = graft.api.Graph.pageRankConverged(
+      ring, "a", "b", ringIds, "nid", maxIterations = 50, tol = 1e-9)
+    assert(ringIters == 1, s"uniform fixpoint should stop after 1 round, ran $ringIters")
+    ringRanks.select("rank").as[Double].collect()
+      .foreach(r => assert(math.abs(r - 0.25) < 1e-12, r.toString))
+    // asymmetric graph: the early stop must halt at exactly the FIRST
+    // iteration whose L∞ delta drops below tol, and the returned ranks
+    // must match the unrolled recurrence truncated at that point — both
+    // checked against a driver-side hand model (the unrolled DataFrame
+    // form cannot be compared at this depth: an N-deep unrolled plan is
+    // exponential in analysis, which is exactly why the convergence form
+    // localCheckpoints per round)
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("nid")
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val tol = 1e-2
+    val (conv, iters) = graft.api.Graph.pageRankConverged(
+      pairs, "a", "b", ids, "nid", maxIterations = 50, tol = tol)
+    assert(iters < 50, s"should converge well before the budget, ran $iters")
+    val deg = Map(1L -> 1.0, 2L -> 3.0, 3L -> 2.0, 4L -> 2.0)
+    val nbr = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L, 4L), 3L -> Seq(2L, 4L),
+      4L -> Seq(2L, 3L), 5L -> Seq.empty[Long])
+    var r = Map(1L -> 0.2, 2L -> 0.2, 3L -> 0.2, 4L -> 0.2, 5L -> 0.2)
+    var handIters = 0
+    var delta = Double.MaxValue
+    while (delta >= tol) {
+      val next = r.map { case (nid, _) =>
+        nid -> (0.15 / 5 + 0.85 * nbr(nid).map(u => r(u) / deg(u)).sum)
+      }
+      delta = r.map { case (nid, v) => math.abs(next(nid) - v) }.max
+      r = next
+      handIters += 1
+    }
+    assert(iters == handIters, s"stopped at $iters, hand model says $handIters")
+    val out = conv.select("id", "rank").as[(Long, Double)].collect().toMap
+    r.foreach { case (nid, exp) =>
+      assert(math.abs(out(nid) - exp) < 1e-6, s"node $nid: ${out(nid)} vs $exp")
+    }
+    // contract check mirrors pageRank's
+    val err = intercept[IllegalArgumentException] {
+      graft.api.Graph.pageRankConverged(Seq((1L, 9L)).toDF("a", "b"), "a", "b",
+        ids, "nid", validateIds = true)
+    }
+    assert(err.getMessage.contains("missing from allIds"), err.getMessage)
+  }
+
   test("triangleStats ≡ hand counts on K4 ∪ C4; canonicalizes dirty edges; empty graph all-zero") {
     import spark.implicits._
     // K4 on 1..4 (4 triangles, 6 edges, 12 wedges) ∪ 4-cycle on 11..14
