@@ -169,6 +169,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_dsir_weights: ONE corpus scan — the vocab count frame is checkpointed (r8)") {
+    // importanceWeights' exploded token stream used to feed both the
+    // vocab count aggregate and the final per-doc join → two documents
+    // scans per execution; the vocab-sized localCheckpoint cuts the
+    // count branch, so the RETURNED plan must read documents exactly once
+    val p = plan("q_dsir_weights")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans\n" + p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "expected the checkpointed vocab frame in the plan\n" + p)
+  }
+
   test("q_embed_centroids: one hash exchange (the label aggregate), partial aggregation present") {
     val p = plan("q_embed_centroids")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
