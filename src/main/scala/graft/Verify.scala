@@ -49,8 +49,13 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         if (!SparkEntry.oracleSql.contains(name)) {
+          // run 1 = the parquet dump just written (its values ARE the
+          // first execution's result; the hash is order-independent, so
+          // the coalesced layout is irrelevant) — hashing the file
+          // instead of re-executing saves one full run of every heavy
+          // no-oracle query in the gate. Run 2 is a fresh execution.
           Hygiene.dropLeakedBlocks(spark)
-          val (n1, h1) = contentHash(fn(spark, sfDir))
+          val (n1, h1) = contentHash(spark.read.parquet(s"$outDir/$name"))
           Hygiene.dropLeakedBlocks(spark)
           val (n2, h2) = contentHash(fn(spark, sfDir))
           selfChecks(name) = (n1, n1 > 0 && n1 == n2 && h1 == h2, h1)

@@ -46,52 +46,72 @@ object Graph {
     * by default: the near-dup pair graphs this serves derive their ids
     * from the same corpus frame, where the contract holds by
     * construction). */
+  // ---- shared internals: both PageRank forms MUST compute the identical
+  // per-iteration recurrence, so the pieces live once ----------------------
+
+  /** validateIds contract check shared by both forms. */
+  private def validateIdUniverse(pairs: DataFrame, srcCol: String,
+      dstCol: String, allIds: DataFrame, idCol: String, caller: String): Unit = {
+    val u = allIds.select(col(idCol).as("id")).filter(col("id").isNotNull).distinct()
+    val stray = pairs.select(col(srcCol).as("id"))
+      .union(pairs.select(col(dstCol).as("id")))
+      .join(u, Seq("id"), "left_anti").count()
+    require(stray == 0L,
+      s"$caller: $stray edge endpoint(s) missing from allIds — their rank mass would silently vanish")
+  }
+
+  /** Directed-expanded edge list with per-source degree. */
+  private def edgesWithDegree(pairs: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val p = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+    edges.join(edges.groupBy("u").agg(count(lit(1)).as("deg")), "u")
+  }
+
+  /** Uniform-start rank frame over the non-null distinct id universe.
+    * NULL ids are excluded (count and rank frame agree — a null node
+    * would shift every rank by changing N). */
+  private def initialRanks(allIds: DataFrame, idCol: String): DataFrame = {
+    val ids = allIds.select(col(idCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    ids.crossJoin(broadcast(ids.agg(count(lit(1)).as("n_nodes"))))
+      .withColumn("rank", lit(1.0) / col("n_nodes"))
+  }
+
+  /** ONE damped power iteration — the single definition of the
+    * recurrence both forms advertise as identical. Contributions cross
+    * the aggregate as DECIMAL(30,10) (order-free), the damping update is
+    * one fixed double expression. */
+  private def rankStep(withDeg: DataFrame, ranks: DataFrame,
+      damping: Double): DataFrame = {
+    val contrib = withDeg
+      .join(ranks.select(col("id").as("u"), col("rank")), "u")
+      .select(col("v").as("id"),
+        (col("rank") / col("deg")).cast("decimal(30,10)").as("c"))
+      .groupBy("id").agg(sum(col("c")).as("csum"))
+    ranks.select("id", "n_nodes")
+      .join(contrib, Seq("id"), "left")
+      .withColumn("rank",
+        lit(1 - damping) / col("n_nodes") +
+          lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)))
+      .drop("csum")
+  }
+
   def pageRank(pairs: DataFrame, srcCol: String, dstCol: String,
       allIds: DataFrame, idCol: String,
       iterations: Int = 3, damping: Double = 0.85,
       validateIds: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be ≥1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    if (validateIds) {
-      val u = allIds.select(col(idCol).as("id")).filter(col("id").isNotNull).distinct()
-      val stray = pairs.select(col(srcCol).as("id"))
-        .union(pairs.select(col(dstCol).as("id")))
-        .join(u, Seq("id"), "left_anti").count()
-      require(stray == 0L,
-        s"pageRank: $stray edge endpoint(s) missing from allIds — their rank mass would silently vanish")
-    }
-    val p = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    // the unrolled iterations each reference this subtree; its terminal
-    // shuffles are IDENTICAL across references, so ReuseExchange serves
-    // one physical copy — an eager localCheckpoint here measured SLOWER
-    // (2.5 s vs 1.4 s at sf0.1: it adds a blocking materialization the
-    // exchange reuse already avoids)
-    val withDeg = edges.join(deg, "u")
-    // NULL ids are excluded (count and rank frame agree — a null node
-    // would shift every rank by changing N)
-    val ids = allIds.select(col(idCol).as("id"))
-      .filter(col("id").isNotNull).distinct()
-    val nRow = ids.agg(count(lit(1)).as("n_nodes"))
-    val init = ids
-      .crossJoin(broadcast(nRow))
-      .withColumn("rank", lit(1.0) / col("n_nodes"))
-    def step(ranks: DataFrame): DataFrame = {
-      val contrib = withDeg
-        .join(ranks.select(col("id").as("u"), col("rank")), "u")
-        .select(col("v").as("id"),
-          (col("rank") / col("deg")).cast("decimal(30,10)").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("csum"))
-      ranks.select("id", "n_nodes")
-        .join(contrib, Seq("id"), "left")
-        .withColumn("rank",
-          lit(1 - damping) / col("n_nodes") +
-            lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)))
-        .drop("csum")
-    }
-    var ranks = init
-    for (_ <- 1 to iterations) ranks = step(ranks)
+    if (validateIds) validateIdUniverse(pairs, srcCol, dstCol, allIds, idCol, "pageRank")
+    // the unrolled iterations each reference the edge subtree; its
+    // terminal shuffles are IDENTICAL across references, so ReuseExchange
+    // serves one physical copy — an eager localCheckpoint here measured
+    // SLOWER (2.5 s vs 1.4 s at sf0.1: it adds a blocking materialization
+    // the exchange reuse already avoids)
+    val withDeg = edgesWithDegree(pairs, srcCol, dstCol)
+    var ranks = initialRanks(allIds, idCol)
+    for (_ <- 1 to iterations) ranks = rankStep(withDeg, ranks, damping)
     ranks
   }
 
@@ -119,40 +139,16 @@ object Graph {
     require(maxIterations >= 1, s"maxIterations must be ≥1, got $maxIterations")
     require(tol > 0, s"tol must be positive, got $tol")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    if (validateIds) {
-      val u = allIds.select(col(idCol).as("id")).filter(col("id").isNotNull).distinct()
-      val stray = pairs.select(col(srcCol).as("id"))
-        .union(pairs.select(col(dstCol).as("id")))
-        .join(u, Seq("id"), "left_anti").count()
-      require(stray == 0L,
-        s"pageRankConverged: $stray edge endpoint(s) missing from allIds — their rank mass would silently vanish")
-    }
-    val p = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "u").localCheckpoint()
-    val ids = allIds.select(col(idCol).as("id"))
-      .filter(col("id").isNotNull).distinct()
-    val nRow = ids.agg(count(lit(1)).as("n_nodes"))
-    var ranks = ids
-      .crossJoin(broadcast(nRow))
-      .withColumn("rank", lit(1.0) / col("n_nodes"))
-      .localCheckpoint()
+    if (validateIds)
+      validateIdUniverse(pairs, srcCol, dstCol, allIds, idCol, "pageRankConverged")
+    // unlike the unrolled form, every round re-executes against the edge
+    // subtree from a fresh plan, so the one-time materialization wins here
+    val withDeg = edgesWithDegree(pairs, srcCol, dstCol).localCheckpoint()
+    var ranks = initialRanks(allIds, idCol).localCheckpoint()
     var iters = 0
     var converged = false
     while (iters < maxIterations && !converged) {
-      val next = ranks.select("id", "n_nodes")
-        .join(withDeg
-          .join(ranks.select(col("id").as("u"), col("rank")), "u")
-          .select(col("v").as("id"),
-            (col("rank") / col("deg")).cast("decimal(30,10)").as("c"))
-          .groupBy("id").agg(sum(col("c")).as("csum")),
-          Seq("id"), "left")
-        .withColumn("rank",
-          lit(1 - damping) / col("n_nodes") +
-            lit(damping) * coalesce(col("csum").cast("double"), lit(0.0)))
-        .drop("csum")
-        .localCheckpoint()
+      val next = rankStep(withDeg, ranks, damping).localCheckpoint()
       val deltaRow = next
         .join(ranks.select(col("id"), col("rank").as("__prev")), "id")
         .agg(max(abs(col("rank") - col("__prev"))).as("d")).head()

@@ -65,12 +65,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Listing is CURSORED, not per-trigger: one full listing builds an
   * ordered in-memory backlog that subsequent triggers drain with zero
   * listing calls (a million-file backlog costs ONE directory scan per
-  * drain cycle, not one per trigger); a (mtime, name) watermark —
-  * persisted in every offset — admits only unseen files when
-  * `listingRefreshTriggers` asks for mid-drain refreshes, and the
-  * drained-backlog full list is the gap catch for files at or below the
-  * watermark (failed renames, clock-skewed arrivals). The `listingCalls`
-  * source metric exposes the complexity class. The filesystem is resolved
+  * drain cycle, not one per trigger). `listingRefreshTriggers` opts into
+  * mid-drain refresh listings that admit every candidate not already
+  * queued or in flight — including clock-skewed/late-copied gap files —
+  * and the drained-backlog full list covers the refresh-off case; a
+  * (mtime, name) watermark persisted in every offset records the cursor
+  * position. The `listingCalls` source metric exposes the complexity
+  * class. The filesystem is resolved
   * through the active SparkSession's Hadoop configuration, so `path` may
   * be any scheme the session is configured for (file://, hdfs://, s3a://;
   * a CephFS mount is just file:// as in the reference, README.md:3).
@@ -457,8 +458,6 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
   private var triggersSinceListing = 0
 
   private def wmKey(f: FileMeta): (Long, String) = (f.mtimeMs, f.name)
-  private def pastWatermark(f: FileMeta): Boolean =
-    watermark.forall { case (m, n) => f.mtimeMs > m || (f.mtimeMs == m && f.name > n) }
 
   private def enumerate(): Seq[FileMeta] = {
     listingCalls.incrementAndGet()
@@ -468,16 +467,20 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
   /** Pending = up to maxFilesPerTrigger files dequeued from the backlog.
     * Empty backlog → one FULL listing (minus the current offset's files:
     * offered-but-not-yet-renamed; re-admitting them would duplicate)
-    * rebuilds it and resets the watermark — the full list is also the
-    * gap catch: files AT OR BELOW the watermark (failed renames,
-    * clock-skewed or late-copied arrivals with old mtimes) are admitted
-    * here, so no file is ever lost, only deferred to the next drain.
-    * Non-empty backlog → no listing at all, unless
-    * `listingRefreshTriggers` is due, in which case one INCREMENTAL
-    * listing admits just the candidates past the (mtime, name)
-    * watermark and order-merges them in. The pendingFiles gauge reports
-    * the backlog's remainder (what the source still intends to offer
-    * before the next rescan). */
+    * rebuilds it and resets the watermark cursor. Non-empty backlog →
+    * no listing at all, unless `listingRefreshTriggers` is due, in
+    * which case one refresh listing admits every candidate not already
+    * queued or in flight (set-difference, NOT a watermark comparison:
+    * the enumeration the refresh already pays dominates the backlog
+    * set-build, and admission-by-set-diff means gap files — failed
+    * renames, clock-skewed or late-copied arrivals whose (mtime, name)
+    * sits at or below the watermark — are picked up at refresh cadence
+    * even when sustained load keeps the backlog from ever draining).
+    * With refreshes off, the drain-time full list is the gap catch, so
+    * either way no file is lost, only deferred. The watermark tracks the
+    * max (mtime, name) admitted — the persisted, inspectable cursor
+    * position. The pendingFiles gauge reports the backlog's remainder
+    * (what the source still intends to offer before the next rescan). */
   private def pending(): Seq[FileMeta] = {
     val offered = lastOffset.files.map(_.path).toSet
     if (backlog.isEmpty) {
@@ -489,8 +492,9 @@ class ArrivalsMicroBatchStream(opts: ArrivalsOptions) extends MicroBatchStream
       triggersSinceListing += 1
       if (opts.listingRefreshTriggers > 0 &&
           triggersSinceListing >= opts.listingRefreshTriggers) {
+        val known = backlog.iterator.map(_.path).toSet
         val fresh = enumerate()
-          .filter(f => pastWatermark(f) && !offered.contains(f.path))
+          .filter(f => !known.contains(f.path) && !offered.contains(f.path))
         if (fresh.nonEmpty) {
           watermark = Some((watermark.toSeq ++ fresh.map(wmKey)).max)
           // RANDOM appends (cached-iterator spirit: new arrivals go last);

@@ -377,8 +377,8 @@ class ArrivalsSourceSpec extends SparkTestBase {
     assert(after.seq == off.seq)
   }
 
-  test("listingRefreshTriggers: mid-drain arrivals past the watermark merge in; " +
-      "gap files (at/below watermark) are caught by the drain-time full list") {
+  test("listingRefreshTriggers: refresh admits EVERY unseen candidate — new arrivals " +
+      "AND below-watermark gap files — so sustained load cannot starve a gap file") {
     val dir = tmpDir()
     val t0 = 1704000000000L
     Seq("a", "b", "c", "d").zipWithIndex.foreach { case (n, i) =>
@@ -396,19 +396,39 @@ class ArrivalsSourceSpec extends SparkTestBase {
     val o2 = offer(o1) // drain trigger 1: no listing
     assert(o2.files.map(_.name) == Seq("b"))
     assert(listingCalls(st) == 1)
-    // one NEW file beyond the watermark and one GAP file below it land
-    // before the refresh trigger
-    write(dir, "e", "x", t0 + 10000L) // past wm (d) → refresh admits it
-    write(dir, "gap", "x", t0 - 99000L) // below wm → must wait for full list
+    // one NEW file beyond the watermark and one GAP file below it
+    // (rsync -a style: preserved old mtime) land before the refresh;
+    // admission is by set-difference, so BOTH merge in — a gap file must
+    // not wait for a drain that sustained load may never allow
+    write(dir, "e", "x", t0 + 10000L)
+    write(dir, "gap", "x", t0 - 99000L)
     val o3 = offer(o2) // drain trigger 2 → refresh due
-    assert(o3.files.map(_.name) == Seq("c"))
+    assert(o3.files.map(_.name) == Seq("gap"),
+      "the OLDEST merged file (the gap) must surface at the refresh itself")
     assert(listingCalls(st) == 2, "refresh must cost exactly one more listing")
     val o4 = offer(o3)
-    assert(o4.files.map(_.name) == Seq("d"))
-    val o5 = offer(o4) // refresh due again: e already admitted, gap still held back
-    assert(o5.files.map(_.name) == Seq("e"), "refreshed arrival must merge in OLDEST order")
-    val o6 = offer(o5) // backlog drained → full list catches the gap file
-    assert(o6.files.map(_.name) == Seq("gap"), "gap file must surface at the drain-time full list")
+    assert(o4.files.map(_.name) == Seq("c"))
+    val o5 = offer(o4) // refresh due again: nothing unseen → backlog unchanged
+    assert(o5.files.map(_.name) == Seq("d"))
+    assert(listingCalls(st) == 3)
+    val o6 = offer(o5)
+    assert(o6.files.map(_.name) == Seq("e"))
+  }
+
+  test("refresh off (default): a mid-drain gap file waits for the drain-time full list") {
+    val dir = tmpDir()
+    val t0 = 1704000000000L
+    write(dir, "x1", "x", t0 + 1000L); write(dir, "x2", "x", t0 + 2000L)
+    val st = stream(dir, Map("maxFilesPerTrigger" -> "1"))
+    val o1 = st.latestOffset().asInstanceOf[ArrivalsOffset]
+    assert(o1.files.map(_.name) == Seq("x1"))
+    write(dir, "gap", "x", t0 - 99000L) // below watermark, mid-drain
+    val o2 = st.latestOffset().asInstanceOf[ArrivalsOffset]
+    assert(o2.files.map(_.name) == Seq("x2"), "no refresh → snapshot order holds")
+    assert(listingCalls(st) == 1)
+    val o3 = st.latestOffset().asInstanceOf[ArrivalsOffset]
+    assert(o3.files.map(_.name) == Seq("gap"), "drain-time full list must catch the gap")
+    assert(listingCalls(st) == 2)
   }
 
   test("offset watermark round-trips, and legacy pre-watermark offsets still parse") {

@@ -71,5 +71,17 @@ if os.path.exists(self_path):
         else:
             fail += 1
             print(f"SELF-CHECK FAILED {name}: {rec}")
+
+# Queries that THREW inside graft.Verify land in errors.json with no
+# parquet dir and no self_check entry. Oracle-backed ones already fail
+# above as MISSING output; count the rest here — without this, a crashed
+# no-oracle query would be invisible to the gate and it would still
+# exit 0.
+err_path = f"{out_dir}/errors.json"
+if os.path.exists(err_path):
+    for name, msg in sorted(json.load(open(err_path)).items()):
+        if name not in oracle:
+            fail += 1
+            print(f"QUERY FAILED {name}: {msg}")
 print(f"\n{ok} ok, {fail} failed")
 sys.exit(1 if fail else 0)
