@@ -14,8 +14,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   /** Order/partition-independent content hash: xxhash64 over all columns
     * (sorted by name), summed as decimal so row order and partitioning
-    * can't change the value and ANSI overflow can't throw. */
-  private def contentHash(df: DataFrame): (Long, String) = {
+    * can't change the value and ANSI overflow can't throw.
+    * (private[graft]: VerifySelfCheckSpec pins the invariances the gate
+    * rests on.) */
+  private[graft] def contentHash(df: DataFrame): (Long, String) = {
     val cols = df.columns.sorted.map(col)
     val agg = df
       .select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
