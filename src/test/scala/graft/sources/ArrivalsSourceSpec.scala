@@ -221,6 +221,23 @@ class ArrivalsSourceSpec extends SparkTestBase {
     // exactly-once across restart: each file appears exactly once in the sink
     val names = spark.read.parquet(out).collect().map(_.getAs[String]("file_name")).sorted
     assert(names.toSeq == Seq("f1", "f2"))
+    // the DURABLE offset log carries the cursor: every committed offset
+    // line must single-line-parse back with the (mtime, name) watermark —
+    // the end-to-end proof that the header extension survives Spark's
+    // line-oriented HDFSMetadataLog, not just unit-level json round-trips
+    val offsetFiles = new File(s"$cp/offsets").listFiles().filter(_.getName.forall(_.isDigit))
+    assert(offsetFiles.nonEmpty, "no offset log written")
+    val parsed = offsetFiles.sortBy(_.getName.toLong).map { f =>
+      val lines = Files.readAllLines(f.toPath).asScala
+      ArrivalsOffset.fromJson(lines.last) // v1 header + conf lines precede the source offset
+    }
+    val withData = parsed.filter(_.files.nonEmpty)
+    assert(withData.nonEmpty, "expected at least one data batch in the offset log")
+    withData.foreach { o =>
+      assert(o.watermark.isDefined, s"offset $o lost its watermark through the log")
+    }
+    assert(withData.last.watermark.contains((1704000060000L, "f2")),
+      s"final cursor must be f2's (mtime, name): ${withData.last.watermark}")
   }
 
   // ---- unit-level semantics on the stream object -------------------------
