@@ -16,7 +16,8 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.Dedup.all ++
       operators.VectorOps.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.Governance.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

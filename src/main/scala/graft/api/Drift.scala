@@ -1,0 +1,176 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between corpus slices — the data-quality
+  * gate a training pipeline runs when a new crawl / source / time window
+  * lands: "does this slice's distribution still look like the corpus I
+  * validated?" (absent in reference). Three classical tests, each
+  * expressed as shuffle-minimal Spark plans:
+  *
+  *   - [[ks]]: exact two-sample Kolmogorov–Smirnov distance (continuous
+  *     values; the strictest test, needs the full ECDF),
+  *   - [[psi]]: population-stability index over reference quantile bins
+  *     (the monitoring-dashboard staple; bounded state per group),
+  *   - [[chiSquare]]: Pearson χ² independence over a categorical
+  *     contingency table (language × source, label × shard, …).
+  *
+  * Scale design (100 TB): none of these materialize raw data. KS reduces
+  * the corpus to its DISTINCT-value count frame, then runs a two-level
+  * distributed prefix scan: quantile-balanced bucket assignment (the
+  * [[Profiler.quantileBins]] cut-array pattern), a `Window.partitionBy
+  * (bucket)` running sum inside each bucket, and a bucket-count-sized
+  * prefix-offset array broadcast back — no global single-partition
+  * window anywhere (CLAUDE.md invariant 3). PSI and χ² reduce to
+  * bin/cell count frames (≤ groups × bins rows) before any join; the
+  * only broadcasts are 1-row corpus constants and margin frames.
+  */
+object Drift {
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the
+    * `valueCol` distributions of `labelA` and `labelB` rows:
+    * `D = max_x |F_A(x) − F_B(x)|` evaluated at every observed value
+    * (where the ECDF difference attains its extrema). Returns one row
+    * `(ks, n_a, n_b)`; `ks` is exact (counts stay longs until the final
+    * per-value division) and bucket boundaries cannot affect it — they
+    * only partition the prefix scan.
+    *
+    * Plan: groupBy(value) count frame (distinct-value-sized,
+    * localCheckpoint'd — two consumers) → exact-percentile cut array
+    * over the DISTINCT values (balances buckets even when the raw
+    * distribution is skewed: each bucket holds ≈ |distinct|/buckets
+    * rows regardless of value mass) → per-bucket windowed running sums
+    * + a sorted bucket-totals array (buckets-sized, corpus-size-
+    * independent) broadcast for the cross-bucket offsets → max-abs
+    * aggregate. The two 1-row broadcasts are the declared invariant-3
+    * corpus-constant exemption.
+    */
+  def ks(df: DataFrame, valueCol: String, labelCol: String,
+      labelA: String, labelB: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be ≥2, got $buckets")
+    val counts = df
+      .filter(col(labelCol).isin(labelA, labelB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("x"))
+      .agg(
+        sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("cb"))
+      .transform(Ckpt.apply)
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = counts.agg(
+      expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
+    // strict `>` against each cut: ties land in the lower bucket —
+    // irrelevant to D, but keeps the assignment deterministic
+    val bucketed = counts.crossJoin(broadcast(cuts))
+      .select(col("x"), col("ca"), col("cb"),
+        (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)")
+          + 1).cast("long").as("bucket"))
+      .transform(Ckpt.apply)
+    val w = Window.partitionBy("bucket").orderBy("x")
+    val within = bucketed.select(col("bucket"),
+      sum("ca").over(w).as("wa"), sum("cb").over(w).as("wb"))
+    val bt = bucketed.groupBy("bucket")
+      .agg(sum("ca").as("sa"), sum("cb").as("sb"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("sa"), col("sb"))))
+        .as("bt"))
+    within.crossJoin(broadcast(bt))
+      .select(
+        (col("wa") + expr(
+          "aggregate(filter(bt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.sa)"))
+          .as("cum_a"),
+        (col("wb") + expr(
+          "aggregate(filter(bt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.sb)"))
+          .as("cum_b"),
+        expr("aggregate(bt, 0L, (a, e) -> a + e.sa)").as("na"),
+        expr("aggregate(bt, 0L, (a, e) -> a + e.sb)").as("nb"))
+      .agg(
+        max(abs(col("cum_a") / col("na") - col("cum_b") / col("nb"))).as("ks"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+  }
+
+  /** Population-stability index of every non-reference group of
+    * `groupCol` against the `refGroup` slice, over `nBins` exact
+    * quantile bins of the REFERENCE distribution (the convention: bins
+    * are fixed by the validated corpus, drift is measured against them).
+    * `PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)` with additive
+    * `alpha` smoothing (`p = (cnt + α) / (n + α·nBins)`) so empty bins
+    * stay finite on BOTH sides — the same formula the oracle runs.
+    * Returns one row per non-reference group `(g, psi, n)`. Rule of
+    * thumb: ≥ 0.2 = significant shift.
+    *
+    * Plan: 1-row reference cut-array broadcast ([[Profiler.quantileBins]]
+    * parity with DuckDB `quantile_cont`) → map-side bucket rank → a
+    * (group × bin) cell aggregate — the ONLY shuffle that sees data —
+    * localCheckpoint'd (groups×bins-sized; consumed by the reference
+    * and current branches) → explicit-zero spine → nBins-row broadcast
+    * equi-join of the reference bins → per-group 10-term sum. */
+  def psi(df: DataFrame, valueCol: String, groupCol: String, refGroup: String,
+      nBins: Int = 10, alpha: Double = 0.5): DataFrame = {
+    require(nBins >= 2, s"nBins must be ≥2, got $nBins")
+    require(alpha > 0, s"alpha must be positive (keeps empty bins finite), got $alpha")
+    val vals = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("x"))
+    val fracs = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = vals.filter(col("g") === refGroup)
+      .agg(expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
+    val cell = vals.crossJoin(broadcast(cuts))
+      .select(col("g"),
+        (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)")
+          + 1).cast("long").as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+    val spine = cell.groupBy("g").agg(sum("cnt").as("n"))
+      .select(col("g"), col("n"),
+        explode(expr(s"sequence(1L, ${nBins}L)")).as("bucket"))
+    val full = spine.join(cell, Seq("g", "bucket"), "left")
+      .select(col("g"), col("bucket"), col("n"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .transform(Ckpt.apply)
+    val ref = full.filter(col("g") === refGroup)
+      .select(col("bucket"), col("cnt").as("rcnt"), col("n").as("rn"))
+    full.filter(col("g") =!= refGroup)
+      .join(broadcast(ref), Seq("bucket"))
+      .select(col("g"), col("n"),
+        ((col("cnt") + alpha) / (col("n") + alpha * nBins)).as("pc"),
+        ((col("rcnt") + alpha) / (col("rn") + alpha * nBins)).as("pr"))
+      .groupBy("g")
+      .agg(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))).as("psi"),
+        max("n").as("n"))
+  }
+
+  /** Pearson χ² independence statistic over the `rowCol` × `colCol`
+    * contingency table: `χ² = Σ_cells (O − E)² / E` with
+    * `E = n_r · n_c / n`, absent cells contributing their full expected
+    * mass (`O = 0` term = `E`). Returns one row
+    * `(chi2, dof, n)` with `dof = (R−1)(C−1)`. Both columns must be
+    * LOW-CARDINALITY categoricals (languages, sources, labels) — the
+    * spine is R×C cells, corpus-size-independent, so the margin cross
+    * is the declared invariant-3 GROUP-cardinality exemption, never
+    * quadratic in data.
+    *
+    * Plan: one (r, c) count aggregate sees the data (localCheckpoint'd —
+    * margins, total, and the spine join all consume it); everything
+    * after is cell-frame arithmetic. Counts stay longs until the E
+    * division. */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("o"))
+      .transform(Ckpt.apply)
+    val rm = cells.groupBy("r").agg(sum("o").as("nr"))
+    val cm = cells.groupBy("c").agg(sum("o").as("nc"))
+    val tot = cells.agg(sum("o").as("n"))
+    rm.crossJoin(cm).crossJoin(broadcast(tot))
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("n"),
+        (col("nr").cast("double") * col("nc") / col("n")).as("e"),
+        coalesce(col("o"), lit(0L)).cast("double").as("o"))
+      .agg(
+        sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2"),
+        ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1))
+          .cast("long").as("dof"),
+        max("n").as("n"))
+  }
+}

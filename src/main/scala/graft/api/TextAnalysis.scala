@@ -574,4 +574,30 @@ object TextAnalysis {
       .withColumn("logw", floor(col("__s").cast("double") * 1e4) / 1e4)
       .select("id", "n_tok", "logw")
   }
+
+  /** Zipf's-law fit per group: the OLS slope of ln(freq) on ln(rank)
+    * over each group's top `topN` token frequencies (rank ties broken
+    * token-ascending so the point set is deterministic). Natural text
+    * sits near slope −1; a slice whose slope drifts far from the
+    * corpus band is boilerplate-heavy (flat head ⇒ shallow slope) or
+    * template spam (steep) — a cheap corpus-quality fingerprint per
+    * source/shard. Returns (g, zipf_slope, n_ranks).
+    *
+    * Plan: one token-count aggregate (map-side combined), a per-group
+    * rank window (partitioned BY GROUP — vocab-sized partitions, never
+    * global), then `regr_slope` over ≤ topN points per group. */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 3, s"topN must be ≥3 to fit a slope, got $topN")
+    df.select(col(groupCol).as("g"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("g", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rank") <= topN)
+      .groupBy("g")
+      .agg(expr("regr_slope(ln(cnt), ln(rank))").as("zipf_slope"),
+        count(lit(1)).as("n_ranks"))
+  }
 }

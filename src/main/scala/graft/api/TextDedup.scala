@@ -65,7 +65,35 @@ object TextDedup {
     * aggregate consume them; without it the tokenize+group subtree
     * re-executes per consumer (the r2 18.7 s regression). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame =
+    overlapPairs(df, idCol, textCol, n, maxShingleDf)
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Directional n-gram CONTAINMENT near-dup pairs over the same
+    * inverted index as [[jaccardPairs]]: `cont_a = |A∩B| / |A|` (how
+    * much of doc a sits inside doc b) and symmetrically `cont_b`. Keeps
+    * pairs with `max(cont_a, cont_b) ≥ threshold` — the asymmetric test
+    * Jaccard misses: a short document wholly quoted inside a long one
+    * scores containment ≈ 1 while its Jaccard stays below any sane
+    * threshold (|A∩B| / |A∪B| is diluted by the long side). This is the
+    * subset/quotation detector in a dedup ladder; same single-shuffle
+    * posting-list plan and stop-shingle guard as Jaccard. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Long = 0L): DataFrame =
+    overlapPairs(df, idCol, textCol, n, maxShingleDf)
+      .withColumn("cont_a", col("i") / col("na"))
+      .withColumn("cont_b", col("i") / col("nb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+
+  /** The shared pair-overlap core of [[jaccardPairs]] /
+    * [[containmentPairs]]: (id_a, id_b, i = |A∩B|, na = |A|, nb = |B|)
+    * for every candidate pair sharing ≥1 surviving shingle, id_a < id_b.
+    * Plan as documented on [[jaccardPairs]]. */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxShingleDf: Long = 0L): DataFrame = {
     // normalize ids to non-null longs UP FRONT so both guard branches
     // accept the same inputs (the capped-set aggregate is typed over
     // Long; collect_set would merely drop nulls — same outcome, made
@@ -100,9 +128,7 @@ object TextDedup {
     inter
       .join(sz.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
       .join(sz.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
-      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("i"), col("na"), col("nb"))
   }
 
   /** The (id, band_id, bh) MinHash band keys of a per-doc shingle-set

@@ -61,6 +61,37 @@ object Dedup {
             ORDER BY doc_a, doc_b""")
   )
 
+  /** Directional n-gram CONTAINMENT pairs
+    * ([[graft.api.TextDedup.containmentPairs]]): |A∩B|/|A| and |A∩B|/|B|
+    * over the same single-shuffle inverted index as q_dedup_ngram_jaccard
+    * — the asymmetric subset/quotation test Jaccard dilutes when a short
+    * doc sits inside a long one. Pairs kept when either direction ≥ 0.6. */
+  private val qDedupContainment = Q(
+    "q_dedup_containment",
+    (s, dir) =>
+      graft.api.TextDedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.6, maxShingleDf = 10L)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("cont_a"), 4).as("cont_a"), round(col("cont_b"), 4).as("cont_b"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT doc_a, doc_b, round(i * 1.0 / x.n, 4) AS cont_a,
+                   round(i * 1.0 / y.n, 4) AS cont_b
+            FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+            WHERE greatest(i * 1.0 / x.n, i * 1.0 / y.n) >= 0.6
+            ORDER BY doc_a, doc_b""")
+  )
+
   /** MinHash+LSH near-dup pairs (candidates verified with exact Jaccard —
     * precision 1.0; recall governed by the 8×4 banding curve and
     * property-tested ≥ 0.7 in OperatorPropertiesSpec). Hash family is
@@ -684,7 +715,7 @@ object Dedup {
             FROM j GROUP BY src ORDER BY source NULLS FIRST""")
   )
 
-  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupMinhash, qDedupIncremental, qDedupSimhash,
+  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,

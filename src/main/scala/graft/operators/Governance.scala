@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.api.{Cdc, Drift}
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators (north-star extension, absent in
+  * reference): distribution-drift tests between corpus slices
+  * ([[graft.api.Drift]]) and changelog merge ([[graft.api.Cdc]]) — the
+  * operations that keep a living 100 TB training corpus trustworthy:
+  * "did the new crawl shift the distribution?" and "apply the upstream
+  * delete/update feed without a full rewrite".
+  */
+object Governance {
+
+  /** Exact two-sample KS distance between the click and purchase value
+    * distributions. Counts stay longs until the final per-value
+    * division, so the statistic is bit-comparable against the oracle's
+    * global-window formulation — the Spark side computes the SAME
+    * number with a bucket-partitioned distributed prefix scan (no
+    * single-partition window; see [[graft.api.Drift.ks]]). */
+  private val qDriftKs = Q(
+    "q_drift_ks",
+    (s, dir) =>
+      Drift.ks(Tables.events(s, dir), "value", "event_type",
+          labelA = "click", labelB = "purchase", buckets = 64)
+        .select(round(col("ks"), 4).as("ks"), col("n_a"), col("n_b")),
+    Some("""WITH c AS (SELECT value AS x,
+                         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+                       FROM events WHERE event_type IN ('click', 'purchase')
+                       GROUP BY value),
+                 cum AS (SELECT sum(ca) OVER (ORDER BY x) AS cum_a,
+                                sum(cb) OVER (ORDER BY x) AS cum_b FROM c),
+                 t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+            SELECT round(max(abs(cum_a * 1.0 / t.na - cum_b * 1.0 / t.nb)), 4) AS ks,
+                   CAST(max(t.na) AS BIGINT) AS n_a,
+                   CAST(max(t.nb) AS BIGINT) AS n_b
+            FROM cum, t""")
+  )
+
+  /** PSI of every event_type's value distribution against the 'view'
+    * reference slice, over 10 exact reference-decile bins with α = 0.5
+    * smoothing (formula mirrored verbatim in the oracle; cut parity
+    * with `quantile_cont` is the q_bin_quantile precedent). The 10-term
+    * per-group sum rounds at 4dp (invariant 1 small-sum case). */
+  private val qDriftPsi = Q(
+    "q_drift_psi",
+    (s, dir) =>
+      Drift.psi(Tables.events(s, dir), "value", "event_type",
+          refGroup = "view", nBins = 10, alpha = 0.5)
+        .select(col("g"), round(col("psi"), 4).as("psi"), col("n"))
+        .orderBy("g"),
+    Some("""WITH v AS (SELECT event_type AS g, value AS x FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+                 c AS (SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+                       FROM v WHERE g = 'view'),
+                 b AS (SELECT g, 1 + len(list_filter(c.cuts, e -> v.x > e)) AS bucket FROM v, c),
+                 cell AS (SELECT g, bucket, count(*) AS cnt FROM b GROUP BY g, bucket),
+                 n AS (SELECT g, sum(cnt) AS n FROM cell GROUP BY g),
+                 spine AS (SELECT n.g, n.n, unnest(generate_series(1, 10)) AS bucket FROM n),
+                 f AS (SELECT s.g, s.bucket, s.n, coalesce(cell.cnt, 0) AS cnt
+                       FROM spine s LEFT JOIN cell ON s.g = cell.g AND s.bucket = cell.bucket),
+                 ref AS (SELECT bucket, cnt AS rcnt, n AS rn FROM f WHERE g = 'view')
+            SELECT f.g,
+                   round(sum(((f.cnt + 0.5) / (f.n + 5.0) - (r.rcnt + 0.5) / (r.rn + 5.0))
+                         * ln(((f.cnt + 0.5) / (f.n + 5.0)) / ((r.rcnt + 0.5) / (r.rn + 5.0)))), 4) AS psi,
+                   CAST(max(f.n) AS BIGINT) AS n
+            FROM f JOIN ref r USING (bucket) WHERE f.g <> 'view'
+            GROUP BY f.g ORDER BY f.g""")
+  )
+
+  /** Pearson χ² independence of documents' lang × source contingency
+    * table — "is language mix homogeneous across sources?". Margins and
+    * observed counts stay longs until the expected-count division; the
+    * R×C spine cross is GROUP-cardinality (invariant-3 exemption),
+    * corpus-size-independent. */
+  private val qDriftChi2 = Q(
+    "q_drift_chi2",
+    (s, dir) =>
+      Drift.chiSquare(Tables.documents(s, dir), "lang", "source")
+        .select(round(col("chi2"), 4).as("chi2"), col("dof"), col("n")),
+    Some("""WITH cells AS (SELECT lang AS r, source AS c, count(*) AS o
+                           FROM documents GROUP BY 1, 2),
+                 rm AS (SELECT r, sum(o) AS nr FROM cells GROUP BY r),
+                 cm AS (SELECT c, sum(o) AS nc FROM cells GROUP BY c),
+                 t AS (SELECT sum(o) AS n FROM cells),
+                 sp AS (SELECT rm.r, cm.c, rm.nr, cm.nc, t.n FROM rm, cm, t),
+                 j AS (SELECT sp.r, sp.c, sp.n,
+                              sp.nr * 1.0 * sp.nc / sp.n AS e,
+                              coalesce(cells.o, 0) * 1.0 AS o
+                       FROM sp LEFT JOIN cells ON sp.r = cells.r AND sp.c = cells.c)
+            SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+                   CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+                   CAST(max(n) AS BIGINT) AS n
+            FROM j""")
+  )
+
+  /** CDC merge: the customer snapshot (keyed c_custkey, payload
+    * c_acctbal) updated by the events changelog (key = user_id + 1450 so
+    * the feed spans updates of existing keys AND inserts past the
+    * snapshot's key range; last writer by (ts, event_id); event_type
+    * 'error' = delete). Values pass through UNROUNDED — every output
+    * double is bit-identical to a fixture value, never derived. */
+  private val qCdcApply = Q(
+    "q_cdc_apply",
+    (s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("value"))
+      val changes = Tables.events(s, dir)
+        .select((col("user_id") + 1450L).as("key"), col("ts"),
+          col("event_id"), col("event_type"), col("value"))
+      Cdc.applyChanges(base, changes, "key", Seq("ts", "event_id"),
+          opCol = "event_type", deleteOp = "error", payloadCols = Seq("value"))
+        .select(col("key"), col("value"), col("cdc_action"))
+        .orderBy("key")
+    },
+    Some("""WITH ch AS (SELECT user_id + 1450 AS key, value, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                        FROM events),
+                 w AS (SELECT key, value, event_type FROM ch WHERE rn = 1),
+                 b AS (SELECT c_custkey AS key, c_acctbal AS value FROM customer),
+                 m AS (SELECT coalesce(b.key, w.key) AS key,
+                              CASE WHEN w.key IS NULL THEN 'kept'
+                                   WHEN w.event_type = 'error' THEN 'deleted'
+                                   WHEN b.key IS NULL THEN 'inserted'
+                                   ELSE 'updated' END AS cdc_action,
+                              CASE WHEN w.key IS NOT NULL THEN w.value
+                                   ELSE b.value END AS value
+                       FROM b FULL OUTER JOIN w ON b.key = w.key)
+            SELECT CAST(key AS BIGINT) AS key, value, cdc_action
+            FROM m WHERE cdc_action <> 'deleted' ORDER BY key""")
+  )
+
+  val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply)
+}

@@ -301,6 +301,33 @@ object Relational {
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
   )
 
+  /** Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * a composite (returnflag, linestatus) breakdown, an INDEPENDENT
+    * linenumber breakdown, and the grand total in ONE pass over lineitem
+    * (Spark plans a single Expand + hash aggregate — one scan where
+    * three UNION'd GROUP BYs would cost three). NULLS FIRST explicit on
+    * both sides as in q_agg_rollup. */
+  private val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_linenumber").cast("long").as("l_linenum"), col("l_quantity"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linenum")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"), col("l_linenum"))
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), asc_nulls_first("l_linenum")),
+    Some("""SELECT l_returnflag, l_linestatus, CAST(l_linenumber AS BIGINT) AS l_linenum,
+              round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (CAST(l_linenumber AS BIGINT)), ())
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+              l_linenum NULLS FIRST""")
+  )
+
   /** CUBE grouping sets over a derived year column. */
   private val qAggCube = Q(
     "q_agg_cube",
@@ -1176,7 +1203,7 @@ object Relational {
     qScanProject, qFilterCandidates, qPickOldest, qPickYoungest, qTopK,
     qSortMulti, qProjectDerived, qJoinInner, qJoinBroadcast, qJoinLeft,
     qJoinSemi, qJoinAnti, qJoinRange, qAggPricing, qAggDistinct, qAggRollup,
-    qAggCube, qApproxDistinct, qHllRollup, qQuantileRollup, qFreqRollup,
+    qAggCube, qGroupingSets, qApproxDistinct, qHllRollup, qQuantileRollup, qFreqRollup,
     qUnionAll, qIntersect, qExcept,
     qIntersectAll, qExceptAll, qSqlTpchQ1, qSqlTpchQ2, qSqlTpchQ3, qSqlTpchQ4,
     qSqlTpchQ5, qSqlTpchQ6,

@@ -1119,7 +1119,34 @@ object TextOps {
             ORDER BY event_id""")
   )
 
-  val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount,
+  /** Zipf's-law slope per source ([[graft.api.TextAnalysis.zipfFit]]):
+    * OLS fit of ln(freq) on ln(rank) over each source's top-100 token
+    * frequencies — the corpus-quality fingerprint that flags
+    * boilerplate-heavy or template-spam slices. `regr_slope` on both
+    * sides (identical covar/var formulation); the ≤100-term double
+    * accumulations round at 4dp (invariant 1 small-sum case). */
+  private val qZipfFit = Q(
+    "q_zipf_fit",
+    (s, dir) =>
+      graft.api.TextAnalysis.zipfFit(Tables.documents(s, dir), "source", "text",
+          topN = 100)
+        .select(col("g").as("source"), round(col("zipf_slope"), 4).as("zipf_slope"),
+          col("n_ranks"))
+        .orderBy("source"),
+    Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+                 c AS (SELECT source, tok, count(*) AS cnt FROM toks
+                       WHERE len(tok) > 0 GROUP BY 1, 2),
+                 r AS (SELECT source, cnt,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, tok ASC) AS rank
+                       FROM c)
+            SELECT source, round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+                   count(*) AS n_ranks
+            FROM r WHERE rank <= 100 GROUP BY source ORDER BY source""")
+  )
+
+  val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount, qZipfFit,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,

@@ -146,7 +146,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_mad_outliers" -> "1-row robust-stats broadcasts (median, MAD)",
       "q_skew_profile" -> "1-row corpus-constant broadcast (total, n_keys)",
       "q_dsir_weights" -> "1-row corpus-constant broadcast (token totals, vocab size)",
-      "q_kmv_overlap" -> "GROUP-cardinality sketch-pair cross (nGroups² kilobyte sketches, corpus-size-independent)")
+      "q_kmv_overlap" -> "GROUP-cardinality sketch-pair cross (nGroups² kilobyte sketches, corpus-size-independent)",
+      // NOTE q_drift_psi needs no entry: its cut-array crossJoin runs
+      // EAGERLY before the bin-frame localCheckpoint, so the returned
+      // plan is checkpoint → broadcast equi-join → agg
+      "q_drift_ks" -> "1-row bucket-prefix-totals broadcast (buckets-sized, corpus-size-independent)",
+      "q_drift_chi2" -> "margin-cardinality contingency spine cross (R×C cells, corpus-size-independent)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —

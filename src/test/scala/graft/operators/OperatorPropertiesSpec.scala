@@ -1667,4 +1667,103 @@ class OperatorPropertiesSpec extends SparkTestBase {
   test("flagship entry() returns rows (driver t1 smoke)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("Drift.ks ≡ brute-force ECDF model; 0 on identical, 1 on disjoint samples") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val a = Seq.fill(300)(rnd.nextInt(40).toDouble)
+    val b = Seq.fill(200)(rnd.nextInt(40).toDouble + 5.0)
+    def frame(x: Seq[Double], y: Seq[Double]) =
+      (x.map(("A", _)) ++ y.map(("B", _))).toDF("lab", "v")
+    // brute force: evaluate |F_A - F_B| at every observed value
+    val pts = (a ++ b).distinct.sorted
+    val model = pts.map(p => math.abs(
+      a.count(_ <= p).toDouble / a.size - b.count(_ <= p).toDouble / b.size)).max
+    // buckets=16 over ~45 distinct values exercises empty buckets and the
+    // cross-bucket prefix offsets
+    val row = graft.api.Drift.ks(frame(a, b), "v", "lab", "A", "B", buckets = 16).head()
+    assert(math.abs(row.getDouble(0) - model) < 1e-12, s"got ${row.getDouble(0)}, want $model")
+    assert(row.getLong(1) == a.size && row.getLong(2) == b.size)
+    assert(graft.api.Drift.ks(frame(a, a), "v", "lab", "A", "B").head().getDouble(0) == 0.0)
+    val disjoint = graft.api.Drift.ks(frame(a, a.map(_ + 1000.0)), "v", "lab", "A", "B")
+    assert(disjoint.head().getDouble(0) == 1.0)
+  }
+
+  test("Drift.psi: identical multisets score exactly 0; a fully shifted slice scores large") {
+    import spark.implicits._
+    val ref = (0 until 200).map(i => ("ref", (i % 100).toDouble))
+    val same = (0 until 200).map(i => ("same", (i % 100).toDouble))
+    val shifted = (0 until 200).map(i => ("shifted", (i % 100).toDouble + 1000.0))
+    val out = graft.api.Drift.psi(
+        (ref ++ same ++ shifted).toDF("g", "v"), "v", "g", refGroup = "ref")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("same", "shifted"), "one row per non-ref group")
+    // identical counts per bin → pc == pr exactly → every term is exactly 0
+    assert(out("same")._1 == 0.0)
+    assert(out("shifted")._1 > 1.0, s"all-mass-moved PSI was ${out("shifted")._1}")
+    assert(out("same")._2 == 200L)
+  }
+
+  test("Drift.chiSquare: product-structured (independent) table scores exactly 0") {
+    import spark.implicits._
+    // O(r,c) = (r+1)(c+1) → margins factorize → E == O exactly
+    val rows = for {
+      r <- 0 until 3; c <- 0 until 4; _ <- 0 until (r + 1) * (c + 1)
+    } yield (s"r$r", s"c$c")
+    val got = graft.api.Drift.chiSquare(rows.toDF("x", "y"), "x", "y").head()
+    assert(got.getDouble(0) == 0.0, s"chi2 ${got.getDouble(0)}")
+    assert(got.getLong(1) == 6L, "dof = (3-1)(4-1)")
+    assert(got.getLong(2) == rows.size.toLong)
+    // dependent table scores positive
+    val dep = Seq.fill(50)(("a", "x")) ++ Seq.fill(50)(("b", "y"))
+    assert(graft.api.Drift.chiSquare(dep.toDF("x", "y"), "x", "y").head().getDouble(0) > 10.0)
+  }
+
+  test("Cdc.applyChanges: kept/updated/inserted/deleted scenarios and last-writer election") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "value")
+    val changes = Seq(
+      (2L, 5L, 1L, "update", 21.0), (2L, 9L, 2L, "update", 22.0), // later wins
+      (3L, 1L, 3L, "delete", 0.0),                                // delete existing
+      (4L, 1L, 4L, "update", 40.0),                               // insert new
+      (5L, 1L, 5L, "update", 50.0), (5L, 2L, 6L, "delete", 0.0)   // insert then delete
+    ).toDF("key", "seq", "seq2", "op", "value")
+    val out = graft.api.Cdc.applyChanges(base, changes, "key", Seq("seq", "seq2"),
+        opCol = "op", deleteOp = "delete", payloadCols = Seq("value"))
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 10.0, "kept"), (2L, 22.0, "updated"), (4L, 40.0, "inserted")))
+    val withDel = graft.api.Cdc.applyChanges(base, changes, "key", Seq("seq", "seq2"),
+        opCol = "op", deleteOp = "delete", payloadCols = Seq("value"), keepDeletes = true)
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(withDel.map(r => r._1 -> r._3).toSeq ==
+      Seq(1L -> "kept", 2L -> "updated", 3L -> "deleted", 4L -> "inserted", 5L -> "deleted"))
+  }
+
+  test("TextAnalysis.zipfFit recovers slope ≈ −1 on an exact power-law corpus") {
+    import spark.implicits._
+    // token i repeated floor(1000/i) times → ln(cnt) ≈ ln(1000) − ln(rank)
+    val words = (1 to 50).flatMap(i => Seq.fill(1000 / i)(f"w$i%03d"))
+    val df = Seq(("g1", words.mkString(" "))).toDF("src", "text")
+    val got = graft.api.TextAnalysis.zipfFit(df, "src", "text", topN = 50).head()
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 0.05, s"slope ${got.getDouble(1)}")
+    assert(got.getLong(2) == 50L)
+  }
+
+  test("containmentPairs flags a quoted-subset pair that Jaccard dilutes below threshold") {
+    import spark.implicits._
+    val toks = (1 to 100).map(i => f"t$i%03d")
+    val docs = Seq(
+      (1L, toks.take(30).mkString(" ")),   // A = prefix of B
+      (2L, toks.mkString(" "))).toDF("doc_id", "text")
+    val cont = graft.api.TextDedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, "A's shingles all inside B")
+    assert(math.abs(r.getDouble(3) - 28.0 / 98.0) < 1e-12)
+    // the same pair is INVISIBLE to symmetric Jaccard at the usual 0.5
+    assert(graft.api.TextDedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).collect().isEmpty)
+  }
 }
