@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_adc_lut"),
       new ExpressionInfo(classOf[VectorExprs.AdcLutExpr].getName, "graft_adc_lut"),
       VectorExprs.buildAdcLut(_)))
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.TextExprs.JaroWinkler].getName, "graft_jaro_winkler"),
+      graft.functions.TextExprs.buildJaroWinkler(_)))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

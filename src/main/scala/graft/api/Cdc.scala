@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture merge (MERGE INTO semantics, absent in
@@ -63,5 +64,42 @@ object Cdc {
           when(col("__k").isNotNull && col("cdc_action") =!= "kept",
             col(s"__new_$p")).otherwise(col(p)).as(p)) :+
         col("cdc_action"): _*)
+  }
+
+  /** SCD Type-2 history build: turn a changelog into validity-interval
+    * versions — the dimension-table form of CDC, where every upsert
+    * OPENS a version at its own timestamp and the NEXT change on the
+    * same key (upsert or delete, whichever comes first) CLOSES it.
+    * Delete changes close their predecessor but emit no version of
+    * their own; a key whose latest change is a delete therefore has no
+    * open version. The still-open version (`valid_to_ms` null) is the
+    * current one.
+    *
+    *   - `tsMsCol`: the version-open timestamp (epoch ms, long);
+    *   - `tieCols`: appended to the per-key ordering so it is total
+    *     (e.g. a unique change id) — required, because equal timestamps
+    *     would otherwise make the interval chain nondeterministic.
+    *
+    * Output: `keyCol`, tieCols…, `valid_from_ms`, `valid_to_ms`
+    * (null = open), payloadCols…, `is_current` (bigint 0/1).
+    *
+    * Scale: one `Window.partitionBy(key)` lead — the shuffle is keyed
+    * on the dimension key and each task sorts only its keys' change
+    * lists (bounded by per-key change counts, never corpus-sized); the
+    * delete filter runs after the lead so closes survive the drop. */
+  def scd2History(changes: DataFrame, keyCol: String, tsMsCol: String,
+      tieCols: Seq[String], opCol: String, deleteOp: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(tieCols.nonEmpty,
+      "tieCols must make the per-key change order total (e.g. a change id)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsMsCol +: tieCols).map(col): _*)
+    changes
+      .withColumn("valid_to_ms", lead(col(tsMsCol), 1).over(w))
+      .filter(col(opCol) =!= deleteOp)
+      .withColumn("is_current", col("valid_to_ms").isNull.cast("bigint"))
+      .select(col(keyCol) +: tieCols.map(col) ++:
+        (col(tsMsCol).as("valid_from_ms") +: col("valid_to_ms") +:
+          payloadCols.map(col) :+ col("is_current")): _*)
   }
 }

@@ -377,4 +377,63 @@ object TimeSeries {
       .filter(col("win_n") === windowRows)
       .drop("__cn", "__c1", "__c2")
   }
+
+  /** Per-key autocorrelation function: Pearson correlation between the
+    * resampled series and itself shifted by `1..maxLag` buckets — the
+    * periodicity probe ("does traffic echo hour-over-hour?"). The series
+    * is the per-(key, bucket) VALUE SUM, deliberately not the mean: a
+    * sum survives exact DECIMAL accumulation with no division, so the
+    * series values — and hence the whole statistic — are engine-exact.
+    *
+    * Exactness pipeline (the q_correlation discipline): bucket sums
+    * accumulate as DECIMAL(30,10) (order-proof), quantize to integers
+    * via `floor(double(sum) · 1e4)` (< 2^53, exact in double), and all
+    * five correlation moments (Σx, Σy, Σxy, Σx², Σy²) are DECIMAL(38,0)
+    * integer sums — so the final fixed double expression
+    * `(nΣxy − ΣxΣy)/√((nΣx²−Σx²)(nΣy²−Σy²))` sees bit-identical inputs
+    * in any engine. Output `acf` truncates at 4dp; a constant series
+    * (zero variance) scores 0 rather than NaN.
+    *
+    * Scale: the corpus collapses to its (key × bucket) sum frame in one
+    * hash aggregation before anything else runs; the lag shift is an
+    * EQUI-join on `(key, bucket + lag)` against that frame (no window,
+    * no cross product — candidate fan-out is exactly maxLag per series
+    * point), and the moments reduce by (key, lag). Cost at 100 TB: one
+    * map-side-combined shuffle of the raw corpus, then joins over
+    * frames that are time-range-sized, corpus-size-independent. */
+  def autocorr(df: DataFrame, keyCol: String, tsMsCol: String,
+      valueCol: String, widthMs: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be ≥1, got $maxLag")
+    val series = df
+      .filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("g"),
+        expr(floorDivSql(tsMsCol, widthMs)).as("bucket"))
+      .agg(sum(col(valueCol).cast("decimal(30,10)")).as("sd"))
+      .select(col("g"), col("bucket"),
+        floor(col("sd").cast("double") * 10000).cast("decimal(38,0)").as("x"))
+      .transform(Ckpt.apply) // two consumers: probe and build of the lag join
+    val probes = series.select(col("g"), col("x"),
+        explode(array((1 to maxLag).map(lit): _*)).as("lag"),
+        col("bucket"))
+      .withColumn("probe_bucket", col("bucket") + col("lag"))
+    val build = series.select(col("g").as("g2"),
+      col("bucket").as("bucket2"), col("x").as("y"))
+    val pairs = probes.join(build,
+      col("g") === col("g2") && col("probe_bucket") === col("bucket2"))
+    val moments = pairs.groupBy("g", "lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n_pairs").cast("decimal(38,0)")
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    moments.select(col("g"), col("lag").cast("bigint").as("lag"),
+      col("n_pairs"),
+      when(dx > 0 && dy > 0,
+        floor(num / sqrt(dx * dy) * 10000) / 10000)
+        .otherwise(lit(0.0)).as("acf"))
+  }
 }

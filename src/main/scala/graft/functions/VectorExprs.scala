@@ -550,5 +550,7 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("graft_adc", buildAdc, "internal")
     reg.createOrReplaceTempFunction("graft_pq_encode", buildPqEncode, "internal")
     reg.createOrReplaceTempFunction("graft_adc_lut", buildAdcLut, "internal")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      TextExprs.buildJaroWinkler, "internal")
   }
 }

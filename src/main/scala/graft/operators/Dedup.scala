@@ -715,9 +715,37 @@ object Dedup {
             FROM j GROUP BY src ORDER BY source NULLS FIRST""")
   )
 
+  /** Blocked Jaro-Winkler fuzzy match over the distinct part-name
+    * catalog (record linkage): pairs sharing a first-character block
+    * with jw ≥ 0.6, scored by the native `graft_jaro_winkler` expression
+    * (semantics pinned to DuckDB's `jaro_winkler_similarity` — the
+    * oracle re-derives every score, so the kernel is verified
+    * pair-by-pair). Candidates are block-local equi-join pairs
+    * ([[graft.api.Fuzzy.jaroWinklerPairs]]); jw truncates at 4dp AFTER
+    * the threshold (both engines threshold the raw double — the shared
+    * expression tree makes it bit-identical). */
+  private val qFuzzyJoin = Q(
+    "q_fuzzy_join",
+    (s, dir) =>
+      graft.api.Fuzzy.jaroWinklerPairs(Tables.part(s, dir), "p_name",
+          name => substring(name, 1, 1), threshold = 0.6)
+        .select(col("name_a"), col("name_b"),
+          (floor(col("jw") * 10000) / 10000).as("jw"))
+        .orderBy(asc_nulls_first("name_a"), asc_nulls_first("name_b")),
+    Some("""WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+                 p AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+                              jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+                       FROM n a JOIN n b
+                         ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                        AND a.p_name < b.p_name)
+            SELECT name_a, name_b, floor(jw * 10000) / 10000 AS jw
+            FROM p WHERE jw >= 0.6
+            ORDER BY name_a NULLS FIRST, name_b NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
-    qTriangles, qCorpusDiff)
+    qTriangles, qCorpusDiff, qFuzzyJoin)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.api.{Cdc, Drift}
+import graft.api.{Cdc, Drift, Privacy}
 import org.apache.spark.sql.functions._
 
 /** Corpus-governance operators (north-star extension, absent in
@@ -133,5 +133,82 @@ object Governance {
             FROM m WHERE cdc_action <> 'deleted' ORDER BY key""")
   )
 
-  val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply)
+  /** SCD Type-2 history build over the events changelog (key = user_id,
+    * order = (ts_ms, event_id), 'error' = delete): every upsert opens a
+    * validity interval closed by the key's next change; deletes close
+    * their predecessor and emit nothing; `valid_to_ms` null = current.
+    * Values pass through UNROUNDED (fixture doubles, never derived) —
+    * the q_cdc_apply discipline. */
+  private val qScd2 = Q(
+    "q_scd2",
+    (s, dir) => {
+      val changes = Tables.events(s, dir).select(
+        col("user_id").as("key"), col("event_id"), col("ts_ms"),
+        col("event_type"), col("value"))
+      Cdc.scd2History(changes, "key", "ts_ms", Seq("event_id"),
+          opCol = "event_type", deleteOp = "error", payloadCols = Seq("value"))
+        .orderBy(asc_nulls_first("key"), asc_nulls_first("valid_from_ms"),
+          asc_nulls_first("event_id"))
+    },
+    Some("""WITH ch AS (SELECT user_id AS key, event_id, epoch_ms(ts) AS ts_ms,
+                          event_type, value
+                        FROM events),
+                 v AS (SELECT key, event_id, ts_ms AS valid_from_ms,
+                              lead(ts_ms) OVER (PARTITION BY key
+                                ORDER BY ts_ms, event_id) AS valid_to_ms,
+                              event_type, value
+                       FROM ch)
+            SELECT CAST(key AS BIGINT) AS key,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(valid_from_ms AS BIGINT) AS valid_from_ms,
+                   CAST(valid_to_ms AS BIGINT) AS valid_to_ms,
+                   value,
+                   CAST(valid_to_ms IS NULL AS BIGINT) AS is_current
+            FROM v WHERE event_type <> 'error'
+            ORDER BY key NULLS FIRST, valid_from_ms NULLS FIRST,
+                     event_id NULLS FIRST""")
+  )
+
+  /** k-anonymity class profile of documents under the quasi-identifier
+    * (lang, source, 100-char length bucket), k = 10: one row per
+    * equivalence class, flagged when the class is small enough to
+    * re-identify its members. One hash aggregation
+    * ([[graft.api.Privacy.kAnonymity]]). */
+  private val qKAnonymity = Q(
+    "q_k_anonymity",
+    (s, dir) =>
+      Privacy.kAnonymity(
+          Tables.documents(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
+          Seq(col("lang"), col("source"), col("len_bucket")), k = 10)
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"),
+          asc_nulls_first("len_bucket")),
+    Some("""SELECT lang, source, n_chars // 100 AS len_bucket,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(*) < 10 AS BIGINT) AS at_risk
+            FROM documents GROUP BY 1, 2, 3
+            ORDER BY lang NULLS FIRST, source NULLS FIRST,
+                     len_bucket NULLS FIRST""")
+  )
+
+  /** Distinct l-diversity of documents' `source` (the sensitive
+    * attribute) within (lang, length-bucket) quasi-classes, l = 3: a
+    * class whose members nearly all share one source leaks it even when
+    * k-anonymous ([[graft.api.Privacy.lDiversity]]). */
+  private val qLDiversity = Q(
+    "q_l_diversity",
+    (s, dir) =>
+      Privacy.lDiversity(
+          Tables.documents(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
+          Seq(col("lang"), col("len_bucket")), col("source"), l = 3)
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("len_bucket")),
+    Some("""SELECT lang, n_chars // 100 AS len_bucket,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+                   CAST(count(DISTINCT source) < 3 AS BIGINT) AS at_risk
+            FROM documents GROUP BY 1, 2
+            ORDER BY lang NULLS FIRST, len_bucket NULLS FIRST""")
+  )
+
+  val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
+    qScd2, qKAnonymity, qLDiversity)
 }

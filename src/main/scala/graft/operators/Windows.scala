@@ -562,9 +562,53 @@ object Windows {
             ORDER BY user_id, event_id""")
   )
 
+  /** ACF of each event_type's hourly value-sum series at lags 1-3 —
+    * the periodicity probe over the events stream. Integer-exact
+    * end-to-end (the q_correlation discipline, see
+    * [[graft.api.TimeSeries.autocorr]]): bucket sums in DECIMAL(30,10),
+    * quantized to ints, five DECIMAL(38,0) moment sums, one fixed double
+    * expression, floor-truncated at 4dp. The lag shift is an equi-join
+    * on (event_type, bucket + lag) — no window, no cross product. */
+  private val qAutocorr = Q(
+    "q_autocorr",
+    (s, dir) =>
+      graft.api.TimeSeries.autocorr(Tables.events(s, dir),
+          keyCol = "event_type", tsMsCol = "ts_ms", valueCol = "value",
+          widthMs = 3600000L, maxLag = 3)
+        .select(col("g"), col("lag"), col("n_pairs"), col("acf"))
+        .orderBy(asc_nulls_first("g"), asc_nulls_first("lag")),
+    Some("""WITH series AS (
+              SELECT event_type AS g,
+                     (epoch_ms(ts) // 3600000
+                      - CASE WHEN epoch_ms(ts) % 3600000 < 0 THEN 1 ELSE 0 END) AS bucket,
+                     CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) AS HUGEINT) AS x
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2),
+            lags AS (SELECT unnest(generate_series(1, 3)) AS lag),
+            pairs AS (SELECT s1.g, l.lag, s1.x AS x, s2.x AS y
+                      FROM series s1
+                      CROSS JOIN lags l
+                      JOIN series s2
+                        ON s1.g = s2.g AND s1.bucket + l.lag = s2.bucket),
+            m AS (SELECT g, lag, count(*) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM pairs GROUP BY 1, 2)
+            SELECT g, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
+                        ELSE 0.0 END AS acf
+            FROM m
+            ORDER BY g NULLS FIRST, lag NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
-    qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths)
+    qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
+    qAutocorr)
 }
 

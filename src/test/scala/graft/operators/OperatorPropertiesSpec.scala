@@ -1766,4 +1766,105 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(graft.api.TextDedup.jaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5).collect().isEmpty)
   }
+
+  test("Cdc.scd2History: interval chains, delete-closes, open-version ≡ applyChanges winner") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 1L, "u", 1.0), (1L, 20L, 2L, "u", 2.0), (1L, 30L, 3L, "u", 3.0), // 3 versions
+      (2L, 10L, 4L, "u", 9.0), (2L, 20L, 5L, "d", 0.0),                          // closed by delete
+      (3L, 10L, 6L, "u", 7.0),                                                   // single open
+      (4L, 10L, 7L, "u", 4.0), (4L, 10L, 8L, "u", 5.0)                           // ts tie → id order
+    ).toDF("key", "ts_ms", "id", "op", "value")
+    val hist = graft.api.Cdc.scd2History(changes, "key", "ts_ms", Seq("id"),
+        opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+      .as[(Long, Long, Long, Option[Long], Double, Long)].collect()
+      .sortBy(r => (r._1, r._3, r._2))
+    // key 1: contiguous chain, last open
+    val k1 = hist.filter(_._1 == 1L)
+    assert(k1.map(_._3).toSeq == Seq(10L, 20L, 30L))
+    assert(k1.map(_._4).toSeq == Seq(Some(20L), Some(30L), None))
+    assert(k1.map(_._6).toSeq == Seq(0L, 0L, 1L))
+    // key 2: the delete closed the only version and emitted nothing
+    val k2 = hist.filter(_._1 == 2L)
+    assert(k2.map(r => (r._4, r._6)).toSeq == Seq((Some(20L), 0L)))
+    // key 4: equal ts — the id tiebreak chains them deterministically
+    val k4 = hist.filter(_._1 == 4L)
+    assert(k4.map(r => (r._2, r._4)).toSeq == Seq(7L -> Some(10L), 8L -> None))
+    // reconcile with applyChanges: every key whose LAST change isn't a
+    // delete has exactly one open version carrying the winner's payload
+    val merged = graft.api.Cdc.applyChanges(
+        Seq((99L, 0.0)).toDF("key", "value"), changes, "key", Seq("ts_ms", "id"),
+        opCol = "op", deleteOp = "d", payloadCols = Seq("value"))
+      .filter($"cdc_action" === "inserted")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> r._2).toMap
+    val open = hist.filter(_._4.isEmpty).map(r => r._1 -> r._5).toMap
+    assert(open == merged)
+  }
+
+  test("Privacy: kAnonymity class floor and lDiversity distinct floor match hand models") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("en", "web", "s1"), ("en", "web", "s2"), ("en", "web", "s1"),
+      ("en", "book", "s1"),
+      ("fr", "web", "s3"), ("fr", "web", "s3")).toDF("lang", "src", "sens")
+    val k = graft.api.Privacy.kAnonymity(rows, Seq(col("lang"), col("src")), k = 2)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(k.toSeq == Seq(("en", "book", 1L, 1L), ("en", "web", 3L, 0L),
+      ("fr", "web", 2L, 0L)))
+    val l = graft.api.Privacy.lDiversity(rows, Seq(col("lang")), col("sens"), l = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // en: 4 rows, 2 distinct sensitive → diverse; fr: homogeneous → at risk
+    assert(l.toSeq == Seq(("en", 4L, 2L, 0L), ("fr", 2L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.api.Privacy.kAnonymity(rows, Seq.empty, k = 2)
+    }
+  }
+
+  test("TimeSeries.autocorr: periodic series peaks at its period, constant series guards to 0") {
+    import spark.implicits._
+    // period-3 series over 90 buckets: acf(3) = 1 exactly, acf(1) < 1
+    val periodic = (0 until 90).map(i =>
+      ("p", i.toLong * 1000L, Seq(10.0, 50.0, 90.0)(i % 3)))
+    val flat = (0 until 90).map(i => ("c", i.toLong * 1000L, 42.0))
+    val df = (periodic ++ flat).toDF("g", "ts_ms", "v")
+    val out = graft.api.TimeSeries.autocorr(df, "g", "ts_ms", "v",
+        widthMs = 1000L, maxLag = 3)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("p", 3L))._2 >= 0.9998,
+      s"period-3 acf was ${out(("p", 3L))._2}") // floor(1e4·x)/1e4 may shave one step
+    assert(out(("p", 1L))._2 < 0.0, "adjacent lags of a 3-cycle anticorrelate")
+    assert((1 to 3).forall(k => out(("c", k.toLong))._2 == 0.0),
+      "zero-variance series must guard to 0, not NaN")
+    assert(out(("p", 1L))._1 == 89L && out(("p", 3L))._1 == 87L, "pair counts n - lag")
+  }
+
+  test("jaroWinkler kernel matches the DuckDB-verified table; pairs API blocks and thresholds") {
+    import spark.implicits._
+    val jw = graft.functions.TextExprs.jaroWinkler _
+    // expected values captured from duckdb jaro_winkler_similarity
+    val table = Seq(
+      ("martha", "marhta", 0.9611111111111111), ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964), ("abcdefgh", "abzzzzzz", 0.5),
+      ("", "a", 0.0), ("", "", 0.0), ("a", "a", 1.0), ("ab", "ba", 0.0),
+      ("crate", "trace", 0.7333333333333334), ("dwayne", "duane", 0.8400000000000001),
+      ("abc", "xyz", 0.0), ("prefixmatch", "prefixnomatch", 0.9692307692307692),
+      ("ab", "abcdefghijklmnop", 0.7666666666666667))
+    table.foreach { case (a, b, want) =>
+      assert(jw(a, b) == want, s"jw($a, $b) = ${jw(a, b)}, want $want")
+    }
+    val df = Seq("small ring", "small ping", "small thing", "tiny ring")
+      .toDF("name")
+    val pairs = graft.api.Fuzzy.jaroWinklerPairs(df, "name",
+        n => org.apache.spark.sql.functions.substring(n, 1, 1), threshold = 0.8)
+      .as[(String, String, Double)].collect().sortBy(r => (r._1, r._2))
+    // 'tiny ring' is in the 't' block — never scored against the 's' block
+    assert(pairs.forall(p => p._1.startsWith("s") && p._2.startsWith("s")))
+    assert(pairs.map(p => (p._1, p._2)).toSeq ==
+      Seq(("small ping", "small ring"), ("small ping", "small thing"),
+        ("small ring", "small thing")))
+    assert(pairs.forall(p => p._3 >= 0.8 && p._3 <= 1.0))
+    assert(pairs.forall(p => p._3 == jw(p._1, p._2)), "expression ≡ kernel")
+  }
 }
