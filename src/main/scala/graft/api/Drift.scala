@@ -139,6 +139,38 @@ object Drift {
         max("n").as("n"))
   }
 
+  /** Fitted PSI reference: the quantile cut array and per-bin counts of
+    * a validated corpus slice — the model a MONITOR scores new data
+    * against (batch: [[psi]] recomputes the reference inline; streaming:
+    * [[graft.streaming.DriftStream.psiStream]] takes this fitted model
+    * because an unbounded stream cannot re-derive its reference). */
+  final case class PsiReference(cuts: Array[Double], binCounts: Array[Long], n: Long) {
+    def nBins: Int = binCounts.length
+  }
+
+  /** Fit a [[PsiReference]] on a validated reference frame: exact
+    * `percentile` cuts (strict-`>` bucket assignment, ties to the lower
+    * bin — the [[psi]] convention) and the reference's own bin counts.
+    * The collect is MODEL-sized ((nBins−1) cuts + nBins counts, like
+    * `Similarity.fitIvf`'s centroids), never data-sized. */
+  def fitPsiReference(df: DataFrame, valueCol: String, nBins: Int = 10): PsiReference = {
+    require(nBins >= 2, s"nBins must be ≥2, got $nBins")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("x"))
+    val fracs = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = vals
+      .agg(expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
+      .head().getSeq[Double](0).toArray
+    val counts = vals
+      .select((expr(s"aggregate(array(${cuts.mkString(", ")}), 0, " +
+        "(a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)") + 1)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binCounts = (1 to nBins).map(b => counts.getOrElse(b.toLong, 0L)).toArray
+    PsiReference(cuts, binCounts, binCounts.sum)
+  }
+
   /** Pearson χ² independence statistic over the `rowCol` × `colCol`
     * contingency table: `χ² = Σ_cells (O − E)² / E` with
     * `E = n_r · n_c / n`, absent cells contributing their full expected

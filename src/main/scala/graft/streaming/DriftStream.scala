@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.api.Drift.PsiReference
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming form of the drift gate ([[graft.api.Drift]]): score each
+  * event-time tumbling window of a live stream against a FITTED
+  * reference distribution ([[graft.api.Drift.fitPsiReference]]) and
+  * emit one PSI row per finalized window — the monitor that pages when
+  * a crawler / feed starts shipping a different distribution than the
+  * corpus it was validated on.
+  *
+  * This is a plain watermarked windowed aggregation — no custom state:
+  * the reference model rides the plan as LITERALS (nBins−1 cut doubles
+  * + nBins reference probabilities), bucket assignment is map-side
+  * arithmetic, and per-window state is the nBins count cells. The PSI
+  * projection folds the cells AFTER the aggregate, so state per open
+  * window is nBins longs regardless of traffic. Append mode + watermark
+  * = exactly one final row per window, identical on replay (batch
+  * parity property-tested in StreamingSemanticsSpec).
+  */
+object DriftStream {
+
+  /** Per-window bin-count aggregation + PSI projection, shared verbatim
+    * by the streaming query and its batch-parity replay (the parity
+    * proof is that the SAME plan runs both ways). */
+  private[streaming] def windowedPsi(bucketed: DataFrame, tsCol: String,
+      width: String, ref: PsiReference, alpha: Double): DataFrame = {
+    val nBins = ref.nBins
+    val cells = (1 to nBins).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = bucketed
+      .groupBy(window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("n"), cells: _*)
+    val terms: Seq[Column] = (1 to nBins).map { b =>
+      val pr = (ref.binCounts(b - 1) + alpha) / (ref.n + alpha * nBins)
+      val pc = (col(s"c$b") + alpha) / (col("n") + alpha * nBins)
+      (pc - pr) * log(pc / lit(pr))
+    }
+    agged.select(
+      col("w.start").cast("long").multiply(1000L).as("window_start_ms"),
+      col("n"),
+      terms.reduce(_ + _).as("psi"))
+  }
+
+  /** Bucket `valueCol` against the reference cuts (strict `>`, ties to
+    * the lower bin — the batch [[graft.api.Drift.psi]] convention). */
+  private[streaming] def bucketize(df: DataFrame, valueCol: String,
+      ref: PsiReference): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bucket",
+        (expr(s"aggregate(array(${ref.cuts.mkString(", ")}), 0, " +
+          s"(a, c) -> a + CASE WHEN ${valueCol} > c THEN 1 ELSE 0 END)") + 1)
+          .cast("long"))
+
+  /** Score a streaming frame: one `(window_start_ms, n, psi)` row per
+    * finalized `width` tumbling window of `tsCol` (event time,
+    * TimestampType), watermarked by `delay`. Run with append output
+    * mode; rows arrive once the watermark passes the window end.
+    *
+    * `valueCol` must be numeric and is compared against `ref.cuts`
+    * as double. Rule of thumb: PSI ≥ 0.2 = significant shift. */
+  def psiStream(stream: DataFrame, tsCol: String, valueCol: String,
+      ref: PsiReference, width: String, delay: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val bucketed = bucketize(
+      stream.withWatermark(tsCol, delay)
+        .select(col(tsCol), col(valueCol).cast("double").as(valueCol)),
+      valueCol, ref)
+    windowedPsi(bucketed, tsCol, width, ref, alpha)
+  }
+
+  /** The batch replay of [[psiStream]] on a bounded frame — same
+    * bucketing, same aggregation, same projection (no watermark). The
+    * parity spec runs this against the streamed output. */
+  def psiBatch(df: DataFrame, tsCol: String, valueCol: String,
+      ref: PsiReference, width: String, alpha: Double = 0.5): DataFrame = {
+    val bucketed = bucketize(
+      df.select(col(tsCol), col(valueCol).cast("double").as(valueCol)),
+      valueCol, ref)
+    windowedPsi(bucketed, tsCol, width, ref, alpha)
+  }
+}

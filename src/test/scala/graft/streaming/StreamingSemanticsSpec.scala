@@ -990,4 +990,47 @@ class StreamingSemanticsSpec extends SparkTestBase {
       .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(batch == rows().sortBy(_._1), s"batch $batch != streamed ${rows()}")
   }
+
+  test("streaming PSI drift monitor: windowed scores ≡ batch replay; shifted window flags") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform-ish values 0..99 — deciles at 9.9, 19.8, ...
+    val refDf = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    val ref = graft.api.Drift.fitPsiReference(refDf, "v", nBins = 10)
+    assert(ref.nBins == 10 && ref.n == 1000L)
+    assert(ref.binCounts.forall(c => c == 100L), ref.binCounts.mkString(","))
+    val base = 1700000000000L
+    // window 1: in-distribution; window 2: mass piled into the top decile
+    val w1 = (0 until 500).map(i => (base + i * 100L, (i % 100).toDouble))
+    val w2 = (0 until 500).map(i => (base + 600000L + i * 100L, 95.0 + (i % 5)))
+    val rows = w1 ++ w2
+    val mem = MemoryStream[(Long, Double)]
+    val q = DriftStream.psiStream(
+        mem.toDF().toDF("ts_ms", "v").withColumn("ts_t", timestamp_millis(col("ts_ms"))),
+        "ts_t", "v", ref, width = "10 minutes", delay = "1 minute")
+      .writeStream.format("memory").queryName("s_psi").outputMode("append")
+      .start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      // advance the watermark past both windows so append finalizes them
+      mem.addData(Seq((base + 3600000L, 50.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_psi")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // windows are EPOCH-aligned: base % 10min = 200s, so starts sit 200s back
+    assert(streamed.map(_._1) == Seq(base - 200000L, base + 400000L),
+      s"expected both finalized windows, got $streamed")
+    val Seq(inDist, shifted) = streamed
+    assert(inDist._2 == 500L && shifted._2 == 500L)
+    assert(inDist._3 < 0.05, s"in-distribution window scored ${inDist._3}")
+    assert(shifted._3 > 1.0, s"collapsed-to-top-decile window scored ${shifted._3}")
+    // batch parity: identical plan over the bounded frame, bit-equal PSI
+    val batch = DriftStream.psiBatch(
+        rows.toDF("ts_ms", "v").withColumn("ts_t", timestamp_millis(col("ts_ms"))),
+        "ts_t", "v", ref, width = "10 minutes")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      .filter(r => r._1 <= base + 600000L) // the watermark-advancer row's window never finalized
+    assert(batch == streamed, s"batch $batch != streamed $streamed")
+  }
 }
