@@ -605,10 +605,100 @@ object Windows {
             ORDER BY g NULLS FIRST, lag NULLS FIRST""")
   )
 
+  /** Last-touch attribution: each purchase attributed to the same
+    * user's most recent prior click within a 7-day lookback (the
+    * marketing-analytics staple; NULL when no qualifying click). One
+    * user-key window carrying the last seen click via
+    * `last(..., ignoreNulls)` — no self-join, no interval scan; the
+    * lookback is a post-window CASE on the carried timestamp. Window
+    * order (ts_ms, event_id) is total, so a click and purchase sharing
+    * a timestamp attribute deterministically (click seen iff its
+    * event_id sorts first). */
+  private val qAttribution = Q(
+    "q_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts_ms"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lookbackMs = 7L * 24 * 3600 * 1000
+      Tables.events(s, dir)
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts_ms")), ignoreNulls = true).over(w))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms").as("purchase_ts_ms"),
+          when(col("click_ts") >= col("ts_ms") - lookbackMs, col("click_id"))
+            .as("attributed_click_id"),
+          when(col("click_ts") >= col("ts_ms") - lookbackMs,
+            col("ts_ms") - col("click_ts")).as("lag_ms"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+                       FROM events),
+                 c AS (SELECT *,
+                              last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+                                OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts,
+                              last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                                OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+                       FROM e)
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(ts_ms AS BIGINT) AS purchase_ts_ms,
+                   CAST(CASE WHEN click_ts >= ts_ms - 604800000 THEN click_id END AS BIGINT)
+                     AS attributed_click_id,
+                   CAST(CASE WHEN click_ts >= ts_ms - 604800000 THEN ts_ms - click_ts END AS BIGINT)
+                     AS lag_ms
+            FROM c WHERE event_type = 'purchase'
+            ORDER BY event_id NULLS FIRST""")
+  )
+
+  /** Trailing rolling median (21-row window, FULL windows only) of each
+    * event_type's value series — the robust denoiser next to the
+    * mean-based q_anomaly/q_ewma. The 21-row frame is deliberately ODD:
+    * the exact median is a single stored element, so no interpolation
+    * arithmetic exists to differ cross-engine — output doubles are
+    * fixture values verbatim. Per-key window, O(n·w) frame
+    * re-aggregation (w = 21, constant); for 100 TB quantiles use the
+    * mergeable DDSketch rollup instead (q_quantile_rollup). */
+  private val qRollingMedian = Q(
+    "q_rolling_median",
+    (s, dir) => {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(asc("ts_ms"), asc("event_id"))
+      val frame = ord.rowsBetween(-20, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("med", expr("percentile(value, 0.5)")
+          .over(frame))
+        .withColumn("rn", row_number().over(ord))
+        .filter(col("rn") > 20)
+        .select(col("event_type"), col("event_id"), col("ts_ms"),
+          col("value"), col("med"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("ts_ms"),
+          asc_nulls_first("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value
+                       FROM events),
+                 r AS (SELECT *,
+                              quantile_cont(value, 0.5)
+                                OVER (PARTITION BY event_type ORDER BY ts_ms, event_id
+                                      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS med,
+                              row_number()
+                                OVER (PARTITION BY event_type ORDER BY ts_ms, event_id) AS rn
+                       FROM e)
+            SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+                   CAST(ts_ms AS BIGINT) AS ts_ms, value, med
+            FROM r WHERE rn > 20
+            ORDER BY event_type NULLS FIRST, ts_ms NULLS FIRST,
+                     event_id NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
-    qAutocorr)
+    qAutocorr, qAttribution, qRollingMedian)
 }
 
