@@ -320,4 +320,51 @@ object Profiler {
       .filter(col("abs_dev") > lit(k) * lit(1.4826) * col("__mad"))
       .drop("__med", "__mad")
   }
+
+  /** Per-group Gini coefficient + top-decile share of a non-negative
+    * integer measure — the inequality audit ("is one source's token
+    * mass concentrated in a few giant documents?") that decides whether
+    * a corpus slice needs length capping before training.
+    *
+    * Gini via the rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    * the ascending sort; ties carry a key tiebreak so the rank is a
+    * total order, and equal values make Σ i·xᵢ tie-order-invariant, so
+    * the statistic is deterministic. Everything accumulates as exact
+    * DECIMAL(38,0) integer moments (the measure is integral); the two
+    * output doubles each derive in one fixed expression, floored 4dp.
+    * `top_share` is the fraction of the total measure held by the top
+    * ⌈n/10⌉ rows.
+    *
+    * Scale: the rank window partitions BY GROUP (hash-distributed; a
+    * group's frame must fit a partition — lengths-per-source here, the
+    * same contract as every keyed window in this codebase), then one
+    * hash aggregate per group. No global window, no broadcast. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(asc(valueCol), asc(idCol))
+    val ranked = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(groupCol).as("g"),
+        col(valueCol).cast("decimal(38,0)").as("x"),
+        row_number().over(w).cast("decimal(38,0)").as("rn"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCol)).as("n"))
+    val m = ranked.groupBy("g").agg(
+      max(col("n")).as("n_rows"),
+      sum(col("x")).as("sx"),
+      sum(col("rn") * col("x")).as("srx"),
+      sum(when(col("rn") > col("n") - ceil(col("n") / lit(10.0)),
+        col("x")).otherwise(lit(0)).cast("decimal(38,0)")).as("stop"))
+    val n = col("n_rows").cast("double")
+    m.select(col("g"), col("n_rows"), col("sx").cast("bigint").as("total"),
+      when(col("sx") > 0,
+        floor((lit(2.0) * col("srx").cast("double")
+          / (n * col("sx").cast("double"))
+          - (n + lit(1.0)) / n) * 10000) / 10000)
+        .otherwise(lit(0.0)).as("gini"),
+      when(col("sx") > 0,
+        floor(col("stop").cast("double") / col("sx").cast("double") * 10000) / 10000)
+        .otherwise(lit(0.0)).as("top_share"))
+  }
 }

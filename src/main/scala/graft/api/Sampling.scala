@@ -25,6 +25,25 @@ object Sampling {
   def sample(df: DataFrame, onCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(onCol)) < pct)
 
+  /** Deterministic train/val/test assignment by content-hash bucket —
+    * the split every training pipeline needs, with the properties rate
+    * sampling by `rand()` cannot give: replayable (same content → same
+    * split on any run, any engine), leakage-proof across reshuffles
+    * (a duplicated document lands in ONE split), and map-side (no
+    * shuffle — the split is a projection). `train` takes buckets
+    * [0, trainPct), `val` the next valPct, `test` the rest. */
+  def splitByHash(df: DataFrame, onCol: String, trainPct: Int,
+      valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 < valPct, trainPct + valPct < 100; " +
+        s"got $trainPct/$valPct")
+    val b = hashBucket(col(onCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Per-stratum rates (stratum value → pct), `defaultPct` for strata
     * not in the map — e.g. downsample dominant languages, keep all of
     * rare ones. */

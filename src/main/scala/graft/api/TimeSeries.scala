@@ -436,4 +436,102 @@ object TimeSeries {
         floor(num / sqrt(dx * dy) * 10000) / 10000)
         .otherwise(lit(0.0)).as("acf"))
   }
+
+  /** Per-key OLS trend fit of the resampled value-sum series against its
+    * bucket index — "is traffic growing, and how fast?" (slope per
+    * bucket), plus fit quality (r²). The regressor is the bucket index
+    * RE-BASED to each key's first bucket (an equi-join back on the key,
+    * not a global broadcast), so moment magnitudes are series-length-
+    * sized regardless of where in epoch time the data sits.
+    *
+    * Exactness is the [[autocorr]] pipeline: DECIMAL(30,10) bucket sums
+    * quantized to ints, five DECIMAL(38,0) moment sums, then slope /
+    * intercept / r² derived in ONE fixed double expression each from the
+    * closed-form moment solution (intercept via the direct
+    * `(Σx·Σt² − Σt·Σtx)/(nΣt² − (Σt)²)` form, NOT through the slope, so
+    * no intermediate rounding compounds), floor-truncated at 4dp.
+    * Output slope/intercept are in QUANTIZED units (value·1e4 per
+    * bucket); callers wanting raw units divide by 1e4 — the oracle
+    * mirrors the quantized form so the comparison is exact. Degenerate
+    * series (one bucket, or constant regressor) score slope 0,
+    * intercept = mean, r² 0.
+    *
+    * Scale: one map-side-combined shuffle collapses the corpus to its
+    * (key × bucket) frame; the re-base is a key equi-join against the
+    * key-count-sized min frame; moments reduce by key. Nothing after
+    * the first aggregate is corpus-sized. */
+  def linearFit(df: DataFrame, keyCol: String, tsMsCol: String,
+      valueCol: String, widthMs: Long): DataFrame = {
+    val series = df
+      .filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("g"),
+        expr(floorDivSql(tsMsCol, widthMs)).as("bucket"))
+      .agg(sum(col(valueCol).cast("decimal(30,10)")).as("sd"))
+      .select(col("g"), col("bucket"),
+        floor(col("sd").cast("double") * 10000).cast("decimal(38,0)").as("x"))
+      .transform(Ckpt.apply) // two consumers: the min frame and the fit
+    val base = series.groupBy(col("g").as("g2"))
+      .agg(min(col("bucket")).as("b0"))
+    val fitted = series.join(base, col("g") === col("g2"))
+      .select(col("g"), (col("bucket") - col("b0")).cast("decimal(38,0)").as("t"),
+        col("x"))
+    val m = fitted.groupBy("g").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("t")).as("st"), sum(col("x")).as("sx"),
+      sum(col("t") * col("x")).as("stx"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("x") * col("x")).as("sxx"))
+    val n = col("n_buckets").cast("decimal(38,0)")
+    val den = (n * col("stt") - col("st") * col("st")).cast("double")
+    val slopeNum = (n * col("stx") - col("st") * col("sx")).cast("double")
+    val interNum = (col("sx") * col("stt") - col("st") * col("stx")).cast("double")
+    val dx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("g"), col("n_buckets"),
+      when(den > 0, floor(slopeNum / den * 10000) / 10000)
+        .otherwise(lit(0.0)).as("slope"),
+      when(den > 0, floor(interNum / den * 10000) / 10000)
+        .otherwise(floor(col("sx").cast("double") / col("n_buckets") * 10000) / 10000)
+        .as("intercept"),
+      when(den > 0 && dx > 0,
+        floor(slopeNum * slopeNum / (den * dx) * 10000) / 10000)
+        .otherwise(lit(0.0)).as("r2"))
+  }
+
+  /** Per-key seasonal-naive forecast error: predict each bucket's value
+    * sum as the sum `season` buckets earlier, score MAE and RMSE over
+    * the buckets that have a seasonal predecessor — the sanity baseline
+    * every fancier forecaster must beat, and a direct periodicity
+    * strength readout (small error ⇔ strong seasonality).
+    *
+    * Exactness: series values are the [[autocorr]] quantized ints, so
+    * each error |x−y| and squared error (x−y)² is an exact DECIMAL
+    * integer; the only doubles are the final fixed expressions
+    * `floor(Σ|d|/n)/1e4` and `floor(√(Σd²/n))/1e4` (the quantized sums
+    * cast to double identically in any engine, then one division /
+    * sqrt). The seasonal shift is the equi-join on (key, bucket+season)
+    * — same shape, same scale story as [[autocorr]]'s lag join. */
+  def seasonalNaiveError(df: DataFrame, keyCol: String, tsMsCol: String,
+      valueCol: String, widthMs: Long, season: Int): DataFrame = {
+    require(season >= 1, s"season must be ≥1, got $season")
+    val series = df
+      .filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("g"),
+        expr(floorDivSql(tsMsCol, widthMs)).as("bucket"))
+      .agg(sum(col(valueCol).cast("decimal(30,10)")).as("sd"))
+      .select(col("g"), col("bucket"),
+        floor(col("sd").cast("double") * 10000).cast("decimal(38,0)").as("x"))
+      .transform(Ckpt.apply) // probe and build of the season join
+    val fc = series.select(col("g").as("g2"),
+      (col("bucket") + lit(season.toLong)).as("bucket2"), col("x").as("yhat"))
+    val scored = series.join(fc,
+      col("g") === col("g2") && col("bucket") === col("bucket2"))
+    val d = col("x") - col("yhat")
+    val m = scored.groupBy("g").agg(
+      count(lit(1)).as("n_eval"),
+      sum(abs(d)).as("sad"),
+      sum(d * d).as("ssd"))
+    m.select(col("g"), col("n_eval"),
+      (floor(col("sad").cast("double") / col("n_eval")) / 10000).as("mae"),
+      (floor(sqrt(col("ssd").cast("double") / col("n_eval"))) / 10000).as("rmse"))
+  }
 }

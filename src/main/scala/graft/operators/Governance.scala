@@ -209,6 +209,97 @@ object Governance {
             ORDER BY lang NULLS FIRST, len_bucket NULLS FIRST""")
   )
 
+  /** Benford first-digit audit of `l_extendedprice` — the classic
+    * fabricated-numbers screen: observed first-significant-digit
+    * frequencies against Benford's log₁₀(1+1/d) expectation, with each
+    * digit's χ² contribution. The digit is extracted EXACTLY — prices
+    * have two decimals, so `round(x·100)` is an exact integer and its
+    * first string character is the first significant digit (no
+    * float log10 near-boundary risk). One hash aggregation to 9 rows;
+    * the total crosses back as a 1-row broadcast (the documented
+    * corpus-constant pattern). Doubles derive from exact counts and the
+    * fixed-constant expectation through expressions both engines
+    * replay, floor-truncated 4dp (no Benford constant sits within 1e-6
+    * of a 1e-4 boundary, so the truncation is ulp-safe). */
+  private val qBenford = Q(
+    "q_benford",
+    (s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .select(substring(expr("cast(round(l_extendedprice * 100) as bigint)")
+          .cast("string"), 1, 1).cast("bigint").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("n_total"))
+      val exp = expr("log10(1.0 + 1.0 / cast(digit as double))")
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("cnt"), col("n_total"),
+          (floor(col("cnt").cast("double") / col("n_total").cast("double")
+            * 10000) / 10000).as("obs_freq"),
+          (floor(exp * 10000) / 10000).as("benford_freq"),
+          (floor(expr("(cast(cnt as double) / cast(n_total as double)"
+            + " - log10(1.0 + 1.0 / cast(digit as double)))"
+            + " * (cast(cnt as double) / cast(n_total as double)"
+            + " - log10(1.0 + 1.0 / cast(digit as double)))"
+            + " / log10(1.0 + 1.0 / cast(digit as double))")
+            * col("n_total").cast("double") * 10000) / 10000).as("chi2_term"))
+        .orderBy(asc_nulls_first("digit"))
+    },
+    Some("""WITH d AS (SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                     AS VARCHAR), 1, 1) AS ds
+                       FROM lineitem),
+                 c AS (SELECT CAST(ds AS BIGINT) AS digit, count(*) AS cnt
+                       FROM d GROUP BY 1),
+                 t AS (SELECT sum(cnt) AS n_total FROM c)
+            SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(n_total AS BIGINT) AS n_total,
+                   floor(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+                         * 10000) / 10000 AS obs_freq,
+                   floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000) / 10000
+                     AS benford_freq,
+                   floor((CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+                          - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         * (CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+                            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         / log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                         * CAST(n_total AS DOUBLE) * 10000) / 10000 AS chi2_term
+            FROM c, t
+            ORDER BY digit NULLS FIRST""")
+  )
+
+  /** Per-source Gini + top-decile share of document lengths — the
+    * inequality audit that decides whether a corpus slice needs length
+    * capping before training (a source whose token mass sits in a few
+    * giant documents trains very differently from its doc count's
+    * suggestion). Rank-formula Gini over exact DECIMAL(38,0) integer
+    * moments; see [[graft.api.Profiler.gini]]. */
+  private val qGini = Q(
+    "q_gini",
+    (s, dir) =>
+      graft.api.Profiler.gini(Tables.documents(s, dir),
+          groupCol = "source", valueCol = "n_chars", idCol = "doc_id")
+        .orderBy(asc_nulls_first("g")),
+    Some("""WITH ranked AS (
+              SELECT source AS g, CAST(n_chars AS HUGEINT) AS x,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars, doc_id) AS HUGEINT) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+            m AS (SELECT g, max(n) AS n_rows, sum(x) AS sx, sum(rn * x) AS srx,
+                         sum(CASE WHEN rn > n - ceil(n / 10.0) THEN x ELSE 0 END) AS stop
+                  FROM ranked GROUP BY g)
+            SELECT g, CAST(n_rows AS BIGINT) AS n_rows, CAST(sx AS BIGINT) AS total,
+                   CASE WHEN sx > 0
+                        THEN floor((2.0 * CAST(srx AS DOUBLE)
+                                    / (CAST(n_rows AS DOUBLE) * CAST(sx AS DOUBLE))
+                                    - (CAST(n_rows AS DOUBLE) + 1.0)
+                                      / CAST(n_rows AS DOUBLE)) * 10000) / 10000
+                        ELSE 0.0 END AS gini,
+                   CASE WHEN sx > 0
+                        THEN floor(CAST(stop AS DOUBLE) / CAST(sx AS DOUBLE)
+                                   * 10000) / 10000
+                        ELSE 0.0 END AS top_share
+            FROM m ORDER BY g NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
-    qScd2, qKAnonymity, qLDiversity)
+    qScd2, qKAnonymity, qLDiversity, qBenford, qGini)
 }

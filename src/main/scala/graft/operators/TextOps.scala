@@ -1146,8 +1146,36 @@ object TextOps {
             FROM r WHERE rank <= 100 GROUP BY source ORDER BY source""")
   )
 
+  /** Deterministic train/val/test split by content hash
+    * ([[graft.api.Sampling.splitByHash]], 75/13/12): replayable on any
+    * engine, leakage-proof (a duplicated document lands in ONE split —
+    * `rand()` splits leak near-dups across the boundary), and map-side
+    * (a projection, no shuffle). Reported as the per-(source, split)
+    * count frame — the mixture sheet a training run records. */
+  private val qSplit = Q(
+    "q_split",
+    (s, dir) =>
+      graft.api.Sampling.splitByHash(Tables.documents(s, dir), "text",
+          trainPct = 75, valPct = 13)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("split")),
+    Some("""WITH a AS (SELECT source, n_chars,
+                         CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 75
+                              THEN 'train'
+                              WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 88
+                              THEN 'val'
+                              ELSE 'test' END AS split
+                       FROM documents)
+            SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+            FROM a GROUP BY 1, 2
+            ORDER BY source NULLS FIRST, split NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount, qZipfFit,
-    qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk,
+    qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qGopherRules, qDsirWeights,

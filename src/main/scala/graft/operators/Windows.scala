@@ -695,10 +695,173 @@ object Windows {
                      event_id NULLS FIRST""")
   )
 
+  /** Event-type transition matrix: for every consecutive (prev → curr)
+    * pair inside a user's event sequence, the transition count and its
+    * row-normalized probability — the first-order Markov readout behind
+    * session-path mining ("what follows a click?"). The sequence window
+    * is the per-user lag (key-partitioned, total order); the
+    * normalization window partitions by the 5-value `prev` — a
+    * type-cardinality frame, corpus-size-independent. The probability
+    * is the only double: one long/long division both engines replay,
+    * floor-truncated 4dp. */
+  private val qTransitions = Q(
+    "q_transitions",
+    (s, dir) => {
+      val seq = Window.partitionBy("user_id")
+        .orderBy(asc("ts_ms"), asc("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+        .withColumn("prev", lag("event_type", 1).over(seq))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p",
+          floor(col("cnt").cast("double")
+            / sum("cnt").over(Window.partitionBy("prev")).cast("double")
+            * 10000) / 10000)
+        .orderBy(asc_nulls_first("prev"), asc_nulls_first("curr"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+                       FROM events),
+                 s AS (SELECT event_type,
+                              lag(event_type) OVER (PARTITION BY user_id
+                                                    ORDER BY ts_ms, event_id) AS prev
+                       FROM e),
+                 c AS (SELECT prev, event_type AS curr, count(*) AS cnt
+                       FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+            SELECT prev, curr, CAST(cnt AS BIGINT) AS cnt,
+                   floor(CAST(cnt AS DOUBLE)
+                         / CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE)
+                         * 10000) / 10000 AS p
+            FROM c ORDER BY prev NULLS FIRST, curr NULLS FIRST""")
+  )
+
+  /** Per-event-type OLS trend of the hourly value-sum series ("is
+    * traffic growing, and how fast?"): slope, intercept, r² from the
+    * closed-form moment solution — see [[graft.api.TimeSeries.linearFit]]
+    * for the exactness pipeline (quantized series, DECIMAL(38,0)
+    * moments, per-key re-based regressor, one fixed double expression
+    * per statistic). Slope/intercept are reported in the quantized
+    * series units (value·1e4 per hour bucket), mirrored in the oracle. */
+  private val qLinearFit = Q(
+    "q_linear_fit",
+    (s, dir) =>
+      graft.api.TimeSeries.linearFit(Tables.events(s, dir),
+          keyCol = "event_type", tsMsCol = "ts_ms", valueCol = "value",
+          widthMs = 3600000L)
+        .select(col("g"), col("n_buckets"), col("slope"), col("intercept"),
+          col("r2"))
+        .orderBy(asc_nulls_first("g")),
+    Some("""WITH series AS (
+              SELECT event_type AS g,
+                     (epoch_ms(ts) // 3600000
+                      - CASE WHEN epoch_ms(ts) % 3600000 < 0 THEN 1 ELSE 0 END) AS bucket,
+                     CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) AS HUGEINT) AS x
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2),
+            rb AS (SELECT g, bucket - min(bucket) OVER (PARTITION BY g) AS t, x
+                   FROM series),
+            m AS (SELECT g, count(*) AS n, sum(t) AS st, sum(x) AS sx,
+                         sum(t * x) AS stx, sum(t * t) AS stt, sum(x * x) AS sxx
+                  FROM rb GROUP BY g)
+            SELECT g, CAST(n AS BIGINT) AS n_buckets,
+                   CASE WHEN (n * stt - st * st) > 0
+                        THEN floor(CAST(n * stx - st * sx AS DOUBLE)
+                                   / CAST(n * stt - st * st AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS slope,
+                   CASE WHEN (n * stt - st * st) > 0
+                        THEN floor(CAST(sx * stt - st * stx AS DOUBLE)
+                                   / CAST(n * stt - st * st AS DOUBLE) * 10000) / 10000
+                        ELSE floor(CAST(sx AS DOUBLE) / n * 10000) / 10000 END AS intercept,
+                   CASE WHEN (n * stt - st * st) > 0 AND (n * sxx - sx * sx) > 0
+                        THEN floor(CAST(n * stx - st * sx AS DOUBLE)
+                                   * CAST(n * stx - st * sx AS DOUBLE)
+                                   / (CAST(n * stt - st * st AS DOUBLE)
+                                      * CAST(n * sxx - sx * sx AS DOUBLE)) * 10000) / 10000
+                        ELSE 0.0 END AS r2
+            FROM m ORDER BY g NULLS FIRST""")
+  )
+
+  /** Per-event-type seasonal-naive forecast error at the daily season
+    * (predict each hour's value sum as the same hour yesterday), scored
+    * as MAE + RMSE — the baseline every forecaster must beat and a
+    * direct seasonality-strength readout. Errors are exact quantized
+    * ints until the two final fixed expressions; the seasonal shift is
+    * the (key, bucket+24) equi-join, the q_autocorr shape
+    * ([[graft.api.TimeSeries.seasonalNaiveError]]). */
+  private val qSeasonalNaive = Q(
+    "q_seasonal_naive",
+    (s, dir) =>
+      graft.api.TimeSeries.seasonalNaiveError(Tables.events(s, dir),
+          keyCol = "event_type", tsMsCol = "ts_ms", valueCol = "value",
+          widthMs = 3600000L, season = 24)
+        .select(col("g"), col("n_eval"), col("mae"), col("rmse"))
+        .orderBy(asc_nulls_first("g")),
+    Some("""WITH series AS (
+              SELECT event_type AS g,
+                     (epoch_ms(ts) // 3600000
+                      - CASE WHEN epoch_ms(ts) % 3600000 < 0 THEN 1 ELSE 0 END) AS bucket,
+                     CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) AS HUGEINT) AS x
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
+              GROUP BY 1, 2),
+            scored AS (SELECT s1.g, s1.x, s2.x AS yhat
+                       FROM series s1
+                       JOIN series s2 ON s1.g = s2.g AND s1.bucket = s2.bucket + 24),
+            m AS (SELECT g, count(*) AS n, sum(abs(x - yhat)) AS sad,
+                         sum((x - yhat) * (x - yhat)) AS ssd
+                  FROM scored GROUP BY g)
+            SELECT g, CAST(n AS BIGINT) AS n_eval,
+                   floor(CAST(sad AS DOUBLE) / n) / 10000 AS mae,
+                   floor(sqrt(CAST(ssd AS DOUBLE) / n)) / 10000 AS rmse
+            FROM m ORDER BY g NULLS FIRST""")
+  )
+
+  /** Hour-of-day activity profile per event_type — the diurnal seasonal
+    * shape behind q_seasonal_naive's error numbers: event count, value
+    * sum, and mean value for each of the 24 clock hours. One map-side-
+    * combined hash aggregate to a 24×|types| frame; sums cross as
+    * DECIMAL(30,10) then quantize once, the mean divides the quantized
+    * integer by the exact count (both cast double, one fixed
+    * expression). */
+  private val qHourlyProfile = Q(
+    "q_hourly_profile",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("g"),
+          expr("(ts_ms div 3600000) % 24").cast("bigint").as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          floor(sum(col("value").cast("decimal(30,10)")).cast("double")
+            * 10000).as("sq"))
+        .select(col("g"), col("hour"), col("n_events"),
+          (col("sq") / 10000).as("sum_value"),
+          (floor(col("sq").cast("double") / col("n_events").cast("double"))
+            / 10000).as("mean_value"))
+        .orderBy(asc_nulls_first("g"), asc_nulls_first("hour")),
+    Some("""WITH c AS (SELECT event_type AS g,
+                              (epoch_ms(ts) // 3600000) % 24 AS hour,
+                              count(*) AS n_events,
+                              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                                    * 10000) AS sq
+                       FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT g, CAST(hour AS BIGINT) AS hour,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   sq / 10000 AS sum_value,
+                   floor(CAST(sq AS DOUBLE) / CAST(n_events AS DOUBLE)) / 10000
+                     AS mean_value
+            FROM c
+            ORDER BY g NULLS FIRST, hour NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
-    qAutocorr, qAttribution, qRollingMedian)
+    qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
+    qSeasonalNaive, qHourlyProfile)
 }
 

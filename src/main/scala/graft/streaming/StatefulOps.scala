@@ -442,4 +442,95 @@ object StatefulOps {
           }
       }
   }
+
+  /** One incoming user event for [[streamingAttribution]]: user key,
+    * event id, event-time millis, and whether it is a click / purchase
+    * (other types pass through as neither and only advance nothing). */
+  final case class UserEvent(userId: Long, eventId: Long, tsMs: Long,
+      isClick: Boolean, isPurchase: Boolean)
+
+  /** Per-user attribution state: the most recent click seen. 16 bytes
+    * per active user — and evictable without ANY semantic loss: once the
+    * watermark passes clickTs + lookback, no future purchase can ever
+    * attribute to this click (with event-time timeout enabled, Spark's
+    * own late-data filter drops rows older than the watermark before
+    * they reach the function), so expiry is a pure state-size
+    * optimization, not a windowed-dedup-style trade-off. */
+  final case class ClickState(clickTs: Long, clickId: Long)
+
+  /** One attributed purchase: the most recent prior click within the
+    * lookback, or nulls when none. */
+  final case class Attribution(user_id: Long, event_id: Long,
+      purchase_ts_ms: Long, attributed_click_id: Option[Long],
+      lag_ms: Option[Long])
+
+  /** Streaming last-touch attribution — the at-ingest form of the batch
+    * `q_attribution` window: each purchase is attributed to the same
+    * user's most recent PRIOR click within `lookbackMs`, at the moment
+    * it arrives, with one tiny [[ClickState]] per user instead of a
+    * corpus-wide sort.
+    *
+    * Parity contract: replaying a user's events in (tsMs, eventId)
+    * order reproduces the batch query's rows exactly — within a
+    * micro-batch rows apply in that order (so a click and purchase
+    * sharing a timestamp attribute iff the click's id sorts first,
+    * the batch window's tiebreak), and state carries the last click
+    * across batches. Same arrival-order contract as [[streamingZscore]]:
+    * cross-batch out-of-order delivery is the caller's watermark
+    * problem, not re-sorted here.
+    *
+    * State growth at 100 TB: pass `expireMs > 0` (normally =
+    * `lookbackMs`) with an upstream watermark to drop a user's state
+    * once the watermark passes clickTs + expireMs — see [[ClickState]]
+    * for why expiry at the lookback bound is lossless. */
+  def streamingAttribution(events: Dataset[UserEvent], lookbackMs: Long,
+      expireMs: Long = 0L): Dataset[Attribution] = {
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+    implicit val stateEnc = Encoders.product[ClickState]
+    implicit val outEnc = Encoders.product[Attribution]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (expireMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[ClickState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed clickTs + expiry: no future purchase can
+            // reach this click through the lookback — lossless drop
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastClick = state.getOption
+            val out = it.toVector.sortBy(e => (e.tsMs, e.eventId)).flatMap { e =>
+              if (e.isClick) {
+                // running max in (ts, id) order: a same-batch older click
+                // never overwrites a newer one (the sort guarantees
+                // in-batch order; cross-batch, later batches carry later
+                // arrival order per the contract above)
+                lastClick = Some(ClickState(e.tsMs, e.eventId))
+                None
+              } else if (e.isPurchase) {
+                val hit = lastClick.filter(c => c.clickTs >= e.tsMs - lookbackMs)
+                Some(Attribution(user, e.eventId, e.tsMs,
+                  hit.map(_.clickId), hit.map(c => e.tsMs - c.clickTs)))
+              } else None
+            }
+            lastClick match {
+              case Some(c) =>
+                state.update(c)
+                if (expireMs > 0) {
+                  // clamp: a click already outside the expiry horizon must
+                  // still stamp ABOVE the watermark (Spark rejects stale
+                  // stamps); wm+1 expires it at the next watermark move,
+                  // which is lossless per the ClickState doc
+                  val wm = state.getCurrentWatermarkMs()
+                  state.setTimeoutTimestamp(math.max(c.clickTs + expireMs, wm + 1))
+                }
+              case None => ()
+            }
+            out.iterator
+          }
+      }
+  }
 }

@@ -1033,4 +1033,87 @@ class StreamingSemanticsSpec extends SparkTestBase {
       .filter(r => r._1 <= base + 600000L) // the watermark-advancer row's window never finalized
     assert(batch == streamed, s"batch $batch != streamed $streamed")
   }
+
+  test("streaming attribution ≡ batch q_attribution on in-order replay, click state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lookback = 7L * 24 * 3600 * 1000
+    // replay the REAL events table in global (ts_ms, event_id) order —
+    // per-user in-order, the operator's arrival contract
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        (col("event_type") === "click").as("isClick"),
+        (col("event_type") === "purchase").as("isPurchase"))
+      .orderBy("ts_ms", "event_id")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    val mem = MemoryStream[(Long, Long, Long, Boolean, Boolean)]
+    val q = StatefulOps.streamingAttribution(
+        mem.toDF().toDF("userId", "eventId", "tsMs", "isClick", "isPurchase")
+          .as[StatefulOps.UserEvent], lookbackMs = lookback)
+      .writeStream.format("memory").queryName("s_attr").outputMode("append")
+      .start()
+    try {
+      // split mid-stream: many users' last-click state must carry over
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_attr").as[StatefulOps.Attribution].collect()
+      .map(a => a.event_id -> (a.user_id, a.purchase_ts_ms,
+        a.attributed_click_id, a.lag_ms)).toMap
+    val batch = graft.SparkEntry.queries("q_attribution")(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("purchase_ts_ms"),
+        col("attributed_click_id"), col("lag_ms"))
+      .collect().map { r =>
+        def opt(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), opt(3), opt(4))
+      }.toMap
+    assert(streamed.keySet == batch.keySet,
+      s"purchase sets differ: ${streamed.keySet.diff(batch.keySet).take(5)} / " +
+        s"${batch.keySet.diff(streamed.keySet).take(5)}")
+    streamed.foreach { case (id, a) =>
+      assert(a == batch(id), s"purchase $id: streaming $a != batch ${batch(id)}")
+    }
+    // the fixture actually exercises both arms
+    assert(streamed.values.exists(_._3.isDefined) && streamed.values.exists(_._3.isEmpty))
+  }
+
+  test("streaming attribution: state expiry at the lookback bound is lossless; stale stamps clamp") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC millis
+    val hour = 3600L * 1000
+    val mem = MemoryStream[(Long, Long, Long, Boolean, Boolean)]
+    val ev = mem.toDF().toDF("userId", "eventId", "tsMs", "isClick", "isPurchase")
+      .withColumn("ts_t", timestamp_millis(col("tsMs")))
+      .withWatermark("ts_t", "1 minute")
+      .as[StatefulOps.UserEvent]
+    val q = StatefulOps.streamingAttribution(ev, lookbackMs = 2 * hour,
+        expireMs = 2 * hour)
+      .writeStream.format("memory").queryName("s_attr_ttl").outputMode("append")
+      .start()
+    try {
+      // u1 clicks, then purchases in-lookback (same batch)
+      mem.addData((1L, 10L, base, true, false), (1L, 11L, base + hour, false, true))
+      q.processAllAvailable()
+      // another user advances the watermark far past u1's click + expiry
+      mem.addData((2L, 20L, base + 10 * hour, true, false))
+      q.processAllAvailable()
+      // u1 purchases ON TIME while its state's timeout stamp (click+2h)
+      // is already BEHIND the watermark — the group gets data before the
+      // timeout sweep removes it, so the re-stamp must clamp to wm+1
+      // instead of crashing; the purchase itself is beyond the lookback,
+      // so the unattributed result is exactly batch semantics
+      mem.addData((1L, 12L, base + 11 * hour, false, true))
+      q.processAllAvailable()
+      // a fresh on-time click+purchase pair still attributes normally
+      // after all the expiry traffic above
+      mem.addData((3L, 30L, base + 12 * hour, true, false),
+        (3L, 31L, base + 13 * hour, false, true))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("s_attr_ttl").as[StatefulOps.Attribution].collect()
+      .map(a => a.event_id -> a.attributed_click_id).toMap
+    assert(out == Map(11L -> Some(10L), 12L -> None, 31L -> Some(30L)), out.toString)
+  }
 }
