@@ -743,9 +743,56 @@ object Dedup {
             ORDER BY name_a NULLS FIRST, name_b NULLS FIRST""")
   )
 
+  /** Degree distribution of the near-dup pair graph (same
+    * trigram-Jaccard pairs as q_pagerank/q_triangles): for each degree,
+    * how many documents have exactly that many near-duplicates —
+    * degree-0 (unique docs) included via the left join against the
+    * corpus spine. The graph-shape QA next to the triangle census: a
+    * heavy tail here means mirror farms, a mass at 0 means a clean
+    * corpus. All-integer output, two hash aggregates past the pair
+    * generation, no window. */
+  private val qDegrees = Q(
+    "q_degrees",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      val ends = pairs.select(col("id_a").as("id"))
+        .unionAll(pairs.select(col("id_b").as("id")))
+      docs.select(col("doc_id").as("id"))
+        .join(ends.groupBy("id").agg(count(lit(1)).as("deg")), Seq("id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(asc_nulls_first("degree"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 e AS (SELECT doc_a AS id FROM pairs
+                       UNION ALL SELECT doc_b FROM pairs),
+                 d AS (SELECT d0.doc_id, count(e.id) AS degree
+                       FROM documents d0 LEFT JOIN e ON e.id = d0.doc_id
+                       GROUP BY 1)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY 1
+            ORDER BY degree NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
-    qTriangles, qCorpusDiff, qFuzzyJoin)
+    qTriangles, qCorpusDiff, qFuzzyJoin, qDegrees)
 }

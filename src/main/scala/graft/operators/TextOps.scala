@@ -1174,8 +1174,111 @@ object TextOps {
             ORDER BY source NULLS FIRST, split NULLS FIRST""")
   )
 
+  /** Vocabulary coverage per source: the vocab sizes needed to cover
+    * 50% / 90% of the source's token mass — the tokenizer-design stat
+    * ("how head-heavy is this slice?") next to q_zipf_fit's slope.
+    * INTEGER-exact end to end: token counts rank in a BY-SOURCE window
+    * (vocab-sized partitions, the zipfFit contract — never global), the
+    * running sum stays a long, and the coverage thresholds compare
+    * cross-multiplied integers (cum·2 ≥ total, cum·10 ≥ total·9) — not
+    * one double anywhere in the query. */
+  private val qCoverage = Q(
+    "q_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("g").orderBy(col("cnt").desc, col("tok").asc)
+      Tables.documents(s, dir)
+        .select(col("source").as("g"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("g", "tok").agg(count(lit(1)).as("cnt"))
+        .select(col("g"), col("cnt"),
+          row_number().over(win).as("rank"),
+          sum("cnt").over(win.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"),
+          sum("cnt").over(Window.partitionBy("g")).as("total"))
+        .groupBy("g").agg(
+          max("total").as("total_tokens"),
+          count(lit(1)).as("vocab_size"),
+          min(when(col("cum") * 2 >= col("total"), col("rank")))
+            .cast("bigint").as("v50"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("rank")))
+            .cast("bigint").as("v90"))
+        .orderBy(asc_nulls_first("g"))
+    },
+    Some("""WITH tf AS (SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+                 c AS (SELECT g, tok, count(*) AS cnt FROM tf
+                       WHERE length(tok) > 0 GROUP BY 1, 2),
+                 r AS (SELECT g, cnt,
+                              row_number() OVER (PARTITION BY g
+                                                 ORDER BY cnt DESC, tok) AS rank,
+                              sum(cnt) OVER (PARTITION BY g
+                                             ORDER BY cnt DESC, tok
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                              sum(cnt) OVER (PARTITION BY g) AS total
+                       FROM c)
+            SELECT g, CAST(max(total) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(min(CASE WHEN cum * 2 >= total THEN rank END) AS BIGINT) AS v50,
+                   CAST(min(CASE WHEN cum * 10 >= total * 9 THEN rank END) AS BIGINT) AS v90
+            FROM r GROUP BY g ORDER BY g NULLS FIRST""")
+  )
+
+  /** Token burstiness (Fano factor) of the top-20 corpus tokens: the
+    * variance-to-mean ratio of a token's PER-DOCUMENT count across ALL
+    * documents (zeros included) — ≈1 for Poisson "background" words,
+    * ≫1 for topical words that clump into few documents; the classic
+    * content-word detector next to TF-IDF. Per-(token, doc) counts and
+    * their squares are exact longs; the corpus doc count crosses as the
+    * documented 1-row broadcast, and the statistic derives in ONE fixed
+    * double expression, floor-4dp. Top-20 selection is a vocab-sized
+    * TakeOrdered — never a global window. */
+  private val qBurstiness = Q(
+    "q_burstiness",
+    (s, dir) => {
+      val perDoc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+      val nD = col("nd").cast("double")
+      val tot = col("total_cnt").cast("double")
+      perDoc.groupBy("tok").agg(
+          count(lit(1)).as("n_docs"),
+          sum("c").as("total_cnt"),
+          sum(col("c") * col("c")).as("sc2"))
+        .crossJoin(broadcast(nDocs))
+        .orderBy(col("total_cnt").desc, col("tok").asc).limit(20)
+        .select(col("tok"), col("n_docs"), col("total_cnt"),
+          (floor((col("sc2").cast("double") - tot * tot / nD) / (nD - lit(1.0))
+            / (tot / nD) * 10000) / 10000).as("fano"))
+        .orderBy(col("total_cnt").desc, col("tok").asc)
+    },
+    Some("""WITH pd AS (SELECT tok, doc_id, count(*) AS c
+                        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                              FROM documents)
+                        WHERE length(tok) > 0 GROUP BY 1, 2),
+                 nd AS (SELECT count(*) AS nd FROM documents),
+                 m AS (SELECT tok, count(*) AS n_docs, sum(c) AS total_cnt,
+                              sum(c * c) AS sc2
+                       FROM pd GROUP BY tok),
+                 top AS (SELECT * FROM m ORDER BY total_cnt DESC, tok LIMIT 20)
+            SELECT tok, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(total_cnt AS BIGINT) AS total_cnt,
+                   floor((CAST(sc2 AS DOUBLE)
+                          - CAST(total_cnt AS DOUBLE) * CAST(total_cnt AS DOUBLE)
+                            / CAST(nd.nd AS DOUBLE))
+                         / (CAST(nd.nd AS DOUBLE) - 1.0)
+                         / (CAST(total_cnt AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+                         * 10000) / 10000 AS fano
+            FROM top, nd
+            ORDER BY total_cnt DESC, tok""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount, qZipfFit,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
+    qCoverage, qBurstiness,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qGopherRules, qDsirWeights,

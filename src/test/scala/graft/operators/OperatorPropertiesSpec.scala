@@ -1867,4 +1867,76 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(pairs.forall(p => p._3 >= 0.8 && p._3 <= 1.0))
     assert(pairs.forall(p => p._3 == jw(p._1, p._2)), "expression ≡ kernel")
   }
+
+  test("linearFit recovers a planted linear trend exactly; constant series degrades cleanly") {
+    import spark.implicits._
+    // key "up": value sum per hour bucket = 2.5 + 0.75·t (one event per
+    // bucket); key "flat": constant 3.0 — den > 0 but dx = 0
+    val rows = (0 until 50).flatMap { t =>
+      Seq(("up", t * 3600000L, 2.5 + 0.75 * t), ("flat", t * 3600000L, 3.0))
+    }
+    val out = graft.api.TimeSeries.linearFit(
+        rows.toDF("k", "ts_ms", "value"), "k", "ts_ms", "value", 3600000L)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // slope/intercept are in quantized units (value·1e4 per bucket)
+    val (nUp, slopeUp, interUp, r2Up) = out("up")
+    assert(nUp == 50L && slopeUp == 7500.0 && interUp == 25000.0 && r2Up == 1.0,
+      s"up: $slopeUp $interUp $r2Up")
+    val (nF, slopeF, interF, r2F) = out("flat")
+    assert(nF == 50L && slopeF == 0.0 && interF == 30000.0 && r2F == 0.0,
+      s"flat: $slopeF $interF $r2F")
+  }
+
+  test("seasonalNaiveError scores a perfectly periodic series at zero; phase shift scores positive") {
+    import spark.implicits._
+    val period = (0 until 24).map(h => 10.0 + (h % 6))
+    val rows = (0 until 96).flatMap { t =>
+      Seq(("periodic", t * 3600000L, period(t % 24)),
+        ("drift", t * 3600000L, period(t % 24) + t * 0.5))
+    }
+    val out = graft.api.TimeSeries.seasonalNaiveError(
+        rows.toDF("k", "ts_ms", "value"), "k", "ts_ms", "value",
+        3600000L, season = 24)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("periodic") == ((72L, 0.0, 0.0)), out("periodic").toString)
+    // each bucket's error is exactly 24·0.5 = 12 under the linear drift
+    assert(out("drift") == ((72L, 12.0, 12.0)), out("drift").toString)
+  }
+
+  test("gini: equal values score 0, total concentration scores (n−1)/n, top_share tracks the head") {
+    import spark.implicits._
+    val equal = (1 to 100).map(i => ("eq", 50L, i.toLong))
+    val conc = (1 to 100).map(i => ("conc", if (i == 100) 1000L else 0L, i.toLong))
+    val out = graft.api.Profiler.gini(
+        (equal ++ conc).toDF("g", "x", "id"), "g", "x", "id")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("eq") == ((100L, 5000L, 0.0, 0.1)), out("eq").toString)
+    // all mass in one row: G = (n−1)/n = 0.99; the top decile holds it all
+    assert(out("conc") == ((100L, 1000L, 0.99, 1.0)), out("conc").toString)
+  }
+
+  test("splitByHash: deterministic, disjoint-exhaustive, duplicates land in one split") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val a = graft.api.Sampling.splitByHash(docs, "text", 75, 13)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = graft.api.Sampling.splitByHash(docs, "text", 75, 13)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must be replayable")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size == docs.count(), "every doc assigned exactly once")
+    // identical CONTENT ⇒ identical split, regardless of id: the
+    // leakage-proof property rand() splits lack
+    val dup = graft.api.Sampling.splitByHash(
+        docs.limit(50).select(col("doc_id") + 1000000, col("text"))
+          .toDF("doc_id", "text").unionAll(docs.limit(50).select("doc_id", "text")),
+        "text", 75, 13)
+      .select("text", "split").as[(String, String)].collect()
+      .groupBy(_._1).values
+    assert(dup.forall(_.map(_._2).toSet.size == 1),
+      "same content must land in one split")
+  }
 }
