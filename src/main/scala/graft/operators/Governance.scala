@@ -300,6 +300,49 @@ object Governance {
             FROM m ORDER BY g NULLS FIRST""")
   )
 
+  /** Activity inequality across USERS: [[graft.api.Profiler.gini]]
+    * applied a second domain over — per event_type, the Gini and
+    * top-decile share of each user's event count ("do 10% of users
+    * generate 60% of the clicks?"). Demonstrates the profiling API is
+    * measure-agnostic: same exact integer moments, same windows, a
+    * different (group, value, id) binding. */
+  private val qUserGini = Q(
+    "q_user_gini",
+    (s, dir) =>
+      graft.api.Profiler.gini(
+          Tables.events(s, dir)
+            .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+            .groupBy("event_type", "user_id")
+            .agg(count(lit(1)).as("n_ev")),
+          groupCol = "event_type", valueCol = "n_ev", idCol = "user_id")
+        .orderBy(asc_nulls_first("g")),
+    Some("""WITH c AS (SELECT event_type AS g0, user_id, count(*) AS n_ev
+                       FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY 1, 2),
+                 ranked AS (
+              SELECT g0 AS g, CAST(n_ev AS HUGEINT) AS x,
+                     CAST(row_number() OVER (PARTITION BY g0
+                                             ORDER BY n_ev, user_id) AS HUGEINT) AS rn,
+                     count(*) OVER (PARTITION BY g0) AS n
+              FROM c),
+            m AS (SELECT g, max(n) AS n_rows, sum(x) AS sx, sum(rn * x) AS srx,
+                         sum(CASE WHEN rn > n - ceil(n / 10.0) THEN x ELSE 0 END) AS stop
+                  FROM ranked GROUP BY g)
+            SELECT g, CAST(n_rows AS BIGINT) AS n_rows, CAST(sx AS BIGINT) AS total,
+                   CASE WHEN sx > 0
+                        THEN floor((2.0 * CAST(srx AS DOUBLE)
+                                    / (CAST(n_rows AS DOUBLE) * CAST(sx AS DOUBLE))
+                                    - (CAST(n_rows AS DOUBLE) + 1.0)
+                                      / CAST(n_rows AS DOUBLE)) * 10000) / 10000
+                        ELSE 0.0 END AS gini,
+                   CASE WHEN sx > 0
+                        THEN floor(CAST(stop AS DOUBLE) / CAST(sx AS DOUBLE)
+                                   * 10000) / 10000
+                        ELSE 0.0 END AS top_share
+            FROM m ORDER BY g NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
-    qScd2, qKAnonymity, qLDiversity, qBenford, qGini)
+    qScd2, qKAnonymity, qLDiversity, qBenford, qGini, qUserGini)
 }

@@ -857,11 +857,96 @@ object Windows {
             ORDER BY g NULLS FIRST, hour NULLS FIRST""")
   )
 
+  /** User churn across the fixture's two half-periods: users active in
+    * the first half vs the second, split INTEGER-exactly at the data's
+    * time-range midpoint (ts·2 < lo + hi — no division, no float
+    * boundary). One per-user flag aggregate then a 1-row census:
+    * active-in-A / active-in-B / churned / new / retained — the
+    * lifecycle counterpart to q_retention's cohort grid. The (lo, hi)
+    * range crosses as the documented 1-row broadcast (the q_resample
+    * pattern). */
+  private val qChurn = Q(
+    "q_churn",
+    (s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val bounds = e.agg(min("ts_ms").as("lo"), max("ts_ms").as("hi"))
+      e.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          (col("ts_ms") * 2 < col("lo") + col("hi")).as("in_a"))
+        .groupBy("user_id")
+        .agg(max(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+          max(when(!col("in_a"), 1L).otherwise(0L)).as("b"))
+        .agg(sum("a").as("n_active_a"), sum("b").as("n_active_b"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n_churned"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n_retained"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+                       WHERE user_id IS NOT NULL),
+                 bo AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM e),
+                 f AS (SELECT user_id,
+                              max(CASE WHEN ts_ms * 2 < bo.lo + bo.hi THEN 1 ELSE 0 END) AS a,
+                              max(CASE WHEN ts_ms * 2 >= bo.lo + bo.hi THEN 1 ELSE 0 END) AS b
+                       FROM e, bo GROUP BY user_id)
+            SELECT CAST(sum(a) AS BIGINT) AS n_active_a,
+                   CAST(sum(b) AS BIGINT) AS n_active_b,
+                   CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+                   CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+            FROM f""")
+  )
+
+  /** Conversion-lag report over the q_attribution assignment: how many
+    * purchases attribute within the 7-day lookback, the attribution
+    * rate, and the p50/p90 click-to-purchase latency — the funnel-speed
+    * readout marketing actually reads. Same single user-key window as
+    * q_attribution, then one 1-row aggregate; percentiles are exact
+    * interpolated (`percentile` ≡ `quantile_cont`, the q_session_stats
+    * precedent), the rate is one long/long division floored 4dp. */
+  private val qConversionLag = Q(
+    "q_conversion_lag",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts_ms"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lookbackMs = 7L * 24 * 3600 * 1000
+      Tables.events(s, dir)
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts_ms")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(when(col("click_ts") >= col("ts_ms") - lookbackMs,
+          col("ts_ms") - col("click_ts")).as("lag_ms"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("lag_ms")).as("n_attributed"),
+          (floor(count(col("lag_ms")).cast("double")
+            / count(lit(1)).cast("double") * 10000) / 10000).as("attr_rate"),
+          round(expr("percentile(lag_ms, 0.5)"), 4).as("p50_lag_ms"),
+          round(expr("percentile(lag_ms, 0.9)"), 4).as("p90_lag_ms"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+                       FROM events),
+                 c AS (SELECT *,
+                              last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+                                OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+                       FROM e),
+                 p AS (SELECT CASE WHEN click_ts >= ts_ms - 604800000
+                                   THEN ts_ms - click_ts END AS lag_ms
+                       FROM c WHERE event_type = 'purchase')
+            SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(count(lag_ms) AS BIGINT) AS n_attributed,
+                   floor(CAST(count(lag_ms) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         * 10000) / 10000 AS attr_rate,
+                   round(quantile_cont(lag_ms, 0.5), 4) AS p50_lag_ms,
+                   round(quantile_cont(lag_ms, 0.9), 4) AS p90_lag_ms
+            FROM p""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
-    qSeasonalNaive, qHourlyProfile)
+    qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag)
 }
 

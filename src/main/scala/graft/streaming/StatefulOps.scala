@@ -443,6 +443,43 @@ object StatefulOps {
       }
   }
 
+  /** One lagged point from [[streamingLag]]: the row plus its key's
+    * previous (value, tsMs) — nulls (None) on each key's first row. */
+  final case class Lagged(key: Long, id: Long, tsMs: Long, value: Double,
+      prev_value: Option[Double], gap_ms: Option[Long])
+
+  /** Streaming per-key lag(1) — the at-ingest PRIMITIVE under both
+    * q_window_lag (value deltas) and q_transitions (sequence pairs):
+    * every arriving row emits with its key's previous value and the
+    * inter-arrival gap, from ONE tiny (tsMs, id, value) state row per
+    * key instead of a corpus-wide sort. In-order replay reproduces the
+    * batch `lag(1) over (partition by key order by ts, id)` rows
+    * exactly; within a micro-batch rows apply in (tsMs, id) order
+    * (the batch window's total order), and state carries the last row
+    * across batches — same arrival contract as [[streamingZscore]].
+    * State is one row per distinct key BY DESIGN (like
+    * [[CdcStream]]): expiring it would turn the next row's lag into a
+    * silent null, a semantic loss, not an optimization — bound key
+    * cardinality upstream instead. */
+  def streamingLag(rows: Dataset[ValRow]): Dataset[Lagged] = {
+    implicit val stateEnc = Encoders.product[(Long, Long, Double)]
+    implicit val outEnc = Encoders.product[Lagged]
+    implicit val keyEnc = Encoders.scalaLong
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ValRow], state: GroupState[(Long, Long, Double)]) =>
+          var prev = state.getOption // (tsMs, id, value)
+          val out = it.toVector.sortBy(r => (r.tsMs, r.id)).map { r =>
+            val lagged = Lagged(key, r.id, r.tsMs, r.value,
+              prev.map(_._3), prev.map(p => r.tsMs - p._1))
+            prev = Some((r.tsMs, r.id, r.value))
+            lagged
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** One incoming user event for [[streamingAttribution]]: user key,
     * event id, event-time millis, and whether it is a click / purchase
     * (other types pass through as neither and only advance nothing). */

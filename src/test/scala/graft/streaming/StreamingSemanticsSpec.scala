@@ -1116,4 +1116,41 @@ class StreamingSemanticsSpec extends SparkTestBase {
       .map(a => a.event_id -> a.attributed_click_id).toMap
     assert(out == Map(11L -> Some(10L), 12L -> None, 31L -> Some(30L)), out.toString)
   }
+
+  test("streaming lag ≡ batch lag(1) window on in-order replay of real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .orderBy("ts_ms", "event_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = StatefulOps.streamingLag(
+        mem.toDF().toDF("key", "id", "tsMs", "value").as[StatefulOps.ValRow])
+      .writeStream.format("memory").queryName("s_lag").outputMode("append")
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_lag").as[StatefulOps.Lagged].collect()
+      .map(l => l.id -> ((l.prev_value, l.gap_ms))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(asc("ts_ms"), asc("event_id"))
+    val batch = Tables.events(spark, sfDir)
+      .select(col("event_id"), lag("value", 1).over(w).as("pv"),
+        (col("ts_ms") - lag("ts_ms", 1).over(w)).as("gap"))
+      .collect().map { r =>
+        def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((optD(1), optL(2)))
+      }.toMap
+    assert(streamed.keySet == batch.keySet, "every event must emit exactly once")
+    streamed.foreach { case (id, v) =>
+      assert(v == batch(id), s"event $id: streaming $v != batch ${batch(id)}")
+    }
+    // the fixture exercises both first-row nulls and real lags
+    assert(streamed.values.exists(_._1.isEmpty) && streamed.values.exists(_._1.isDefined))
+  }
 }
