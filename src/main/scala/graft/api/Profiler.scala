@@ -321,6 +321,40 @@ object Profiler {
       .drop("__med", "__mad")
   }
 
+  /** Per-group Tukey-fence (IQR) outlier census: exact interpolated
+    * Q1/Q3 per group, fences at k·IQR, and the count of rows beyond
+    * each fence — the distribution-QA complement to the global
+    * median/MAD pass ([[madOutliers]]): per-key fences catch a key
+    * whose whole distribution shifted, which one global fence hides.
+    *
+    * The group cut frame joins back by KEY EQUI-JOIN (group-count-sized
+    * build side — no broadcast-range exemption needed), and fences
+    * derive from the UNROUNDED percentiles so the comparisons are the
+    * same doubles on any engine replaying `quantile_cont`; only the
+    * reported cut columns round 4dp. One percentile aggregate + one
+    * counting aggregate; nothing after the first shuffle is
+    * corpus-sized except the flag scan itself. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = col(valueCol)
+    val cuts = df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g2"))
+      .agg(expr(s"percentile($valueCol, 0.25)").as("q1"),
+        expr(s"percentile($valueCol, 0.75)").as("q3"))
+    df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .join(cuts, col(groupCol) === col("g2"))
+      .select(col(groupCol).as("g"), v.as("x"), col("q1"), col("q3"),
+        (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n_rows"),
+        round(max("q1"), 4).as("q1"),
+        round(max("q3"), 4).as("q3"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Per-group Gini coefficient + top-decile share of a non-negative
     * integer measure — the inequality audit ("is one source's token
     * mass concentrated in a few giant documents?") that decides whether

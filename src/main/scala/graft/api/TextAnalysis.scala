@@ -260,6 +260,58 @@ object TextAnalysis {
       .select(col("id"), col("n_big"), col("avg_nll"))
   }
 
+  /** Absolute-discounted Kneser-Ney bigram NLL — the NLP-correct
+    * smoothing next to [[bigramNll]]'s simple interpolation: the backoff
+    * mass is the CONTINUATION probability (in how many distinct contexts
+    * does b appear) rather than raw unigram frequency, so "francisco"
+    * (frequent but only after "san") stops stealing probability from
+    * genuinely versatile words. Per bigram position:
+    * P(b|a) = (c(ab) − D)/c(a·) + D·n1+(a·)/c(a·) · n1+(·b)/T, with
+    * c(a·) the left-context total, n1+ the distinct-continuation
+    * counts, T the distinct-pair total, D = 0.75. Every scored position
+    * has c(ab) ≥ 1 > D, so the discounted term is strictly positive and
+    * the max(·,0) clamp of the general form never binds.
+    *
+    * Exactness: all counts are exact longs; D is DYADIC so c(ab) − D
+    * and D·n1+ are exact; three divisions + two products are single
+    * correctly-rounded IEEE ops mirrored verbatim; ONE ln per position
+    * is the whole transcendental surface; per-doc sums cross as
+    * DECIMAL(30,10) — the [[bigramNll]] discipline.
+    *
+    * Cost: the distinct-pair frame (one map-side-combined aggregate)
+    * yields c(ab), and BOTH continuation frames and the left-context
+    * totals reduce from IT (vocab-sized inputs — never a second corpus
+    * scan); two vocab-sized equi-joins + the pair-type total as one
+    * 1-row broadcast. */
+  def kneserNeyNll(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val bg = TextDedup.rawShingles(df, idCol, textCol, n = 2)
+      .select(col("id"), col("shingle").as("pair"))
+    val bgc = bg.groupBy("pair").agg(count(lit(1)).as("cab"))
+      .withColumn("__a", split(col("pair"), " ").getItem(0))
+      .withColumn("__b", split(col("pair"), " ").getItem(1))
+      .transform(Ckpt.apply) // four consumers: join, ca/n1a, n1b, T
+    val ctx = bgc.groupBy("__a")
+      .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
+    val cont = bgc.groupBy("__b").agg(count(lit(1)).as("n1b"))
+    val tot = bgc.agg(count(lit(1)).as("tt"))
+    bg.join(bgc.select("pair", "cab", "__a", "__b"), "pair")
+      .join(ctx, "__a")
+      .join(cont, "__b")
+      .crossJoin(broadcast(tot))
+      .select(col("id"),
+        log((col("cab").cast("double") - lit(discount)) / col("ca").cast("double")
+          + lit(discount) * col("n1a").cast("double") / col("ca").cast("double")
+            * (col("n1b").cast("double") / col("tt").cast("double"))).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_big"),
+        sum(col("lp").cast("decimal(30,10)")).as("__s"))
+      .withColumn("avg_nll", -(col("__s").cast("double") / col("n_big")))
+      .select(col("id"), col("n_big"), col("avg_nll"))
+  }
+
   /** Corpus-wide adjacent-token-pair frequencies — the first scan of BPE
     * vocabulary induction (each merge round is this exact aggregate over
     * the re-tokenized stream). One Generator fan-out + one hash

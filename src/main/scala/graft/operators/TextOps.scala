@@ -914,6 +914,44 @@ object TextOps {
             FROM sc GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Kneser-Ney bigram NLL per document
+    * (graft.api.TextAnalysis.kneserNeyNll, D = 0.75): absolute
+    * discounting with CONTINUATION-probability backoff — the
+    * NLP-correct smoothing next to q_perplexity_bigram's simple
+    * interpolation; same exactness discipline (exact counts, dyadic
+    * discount, one ln per position, DECIMAL per-doc sums). */
+  private val qPerplexityKn = Q(
+    "q_perplexity_kn",
+    (s, dir) =>
+      graft.api.TextAnalysis.kneserNeyNll(Tables.documents(s, dir), "doc_id", "text",
+          discount = 0.75)
+        .select(col("id").as("doc_id"), col("n_big"),
+          (floor(col("avg_nll") * 10000) / 10000.0).as("avg_nll"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1])) AS pair FROM t),
+                 bgc AS (SELECT pair, count(*) AS cab FROM bg GROUP BY pair),
+                 sp AS (SELECT pair, cab,
+                               string_split(pair, ' ')[1] AS a,
+                               string_split(pair, ' ')[2] AS b
+                        FROM bgc),
+                 ctx AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM sp GROUP BY a),
+                 cont AS (SELECT b, count(*) AS n1b FROM sp GROUP BY b),
+                 tt AS (SELECT count(*) AS tt FROM sp),
+                 sc AS (SELECT bg.doc_id,
+                          ln((CAST(sp.cab AS DOUBLE) - 0.75) / CAST(ctx.ca AS DOUBLE)
+                             + 0.75 * CAST(ctx.n1a AS DOUBLE) / CAST(ctx.ca AS DOUBLE)
+                               * (CAST(cont.n1b AS DOUBLE) / CAST(tt.tt AS DOUBLE))) AS lp
+                        FROM bg JOIN sp USING (pair)
+                                JOIN ctx ON ctx.a = sp.a
+                                JOIN cont ON cont.b = sp.b, tt)
+            SELECT doc_id, count(*) AS n_big,
+                   floor(-(CAST(sum(CAST(lp AS DECIMAL(30,10))) AS DOUBLE) / count(*)) * 10000) / 10000
+                     AS avg_nll
+            FROM sc GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** BPE-style adjacent-pair statistics
     * (graft.api.TextAnalysis.adjacentPairs): the top-20 most frequent
     * adjacent token pairs corpus-wide — the scan each BPE vocabulary
@@ -1276,13 +1314,42 @@ object TextOps {
             ORDER BY total_cnt DESC, tok""")
   )
 
+  /** Per-event-type Tukey-fence (IQR) outlier census over event values
+    * ([[graft.api.Profiler.iqrOutliers]], k = 1.5): exact interpolated
+    * Q1/Q3 per key, fence comparisons on the UNROUNDED cuts (identical
+    * doubles on both engines — the quantile_cont parity precedent), and
+    * the count beyond each fence. The per-key complement to the global
+    * median/MAD pass. */
+  private val qIqrOutliers = Q(
+    "q_iqr_outliers",
+    (s, dir) =>
+      graft.api.Profiler.iqrOutliers(
+          graft.Tables.events(s, dir).select(col("event_type"), col("value")),
+          groupCol = "event_type", valueCol = "value", k = 1.5)
+        .orderBy(asc_nulls_first("g")),
+    Some("""WITH v AS (SELECT event_type AS g, value AS x FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+                 c AS (SELECT g, quantile_cont(x, 0.25) AS q1,
+                              quantile_cont(x, 0.75) AS q3
+                       FROM v GROUP BY g),
+                 j AS (SELECT v.g, v.x, c.q1, c.q3,
+                              c.q1 - 1.5 * (c.q3 - c.q1) AS lo,
+                              c.q3 + 1.5 * (c.q3 - c.q1) AS hi
+                       FROM v JOIN c USING (g))
+            SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(max(q1), 4) AS q1, round(max(q3), 4) AS q3,
+                   CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+            FROM j GROUP BY g ORDER BY g NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount, qZipfFit,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
-    qCoverage, qBurstiness,
+    qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
     qGopherRules, qDsirWeights,
-    qPerplexity, qPerplexityBigram, qBpePairs, qBpeLearn, qBpeEncode,
+    qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers)

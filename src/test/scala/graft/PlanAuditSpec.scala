@@ -154,7 +154,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_drift_chi2" -> "margin-cardinality contingency spine cross (R×C cells, corpus-size-independent)",
       "q_benford" -> "1-row corpus-constant broadcast (total count)",
       "q_burstiness" -> "1-row corpus-constant broadcast (doc count N)",
-      "q_churn" -> "1-row time-range broadcast (lo/hi midpoint split)")
+      "q_churn" -> "1-row time-range broadcast (lo/hi midpoint split)",
+      "q_perplexity_kn" -> "1-row corpus-constant broadcast (distinct-pair total)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —
