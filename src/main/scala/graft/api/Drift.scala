@@ -89,6 +89,73 @@ object Drift {
         max("na").as("n_a"), max("nb").as("n_b"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test between the
+    * `labelA` and `labelB` value distributions — the NONPARAMETRIC
+    * location-shift companion to [[ks]]'s shape test: KS asks "are the
+    * distributions different anywhere?", U asks "does one
+    * systematically dominate?". Tie-corrected normal approximation, no
+    * continuity correction. Returns one row `(u, z, n_a, n_b)`; `u` is
+    * the exact U₁ statistic (A as the first sample, ties counted half),
+    * `z` floor-4dp.
+    *
+    * INTEGER-exact core: everything up to the final z expression is
+    * exact — the per-value frame carries (ca, cb), the doubled
+    * statistic `2U₁ = Σ_v ca·(2·cumB(v) − cb)` stays an integer
+    * (DECIMAL(38,0); the ½-tie term never leaves ℤ when doubled), and
+    * the tie correction `Σ(k³−k)` likewise. The prefix `cumB` rides the
+    * [[ks]] machinery verbatim: distinct-value frame, exact-percentile
+    * bucket cuts, per-bucket windows, bucket-totals offset broadcast —
+    * no global single-partition window. */
+  def mannWhitney(df: DataFrame, valueCol: String, labelCol: String,
+      labelA: String, labelB: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be ≥2, got $buckets")
+    val counts = df
+      .filter(col(labelCol).isin(labelA, labelB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("x"))
+      .agg(
+        sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("cb"))
+      .transform(Ckpt.apply)
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = counts.agg(
+      expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
+    val bucketed = counts.crossJoin(broadcast(cuts))
+      .select(col("x"), col("ca"), col("cb"),
+        (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)")
+          + 1).cast("long").as("bucket"))
+      .transform(Ckpt.apply)
+    val w = Window.partitionBy("bucket").orderBy("x")
+    val within = bucketed.select(col("bucket"), col("ca"), col("cb"),
+      sum("cb").over(w).as("wb"))
+    val bt = bucketed.groupBy("bucket").agg(sum("cb").as("sb"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("sb")))).as("bt"))
+    val m = within.crossJoin(broadcast(bt))
+      .select(col("ca"), col("cb"),
+        (col("wb") + expr(
+          "aggregate(filter(bt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.sb)"))
+          .as("cumb"))
+      .agg(
+        sum("ca").as("na"), sum("cb").as("nb"),
+        // decimal BEFORE the products: per-value factors are counts
+        // (corpus-sized in the worst case), so long×long could wrap
+        sum(col("ca").cast("decimal(38,0)")
+          * (lit(2) * col("cumb") - col("cb")).cast("decimal(38,0)")).as("u2"),
+        sum((col("ca") + col("cb")).cast("decimal(38,0)")
+          * (col("ca") + col("cb")).cast("decimal(38,0)")
+          * (col("ca") + col("cb")).cast("decimal(38,0)")
+          - (col("ca") + col("cb")).cast("decimal(38,0)")).as("ties"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val nD = naD + nbD
+    val num = col("u2").cast("double") - naD * nbD
+    val den = lit(2.0) * sqrt(naD * nbD / lit(12.0)
+      * ((nD + lit(1.0)) - col("ties").cast("double") / (nD * (nD - lit(1.0)))))
+    m.select(
+      (col("u2").cast("double") / 2).as("u"),
+      when(den > 0, floor(num / den * 10000) / 10000).otherwise(lit(0.0)).as("z"),
+      col("na").cast("bigint").as("n_a"), col("nb").cast("bigint").as("n_b"))
+  }
+
   /** Population-stability index of every non-reference group of
     * `groupCol` against the `refGroup` slice, over `nBins` exact
     * quantile bins of the REFERENCE distribution (the convention: bins

@@ -343,6 +343,51 @@ object Governance {
             FROM m ORDER BY g NULLS FIRST""")
   )
 
+  /** Mann–Whitney U rank-sum test between the click and purchase value
+    * distributions — the nonparametric location-shift companion to
+    * q_drift_ks's shape test ([[graft.api.Drift.mannWhitney]]). The
+    * doubled statistic and tie correction stay exact integers through
+    * the SAME distributed bucketed prefix scan KS uses; one fixed
+    * double expression produces z. */
+  private val qDriftMw = Q(
+    "q_drift_mw",
+    (s, dir) =>
+      Drift.mannWhitney(Tables.events(s, dir), "value", "event_type",
+          labelA = "click", labelB = "purchase", buckets = 64),
+    Some("""WITH c AS (SELECT value AS x,
+                         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+                       GROUP BY value),
+                 cum AS (SELECT ca, cb, sum(cb) OVER (ORDER BY x) AS cumb FROM c),
+                 m AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                              sum(CAST(ca AS HUGEINT)
+                                  * CAST(2 * cumb - cb AS HUGEINT)) AS u2,
+                              sum(CAST(ca + cb AS HUGEINT)
+                                  * CAST(ca + cb AS HUGEINT)
+                                  * CAST(ca + cb AS HUGEINT)
+                                  - CAST(ca + cb AS HUGEINT)) AS ties
+                       FROM cum)
+            SELECT CAST(u2 AS DOUBLE) / 2 AS u,
+                   CASE WHEN 2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                          * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                             - CAST(ties AS DOUBLE)
+                               / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                  * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))) > 0
+                        THEN floor((CAST(u2 AS DOUBLE)
+                                    - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                               / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                                  * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                                     - CAST(ties AS DOUBLE)
+                                       / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))))
+                               * 10000) / 10000
+                        ELSE 0.0 END AS z,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+            FROM m""")
+  )
+
   val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
-    qScd2, qKAnonymity, qLDiversity, qBenford, qGini, qUserGini)
+    qScd2, qKAnonymity, qLDiversity, qBenford, qGini, qUserGini, qDriftMw)
 }

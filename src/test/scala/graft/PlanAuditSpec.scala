@@ -151,6 +151,7 @@ class PlanAuditSpec extends SparkTestBase {
       // EAGERLY before the bin-frame localCheckpoint, so the returned
       // plan is checkpoint → broadcast equi-join → agg
       "q_drift_ks" -> "1-row bucket-prefix-totals broadcast (buckets-sized, corpus-size-independent)",
+      "q_drift_mw" -> "1-row bucket-prefix-totals broadcast (the q_drift_ks scan)",
       "q_drift_chi2" -> "margin-cardinality contingency spine cross (R×C cells, corpus-size-independent)",
       "q_benford" -> "1-row corpus-constant broadcast (total count)",
       "q_burstiness" -> "1-row corpus-constant broadcast (doc count N)",
