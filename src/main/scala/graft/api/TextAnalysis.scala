@@ -154,6 +154,48 @@ object TextAnalysis {
       .groupBy("id").agg(sum("w").as("score"))
   }
 
+  /** Batched BM25 retrieval: top-`k` documents for EVERY query in one
+    * corpus pass — the search-serving shape next to [[bm25]]'s
+    * single-query scoring. The query-term table (model-sized) joins the
+    * token stream as a broadcast equi-join instead of an `isin` filter,
+    * so a thousand queries cost the same scan as one; per-query ranking
+    * is a qid-partitioned window over the (query × matched-doc) score
+    * frame — shortlist-sized, never corpus-sized. Scoring formula and
+    * float discipline are [[bm25]]'s verbatim (identical idf/weight
+    * expressions). Returns (qid, rank, id, score). */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      queries: Map[String, Seq[String]], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(k >= 1, s"k must be ≥1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qe = queries.toSeq.sortBy(_._1)
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = qe.toDF("qid", "term")
+    val allTerms = qe.map(_._2).distinct
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val lens = base.select(col("id"), size(col("t")).cast("long").as("len"))
+    val toks = base.select(col("id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(count_distinct(col("id")).as("df"))
+    val stats = df.agg(count(lit(1)).as("n"),
+      avg(size(split(col(textCol), " "))).as("avgdl"))
+    tf.join(dfreq, "term")
+      .join(broadcast(qterms), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl"))))
+      .groupBy("qid", "id").agg(sum("w").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), asc("id"))).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Default PII patterns, applied in order: email addresses, dashed
     * phone numbers, then bare numeric identifiers (≥6 digits). Kept to
     * syntax with identical semantics in Java regex and RE2 (no

@@ -416,6 +416,53 @@ object TextOps {
             ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** Batched BM25 retrieval (graft.api.TextAnalysis.bm25Search): top-10
+    * documents for THREE queries in one corpus pass — the search-serving
+    * shape: the query-term table joins the token stream as a broadcast
+    * equi-join (a thousand queries cost the same scan as one), ranking
+    * is a qid-partitioned window over the shortlist-sized score frame.
+    * Scoring formula verbatim from q_bm25. */
+  private val qBm25Search = Q(
+    "q_bm25_search",
+    (s, dir) =>
+      graft.api.TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+          queries = Map(
+            "q_spark_join" -> Seq("spark", "join"),
+            "q_window_agg" -> Seq("window", "agg"),
+            "q_stream_data" -> Seq("stream", "data")),
+          k = 10)
+        .select(col("qid"), col("rank"), col("id").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(asc_nulls_first("qid"), asc_nulls_first("rank")),
+    Some("""WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+                 stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM lens),
+                 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                 qterms(qid, term) AS (VALUES
+                   ('q_spark_join', 'spark'), ('q_spark_join', 'join'),
+                   ('q_window_agg', 'window'), ('q_window_agg', 'agg'),
+                   ('q_stream_data', 'stream'), ('q_stream_data', 'data')),
+                 qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+                 dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+                 w AS (SELECT q.qid, qt.doc_id,
+                         ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (qt.tf * 2.2)
+                           / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS w
+                       FROM qt JOIN dfq USING (term)
+                         JOIN qterms q USING (term)
+                         JOIN lens ON lens.doc_id = qt.doc_id
+                         CROSS JOIN stats),
+                 s AS (SELECT qid, doc_id, sum(w) AS score FROM w GROUP BY 1, 2),
+                 r AS (SELECT qid, doc_id, score,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY score DESC, doc_id) AS rank
+                       FROM s)
+            SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+                   round(score, 4) AS score
+            FROM r WHERE rank <= 10
+            ORDER BY qid NULLS FIRST, rank NULLS FIRST""")
+  )
+
   /** Gopher-style repetition filters: duplicate-token fraction and
     * top-bigram fraction per document — the repetition signals a
     * pretraining quality pass thresholds on. */
@@ -1347,7 +1394,7 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
     qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
-    qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qRepStats,
+    qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qBm25Search, qRepStats,
     qGopherRules, qDsirWeights,
     qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,

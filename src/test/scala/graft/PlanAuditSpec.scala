@@ -132,6 +132,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_join_cross" -> "the operator IS a cross join",
       "q_tfidf" -> "1-row corpus-constant broadcast (N)",
       "q_bm25" -> "1-row corpus-constant broadcast (N, avgdl)",
+      "q_bm25_search" -> "1-row corpus-constant broadcast (N, avgdl)",
       "q_perplexity" -> "1-row corpus-constant broadcast (total token count)",
       "q_perplexity_bigram" -> "1-row corpus-constant broadcast (total token count)",
       "q_mix_temperature" -> "1-row corpus-constant broadcast (rate normalizer)",
