@@ -355,6 +355,78 @@ object Profiler {
         sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_high"))
   }
 
+  /** Tie-corrected Spearman rank correlation between two numeric
+    * columns — the ROBUST monotone-association companion to Pearson
+    * (q_correlation): outliers and nonlinearity that wreck Pearson
+    * leave rank correlation intact. Computed as Pearson over average
+    * ranks with ranks DOUBLED so they stay integers under ties
+    * (avg-rank of a tie group = prev + (k+1)/2 → doubled:
+    * 2·cum − k + 1, an exact integer; Pearson is affine-invariant so
+    * the doubling cancels).
+    *
+    * The global rank is the ECDF problem: each column reduces to its
+    * distinct-value count frame, ranks come from the `Drift.ks`-style
+    * bucketed prefix scan (exact-percentile cuts over DISTINCT values,
+    * per-bucket windows, bucket-totals offset broadcast — no global
+    * single-partition window), and rows join their ranks back by value
+    * equi-joins. All five Pearson moments accumulate as DECIMAL(38,0)
+    * integers; one fixed double expression, floor-4dp. Returns one row
+    * `(n_rows, spearman)`. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be ≥2, got $buckets")
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .transform(Ckpt.apply) // consumed by both rank builds and the join
+    def rankFrame(c: String): DataFrame = {
+      val counts = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
+        .transform(Ckpt.apply)
+      val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+      val cuts = counts.agg(
+        expr(s"percentile(v, array(${fracs.mkString(", ")}))").as("cuts"))
+      val bucketed = counts.crossJoin(broadcast(cuts))
+        .select(col("v"), col("k"),
+          (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN v > c THEN 1 ELSE 0 END)")
+            + 1).cast("long").as("bucket"))
+        .transform(Ckpt.apply)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("v")
+      val within = bucketed.select(col("v"), col("k"), col("bucket"),
+        sum("k").over(w).as("wk"))
+      val bt = bucketed.groupBy("bucket").agg(sum("k").as("sk"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("sk")))).as("bt"))
+      within.crossJoin(broadcast(bt))
+        .select(col("v"),
+          (lit(2) * (col("wk") + expr(
+            "aggregate(filter(bt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.sk)"))
+            - col("k") + 1).as("r2"))
+    }
+    val rx = rankFrame("x").select(col("v").as("vx"), col("r2").as("rx"))
+    val ry = rankFrame("y").select(col("v").as("vy"), col("r2").as("ry"))
+    // center by the EXACT integer mean of doubled ranks (n+1): Σa = 0
+    // kills the n·Σab − ΣaΣb cross terms, so every remaining moment is
+    // bounded by n³ — the double casts stay in (or near) the exact
+    // integer range instead of the n·moment ~ n⁴ products that would
+    // cross engines' large-integer→double rounding differences
+    val tot = rows.agg(count(lit(1)).as("nn"))
+    val ranked = rows.join(rx, col("x") === col("vx"))
+      .join(ry, col("y") === col("vy"))
+      .crossJoin(broadcast(tot))
+      .select(col("nn"),
+        (col("rx") - (col("nn") + 1)).cast("decimal(38,0)").as("a"),
+        (col("ry") - (col("nn") + 1)).cast("decimal(38,0)").as("b"))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("a") * col("b")).as("sab"),
+      sum(col("a") * col("a")).as("saa"),
+      sum(col("b") * col("b")).as("sbb"))
+    val da = col("saa").cast("double")
+    val db = col("sbb").cast("double")
+    m.select(col("n").cast("bigint").as("n_rows"),
+      when(da > 0 && db > 0,
+        floor(col("sab").cast("double") / sqrt(da * db) * 10000) / 10000)
+        .otherwise(lit(0.0)).as("spearman"))
+  }
+
   /** Per-group Gini coefficient + top-decile share of a non-negative
     * integer measure — the inequality audit ("is one source's token
     * mass concentrated in a few giant documents?") that decides whether

@@ -544,8 +544,43 @@ object Extras {
             WHERE o_orderkey % 53 = 0 ORDER BY o_orderkey""")
   )
 
+  /** Tie-corrected Spearman rank correlation between l_quantity and
+    * l_extendedprice — the robust monotone-association companion to
+    * q_correlation's Pearson matrix ([[graft.api.Profiler.spearman]]):
+    * global average ranks via the distributed bucketed prefix scan
+    * (never a single-partition window), doubled-and-centered to exact
+    * integers so every moment is one DECIMAL(38,0) sum and the
+    * statistic is one fixed double expression. */
+  private val qSpearman = Q(
+    "q_spearman",
+    (s, dir) =>
+      graft.api.Profiler.spearman(Tables.lineitem(s, dir),
+          xCol = "l_quantity", yCol = "l_extendedprice", buckets = 64),
+    Some("""WITH r AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+                       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+                 cx AS (SELECT x AS v, count(*) AS k FROM r GROUP BY x),
+                 rx AS (SELECT v, 2 * sum(k) OVER (ORDER BY v) - k + 1 AS r2 FROM cx),
+                 cy AS (SELECT y AS v, count(*) AS k FROM r GROUP BY y),
+                 ry AS (SELECT v, 2 * sum(k) OVER (ORDER BY v) - k + 1 AS r2 FROM cy),
+                 nn AS (SELECT count(*) AS nn FROM r),
+                 cen AS (SELECT CAST(rx.r2 - (nn.nn + 1) AS HUGEINT) AS a,
+                                CAST(ry.r2 - (nn.nn + 1) AS HUGEINT) AS b
+                         FROM r JOIN rx ON r.x = rx.v JOIN ry ON r.y = ry.v, nn),
+                 m AS (SELECT count(*) AS n, sum(a * b) AS sab,
+                              sum(a * a) AS saa, sum(b * b) AS sbb
+                       FROM cen)
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN CAST(saa AS DOUBLE) > 0 AND CAST(sbb AS DOUBLE) > 0
+                        THEN floor(CAST(sab AS DOUBLE)
+                                   / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))
+                                   * 10000) / 10000
+                        ELSE 0.0 END AS spearman
+            FROM m""")
+  )
+
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qCorrelation, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
     qJoinAsof, qJoinAsofTol, qJoinAsofFwd, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
-    qSkewSalted, qSkewSaltedJoin, qJoinFull, qUnpivot, qWindowDistribution)
+    qSkewSalted, qSkewSaltedJoin, qJoinFull, qUnpivot, qWindowDistribution,
+    qSpearman)
 }

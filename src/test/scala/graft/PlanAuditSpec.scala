@@ -153,6 +153,7 @@ class PlanAuditSpec extends SparkTestBase {
       // plan is checkpoint → broadcast equi-join → agg
       "q_drift_ks" -> "1-row bucket-prefix-totals broadcast (buckets-sized, corpus-size-independent)",
       "q_drift_mw" -> "1-row bucket-prefix-totals broadcast (the q_drift_ks scan)",
+      "q_spearman" -> "1-row bucket-prefix-totals + n broadcasts (the q_drift_ks scan x2 columns)",
       "q_drift_chi2" -> "margin-cardinality contingency spine cross (R×C cells, corpus-size-independent)",
       "q_benford" -> "1-row corpus-constant broadcast (total count)",
       "q_burstiness" -> "1-row corpus-constant broadcast (doc count N)",
