@@ -366,10 +366,11 @@ object Profiler {
     *
     * The global rank is the ECDF problem: each column reduces to its
     * distinct-value count frame, ranks come from the `Drift.ks`-style
-    * bucketed prefix scan (exact-percentile cuts over DISTINCT values,
-    * per-bucket windows, bucket-totals offset broadcast — no global
-    * single-partition window), and rows join their ranks back by value
-    * equi-joins. All five Pearson moments accumulate as DECIMAL(38,0)
+    * bucketed prefix scan (APPROX-percentile cuts over the distinct
+    * values — boundaries only partition the scan, they cannot move a
+    * rank — per-bucket windows, bucket-totals offset broadcast — no
+    * global single-partition window), and rows join their ranks back by
+    * value equi-joins. All five Pearson moments accumulate as DECIMAL(38,0)
     * integers; one fixed double expression, floor-4dp. Returns one row
     * `(n_rows, spearman)`. */
   def spearman(df: DataFrame, xCol: String, yCol: String,
@@ -382,8 +383,15 @@ object Profiler {
       val counts = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
         .transform(Ckpt.apply)
       val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+      // APPROX cuts on purpose: bucket boundaries only partition the
+      // prefix scan — they cannot move the ranks or the statistic — so
+      // the cheap mergeable sketch replaces an exact-percentile sort
+      // that buffers the whole distinct-value frame on one task (a
+      // near-unique column like a price makes that frame row-count-
+      // sized; measured 10 s → ~2 s on 600k distinct values)
       val cuts = counts.agg(
-        expr(s"percentile(v, array(${fracs.mkString(", ")}))").as("cuts"))
+        expr(s"approx_percentile(v, array(${fracs.mkString(", ")}), 1000)")
+          .as("cuts"))
       val bucketed = counts.crossJoin(broadcast(cuts))
         .select(col("v"), col("k"),
           (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN v > c THEN 1 ELSE 0 END)")
