@@ -427,9 +427,9 @@ object TextOps {
     (s, dir) =>
       graft.api.TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id", "text",
           queries = Map(
-            "q_spark_join" -> Seq("spark", "join"),
-            "q_window_agg" -> Seq("window", "agg"),
-            "q_stream_data" -> Seq("stream", "data")),
+            "spark_join" -> Seq("spark", "join"),
+            "window_agg" -> Seq("window", "agg"),
+            "stream_data" -> Seq("stream", "data")),
           k = 10)
         .select(col("qid"), col("rank"), col("id").as("doc_id"),
           round(col("score"), 4).as("score"))
@@ -438,9 +438,9 @@ object TextOps {
                  stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM lens),
                  toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
                  qterms(qid, term) AS (VALUES
-                   ('q_spark_join', 'spark'), ('q_spark_join', 'join'),
-                   ('q_window_agg', 'window'), ('q_window_agg', 'agg'),
-                   ('q_stream_data', 'stream'), ('q_stream_data', 'data')),
+                   ('spark_join', 'spark'), ('spark_join', 'join'),
+                   ('window_agg', 'window'), ('window_agg', 'agg'),
+                   ('stream_data', 'stream'), ('stream_data', 'data')),
                  qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
                         WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
                  dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
