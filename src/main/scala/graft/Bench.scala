@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query filter for targeted adjudication runs
+    // (quiet re-measures of flagged queries without paying the full surface)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     // JVM/codegen/session warmup so the first timed query doesn't absorb
     // several seconds of one-time initialization
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -27,6 +32,7 @@ object Bench {
       "q_dedup_minhash", "q_dedup_simhash", "q_heavy_hitters",
       "q_pipeline_e2e", "q_dedup_survivors", "q_pipeline_neardup",
       "q_triangles", "q_pagerank")
+      .filter(selected)
       .foreach { name =>
         // warmup must never fail the bench, but a silently-skipped name
         // (rename drift) would quietly time that pipeline cold — say so
@@ -43,7 +49,7 @@ object Bench {
     // the defensible one, not a narrative footnote. Sub-second queries
     // stay single-rep: their absolute noise is bounded by their size.
     val reps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(kv => selected(kv._1)).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -38,7 +38,7 @@ object Drift {
     * only partition the prefix scan.
     *
     * Plan: groupBy(value) count frame (distinct-value-sized,
-    * localCheckpoint'd — two consumers) → exact-percentile cut array
+    * localCheckpoint'd — two consumers) → approx-percentile cut array
     * over the DISTINCT values (balances buckets even when the raw
     * distribution is skewed: each bucket holds ≈ |distinct|/buckets
     * rows regardless of value mass) → per-bucket windowed running sums
@@ -58,8 +58,12 @@ object Drift {
         sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("cb"))
       .transform(Ckpt.apply)
     val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    // approx cuts, exact statistic: cut positions only PARTITION the
+    // prefix scan, so they cannot move D — and exact `percentile`
+    // buffers the whole distinct-value frame on one task (the
+    // single-task sort the Spearman rewrite measured at 10 s → 2 s)
     val cuts = counts.agg(
-      expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
+      expr(s"approx_percentile(x, array(${fracs.mkString(", ")}), 1000)").as("cuts"))
     // strict `>` against each cut: ties land in the lower bucket —
     // irrelevant to D, but keeps the assignment deterministic
     val bucketed = counts.crossJoin(broadcast(cuts))
@@ -103,7 +107,7 @@ object Drift {
     * statistic `2U₁ = Σ_v ca·(2·cumB(v) − cb)` stays an integer
     * (DECIMAL(38,0); the ½-tie term never leaves ℤ when doubled), and
     * the tie correction `Σ(k³−k)` likewise. The prefix `cumB` rides the
-    * [[ks]] machinery verbatim: distinct-value frame, exact-percentile
+    * [[ks]] machinery verbatim: distinct-value frame, approx-percentile
     * bucket cuts, per-bucket windows, bucket-totals offset broadcast —
     * no global single-partition window. */
   def mannWhitney(df: DataFrame, valueCol: String, labelCol: String,
@@ -117,8 +121,11 @@ object Drift {
         sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("cb"))
       .transform(Ckpt.apply)
     val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    // approx cuts for the same reason as [[ks]]: positions only
+    // partition the prefix scan and cannot change U or z (r8 ADVICE —
+    // exact percentile buffered the whole distinct frame on one task)
     val cuts = counts.agg(
-      expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
+      expr(s"approx_percentile(x, array(${fracs.mkString(", ")}), 1000)").as("cuts"))
     val bucketed = counts.crossJoin(broadcast(cuts))
       .select(col("x"), col("ca"), col("cb"),
         (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)")
@@ -228,6 +235,11 @@ object Drift {
     val cuts = vals
       .agg(expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("cuts"))
       .head().getSeq[Double](0).toArray
+    // a degenerate fit (±Inf/NaN values in the reference column) must
+    // fail HERE, not as an invalid literal in some later consumer's
+    // plan (r8 ADVICE — DriftStream.bucketize guards the same way)
+    require(cuts.forall(java.lang.Double.isFinite),
+      s"non-finite reference cuts from $valueCol: ${cuts.mkString(", ")}")
     val counts = vals
       .select((expr(s"aggregate(array(${cuts.mkString(", ")}), 0, " +
         "(a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)") + 1)

@@ -265,7 +265,8 @@ object Similarity {
     * (4dp) with neighbor-id tiebreak. */
   def annJoin(corpus: DataFrame, idCol: String, embCol: String,
       k: Int = 10, nPlanes: Int = 16, bands: Int = 8,
-      dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
+      dim: Int = 64, multiProbe: Boolean = true,
+      maxBucketVecs: Int = 0): DataFrame = {
     reg(corpus)
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
@@ -279,7 +280,24 @@ object Similarity {
     val sigd = corpus
       .withColumn("ks", expr(s"graft_hyperplane_keys($embCol, $nPlanes, $bands, $dim)"))
       .select(col(idCol).as("id"), col(embCol).as("e"), col("ks"))
-    val indexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
+    val rawIndexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
+    // maxBucketVecs > 0 = the HOT-BUCKET guard (the TextDedup
+    // bandBucketCandidates pattern): index-side buckets aggregate under
+    // a capped-set buffer (≤ cap + 1 longs per bucket, never the full
+    // membership) and buckets past the cap are dropped whole — kept
+    // buckets are provably untruncated, so per-bucket candidate fan-out
+    // is bounded by cap × probes. A pair is lost only if EVERY band
+    // bucket it shares is hot; buckets that hot are mass-duplication
+    // that exact dedup upstream owns. Requires long-ish ids (the
+    // capped-set aggregate is typed over Long).
+    val indexKeys =
+      if (maxBucketVecs <= 0) rawIndexKeys
+      else rawIndexKeys
+        .select(col("id").cast("long").as("id"), col("band"))
+        .groupBy("band")
+        .agg(graft.functions.CappedSetAgg.fn(maxBucketVecs + 1)(col("id")).as("ids"))
+        .filter(size(col("ids")) <= maxBucketVecs)
+        .select(col("band"), explode(col("ids")).as("id"))
     val probeExpr =
       if (multiProbe) expr(
         s"""flatten(transform(ks, k0 ->
@@ -302,6 +320,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("pid").as("id"), col("id").as("neighbor_id"),
         col("sim"), col("rank"))
+  }
+
+  /** Occupancy-derived sign bits per band: with n indexed vectors and
+    * w sign bits, expected bucket occupancy under a balanced hash is
+    * n / 2^w — so w = ceil(log2(n / targetBucket)) holds occupancy near
+    * `targetBucket` at ANY corpus size (the fix for occupancy-blind
+    * fixed parameters, which degrade toward quadratic candidate
+    * generation as n grows past 2^w × bucket). Clamped to
+    * [minW, maxW]. */
+  def planesPerBand(n: Long, targetBucket: Int = 32,
+      minW: Int = 2, maxW: Int = 16): Int = {
+    require(targetBucket > 0 && minW >= 1 && maxW >= minW)
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.min(maxW, math.max(minW, raw))
+  }
+
+  /** Banding-curve band count: per-band collision probability of a pair
+    * at cosine `simThreshold` under random hyperplanes is
+    * p = (1 − acos(sim)/π)^w, so `bands` independent bands catch it
+    * with probability 1 − (1 − p)^bands ≥ targetRecall when
+    * bands = ceil(ln(1 − targetRecall) / ln(1 − p)) — the OTHER half of
+    * the occupancy trade: raising w to keep buckets small LOWERS
+    * per-band recall, and the principled response is more bands (more
+    * hash tables — the published LSH cost of recall at scale), never
+    * fatter buckets. Multi-probe pushes effective recall above this
+    * floor, so the derived count is conservative. Clamped to
+    * [1, maxBands]. */
+  def bandsForRecall(w: Int, simThreshold: Double = 0.5,
+      targetRecall: Double = 0.8, maxBands: Int = 64): Int = {
+    require(simThreshold > 0 && simThreshold < 1 && targetRecall > 0 && targetRecall < 1)
+    val pBit = 1.0 - math.acos(simThreshold) / math.Pi
+    val p = math.pow(pBit, w)
+    val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt
+    math.min(maxBands, math.max(1, b))
+  }
+
+  /** OCCUPANCY-AWARE [[annJoin]] — the scale entry point: one scalar
+    * count of the corpus (a 1-row stat read, like every graft model
+    * fit) derives sign-bits-per-band from the target bucket occupancy
+    * ([[planesPerBand]]) and the band count from the banding curve at
+    * (`simThreshold`, `targetRecall`) ([[bandsForRecall]]), so candidate
+    * volume stays ≈ n × bands × targetBucket and recall stays on
+    * contract at ANY corpus size — at fixture scale (n ≈ 500,
+    * targetBucket 32, sim 0.5, recall 0.8) this reproduces exactly the
+    * measured 32-plane/8-band configuration, and at 10× the corpus it
+    * moves to finer buckets + more bands instead of letting each bucket
+    * grow 10× (candidate fan-out ∝ occupancy per probe, so fixed params
+    * degrade toward quadratic). `maxBucketVecs` defaults to 8× the
+    * target occupancy as a hard guard against skewed (non-uniform)
+    * bucket distributions — kept buckets are provably untruncated. */
+  def annJoinAuto(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int = 10, dim: Int = 64, targetBucket: Int = 32,
+      simThreshold: Double = 0.5, targetRecall: Double = 0.8,
+      multiProbe: Boolean = true, maxBucketVecs: Int = -1): DataFrame = {
+    val n = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0).count()
+    val w = planesPerBand(n, targetBucket)
+    val bands = bandsForRecall(w, simThreshold, targetRecall)
+    val cap = if (maxBucketVecs < 0) 8 * targetBucket else maxBucketVecs
+    annJoin(corpus, idCol, embCol, k, nPlanes = w * bands, bands = bands,
+      dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
   }
 
   /** Fit the IVF coarse quantizer: deterministic hash-sampled seed

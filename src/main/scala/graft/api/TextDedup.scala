@@ -147,27 +147,75 @@ object TextDedup {
   private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     shingles(df, idCol, textCol, n)
+      // normalize ids to non-null longs up front (the overlapPairs
+      // convention): the hot-bucket guard's capped-set aggregate is
+      // typed over Long, and normalizing HERE keeps the guarded and
+      // unguarded branches accepting identical inputs
+      .select(col("id").cast("long").as("id"), col("shingle"))
+      .filter(col("id").isNotNull)
       .groupBy("id").agg(collect_list("shingle").as("shs"))
+
+  /** Candidate pairs from (id, band_id, bh) LSH band keys via ONE
+    * grouped shuffle: buckets aggregate to a sorted id array (the
+    * [[overlapPairs]] posting-list shape, replacing the former two-sided
+    * band self-join), pairs are emitted INSIDE each bucket row with a
+    * HOF, then deduped across bands. `maxBucketDocs > 0` is the
+    * HOT-BUCKET guard: [[graft.functions.CappedSetAgg]] caps every
+    * aggregation buffer at maxBucketDocs + 1 ids — a degenerate bucket
+    * (boilerplate shards, near-empty docs sharing a signature) costs one
+    * reducer maxBucketDocs + 1 longs, never the full membership — and
+    * the `size ≤ cap` filter then drops it (kept buckets are provably
+    * untruncated, so their pair fan-out is bounded by cap² per bucket).
+    *
+    * Recall under the cap: a true near-dup pair is lost ONLY if every
+    * band bucket the pair co-occupies is hot — with b independent bands
+    * and per-band collision probability p = sim^(rows), the loss
+    * probability is (hot-band fraction)^(number of colliding bands), and
+    * a bucket beyond any sane cap (default 256) is boilerplate-grade
+    * duplication that exact/fingerprint dedup upstream should have
+    * removed anyway — the same recall argument as the jaccard family's
+    * `maxShingleDf` stop-shingle guard and the streaming twin's
+    * `maxBucketDocs` (StatefulOps.streamingNearDedup). */
+  private[graft] def bandBucketCandidates(bandKeys: DataFrame,
+      maxBucketDocs: Int): DataFrame = {
+    val grouped =
+      if (maxBucketDocs <= 0)
+        bandKeys.groupBy("band_id", "bh")
+          .agg(array_sort(collect_set("id")).as("ids"))
+      else
+        bandKeys.groupBy("band_id", "bh")
+          .agg(graft.functions.CappedSetAgg.fn(maxBucketDocs + 1)(col("id")).as("ids"))
+          .filter(size(col("ids")) <= maxBucketDocs)
+    // ids is a materialized aggregate column (not a computed HOF), so
+    // the repeated references in the pair expression are safe
+    // (CLAUDE.md invariant 5); CappedSetAgg returns pre-sorted ids
+    grouped.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), i ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               x -> struct(ids[i] AS id_a, x AS id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
 
   /** MinHash+LSH near-dup pairs: 32 deterministic hash functions banded
     * `bands` × (32/bands); candidates sharing a band bucket are verified
     * with EXACT Jaccard over shingle sets (precision 1.0, recall governed
-    * by the banding curve). Returns (id_a, id_b, jaccard) ≥ threshold. */
+    * by the banding curve). Candidate generation is the single-shuffle
+    * bucket-grouped form with the `maxBucketDocs` hot-bucket guard (see
+    * [[bandBucketCandidates]]; 0 disables — exact banding-curve recall,
+    * but one degenerate bucket then costs bucket-size² at scale).
+    * Returns (id_a, id_b, jaccard) ≥ threshold. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, bands: Int = 8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, bands: Int = 8,
+      maxBucketDocs: Int = 256): DataFrame = {
     val spark = df.sparkSession
     graft.functions.VectorExprs.register(spark)
     // (id, shingle-set) feeds the signature path AND both exact-verify
     // joins below — localCheckpoint so the tokenize+distinct subtree
     // runs once, not once per consumer (the r2 regression pattern)
     val docSh = docShingleSets(df, idCol, textCol, n).transform(Ckpt.apply)
-    val bandKeys = minhashBandKeys(docSh, bands)
-    val cand = bandKeys.as("a")
-      .join(bandKeys.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = bandBucketCandidates(minhashBandKeys(docSh, bands), maxBucketDocs)
     cand
       .join(docSh.select(col("id").as("id_a"), col("shs").as("sa")), "id_a")
       .join(docSh.select(col("id").as("id_b"), col("shs").as("sb")), "id_b")
@@ -201,8 +249,12 @@ object TextDedup {
     * not an old-corpus scan. Because hash family, banding, and verify
     * are shared with [[minhashPairs]], the result is EXACTLY the batch
     * operator's pairs over (old ∪ new) restricted to pairs touching a
-    * new doc (property-tested). Returns (id_a, id_b, jaccard) ≥
-    * `threshold`, id_a < id_b; ids must be unique across old ∪ new. */
+    * new doc (property-tested; exact whenever no band bucket exceeds
+    * the batch path's `maxBucketDocs` guard — the incremental bucket
+    * joins are index-equi-joins and need no cap, since their cost is
+    * new-batch × occupancy, never corpus²). Returns (id_a, id_b,
+    * jaccard) ≥ `threshold`, id_a < id_b; ids must be unique across
+    * old ∪ new. */
   def minhashPairsIncremental(newDf: DataFrame, index: DataFrame,
       oldDf: DataFrame, idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5, bands: Int = 8): DataFrame = {

@@ -219,8 +219,14 @@ object Governance {
     * the total crosses back as a 1-row broadcast (the documented
     * corpus-constant pattern). Doubles derive from exact counts and the
     * fixed-constant expectation through expressions both engines
-    * replay, floor-truncated 4dp (no Benford constant sits within 1e-6
-    * of a 1e-4 boundary, so the truncation is ulp-safe). */
+    * replay, floor-truncated 4dp. Ulp-safety: obs_freq is ONE correctly
+    * rounded division of exact integers (bit-identical on any IEEE
+    * engine), benford_freq's constants sit nowhere near a 1e-4 boundary
+    * — and chi2_term is computed FROM those two already-truncated
+    * values, so both engines floor identical inputs and a 1-ulp log10
+    * divergence can never reach the final truncation (the r8 ADVICE
+    * latent-flake fix: the raw-log10 form multiplied an engine-specific
+    * ulp by the data-dependent n_total). */
   private val qBenford = Q(
     "q_benford",
     (s, dir) => {
@@ -231,16 +237,17 @@ object Governance {
       val total = counts.agg(sum("cnt").as("n_total"))
       val exp = expr("log10(1.0 + 1.0 / cast(digit as double))")
       counts.crossJoin(broadcast(total))
-        .select(col("digit"), col("cnt"), col("n_total"),
-          (floor(col("cnt").cast("double") / col("n_total").cast("double")
-            * 10000) / 10000).as("obs_freq"),
-          (floor(exp * 10000) / 10000).as("benford_freq"),
-          (floor(expr("(cast(cnt as double) / cast(n_total as double)"
-            + " - log10(1.0 + 1.0 / cast(digit as double)))"
-            + " * (cast(cnt as double) / cast(n_total as double)"
-            + " - log10(1.0 + 1.0 / cast(digit as double)))"
-            + " / log10(1.0 + 1.0 / cast(digit as double))")
-            * col("n_total").cast("double") * 10000) / 10000).as("chi2_term"))
+        .withColumn("obs_freq",
+          floor(col("cnt").cast("double") / col("n_total").cast("double")
+            * 10000) / 10000)
+        .withColumn("benford_freq", floor(exp * 10000) / 10000)
+        // chi2 from the PRE-TRUNCATED frequencies: both engines see
+        // identical quantized inputs, so the final floor cannot flake
+        .withColumn("chi2_term",
+          floor((col("obs_freq") - col("benford_freq"))
+            * (col("obs_freq") - col("benford_freq")) / col("benford_freq")
+            * col("n_total").cast("double") * 10000) / 10000)
+        .select("digit", "cnt", "n_total", "obs_freq", "benford_freq", "chi2_term")
         .orderBy(asc_nulls_first("digit"))
     },
     Some("""WITH d AS (SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -248,20 +255,19 @@ object Governance {
                        FROM lineitem),
                  c AS (SELECT CAST(ds AS BIGINT) AS digit, count(*) AS cnt
                        FROM d GROUP BY 1),
-                 t AS (SELECT sum(cnt) AS n_total FROM c)
-            SELECT digit, CAST(cnt AS BIGINT) AS cnt,
-                   CAST(n_total AS BIGINT) AS n_total,
-                   floor(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
-                         * 10000) / 10000 AS obs_freq,
-                   floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000) / 10000
-                     AS benford_freq,
-                   floor((CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
-                          - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-                         * (CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
-                            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-                         / log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                 t AS (SELECT sum(cnt) AS n_total FROM c),
+                 f AS (SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+                              CAST(n_total AS BIGINT) AS n_total,
+                              floor(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+                                    * 10000) / 10000 AS obs_freq,
+                              floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                                    * 10000) / 10000 AS benford_freq
+                       FROM c, t)
+            SELECT digit, cnt, n_total, obs_freq, benford_freq,
+                   floor((obs_freq - benford_freq) * (obs_freq - benford_freq)
+                         / benford_freq
                          * CAST(n_total AS DOUBLE) * 10000) / 10000 AS chi2_term
-            FROM c, t
+            FROM f
             ORDER BY digit NULLS FIRST""")
   )
 

