@@ -28,7 +28,8 @@ object Bench {
     // different physical operators (broadcast vs shuffle joins), so a
     // small-fixture warmup compiles the wrong code. Standard
     // warm-run methodology; warmup time is excluded from the metric.
-    Seq("q_ann_join", "q_ann_ivf", "q_dedup_clusters", "q_dedup_ngram_jaccard",
+    Seq("q_ann_join", "q_ann_ivf", "q_ann_ivfpq", "q_dedup_clusters",
+      "q_dedup_ngram_jaccard",
       "q_dedup_minhash", "q_dedup_simhash", "q_heavy_hitters",
       "q_pipeline_e2e", "q_dedup_survivors", "q_pipeline_neardup",
       "q_triangles", "q_pagerank")

@@ -1,0 +1,205 @@
+package graft.api
+
+/** Pure-JVM audio/video container codec — the REAL decode step for the
+  * non-image modalities (companion to [[ImageCodec]], same contract):
+  * byte-level WAV (RIFF/WAVE, PCM 16-bit) encode/decode against the
+  * public RIFF spec, and ISO-BMFF (MP4, ISO/IEC 14496-12) box walking
+  * for video dimensions/duration. One tight byte loop per row, no
+  * javax.sound / media framework on the executor path (the spec suite
+  * cross-checks WAV against the JDK's own `javax.sound.sampled` as
+  * ground truth); corrupt payloads return None instead of throwing so
+  * one bad crawl record cannot kill a 10⁹-row scan.
+  */
+object MediaCodec {
+
+  /** Decoded audio container metadata. */
+  final case class AudioMeta(format: String, sampleRate: Long, channels: Long,
+      bitsPerSample: Long, nFrames: Long)
+
+  /** Decoded video container metadata (dims from the first track's
+    * tkhd, duration in ms from mvhd timescale/duration). */
+  final case class VideoMeta(format: String, width: Long, height: Long,
+      durationMs: Long, timescale: Long)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Encode PCM 16-bit samples as a real RIFF/WAVE file: RIFF header,
+    * canonical `fmt ` chunk (audio format 1 = PCM), `data` chunk with
+    * little-endian samples. Interleaved frames for multi-channel.
+    * Opens in any standards WAV reader (JDK AudioSystem round-trip is
+    * pinned in the spec suite). */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, s"bad wav params $sampleRate/$channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a whole number of $channels-channel frames")
+    val dataLen = samples.length * 2
+    val blockAlign = channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort)                       // PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * blockAlign)           // byte rate
+    out.putShort(blockAlign.toShort)
+    out.putShort(16.toShort)                      // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Parse RIFF/WAVE metadata: chunk walk to `fmt ` and `data` (extra
+    * chunks in between are skipped per spec, incl. odd-length padding).
+    * nFrames = data bytes / block align. None on non-WAV/truncated. */
+  def decodeWavMeta(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var i = 12
+    var meta: Option[(Int, Int, Int)] = None // rate, channels, bits
+    while (i + 8 <= bytes.length) {
+      val ct = tag(bytes, i)
+      val len = le32(bytes, i + 4)
+      if (len < 0 || i + 8 + len > bytes.length) return None
+      if (ct == "fmt ") {
+        if (len < 16) return None
+        val fmt = le16(bytes, i + 8)
+        if (fmt != 1) return None // PCM only
+        meta = Some((le32(bytes, i + 12), le16(bytes, i + 10), le16(bytes, i + 22)))
+      } else if (ct == "data") {
+        val (rate, ch, bits) = meta.getOrElse(return None)
+        if (ch <= 0 || bits <= 0) return None
+        val blockAlign = ch * (bits / 8)
+        if (blockAlign <= 0) return None
+        return Some(AudioMeta("wav", rate.toLong, ch.toLong, bits.toLong,
+          (len / blockAlign).toLong))
+      }
+      i += 8 + len + (len & 1) // RIFF chunks pad to even length
+    }
+    None
+  }
+
+  /** Full PCM16 sample decode (interleaved, little-endian). None on
+    * anything [[decodeWavMeta]] rejects or a non-16-bit stream. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(AudioMeta, Array[Short])] = {
+    val meta = decodeWavMeta(bytes) match {
+      case Some(m) if m.bitsPerSample == 16 => m
+      case _ => return None
+    }
+    // re-walk to the data chunk (decodeMeta proved it exists and fits)
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val ct = tag(bytes, i)
+      val len = le32(bytes, i + 4)
+      if (ct == "data") {
+        val n = len / 2
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) { out(k) = le16(bytes, i + 8 + k * 2).toShort; k += 1 }
+        return Some((meta, out))
+      }
+      i += 8 + len + (len & 1)
+    }
+    None
+  }
+
+  // ------------------------------------------------------------ MP4/BMFF
+
+  private def beBytes(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payload.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(beBytes(len)); out.write(tp.getBytes("US-ASCII"))
+    payload.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Encode a minimal REAL ISO-BMFF (MP4) header: `ftyp` (isom) +
+    * `moov` containing a version-0 `mvhd` (timescale, duration) and one
+    * `trak`/`tkhd` carrying width × height as the spec's 16.16 fixed
+    * point. Carries no media data — it is the moov metadata a container
+    * scan reads, with spec-correct box sizes and nesting. */
+  def encodeMp4Header(width: Int, height: Int, timescale: Int,
+      duration: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0 && duration >= 0,
+      s"bad mp4 params ${width}x$height $timescale/$duration")
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), beBytes(512),
+      "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"))
+    // mvhd v0: ver/flags, ctime, mtime, timescale, duration, rate,
+    // volume+reserved, 2×reserved, 9×matrix, 6×predefined, next_track_id
+    val mvhd = box("mvhd", beBytes(0), beBytes(0), beBytes(0),
+      beBytes(timescale), beBytes(duration), beBytes(0x00010000),
+      beBytes(0x01000000), beBytes(0), beBytes(0),
+      Array.fill(9)(beBytes(0)).flatten.toArray,
+      Array.fill(6)(beBytes(0)).flatten.toArray, beBytes(2))
+    // tkhd v0: ver/flags(enabled), ctime, mtime, track_id, reserved,
+    // duration, 2×reserved, layer+group, volume+reserved, 9×matrix,
+    // width 16.16, height 16.16
+    val tkhd = box("tkhd", beBytes(0x00000007), beBytes(0), beBytes(0),
+      beBytes(1), beBytes(0), beBytes(duration), beBytes(0), beBytes(0),
+      beBytes(0), beBytes(0),
+      Array.fill(9)(beBytes(0)).flatten.toArray,
+      beBytes(width << 16), beBytes(height << 16))
+    val moov = box("moov", mvhd, box("trak", tkhd))
+    ftyp ++ moov
+  }
+
+  /** ISO-BMFF box walk: find `moov`, read `mvhd` timescale/duration
+    * (version 0 or 1) and the first `trak`→`tkhd` width/height (16.16
+    * fixed → integer part). duration_ms = duration · 1000 / timescale
+    * in integer math. None for non-BMFF/truncated payloads. */
+  def decodeMp4Meta(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    // the first box must be a well-formed ftyp/styp/moov per BMFF
+    val first = tag(bytes, 4)
+    if (first != "ftyp" && first != "styp" && first != "moov") return None
+    var ts = 0L; var dur = -1L; var w = -1L; var h = -1L
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val len = be32(bytes, i)
+        if (len < 8 || i + len > end) return
+        val tp = tag(bytes, i + 4)
+        tp match {
+          case "moov" | "trak" if depth < 4 => walk(i + 8, i + len, depth + 1)
+          case "mvhd" if len >= 32 =>
+            val ver = bytes(i + 8) & 0xff
+            if (ver == 1 && len >= 44) {
+              ts = be32(bytes, i + 32).toLong & 0xffffffffL
+              dur = ((be32(bytes, i + 36).toLong & 0xffffffffL) << 32) |
+                (be32(bytes, i + 40).toLong & 0xffffffffL)
+            } else {
+              ts = be32(bytes, i + 20).toLong & 0xffffffffL
+              dur = be32(bytes, i + 24).toLong & 0xffffffffL
+            }
+          case "tkhd" if w < 0 && len >= 92 =>
+            // width/height are the LAST 8 bytes of tkhd in both v0 and
+            // v1 layouts (the v1 deltas are all before the matrix)
+            val off = i + len - 8
+            w = (be32(bytes, off).toLong & 0xffffffffL) >> 16
+            h = (be32(bytes, off + 4).toLong & 0xffffffffL) >> 16
+          case _ => ()
+        }
+        i += len
+      }
+    }
+    walk(0, bytes.length, 0)
+    if (ts <= 0 || dur < 0 || w <= 0 || h <= 0) None
+    else Some(VideoMeta("mp4", w, h, dur * 1000L / ts, ts))
+  }
+}

@@ -282,7 +282,89 @@ object Multimodal {
             FROM r ORDER BY doc_id""")
   )
 
+  /** Real decoded audio statistics. */
+  final case class AudioRow(doc_id: Long, sample_rate: Long, channels: Long,
+      n_frames: Long, duration_ms: Long, s_sum: Long, s_min: Long, s_max: Long)
+
+  /** REAL WAV decode (graft.api.MediaCodec): a spec-conformant
+    * RIFF/WAVE PCM16 payload is built per doc (rate/channels/samples
+    * from fixture arithmetic) and chunk-walked + sample-decoded back —
+    * the oracle predicts every decoded sample stat, so RIFF layout,
+    * little-endian framing, or interleave bugs break the hash. The JDK's
+    * own javax.sound is the spec suite's ground truth. */
+  private val qAudioDecode = Q(
+    "q_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nFrames = ((id % 441) + 20).toInt
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val ch = ((id % 2) + 1).toInt
+          val samples = Array.tabulate(nFrames * ch)(k =>
+            (((id * 17 + k * 29) % 65536) - 32768).toShort)
+          val bytes = graft.api.MediaCodec.encodeWavPcm16(rate, ch, samples)
+          val (m, out) = graft.api.MediaCodec.decodeWavPcm16(bytes).get
+          AudioRow(id, m.sampleRate, m.channels, m.nFrames,
+            m.nFrames * 1000L / m.sampleRate,
+            out.map(_.toLong).sum, out.min.toLong, out.max.toLong)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 441) + 20 AS nf,
+                              8000 + (doc_id % 5) * 4000 AS rate,
+                              (doc_id % 2) + 1 AS ch
+                       FROM documents),
+                 p AS (SELECT doc_id, nf, rate, ch,
+                         list_transform(generate_series(0, nf * ch - 1), k ->
+                           ((doc_id * 17 + k * 29) % 65536) - 32768) AS s
+                       FROM d)
+            SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(ch AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+                   CAST((nf * 1000) // rate AS BIGINT) AS duration_ms,
+                   CAST(list_sum(s) AS BIGINT) AS s_sum,
+                   CAST(list_min(s) AS BIGINT) AS s_min,
+                   CAST(list_max(s) AS BIGINT) AS s_max
+            FROM p ORDER BY doc_id""")
+  )
+
+  /** Real decoded video-container metadata. */
+  final case class VideoRow(doc_id: Long, format: String, width: Long,
+      height: Long, duration_ms: Long, timescale: Long)
+
+  /** REAL MP4 header decode (graft.api.MediaCodec): a spec-correct
+    * ISO-BMFF ftyp+moov(mvhd, trak/tkhd) header is built per doc and
+    * box-walked back — tkhd 16.16 dims, mvhd timescale/duration →
+    * integer duration_ms; the oracle replays the arithmetic. */
+  private val qVideoMeta = Q(
+    "q_video_meta",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = ((id % 624) + 16).toInt
+          val h = ((id % 344) + 16).toInt
+          val dur = ((id % 3000) + 600).toInt
+          val bytes = graft.api.MediaCodec.encodeMp4Header(w, h, 600, dur)
+          val m = graft.api.MediaCodec.decodeMp4Meta(bytes).get
+          VideoRow(id, m.format, m.width, m.height, m.durationMs, m.timescale)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 'mp4' AS format,
+              CAST((doc_id % 624) + 16 AS BIGINT) AS width,
+              CAST((doc_id % 344) + 16 AS BIGINT) AS height,
+              CAST((((doc_id % 3000) + 600) * 1000) // 600 AS BIGINT) AS duration_ms,
+              CAST(600 AS BIGINT) AS timescale
+            FROM documents ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
-    qImageMeta, qImageDecode, qImageResize)
+    qImageMeta, qImageDecode, qImageResize,
+    qAudioDecode, qVideoMeta)
 }

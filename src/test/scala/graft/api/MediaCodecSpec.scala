@@ -1,0 +1,81 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import javax.sound.sampled.AudioSystem
+
+/** Byte-level validation of the audio/video codec against the JDK's own
+  * javax.sound.sampled as ground truth (WAV), plus structural checks of
+  * the ISO-BMFF walk — the [[ImageCodecSpec]] discipline applied to the
+  * remaining modalities.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def samples(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(k => (((id * 17 + k * 29) % 65536) - 32768).toShort)
+
+  test("encodeWavPcm16 round-trips through our own decoder (mono + stereo)") {
+    for (ch <- Seq(1, 2)) {
+      val s = samples(5L, 120 * ch)
+      val bytes = MediaCodec.encodeWavPcm16(16000, ch, s)
+      val (m, out) = MediaCodec.decodeWavPcm16(bytes).get
+      assert(m == MediaCodec.AudioMeta("wav", 16000L, ch.toLong, 16L, 120L))
+      assert(out.sameElements(s), s"sample mismatch at channels=$ch")
+    }
+  }
+
+  test("encodeWavPcm16 output is a standards WAV: javax.sound decodes identical format and bytes") {
+    val s = samples(9L, 200)
+    val bytes = MediaCodec.encodeWavPcm16(22050, 2, s)
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 22050f && fmt.getChannels == 2
+      && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian, fmt.toString)
+    assert(in.getFrameLength == 100, s"frames ${in.getFrameLength}")
+    val raw = in.readAllBytes()
+    assert(raw.length == 400)
+    // little-endian PCM16 bytes must be OUR sample bytes verbatim
+    val decoded = Array.tabulate(200)(k =>
+      ((raw(k * 2) & 0xff) | (raw(k * 2 + 1) << 8)).toShort)
+    assert(decoded.sameElements(s), "javax.sound read different samples")
+  }
+
+  test("decodeWavMeta skips foreign chunks (LIST before fmt) and honors odd-length padding") {
+    val s = samples(3L, 50)
+    val base = MediaCodec.encodeWavPcm16(8000, 1, s)
+    // splice an odd-length LIST chunk between WAVE and fmt — readers
+    // must skip it plus its pad byte per the RIFF spec
+    val foreign = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = base.take(12) ++ foreign ++ base.drop(12)
+    // patch the RIFF size field (little-endian at offset 4)
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte
+    spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    val (m, out) = MediaCodec.decodeWavPcm16(spliced).get
+    assert(m.nFrames == 50 && out.sameElements(s), m.toString)
+  }
+
+  test("encodeMp4Header round-trips dims/duration through the box walk") {
+    for ((w, h, ts, dur) <- Seq((640, 360, 600, 3600), (16, 16, 90000, 0), (1920, 1080, 1000, 123456))) {
+      val m = MediaCodec.decodeMp4Meta(MediaCodec.encodeMp4Header(w, h, ts, dur)).get
+      assert(m == MediaCodec.VideoMeta("mp4", w.toLong, h.toLong,
+        dur.toLong * 1000L / ts, ts.toLong), m.toString)
+    }
+  }
+
+  test("corrupt / truncated / foreign payloads return None, never throw") {
+    val wav = MediaCodec.encodeWavPcm16(8000, 1, samples(1L, 30))
+    val mp4 = MediaCodec.encodeMp4Header(320, 240, 600, 600)
+    assert(MediaCodec.decodeWavMeta(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decodeWavMeta("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(MediaCodec.decodeWavMeta(wav.take(40)).isEmpty) // truncated data chunk
+    assert(MediaCodec.decodeWavMeta(mp4).isEmpty)
+    assert(MediaCodec.decodeMp4Meta(wav).isEmpty)
+    assert(MediaCodec.decodeMp4Meta(mp4.take(20)).isEmpty) // moov truncated away
+    // a PNG through the video/audio parsers must also be a clean None
+    val png = ImageCodec.encodePngGray(3, 3, Array.fill(9)(7))
+    assert(MediaCodec.decodeWavMeta(png).isEmpty && MediaCodec.decodeMp4Meta(png).isEmpty)
+  }
+}
