@@ -1034,6 +1034,23 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(batch == streamed, s"batch $batch != streamed $streamed")
   }
 
+  test("PSI drift: sub-second windows keep distinct millisecond start keys (no whole-second aliasing)") {
+    // the r9 ADVICE fix: window_start_ms via unix_millis — the previous
+    // cast-to-long×1000 truncated to whole seconds, so two 500 ms
+    // windows inside one second emitted the SAME key
+    val refDf = (0 until 100).map(i => (i % 10).toDouble).toDF("v")
+    val ref = graft.api.Drift.fitPsiReference(refDf, "v", nBins = 5)
+    val base = 1700000000000L // second-aligned
+    val rows = (0 until 40).map(i => (base + i * 100L, (i % 10).toDouble))
+    val out = DriftStream.psiBatch(
+        rows.toDF("ts_ms", "v").withColumn("ts_t", timestamp_millis(col("ts_ms"))),
+        "ts_t", "v", ref, width = "500 milliseconds")
+      .select("window_start_ms").as[Long].collect().sorted
+    // 4 s of data → 8 distinct 500 ms windows, keys 500 apart
+    assert(out.toSeq == (0 until 8).map(base + _ * 500L),
+      s"aliased window keys: ${out.mkString(",")}")
+  }
+
   test("streaming attribution ≡ batch q_attribution on in-order replay, click state crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
