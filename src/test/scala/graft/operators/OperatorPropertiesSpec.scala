@@ -1978,7 +1978,10 @@ class OperatorPropertiesSpec extends SparkTestBase {
 
   test("ann occupancy derivation: bucket occupancy bounded at two corpus sizes; fixture params reproduced") {
     import graft.api.Similarity
-    // the derivation lands exactly on the measured fixture configuration
+    // formula pins: at (n=500, bucket 32, sim 0.5) the derivation gives
+    // the r8 hand-tuned 32-plane/8-band shape; the REGISTERED queries
+    // derive at the 0.4 edge threshold (more bands — the calibration
+    // graft.tools.AnnRecall measured on contract at sf0.01 and sf0.1)
     assert(Similarity.planesPerBand(500, 32) == 4)
     assert(Similarity.bandsForRecall(4, 0.5, 0.8) == 8)
     // at 16× the corpus the derivation moves to finer buckets + more
