@@ -322,6 +322,75 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
+  /** UNDIRECTED ANN pair generation — the clustering form of
+    * [[annJoin]]: same band-key index/probe streams and hot-bucket
+    * guard, but candidates keep only `pid < id` (hamming-1 probing is
+    * symmetric under XOR, so the undirected candidate set is identical
+    * while the verify work halves), there is NO per-probe top-k window
+    * (one whole shuffle+sort deleted), and every exact-cosine-verified
+    * pair ≥ `threshold` is returned rather than each probe's best k —
+    * for connected-components clustering, k-truncation only LOSES
+    * edges, so this is both faster AND higher-recall than filtering
+    * [[annJoin]] output. Returns (id_a, id_b, sim), id_a < id_b,
+    * precision 1.0 (edges are exact-verified; only recall is
+    * probabilistic). */
+  def annPairs(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nPlanes: Int = 16, bands: Int = 8,
+      dim: Int = 64, multiProbe: Boolean = true,
+      maxBucketVecs: Int = 0): DataFrame = {
+    reg(corpus)
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val w = nPlanes / bands
+    val sigd = corpus
+      .withColumn("ks", expr(s"graft_hyperplane_keys($embCol, $nPlanes, $bands, $dim)"))
+      .select(col(idCol).as("id"), col(embCol).as("e"), col("ks"))
+    val rawIndexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
+    val indexKeys =
+      if (maxBucketVecs <= 0) rawIndexKeys
+      else rawIndexKeys
+        .select(col("id").cast("long").as("id"), col("band"))
+        .groupBy("band")
+        .agg(graft.functions.CappedSetAgg.fn(maxBucketVecs + 1)(col("id")).as("ids"))
+        .filter(size(col("ids")) <= maxBucketVecs)
+        .select(col("band"), explode(col("ids")).as("id"))
+    val probeExpr =
+      if (multiProbe) expr(
+        s"""flatten(transform(ks, k0 ->
+              concat(array(k0), transform(sequence(0, ${w - 1}),
+                r -> cast(k0 ^ shiftleft(1L, r) AS BIGINT)))))""")
+      else col("ks")
+    val probeKeys = sigd.select(col("id").as("pid"), explode(probeExpr).as("band"))
+    val cand = probeKeys
+      .join(indexKeys, "band")
+      .filter(col("pid") < col("id"))
+      .select(col("pid").as("id_a"), col("id").as("id_b")).distinct()
+    val em = sigd.select(col("id"), col("e"))
+    cand
+      .join(em.select(col("id").as("id_a"), col("e").as("ea")), "id_a")
+      .join(em.select(col("id").as("id_b"), col("e").as("eb")), "id_b")
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[annPairs]] with the [[annJoinAuto]] occupancy/banding-curve
+    * derivation (one scalar corpus count; hard bucket cap at 8× the
+    * target occupancy). `simThreshold` is BOTH the edge threshold and
+    * the banding-curve operating point — for pair generation they are
+    * the same quantity, which is the calibration [[annJoinAuto]]'s
+    * separate contract threshold had to be told about. */
+  def annPairsAuto(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, dim: Int = 64, targetBucket: Int = 32,
+      targetRecall: Double = 0.8, multiProbe: Boolean = true,
+      maxBucketVecs: Int = -1): DataFrame = {
+    val n = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0).count()
+    val w = planesPerBand(n, targetBucket)
+    val bands = bandsForRecall(w, threshold, targetRecall)
+    val cap = if (maxBucketVecs < 0) 8 * targetBucket else maxBucketVecs
+    annPairs(corpus, idCol, embCol, threshold, nPlanes = w * bands,
+      bands = bands, dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
+  }
+
   /** Occupancy-derived sign bits per band: with n indexed vectors and
     * w sign bits, expected bucket occupancy under a balanced hash is
     * n / 2^w — so w = ceil(log2(n / targetBucket)) holds occupancy near

@@ -136,6 +136,16 @@ class OperatorPropertiesSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!pairPlan.contains("BroadcastNestedLoopJoin") && !pairPlan.contains("CartesianProduct"),
       "ANN pair generation degenerated to a non-equi join\n" + pairPlan)
+    // the UNDIRECTED pair operator the cluster query actually runs (r9):
+    // equi-join only, and NO Window at all — deleting the per-probe
+    // top-k rank is the point of the rewrite
+    val upPlan = graft.api.Similarity.annPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 32, bands = 8, dim = 64, maxBucketVecs = 256)
+      .queryExecution.executedPlan.toString
+    assert(!upPlan.contains("BroadcastNestedLoopJoin") && !upPlan.contains("CartesianProduct"),
+      "annPairs degenerated to a non-equi join\n" + upPlan)
+    assert(!upPlan.contains("Window"),
+      "annPairs must not plan a window — the rank-free form is the point\n" + upPlan)
   }
 
   test("ivf join recovers ≥ 60% of the exact near-dup pairs (recall, 4-probe of 16 cells)") {
