@@ -91,6 +91,24 @@ object VectorOps {
     None
   )
 
+  /** UNDIRECTED ANN near-dup pairs ≥ 0.4 (Similarity.annPairsAuto) —
+    * the rank-free clustering/dedup form of q_ann_join: every
+    * exact-verified pair at the edge threshold, no per-probe top-k
+    * truncation, each unordered pair verified once. The approximate
+    * scale path of the exact q_embed_neardup baseline (precision 1.0
+    * by the exact verify; recall measured on contract by
+    * graft.tools.AnnRecall at sf0.01 and sf0.1). Approximate → no SQL
+    * oracle. */
+  private val qAnnPairs = Q(
+    "q_ann_pairs",
+    (s, dir) =>
+      Similarity.annPairsAuto(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.4, dim = 64, targetBucket = 32, targetRecall = 0.8)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
+        .orderBy("vec_a", "vec_b"),
+    None
+  )
+
   /** IVF JOIN: the coarse-quantizer ANN variant (hash-seeded centers +
     * one Lloyd round, 4-probe cells, exact re-rank) — same output shape
     * as q_ann_join; recall property-tested vs the exact pairs. */
@@ -320,7 +338,7 @@ object VectorOps {
             FROM q ORDER BY vec_id""")
   )
 
-  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnIvf,
-    qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn, qEmbedQuantize,
-    qEmbedPq)
+  val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
+    qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
+    qEmbedQuantize, qEmbedPq)
 }

@@ -97,6 +97,20 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ann-join recall $recall ($hit/${exact.size})")
   }
 
+  test("ann pairs (rank-free): precision exactly 1.0, recall ≥ 0.8 vs exact near-dup pairs") {
+    val exact = graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val ann = graft.SparkEntry.queries("q_ann_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // precision is STRUCTURAL: every returned pair is exact-cosine
+    // verified at the same threshold the exact baseline uses, so the
+    // result must be a subset of the exact pairs — not approximately
+    assert((ann -- exact).isEmpty, s"invented pairs: ${ann -- exact}")
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"ann-pairs recall $recall")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
   test("ann clusters: exact edge precision, cluster-pair recall ≥ 0.8 vs exact labels, equi-join-only plan") {
     // the scale composition (annJoin pairs → star contraction) against
     // the exact-pair clustering it approximates
