@@ -180,15 +180,25 @@ object ImageCodec {
     None
   }
 
+  /** Decode-side allocation bound: a corrupt/adversarial header
+    * claiming giant dims must return None BEFORE any allocation — a
+    * 1 KB payload declaring 2³⁰×2³⁰ would otherwise OOM the executor
+    * (one poisoned crawl record killing a 10⁹-row stage). 64 MPx
+    * covers every sane training-data image; raise deliberately if a
+    * pipeline really ships gigapixel scans. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** FULL PNG decode for 8-bit grayscale, non-interlaced images: chunk
     * walk (all IDAT segments concatenated), zlib inflate, and per-row
     * UNFILTERING of all five spec filter types. Returns (w, h,
-    * row-major pixels 0–255); None on anything unsupported/corrupt. */
+    * row-major pixels 0–255); None on anything unsupported/corrupt,
+    * including headers whose claimed dims exceed [[MaxDecodePixels]]. */
   def decodePngGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val meta = decodeMeta(bytes) match {
       case Some(m) if m.format == "png" && m.bitDepth == 8 && m.channels == 1 => m
       case _ => return None
     }
+    if (meta.width * meta.height > MaxDecodePixels) return None
     val w = meta.width.toInt; val h = meta.height.toInt
     if ((bytes(26) & 0xff) != 0 || (bytes(28) & 0xff) != 0) return None // compression/interlace
     // walk chunks, concatenating IDAT payloads

@@ -363,8 +363,48 @@ object Multimodal {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** Per-source rollup of decoded image stats. */
+  final case class MmRollupRow(source: String, n_docs: Long, total_px: Long,
+      max_w: Long, min_h: Long)
+
+  /** Multimodal PIPELINE composition: corpus filter → REAL PNG decode
+    * (the full byte round trip per doc) → per-source relational rollup
+    * — the shape a curation pipeline runs (decode cost rides the
+    * data-parallel scan; the rollup is one map-side-combining hash
+    * aggregate over the decoder's typed output). Integer-only outputs,
+    * byte-based length filter (octet_length on both engines — char
+    * semantics differ cross-engine on non-ASCII). */
+  private val qPipelineMultimodal = Q(
+    "q_pipeline_multimodal",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(octet_length(col("text")) >= 200)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          val (w, h) = synthDims(id)
+          val bytes = graft.api.ImageCodec.encodePngGray(w, h, synthPixels(id, w, h))
+          val (dw, dh, px) = graft.api.ImageCodec.decodePngGray(bytes).get
+          MmRollupRow(src, 1L, px.length.toLong, dw.toLong, dh.toLong)
+        })
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("total_px").as("total_px"),
+          max("max_w").as("max_w"), min("min_h").as("min_h"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH f AS (SELECT doc_id, source FROM documents
+                       WHERE octet_length(encode(text)) >= 200),
+                 d AS (SELECT source, (doc_id % 31) + 2 AS w, (doc_id % 17) + 2 AS h
+                       FROM f)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w * h) AS BIGINT) AS total_px,
+                   CAST(max(w) AS BIGINT) AS max_w,
+                   CAST(min(h) AS BIGINT) AS min_h
+            FROM d GROUP BY source ORDER BY source NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
     qImageMeta, qImageDecode, qImageResize,
-    qAudioDecode, qVideoMeta)
+    qAudioDecode, qVideoMeta, qPipelineMultimodal)
 }

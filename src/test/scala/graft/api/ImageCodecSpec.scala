@@ -90,6 +90,23 @@ class ImageCodecSpec extends AnyFunSuite {
       || ImageCodec.decodePngGray(flipped).isDefined) // must not throw either way
   }
 
+  test("adversarial header dims are rejected before allocation (no executor OOM)") {
+    // forge the IHDR of a tiny valid PNG to claim 2^15 × 2^15 pixels —
+    // decode must return None WITHOUT attempting the ~1 GiB raw buffer
+    val good = ImageCodec.encodePngGray(4, 4, pix(2L, 4, 4))
+    val forged = good.clone()
+    def putBe32(off: Int, v: Int): Unit = {
+      forged(off) = (v >>> 24).toByte; forged(off + 1) = (v >>> 16).toByte
+      forged(off + 2) = (v >>> 8).toByte; forged(off + 3) = v.toByte
+    }
+    putBe32(16, 32768); putBe32(20, 32768) // IHDR width/height
+    assert(ImageCodec.decodePngGray(forged).isEmpty,
+      "giant claimed dims must be rejected up front")
+    // the meta parse itself still reports what the header SAYS — the
+    // bound is a decode-allocation guard, not a metadata lie-detector
+    assert(ImageCodec.decodeMeta(forged).exists(_.width == 32768L))
+  }
+
   test("resizeNearest uses floor(dst·src/dstDim) index mapping exactly") {
     val (w, h) = (4, 2)
     val px = Array(10, 20, 30, 40, 50, 60, 70, 80)
