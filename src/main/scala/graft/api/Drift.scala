@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** OCCUPANCY-DERIVED bucket count for the two-level distributed
+    * prefix scans ([[ks]]/[[mannWhitney]], and [[Profiler.spearman]]'s
+    * rank scan): with nDistinct values and b buckets, each
+    * `Window.partitionBy(bucket)` partition carries ≈ nDistinct/b rows,
+    * so a FIXED b quietly becomes "1/b of the corpus through one window
+    * partition" as data grows — the same class of occupancy blindness
+    * the r8 ANN flag named. Derive b = ceil(nDistinct /
+    * `targetRowsPerBucket`), clamped to [64, 4096] (the cut array and
+    * bucket-totals broadcast stay ≤ 4096 entries — still
+    * corpus-size-independent; past 4096 × 256Ki ≈ 1B distinct values,
+    * raise the target deliberately). The nDistinct read is one scalar
+    * count of the already-built distinct frame — the
+    * stat-read class CLAUDE.md invariant 3 documents. */
+  private[graft] def scanBuckets(nDistinct: Long,
+      targetRowsPerBucket: Long = 262144L): Int =
+    math.min(4096L, math.max(64L,
+      (nDistinct + targetRowsPerBucket - 1) / targetRowsPerBucket)).toInt
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the
     * `valueCol` distributions of `labelA` and `labelB` rows:
     * `D = max_x |F_A(x) − F_B(x)|` evaluated at every observed value
@@ -48,8 +66,9 @@ object Drift {
     * corpus-constant exemption.
     */
   def ks(df: DataFrame, valueCol: String, labelCol: String,
-      labelA: String, labelB: String, buckets: Int = 64): DataFrame = {
-    require(buckets >= 2, s"buckets must be ≥2, got $buckets")
+      labelA: String, labelB: String, buckets: Int = 0): DataFrame = {
+    require(buckets == 0 || buckets >= 2,
+      s"buckets must be ≥2 (or 0 = occupancy-derived), got $buckets")
     val counts = df
       .filter(col(labelCol).isin(labelA, labelB) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("x"))
@@ -57,7 +76,11 @@ object Drift {
         sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("cb"))
       .transform(Ckpt.apply)
-    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    // 0 = derive from the distinct-frame size ([[scanBuckets]]) so
+    // per-window rows stay bounded at any corpus size; bucket count
+    // cannot move D (boundaries only partition the prefix scan)
+    val b = if (buckets > 0) buckets else scanBuckets(counts.count())
+    val fracs = (1 until b).map(i => i.toDouble / b)
     // approx cuts, exact statistic: cut positions only PARTITION the
     // prefix scan, so they cannot move D — and exact `percentile`
     // buffers the whole distinct-value frame on one task (the
@@ -111,8 +134,9 @@ object Drift {
     * bucket cuts, per-bucket windows, bucket-totals offset broadcast —
     * no global single-partition window. */
   def mannWhitney(df: DataFrame, valueCol: String, labelCol: String,
-      labelA: String, labelB: String, buckets: Int = 64): DataFrame = {
-    require(buckets >= 2, s"buckets must be ≥2, got $buckets")
+      labelA: String, labelB: String, buckets: Int = 0): DataFrame = {
+    require(buckets == 0 || buckets >= 2,
+      s"buckets must be ≥2 (or 0 = occupancy-derived), got $buckets")
     val counts = df
       .filter(col(labelCol).isin(labelA, labelB) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("x"))
@@ -120,7 +144,8 @@ object Drift {
         sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("cb"))
       .transform(Ckpt.apply)
-    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val b = if (buckets > 0) buckets else scanBuckets(counts.count())
+    val fracs = (1 until b).map(i => i.toDouble / b)
     // approx cuts for the same reason as [[ks]]: positions only
     // partition the prefix scan and cannot change U or z (r8 ADVICE —
     // exact percentile buffered the whole distinct frame on one task)

@@ -374,15 +374,19 @@ object Profiler {
     * integers; one fixed double expression, floor-4dp. Returns one row
     * `(n_rows, spearman)`. */
   def spearman(df: DataFrame, xCol: String, yCol: String,
-      buckets: Int = 64): DataFrame = {
-    require(buckets >= 2, s"buckets must be ≥2, got $buckets")
+      buckets: Int = 0): DataFrame = {
+    require(buckets == 0 || buckets >= 2,
+      s"buckets must be ≥2 (or 0 = occupancy-derived), got $buckets")
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .transform(Ckpt.apply) // consumed by both rank builds and the join
     def rankFrame(c: String): DataFrame = {
       val counts = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
         .transform(Ckpt.apply)
-      val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+      // 0 = bound per-window rows at any scale (Drift.scanBuckets);
+      // bucket boundaries cannot move ranks or the statistic
+      val b = if (buckets > 0) buckets else Drift.scanBuckets(counts.count())
+      val fracs = (1 until b).map(i => i.toDouble / b)
       // APPROX cuts on purpose: bucket boundaries only partition the
       // prefix scan — they cannot move the ranks or the statistic — so
       // the cheap mergeable sketch replaces an exact-percentile sort

@@ -555,7 +555,7 @@ object Extras {
     "q_spearman",
     (s, dir) =>
       graft.api.Profiler.spearman(Tables.lineitem(s, dir),
-          xCol = "l_quantity", yCol = "l_extendedprice", buckets = 64),
+          xCol = "l_quantity", yCol = "l_extendedprice"),
     Some("""WITH r AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
                        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
                  cx AS (SELECT x AS v, count(*) AS k FROM r GROUP BY x),

@@ -23,7 +23,7 @@ object Governance {
     "q_drift_ks",
     (s, dir) =>
       Drift.ks(Tables.events(s, dir), "value", "event_type",
-          labelA = "click", labelB = "purchase", buckets = 64)
+          labelA = "click", labelB = "purchase")
         .select(round(col("ks"), 4).as("ks"), col("n_a"), col("n_b")),
     Some("""WITH c AS (SELECT value AS x,
                          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
@@ -359,7 +359,7 @@ object Governance {
     "q_drift_mw",
     (s, dir) =>
       Drift.mannWhitney(Tables.events(s, dir), "value", "event_type",
-          labelA = "click", labelB = "purchase", buckets = 64),
+          labelA = "click", labelB = "purchase"),
     Some("""WITH c AS (SELECT value AS x,
                          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
                          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb

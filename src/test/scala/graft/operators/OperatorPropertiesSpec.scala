@@ -1692,6 +1692,27 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("ECDF scan buckets: occupancy-derived count bounded; KS statistic invariant to bucketing") {
+    import graft.api.Drift
+    // derivation: floor 64, ceil 4096, ∝ distinct count between
+    assert(Drift.scanBuckets(0) == 64)
+    assert(Drift.scanBuckets(1000000) == 64)
+    assert(Drift.scanBuckets(100000000L) == 382)
+    assert(Drift.scanBuckets(10000000000L) == 4096)
+    // the statistic is provably bucket-invariant (boundaries only
+    // partition the prefix scan) — pin it by running the SAME data at
+    // wildly different bucket counts plus the derived default
+    import spark.implicits._
+    val vals = (1 to 500).map(i => (i * 7 % 101 + i * 0.25, if (i % 3 == 0) "A" else "B"))
+    val df = vals.toDF("v", "lab")
+    val at = (b: Int) => Drift.ks(df, "v", "lab", "A", "B", buckets = b)
+      .head().getDouble(0)
+    val auto = Drift.ks(df, "v", "lab", "A", "B").head().getDouble(0)
+    assert(at(2) == at(64) && at(64) == at(300) && at(64) == auto,
+      s"bucketing moved the statistic: ${at(2)} / ${at(64)} / ${at(300)} / $auto")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
   test("Drift.ks ≡ brute-force ECDF model; 0 on identical, 1 on disjoint samples") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
