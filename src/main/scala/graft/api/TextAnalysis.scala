@@ -49,6 +49,96 @@ object TextAnalysis {
       .drop("__toks" +: langs.indices.map(i => s"__s$i"): _*)
   }
 
+  /** Default character-trigram language profiles for
+    * [[languageIdNgram]] — the classic n-gram profile method (Cavnar &
+    * Trenkle, "N-Gram-Based Text Categorization", 1994) reduced to a
+    * small discriminative-trigram set per language. Leading/trailing
+    * spaces in a trigram bind it to word boundaries (the text is
+    * space-padded before counting). All weights are the implicit 1 so
+    * scores stay EXACT INTEGERS — cross-engine argmax can never be a
+    * float-ulp flake.
+    *
+    * Profiles are tuned for DISCRIMINATIVENESS against English technical
+    * vocabulary (measured: "der"←order, "ue "/"que"/" qu"←value/query
+    * were the only candidate trigrams colliding with the fixture's
+    * token distribution and were dropped); the 8-sentence
+    * real-language panel in OperatorPropertiesSpec pins behavior. */
+  val defaultTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+      " of", "of ", "ion", " to", "to ", " in", "ed "),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", "as ", " el", "el ",
+      "ón ", "ión", " es", "ado", "año", "ien", " y "),
+    "de" -> Seq(" zu", "sch", "ich", "cht", "ung", "für", "das", "die",
+      "wir", " im", "ein", "übe", "eit", "auf", "ahr"),
+    "fr" -> Seq(" le", "les", " la", "aux", "eur", " et", "ait", "eau",
+      "ouv", "où ", " je", "ez ", " à ", "à l", "oir"))
+
+  /** Character-TRIGRAM language ID — the n-gram PROFILE method (vs
+    * [[languageId]]'s word-dictionary form): per language, the sum of
+    * occurrence counts of its profile trigrams in the space-padded
+    * lowercased text; argmax with first-listed priority on ties; total
+    * score 0 → "und". Counting is `(len − len(remove(tg))) DIV 3` per
+    * trigram — pure builtin string ops, codegen'd, and EXACT integers,
+    * so the DuckDB oracle (generated from the SAME profile constant by
+    * [[trigramOracleSql]]) can never ulp-diverge. Adds `pred_lang` and
+    * `ng_score` (the winning count). Per-row cost is |profiles| ×
+    * |trigrams| replace+length scans — bounded constants riding the
+    * data-parallel scan. */
+  def languageIdNgram(df: DataFrame, textCol: String,
+      profiles: Seq[(String, Seq[String])] = defaultTrigramProfiles): DataFrame = {
+    profiles.foreach { case (_, tgs) =>
+      require(tgs.forall(t => t.length == 3 && !t.contains("'")),
+        "profile entries must be quote-free trigrams")
+    }
+    val padded = concat(lit(" "), lower(coalesce(col(textCol), lit(""))), lit(" "))
+    val scored = profiles.zipWithIndex.foldLeft(df.withColumn("__t", padded)) {
+      case (acc, ((_, tgs), i)) =>
+        // (len − len(remove(tg))) DIV 3 = occurrence count — LITERAL
+        // replace + integer DIV, the exact expression the oracle
+        // generator mirrors (both engines: builtin replace, no regex)
+        val terms = tgs.map(tg =>
+          s"(length(__t) - length(replace(__t, '$tg', ''))) DIV 3")
+        acc.withColumn(s"__s$i", expr(terms.mkString(" + ")).cast("long"))
+    }
+    val langs = profiles.map(_._1)
+    val allZero = langs.indices.map(i => s"__s$i = 0").mkString(" AND ")
+    val cases = langs.indices.map { i =>
+      val geRest = (i + 1 until langs.length).map(j => s"__s$i >= __s$j")
+      val cond = if (geRest.isEmpty) "TRUE" else geRest.mkString(" AND ")
+      s"WHEN $cond THEN '${langs(i)}'"
+    }.mkString(" ")
+    scored
+      .withColumn("pred_lang", expr(s"CASE WHEN $allZero THEN 'und' $cases END"))
+      .withColumn("ng_score",
+        expr(s"greatest(${langs.indices.map(i => s"__s$i").mkString(", ")})"))
+      .drop(langs.indices.map(i => s"__s$i"): _*)
+      .drop("__t")
+  }
+
+  /** The DuckDB mirror of [[languageIdNgram]]'s scoring, generated from
+    * the SAME profile constant so the two sides cannot drift. Returns
+    * the per-language score select-expressions and the CASE expression,
+    * for embedding in an oracle CTE over `(doc_id, text)`. */
+  def trigramOracleSql(textExpr: String,
+      profiles: Seq[(String, Seq[String])] = defaultTrigramProfiles): (Seq[String], String) = {
+    val padded = s"' ' || lower(coalesce($textExpr, '')) || ' '"
+    val scores = profiles.zipWithIndex.map { case ((_, tgs), i) =>
+      val terms = tgs.map { tg =>
+        val esc = tg.replace("'", "''")
+        s"(length($padded) - length(replace($padded, '$esc', ''))) // 3"
+      }
+      s"(${terms.mkString(" + ")}) AS s$i"
+    }
+    val langs = profiles.map(_._1)
+    val allZero = langs.indices.map(i => s"s$i = 0").mkString(" AND ")
+    val cases = langs.indices.map { i =>
+      val geRest = (i + 1 until langs.length).map(j => s"s$i >= s$j")
+      val cond = if (geRest.isEmpty) "TRUE" else geRest.mkString(" AND ")
+      s"WHEN $cond THEN '${langs(i)}'"
+    }.mkString(" ")
+    (scores, s"CASE WHEN $allZero THEN 'und' $cases END")
+  }
+
   /** Quality score in [0,1]: length saturation (40%), type-token ratio
     * (40%), average token length saturation (20%). Adds n_tok, ttr,
     * quality columns. */

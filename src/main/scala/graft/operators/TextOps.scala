@@ -47,6 +47,32 @@ object TextOps {
             FROM sc ORDER BY doc_id""")
   )
 
+  /** Language ID by character-TRIGRAM profiles (Cavnar & Trenkle's
+    * n-gram profile method — the companion to q_lang_id's dictionary
+    * form): per language, the sum of literal-trigram occurrence counts
+    * in the space-padded lowercased text; argmax, priority tiebreak,
+    * zero total → 'und'. Scores are EXACT INTEGERS ((len − len(remove))
+    * DIV 3 per trigram — builtin string ops on both engines), and the
+    * oracle SQL is GENERATED from the same profile constant
+    * (TextAnalysis.trigramOracleSql), so the two sides cannot drift. */
+  private val qLangIdNgram = Q(
+    "q_lang_id_ngram",
+    (s, dir) =>
+      graft.api.TextAnalysis.languageIdNgram(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("pred_lang"), col("ng_score"))
+        .orderBy("doc_id"),
+    Some {
+      val (scores, caseExpr) = graft.api.TextAnalysis.trigramOracleSql("text")
+      val greatest = s"greatest(${scores.indices.map(i => s"s$i").mkString(", ")})"
+      s"""WITH sc AS (SELECT doc_id,
+              ${scores.mkString(",\n              ")}
+            FROM documents)
+            SELECT doc_id, $caseExpr AS pred_lang,
+                   CAST($greatest AS BIGINT) AS ng_score
+            FROM sc ORDER BY doc_id"""
+    }
+  )
+
   /** Quality scoring: length saturation, type-token ratio, and average
     * token length blended into [0,1]. Pure per-row math. */
   private val qQualityScore = Q(
@@ -1390,7 +1416,7 @@ object TextOps {
             FROM j GROUP BY g ORDER BY g NULLS FIRST""")
   )
 
-  val all: Seq[Q] = Seq(qTextStats, qLangId, qQualityScore, qTokenCount, qZipfFit,
+  val all: Seq[Q] = Seq(qTextStats, qLangId, qLangIdNgram, qQualityScore, qTokenCount, qZipfFit,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
     qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,

@@ -1692,6 +1692,29 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("trigram language ID: 8-sentence real-language panel classified correctly; und on empty/null") {
+    import spark.implicits._
+    val panel = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and runs into the forest to find food"),
+      ("en", "we propose a new method for training large language models on distributed systems"),
+      ("es", "el gobierno de la nación anunció que las elecciones se celebrarán en el mes de junio"),
+      ("es", "los niños juegan en el parque y sus padres están sentados en las bancas"),
+      ("de", "die bundesregierung hat beschlossen dass wir für die zukunft mehr in bildung investieren"),
+      ("de", "ich möchte ein neues auto kaufen aber die preise sind in diesem jahr gestiegen"),
+      ("fr", "le gouvernement français a annoncé que les élections auront lieu au mois de juin"),
+      ("fr", "je voudrais acheter une nouvelle voiture mais les prix ont augmenté cette année"))
+    val out = graft.api.TextAnalysis.languageIdNgram(
+        panel.toDF("want", "text"), "text")
+      .select("want", "pred_lang").as[(String, String)].collect()
+    out.foreach { case (want, got) => assert(want == got, s"want $want got $got") }
+    // degenerate inputs: no trigram hits → 'und', never a crash
+    val und = graft.api.TextAnalysis.languageIdNgram(
+        Seq((1, ""), (2, null: String), (3, "xyz")).toDF("id", "text"), "text")
+      .select("pred_lang").as[String].collect()
+    assert(und.forall(_ == "und"), und.mkString(","))
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
   test("ECDF scan buckets: occupancy-derived count bounded; KS statistic invariant to bucketing") {
     import graft.api.Drift
     // derivation: floor 64, ceil 4096, ∝ distinct count between
