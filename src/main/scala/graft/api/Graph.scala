@@ -97,6 +97,49 @@ object Graph {
       .drop("csum")
   }
 
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007,
+    * made order-free): every node starts labeled with its own id; each
+    * round, every node adopts the most frequent label among its
+    * neighbors, ties broken by MIN label; nodes without neighbors keep
+    * their current label. A FIXED round count with synchronous updates
+    * (all nodes read the previous round's labels) makes the result a
+    * pure function of the edge set — no visit order, no randomness —
+    * so the unrolled rounds are oracle-replayable SQL, unlike classic
+    * asynchronous LPA whose output depends on node scan order.
+    *
+    * Scale shape per round: one equi-join of the (undirected) edge list
+    * against the node-sized label frame, one (node, label) count
+    * aggregation, one per-node top-1 window — all hash-partitioned by
+    * node id, never all-pairs. `rounds` is small and fixed (community
+    * structure on near-dup graphs stabilizes in a few rounds); the
+    * label frame is localCheckpoint'd each round so the unrolled plan
+    * doesn't deepen (the CC-operator discipline).
+    *
+    * Output: (`id`, `community`) for every id in `allIds`. Integer-only
+    * — hash-exact on any engine. */
+  def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
+      allIds: DataFrame, idCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be ≥1, got $rounds")
+    val und = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    val ids = allIds.select(col(idCol).cast("long").as("id"))
+    var labels = ids.withColumn("lab", col("id"))
+    for (r <- 1 to rounds) {
+      val top = und
+        .join(labels.select(col("id").as("v"), col("lab")), "v")
+        .groupBy(col("u").as("id"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lab").as("new_lab"))
+      val next = labels.join(top, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab"))
+      labels = if (r < rounds) Ckpt(next) else next
+    }
+    labels.select(col("id"), col("lab").as("community"))
+  }
+
   def pageRank(pairs: DataFrame, srcCol: String, dstCol: String,
       allIds: DataFrame, idCol: String,
       iterations: Int = 3, damping: Double = 0.85,

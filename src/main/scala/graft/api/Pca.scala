@@ -1,0 +1,163 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed principal-component analysis over an embedding column —
+  * the standard preprocessing step in front of vector indexing (OPQ-style
+  * rotation/whitening before product quantization, variance-ranked
+  * dimension pruning before ANN) and the corpus-drift lens ("did the new
+  * crawl move the embedding cloud?").
+  *
+  * Shape: ONE aggregation pass collapses the corpus to its second-moment
+  * frame — `n`, `Σv` (d doubles) and `Σ vvᵀ` (d² doubles, flattened) via
+  * the element-wise [[graft.functions.VecSumAgg]] with map-side partial
+  * aggregation — so the driver sees a single row of d²+d+1 doubles
+  * (d = 64 → ~33 KB), never data. The eigendecomposition runs on the
+  * driver over the d×d covariance (cyclic Jacobi — model-sized, the
+  * ML-fit exemption class, like [[Similarity.fitIvf]]'s centroid
+  * materialization). Projection is a map-side expression over literal
+  * component vectors: no shuffle, no join, corpus never moves.
+  *
+  * Determinism: Jacobi with a fixed cyclic sweep order is a pure
+  * function of the covariance; eigenvector SIGN is pinned by making the
+  * largest-|coordinate| entry positive (ties → lowest index), and equal
+  * eigenvalues order by original dimension index.
+  */
+object Pca {
+
+  /** `components(j)` is the j-th unit eigenvector (descending
+    * eigenvalue); `eigenvalues` are the corresponding covariance
+    * eigenvalues (variance along each component). */
+  final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]],
+      totalVariance: Double) {
+    /** λᵢ / trace(C) — fraction of TOTAL corpus variance along each
+      * retained component (not of the retained subspace). */
+    def varianceExplained: Array[Double] =
+      if (totalVariance <= 0) eigenvalues.map(_ => 0.0)
+      else eigenvalues.map(_ / totalVariance)
+  }
+
+  /** One corpus pass → covariance → driver-side Jacobi. Rows with null
+    * or wrong-dimension vectors are excluded (the [[VecSumAgg]] ragged
+    * guard would otherwise throw). */
+  def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(dim >= 2, s"dim must be ≥2, got $dim")
+    require(k >= 1 && k <= dim, s"k must be in [1,$dim], got $k")
+    val row = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VecSumAgg.fn(col("v")).as("s1"),
+        graft.functions.VecSumAgg.fn(
+          flatten(transform(col("v"), x =>
+            transform(col("v"), y => x * y)))).as("s2"))
+      .head() // MODEL-sized: 1 row of d²+d+1 doubles (the ML-fit exemption)
+    val n = row.getLong(0)
+    require(n >= 2, s"need ≥2 vectors of dim $dim to fit PCA, got $n")
+    val s1 = row.getSeq[Double](1).toArray
+    val s2 = row.getSeq[Double](2).toArray
+    val mean = s1.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      s2(i * dim + j) / n - mean(i) * mean(j))
+    val (evals, evecs) = jacobiEig(cov)
+    // order: eigenvalue desc, tie → original index asc; sign: largest
+    // |coordinate| positive, tie → lowest index
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(k)
+    val comps = order.map { j =>
+      val v = Array.tabulate(dim)(i => evecs(i)(j))
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v.map(x => -x) else v
+    }.toArray
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    PcaModel(dim, n, mean, order.map(evals).toArray, comps, trace)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS).
+    * Fixed sweep order (upper triangle row-major), fixed sweep budget,
+    * early exit when off-diagonal mass underflows — deterministic. */
+  private[graft] def jacobiEig(m: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-13): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < maxSweeps && off > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 → 45° rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Project every vector onto the model's top components: output
+    * (`idCol`, `pc_1`…`pc_k`), each `pc_j = (v − mean)·c_j` rounded
+    * 4dp. The mean folds into a per-component scalar offset on the
+    * driver (`pc_j = v·c_j − mean·c_j`), so the projection references
+    * the RAW vector column only — no computed HOF column is referenced
+    * twice (the CollapseProject re-evaluation hazard), and the whole
+    * thing is a map-side expression over literals. */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val base = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === model.dim)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val pcs = model.components.zipWithIndex.map { case (comp, j) =>
+      val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      round(
+        aggregate(
+          zip_with(col("__v"), typedLit(comp.toSeq), (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x) - lit(offset),
+        4).as(s"pc_${j + 1}")
+    }
+    base.select((col(idCol) +: pcs.toSeq): _*)
+  }
+}

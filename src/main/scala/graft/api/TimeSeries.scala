@@ -378,6 +378,52 @@ object TimeSeries {
       .drop("__cn", "__c1", "__c2")
   }
 
+  /** Per-key CUSUM changepoint scan (Page 1954): for each key's
+    * time-ordered series, the cumulative deviation from the key mean
+    * `S_i = Σ_{j≤i}(x_j − x̄)` peaks at the most likely single
+    * changepoint; the row of max |S_i| (ties → earliest) is reported
+    * with the normalized statistic `max|S_i| / n`.
+    *
+    * INTEGER-exact core (the q_correlation discipline): instead of
+    * dividing by n early, the scan uses the common-denominator form
+    * `S'_i = n·cum_i − i·T` (so S_i = S'_i/n) over 4dp-QUANTIZED
+    * cumulative sums: `cum` accumulates as DECIMAL(30,10) (order-proof),
+    * quantizes via `floor(double(cum)·1e4)` (the proven cross-engine
+    * cast), and S' is then pure BIGINT arithmetic — the argmax compares
+    * exact integers, so the changepoint row is engine-exact; the one
+    * float division happens after selection. Magnitude bound:
+    * |S'| ≤ n·|cum|·1e4 must fit a long — holds for keyed series (the
+    * per-key contract all window ops here share); a key with ~10⁹ rows
+    * of ~10³ values would need the DECIMAL variant.
+    *
+    * Scale: all three window frames share ONE hash partitioning on the
+    * key (one exchange, in-partition sorts); no global window, no join.
+    * Output: key, `n`, `cp_idx` (1-based position), `cp_ts_ms`,
+    * `cusum_stat`. */
+  def cusum(df: DataFrame, keyCol: String, tsMsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsMsCol).asc_nulls_first, col(idCol).asc_nulls_first)
+    val cumF = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fullF = Window.partitionBy(keyCol)
+    val x = col(valueCol).cast("decimal(30,10)")
+    df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__q", floor(sum(x).over(cumF).cast("double") * 10000))
+      .withColumn("__n", count(lit(1)).over(fullF))
+      .withColumn("__qt", floor(sum(x).over(fullF).cast("double") * 10000))
+      .withColumn("__a",
+        abs(col("__n") * col("__q") - col("__i") * col("__qt")))
+      .withColumn("__rn", row_number().over(Window.partitionBy(keyCol)
+        .orderBy(col("__a").desc, col("__i").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__n").as("n"), col("__i").as("cp_idx"),
+        col(tsMsCol).cast("long").as("cp_ts_ms"),
+        (floor(col("__a").cast("double") / (col("__n") * lit(10000.0)) * 10000)
+          / 10000).as("cusum_stat"))
+  }
+
   /** Per-key autocorrelation function: Pearson correlation between the
     * resampled series and itself shifted by `1..maxLag` buckets — the
     * periodicity probe ("does traffic echo hour-over-hour?"). The series

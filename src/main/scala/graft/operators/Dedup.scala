@@ -664,6 +664,71 @@ object Dedup {
             FROM r3 CROSS JOIN nn ORDER BY doc_id""")
   )
 
+  /** Deterministic synchronous label propagation
+    * (graft.api.Graph.labelPropagation, 3 rounds) over the SAME
+    * trigram-Jaccard near-dup pair graph as q_pagerank: every doc
+    * starts labeled with its own id, then repeatedly adopts the most
+    * frequent neighbor label (ties → min) — communities denser than
+    * connected components (q_dedup_clusters merges anything touching;
+    * LPA keeps weakly-bridged clusters apart). Synchronous fixed-round
+    * updates make it a pure integer function of the edge set, so the
+    * oracle unrolls the identical 3 rounds. Per round: one equi-join of
+    * the edge list to the node-sized label frame + one count aggregate
+    * + one per-node top-1 window — all keyed by node id, never
+    * all-pairs. */
+  private val qLabelProp = Q(
+    "q_label_prop",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      graft.api.Graph.labelPropagation(pairs, "id_a", "id_b",
+          docs, "doc_id", rounds = 3)
+        .select(col("id").as("doc_id"), col("community"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                       UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+                 n1 AS (SELECT e.u AS id, l.lab, count(*) AS c
+                        FROM e JOIN l0 l ON l.id = e.v GROUP BY 1, 2),
+                 t1 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lab) AS rn FROM n1),
+                 l1 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                        FROM l0 l LEFT JOIN (SELECT id, lab FROM t1 WHERE rn = 1) t
+                          ON t.id = l.id),
+                 n2 AS (SELECT e.u AS id, l.lab, count(*) AS c
+                        FROM e JOIN l1 l ON l.id = e.v GROUP BY 1, 2),
+                 t2 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lab) AS rn FROM n2),
+                 l2 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                        FROM l1 l LEFT JOIN (SELECT id, lab FROM t2 WHERE rn = 1) t
+                          ON t.id = l.id),
+                 n3 AS (SELECT e.u AS id, l.lab, count(*) AS c
+                        FROM e JOIN l2 l ON l.id = e.v GROUP BY 1, 2),
+                 t3 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lab) AS rn FROM n3),
+                 l3 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                        FROM l2 l LEFT JOIN (SELECT id, lab FROM t3 WHERE rn = 1) t
+                          ON t.id = l.id)
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(lab AS BIGINT) AS community
+            FROM l3 ORDER BY doc_id""")
+  )
+
   /** Triangle census (graft.api.Graph.triangleStats) over the SAME
     * trigram-Jaccard near-dup pair graph as q_pagerank: one row of exact
     * counts (nodes, edges, wedges, triangles) — transitivity
@@ -837,5 +902,5 @@ object Dedup {
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
-    qTriangles, qCorpusDiff, qFuzzyJoin, qDegrees)
+    qLabelProp, qTriangles, qCorpusDiff, qFuzzyJoin, qDegrees)
 }

@@ -209,6 +209,87 @@ object Governance {
             ORDER BY lang NULLS FIRST, len_bucket NULLS FIRST""")
   )
 
+  /** t-closeness audit of documents' `source` (the sensitive attribute)
+    * within (lang, 100-char length bucket) quasi-classes, t = 0.15:
+    * variational distance between each class's source mix and the
+    * corpus-wide one — the leak k-anonymity and l-diversity both miss
+    * (a large, diverse class whose mix is still far from background).
+    * One cell-count aggregation + margin-cardinality contingency spine
+    * (the q_drift_chi2 exemption class); the summed term is exact
+    * DECIMAL(38,0) integer arithmetic, one final division
+    * ([[graft.api.Privacy.tCloseness]]). */
+  private val qTCloseness = Q(
+    "q_t_closeness",
+    (s, dir) =>
+      Privacy.tCloseness(
+          Tables.documents(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
+          Seq("lang", "len_bucket"), "source", t = 0.15)
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("len_bucket")),
+    Some("""WITH cells AS (SELECT lang, n_chars // 100 AS len_bucket, source,
+                                  count(*) AS cc
+                           FROM documents GROUP BY 1, 2, 3),
+                 cls AS (SELECT lang, len_bucket, sum(cc) AS class_size
+                         FROM cells GROUP BY 1, 2),
+                 g AS (SELECT source, sum(cc) AS gc FROM cells GROUP BY 1),
+                 tot AS (SELECT sum(cc) AS n FROM cells),
+                 j AS (SELECT c.lang, c.len_bucket, c.class_size, t.n,
+                              abs(CAST(coalesce(x.cc, 0) AS HUGEINT) * t.n
+                                  - CAST(g.gc AS HUGEINT) * c.class_size) AS term
+                       FROM cls c CROSS JOIN g CROSS JOIN tot t
+                       LEFT JOIN cells x
+                         ON x.lang IS NOT DISTINCT FROM c.lang
+                        AND x.len_bucket IS NOT DISTINCT FROM c.len_bucket
+                        AND x.source = g.source),
+                 r AS (SELECT lang, len_bucket, class_size,
+                              round(CAST(sum(term) AS DOUBLE)
+                                    / (2.0 * class_size * n), 4) AS t_dist
+                       FROM j GROUP BY lang, len_bucket, class_size, n)
+            SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+                   CAST(class_size AS BIGINT) AS class_size, t_dist,
+                   CAST(t_dist > 0.15 AS BIGINT) AS at_risk
+            FROM r
+            ORDER BY lang NULLS FIRST, len_bucket NULLS FIRST""")
+  )
+
+  /** Differentially-private event counts by type (ε = 1, sensitivity-1
+    * counts, Laplace b = 1): the noise is DETERMINISTIC — drawn through
+    * the inverse CDF from a uniform derived from
+    * `md5(event_type:seed)`'s first 8 hex digits — so the release is
+    * reproducible and the oracle replays the identical mechanism
+    * (md5, positional hex arithmetic, one ln) in DuckDB. Noise is
+    * computed on the GROUP frame (5 rows), never per event
+    * ([[graft.api.Privacy.dpCounts]]). */
+  private val qDpCounts = Q(
+    "q_dp_counts",
+    (s, dir) =>
+      Privacy.dpCounts(Tables.events(s, dir), Seq("event_type"),
+          epsilon = 1.0, seed = "graft-dp-1")
+        .orderBy(asc_nulls_first("event_type")),
+    Some("""WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+                 h AS (SELECT event_type, n,
+                              md5(concat(event_type, ':', 'graft-dp-1')) AS hh
+                       FROM g),
+                 v AS (SELECT event_type, n,
+                              (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 1
+                            + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 256
+                            + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1) * 4096
+                            + (strpos('0123456789abcdef', substring(hh, 5, 1)) - 1) * 65536
+                            + (strpos('0123456789abcdef', substring(hh, 6, 1)) - 1) * 1048576
+                            + (strpos('0123456789abcdef', substring(hh, 7, 1)) - 1) * 16777216
+                            + (strpos('0123456789abcdef', substring(hh, 8, 1)) - 1) * 268435456
+                              AS vv
+                       FROM h),
+                 u AS (SELECT event_type, n,
+                              (CAST(vv AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+                       FROM v)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   floor((n + (CASE WHEN uu - 0.5 < 0 THEN 1.0 ELSE -1.0 END)
+                              * ln(1.0 - 2.0 * abs(uu - 0.5))) * 10000) / 10000
+                     AS noisy_n
+            FROM u ORDER BY event_type NULLS FIRST""")
+  )
+
   /** Benford first-digit audit of `l_extendedprice` — the classic
     * fabricated-numbers screen: observed first-significant-digit
     * frequencies against Benford's log₁₀(1+1/d) expectation, with each
@@ -395,5 +476,6 @@ object Governance {
   )
 
   val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
-    qScd2, qKAnonymity, qLDiversity, qBenford, qGini, qUserGini, qDriftMw)
+    qScd2, qKAnonymity, qLDiversity, qTCloseness, qDpCounts, qBenford,
+    qGini, qUserGini, qDriftMw)
 }

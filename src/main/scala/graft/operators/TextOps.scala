@@ -526,6 +526,73 @@ object TextOps {
     val stopwords = Seq("the", "a", "of", "and", "to")
     def sqlList: String = stopwords.mkString("['", "','", "']")
   }
+  /** In-engine quality-classifier training
+    * ([[graft.api.Classifier.logisticFit]]): 3 full-batch GD iterations
+    * of logistic regression predicting `lang = 'en'` from two cheap
+    * shape features (log char length, whitespace-token count / 100) —
+    * the "fit the fastText-style quality gate on the corpus itself"
+    * step. Per iteration ONE map-side-combined gradient aggregation;
+    * the weight vector rides between iterations as the sanctioned
+    * 1-row broadcast (the pageRank N pattern). Per-row gradient/loss
+    * terms quantize to DECIMAL(30,10) before summing, so the oracle's
+    * identically-unrolled 3 iterations see exactly-agreed sums. */
+  private val qLogisticFit = Q(
+    "q_logistic_fit",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.api.Classifier.logisticFit(d,
+        label = (col("lang") === "en").cast("double"),
+        features = Seq(
+          log(col("n_chars").cast("double") + lit(1.0)),
+          size(split(col("text"), " ")).cast("double") / lit(100.0)),
+        iterations = 3, lr = 0.1)
+    },
+    Some("""WITH b AS (SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+                   ln(CAST(n_chars AS DOUBLE) + 1.0) AS x0,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1
+                 FROM documents),
+                 w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+                 g1c AS (SELECT count(*) AS n,
+                   sum(CAST(1.0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g0,
+                   sum(CAST(x0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g1,
+                   sum(CAST(x1 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g2,
+                   max(w0) AS pw0, max(w1) AS pw1, max(w2) AS pw2
+                 FROM b CROSS JOIN w0c),
+                 w1c AS (SELECT pw0 - 0.1*(CAST(g0 AS DOUBLE)/n) AS w0,
+                                pw1 - 0.1*(CAST(g1 AS DOUBLE)/n) AS w1,
+                                pw2 - 0.1*(CAST(g2 AS DOUBLE)/n) AS w2 FROM g1c),
+                 g2cc AS (SELECT count(*) AS n,
+                   sum(CAST(1.0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g0,
+                   sum(CAST(x0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g1,
+                   sum(CAST(x1 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g2,
+                   max(w0) AS pw0, max(w1) AS pw1, max(w2) AS pw2
+                 FROM b CROSS JOIN w1c),
+                 w2c AS (SELECT pw0 - 0.1*(CAST(g0 AS DOUBLE)/n) AS w0,
+                                pw1 - 0.1*(CAST(g1 AS DOUBLE)/n) AS w1,
+                                pw2 - 0.1*(CAST(g2 AS DOUBLE)/n) AS w2 FROM g2cc),
+                 g3c AS (SELECT count(*) AS n,
+                   sum(CAST(1.0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g0,
+                   sum(CAST(x0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g1,
+                   sum(CAST(x1 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g2,
+                   max(w0) AS pw0, max(w1) AS pw1, max(w2) AS pw2
+                 FROM b CROSS JOIN w2c),
+                 w3c AS (SELECT pw0 - 0.1*(CAST(g0 AS DOUBLE)/n) AS w0,
+                                pw1 - 0.1*(CAST(g1 AS DOUBLE)/n) AS w1,
+                                pw2 - 0.1*(CAST(g2 AS DOUBLE)/n) AS w2 FROM g3c),
+                 fin AS (SELECT count(*) AS n,
+                   sum(CAST(-(y * ln(1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))))
+                        + (1.0 - y) * ln(1.0 - 1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1)))))
+                       AS DECIMAL(30,10))) AS lsum,
+                   max(w0) AS fw0, max(w1) AS fw1, max(w2) AS fw2
+                 FROM b CROSS JOIN w3c)
+            SELECT CAST(n AS BIGINT) AS n,
+                   floor(fw0 * 10000) / 10000 AS w0,
+                   floor(fw1 * 10000) / 10000 AS w1,
+                   floor(fw2 * 10000) / 10000 AS w2,
+                   floor(CAST(lsum AS DOUBLE) / n * 10000) / 10000 AS loss
+            FROM fin""")
+  )
+
   private val qGopherRules = Q(
     "q_gopher_rules",
     (s, dir) =>
@@ -1421,7 +1488,7 @@ object TextOps {
     qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qBm25Search, qRepStats,
-    qGopherRules, qDsirWeights,
+    qGopherRules, qDsirWeights, qLogisticFit,
     qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,

@@ -338,7 +338,51 @@ object VectorOps {
             FROM q ORDER BY vec_id""")
   )
 
+  /** PCA projection of every embedding onto the top-4 principal
+    * components ([[graft.api.Pca]]): one second-moment aggregation pass
+    * (map-side partial, 1-row d²+d+1 result — the ML-fit exemption),
+    * driver-side Jacobi on the 64×64 covariance, then a pure map-side
+    * projection over LITERAL component vectors (mean folded into a
+    * scalar offset so only the raw vector column is referenced — no
+    * HOF re-evaluation). No SQL oracle (the eigenbasis is the model);
+    * covered by the two-run self-check and the plain-Scala parity
+    * property in PcaSpec. */
+  private val qEmbedPca = Q(
+    "q_embed_pca",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.api.Pca.fit(emb, "embedding", dim = 64, k = 4)
+      graft.api.Pca.project(emb, "vec_id", "embedding", model)
+        .orderBy("vec_id")
+    },
+    None
+  )
+
+  /** PCA spectrum summary: top-8 eigenvalues of the embedding
+    * covariance with per-component and cumulative variance-explained —
+    * the "how many dimensions actually matter" report that sizes OPQ /
+    * dimension-pruning decisions. Model-sized output (8 rows) from the
+    * same single corpus pass as [[qEmbedPca]]. */
+  private val qPcaVariance = Q(
+    "q_pca_variance",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val model = graft.api.Pca.fit(Tables.embeddings(s, dir), "embedding",
+        dim = 64, k = 8)
+      val ve = model.varianceExplained
+      val cum = ve.scanLeft(0.0)(_ + _).drop(1)
+      model.eigenvalues.indices.map { i =>
+        (i + 1L, math.floor(model.eigenvalues(i) * 10000) / 10000,
+          math.floor(ve(i) * 10000) / 10000,
+          math.floor(cum(i) * 10000) / 10000)
+      }.toSeq.toDF("component", "eigenvalue", "var_explained", "cum_var_explained")
+        .orderBy("component")
+    },
+    None
+  )
+
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
-    qEmbedQuantize, qEmbedPq)
+    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance)
 }

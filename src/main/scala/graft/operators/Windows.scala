@@ -569,6 +569,47 @@ object Windows {
     * quantized to ints, five DECIMAL(38,0) moment sums, one fixed double
     * expression, floor-truncated at 4dp. The lag shift is an equi-join
     * on (event_type, bucket + lag) — no window, no cross product. */
+  /** Per-user CUSUM changepoint scan over the event-value series: the
+    * row where the cumulative deviation from the user mean peaks (the
+    * most likely single level-shift point), with the normalized
+    * statistic max|S_i|/n. Integer-exact argmax over 4dp-quantized
+    * cumulative sums in the common-denominator form `n·cum_i − i·T` —
+    * the one float division happens after the row is selected, so the
+    * chosen changepoint is engine-exact ([[graft.api.TimeSeries.cusum]]).
+    * All frames share one hash partitioning on user_id: one exchange,
+    * no join, no global window. */
+  private val qChangepoint = Q(
+    "q_changepoint",
+    (s, dir) =>
+      graft.api.TimeSeries.cusum(Tables.events(s, dir),
+          keyCol = "user_id", tsMsCol = "ts_ms", idCol = "event_id",
+          valueCol = "value")
+        .orderBy(asc_nulls_first("user_id")),
+    Some("""WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS i,
+                   sum(CAST(value AS DECIMAL(30,10))) OVER (PARTITION BY user_id
+                     ORDER BY epoch_ms(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   sum(CAST(value AS DECIMAL(30,10))) OVER (PARTITION BY user_id) AS tot
+                 FROM events
+                 WHERE value IS NOT NULL AND user_id IS NOT NULL),
+                 q AS (SELECT user_id, ts_ms, i, n,
+                         abs(n * CAST(floor(CAST(cum AS DOUBLE) * 10000) AS BIGINT)
+                             - i * CAST(floor(CAST(tot AS DOUBLE) * 10000) AS BIGINT)) AS a
+                       FROM o),
+                 r AS (SELECT user_id, ts_ms, i, n, a,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY a DESC, i) AS rn
+                       FROM q)
+            SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n,
+                   i AS cp_idx, CAST(ts_ms AS BIGINT) AS cp_ts_ms,
+                   floor(CAST(a AS DOUBLE) / (n * 10000.0) * 10000) / 10000
+                     AS cusum_stat
+            FROM r WHERE rn = 1 ORDER BY user_id NULLS FIRST""")
+  )
+
   private val qAutocorr = Q(
     "q_autocorr",
     (s, dir) =>
@@ -947,6 +988,6 @@ object Windows {
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
-    qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag)
+    qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint)
 }
 

@@ -155,10 +155,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_drift_mw" -> "1-row bucket-prefix-totals broadcast (the q_drift_ks scan)",
       "q_spearman" -> "1-row bucket-prefix-totals + n broadcasts (the q_drift_ks scan x2 columns)",
       "q_drift_chi2" -> "margin-cardinality contingency spine cross (R×C cells, corpus-size-independent)",
+      "q_t_closeness" -> "margin-cardinality contingency spine cross (class×sensitive cells, corpus-size-independent)",
       "q_benford" -> "1-row corpus-constant broadcast (total count)",
       "q_burstiness" -> "1-row corpus-constant broadcast (doc count N)",
       "q_churn" -> "1-row time-range broadcast (lo/hi midpoint split)",
-      "q_perplexity_kn" -> "1-row corpus-constant broadcast (distinct-pair total)")
+      "q_perplexity_kn" -> "1-row corpus-constant broadcast (distinct-pair total)",
+      "q_logistic_fit" -> "1-row weight-vector broadcast per unrolled GD iteration (the pageRank N pattern)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —

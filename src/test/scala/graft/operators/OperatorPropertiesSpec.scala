@@ -2124,4 +2124,114 @@ class OperatorPropertiesSpec extends SparkTestBase {
       .exists(_.name.startsWith("graft_mh_idx_")), "index table not registered")
     graft.Hygiene.dropLeakedBlocks(spark)
   }
+
+  test("Pca.jacobiEig diagonalizes a known symmetric matrix exactly") {
+    // [[2,1],[1,2]] has eigenvalues 3 (along [1,1]/√2) and 1 (along [1,-1]/√2)
+    val (evals, evecs) = graft.api.Pca.jacobiEig(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val pairs = evals.indices.sortBy(i => -evals(i))
+      .map(i => (evals(i), Array(evecs(0)(i), evecs(1)(i))))
+    assert(math.abs(pairs(0)._1 - 3.0) < 1e-12)
+    assert(math.abs(pairs(1)._1 - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(pairs(0)._2(0) * s + pairs(0)._2(1) * s) - 1.0) < 1e-12)
+    assert(math.abs(math.abs(pairs(1)._2(0) * s - pairs(1)._2(1) * s) - 1.0) < 1e-12)
+  }
+
+  test("Pca.fit recovers planted axes; components orthonormal; projection is centered") {
+    import spark.implicits._
+    // planted 4-dim data: variance 9 along e0, 1 along e1, 0 elsewhere
+    val rows = (0 until 200).map { i =>
+      val a = 3.0 * math.sin(i * 1.7)
+      val b = 1.0 * math.cos(i * 2.3)
+      (i.toLong, Seq(a.toFloat, b.toFloat, 0.0f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = graft.api.Pca.fit(df, "embedding", dim = 4, k = 2)
+    // top component is ±e0, second ±e1 (sign pinned positive at pivot)
+    assert(math.abs(m.components(0)(0)) > 0.999 && m.components(0)(0) > 0)
+    assert(math.abs(m.components(1)(1)) > 0.999 && m.components(1)(1) > 0)
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0)
+    // orthonormal
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-9)
+    // trace accounts for all planted variance
+    assert(math.abs(m.totalVariance - (m.eigenvalues(0) + m.eigenvalues(1))) < 1e-6)
+    // projections: mean ≈ 0 (centered), variance along pc_1 ≈ λ₁
+    val proj = graft.api.Pca.project(df, "vec_id", "embedding", m)
+      .as[(Long, Double, Double)].collect()
+    val p1 = proj.map(_._2)
+    val mean1 = p1.sum / p1.length
+    assert(math.abs(mean1) < 1e-3, s"pc_1 not centered: $mean1")
+    val v1 = p1.map(x => (x - mean1) * (x - mean1)).sum / p1.length
+    assert(math.abs(v1 - m.eigenvalues(0)) < 1e-2, s"var(pc_1)=$v1 vs λ=${m.eigenvalues(0)}")
+  }
+
+  test("Graph.labelPropagation: triangle absorbs its pendant, bridge survives, isolated keeps own") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4—3; disjoint edge {10,11}; isolated 20
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val out = graft.api.Graph.labelPropagation(pairs, "id_a", "id_b", ids,
+        "doc_id", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-run 3 synchronous rounds (min-label tiebreak):
+    // r1: 1→min(2,3)=2? counts{2:1,3:1}→tie→2; 2→{1,3}→1; 3→{1,2,4}→1; 4→{3}=3; 10→11; 11→10
+    // r2: 1→{1(from2),1(from3)}? neighbors 2,3 have labels 1,1 →1; 2→{2,1}→tie counts{2:1,1:1}→1;
+    //     3→{2,1,3}→tie all 1 → min=1; 4→{1}=1; 10→10? neighbor 11 has 10 →10; 11→11? neighbor 10 has 11 →11
+    // r3: 1→neighbors{2,3} labels{1,1}→1; 2→{1,1}→1; 3→{1,1,1}→1; 4→{1}; 10↔ swap again →11; 11→10
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L && out(4L) == 1L,
+      s"triangle+pendant should converge to community 1: $out")
+    assert(Set(out(10L), out(11L)) == Set(10L, 11L),
+      "2-cycle oscillates synchronously but stays within {10,11}")
+    assert(out(20L) == 20L, "isolated node keeps its own label")
+  }
+
+  test("Privacy.tCloseness matches the hand variational distance; dpCounts replays its md5 mechanism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 6 rows, global source mix: s1 3/6, s2 2/6, s3 1/6
+    val rows = Seq(
+      ("en", "s1"), ("en", "s1"), ("en", "s2"),
+      ("fr", "s1"), ("fr", "s2"), ("fr", "s3")).toDF("lang", "source")
+    val t = graft.api.Privacy.tCloseness(rows, Seq("lang"), "source", t = 0.2)
+      .as[(String, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // en: p=(2/3,1/3,0) q=(1/2,1/3,1/6) → ½(1/6+0+1/6)=1/6≈0.1667
+    // fr: p=(1/3,1/3,1/3) → ½(1/6+0+1/6)=1/6
+    assert(t == Seq(("en", 3L, 0.1667, 0L), ("fr", 3L, 0.1667, 0L)), t.toString)
+    // dpCounts: replay the mechanism in plain JVM and compare exactly
+    val ev = Seq("a", "a", "a", "b").toDF("k")
+    val got = graft.api.Privacy.dpCounts(ev, Seq("k"), epsilon = 1.0, seed = "s")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    def expected(key: String, n: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:s".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val v = (0 until 8).map(i =>
+        java.lang.Long.parseLong(hex.substring(i, i + 1), 16) * math.pow(16, i).toLong).sum
+      val u = (v + 0.5) / 4294967296.0
+      val d = u - 0.5
+      val noise = (if (d < 0) 1.0 else -1.0) * math.log(1.0 - 2.0 * math.abs(d))
+      math.floor((n + noise) * 10000) / 10000
+    }
+    assert(got == Seq(("a", 3L, expected("a", 3)), ("b", 1L, expected("b", 1))), got.toString)
+  }
+
+  test("TimeSeries.cusum finds a planted level shift at the exact row") {
+    import spark.implicits._
+    // key A: level shift after row 3 → max |S| = 15 at i = 3;
+    // key B: constant series → S ≡ 0, argmax ties to i = 1, stat 0
+    val rows =
+      (1 to 6).map(i => ("A", i * 1000L, i.toLong,
+        if (i <= 3) 0.0 else 10.0)) ++
+      (1 to 4).map(i => ("B", i * 1000L, i.toLong, 7.0))
+    val df = rows.toDF("k", "ts_ms", "id", "v")
+    val out = graft.api.TimeSeries.cusum(df, "k", "ts_ms", "id", "v")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("A", 6L, 3L, 3000L, 15.0), ("B", 4L, 1L, 1000L, 0.0)),
+      out.toString)
+  }
 }
