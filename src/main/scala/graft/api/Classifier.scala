@@ -72,4 +72,82 @@ object Classifier {
           (floor(col(s"fw$j") * 10000) / 10000).as(s"w$j")) :+
         (floor(col("lsum").cast("double") / col("n") * 10000) / 10000).as("loss")): _*)
   }
+
+  /** Multinomial Naive Bayes trained AND evaluated in-engine: fit add-1
+    * smoothed per-class token likelihoods on (`textCol`, `labelCol`),
+    * score every document against every class, and return the confusion
+    * matrix (`actual`, `predicted`, `n_docs`) — the train-on-the-corpus
+    * language/quality gate (the bag-of-words baseline a fastText-style
+    * filter starts from), reported at the class-cardinality size the
+    * driver can oracle exactly.
+    *
+    * score(d, c) = ln(docs_c/docs) + Σ_w tf_{w,d} · ln((c_{w,c}+1)/(N_c+V))
+    * with the vocabulary V global (unseen class-terms get the smoothing
+    * floor). Docs with no tokens (or null label) are excluded.
+    *
+    * Scale shape: token stream aggregates once to the per-doc tf frame
+    * and once to the (class, term) count frame; likelihoods evaluate
+    * once per (term, class) on the vocab × class spine (the margin-
+    * cardinality contingency cross, the [[Drift]] chi² exemption
+    * class — class count is a handful, never corpus-sized); scoring is
+    * one equi-join of the tf frame to the spine keyed by term (fan-out
+    * = class count per doc-term) and one (doc, class) aggregate. No
+    * all-pairs anything; the model never leaves the cluster.
+    *
+    * Cross-engine exactness (the `importanceWeights` discipline): the
+    * smoothed ratio is exact-integer numerator/denominator, ONE ln per
+    * (term, class) quantized to DECIMAL(30,10) before any sum; per-doc
+    * scores are order-proof DECIMAL sums of tf · lnp plus the
+    * DECIMAL-quantized prior, so the per-doc argmax (ties → class asc)
+    * compares exactly-agreed decimals and the confusion matrix is
+    * engine-exact. */
+  def naiveBayesConfusion(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).as("actual"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("id", "actual", "term").agg(count(lit(1)).as("tf"))
+    val classTerm = toks.groupBy("actual", "term").agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
+    val classTotals = classTerm.groupBy(col("actual").as("cls"))
+      .agg(sum("ct").as("n_c"))
+    val vocabN = classTerm.select("term").distinct()
+      .agg(count(lit(1)).as("v"))
+    // priors over the docs actually in the model (≥1 non-empty token),
+    // so "documents" means one thing on both the Spark and oracle side
+    val priors = tf.select("id", "actual").distinct()
+      .groupBy(col("actual").as("cls")).agg(count(lit(1)).as("dc"))
+    val priorTot = priors.agg(sum("dc").as("dtot"))
+    // vocab × class spine: evaluate each smoothed likelihood ONCE per
+    // (term, class); absent cells take the add-1 floor via coalesce-0
+    val spine = classTerm.select("term").distinct()
+      .crossJoin(classTotals.crossJoin(broadcast(vocabN)))
+      .join(classTerm.withColumnRenamed("actual", "cls"), Seq("cls", "term"), "left")
+      .select(col("term"), col("cls"),
+        log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double"))
+          .cast("decimal(30,10)").as("lnp"))
+    val priorLn = priors.crossJoin(broadcast(priorTot))
+      .select(col("cls"),
+        log(col("dc").cast("double") / col("dtot").cast("double"))
+          .cast("decimal(30,10)").as("lprior"))
+    // contribution = tf · lnp as ONE double multiply of exactly-agreed
+    // operands (lnp already quantized to DECIMAL(30,10)), re-quantized
+    // before the order-proof decimal sum — decimal×decimal is avoided
+    // because engines disagree on product precision/scale promotion
+    val scores = tf.join(spine, "term")
+      .groupBy("id", "actual", "cls")
+      .agg(sum((col("tf").cast("double") * col("lnp").cast("double"))
+        .cast("decimal(30,10)")).as("lsum"))
+      .join(priorLn, "cls")
+      .withColumn("score", col("lsum") + col("lprior"))
+    val pred = scores.withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("score").desc, col("cls").asc)))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

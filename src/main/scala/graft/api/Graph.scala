@@ -140,6 +140,43 @@ object Graph {
     labels.select(col("id"), col("lab").as("community"))
   }
 
+  /** Multi-source BFS hop distance over an undirected pair graph: every
+    * node in `seeds` starts at hop 0; round r labels every yet-unlabeled
+    * neighbor of the round-(r−1) frontier with hop r, up to `maxHops`.
+    * Returns (`id`, `hop`) for REACHED nodes only — the "blast radius"
+    * operator (how far does a contamination/duplicate seed set propagate
+    * through the near-dup graph in ≤ k links?). Pure integer set
+    * algebra — no tie-breaks, no floats — so the unrolled rounds are
+    * exactly replayable SQL.
+    *
+    * Scale shape per round: one equi-join of the (undirected-expanded)
+    * edge list against the FRONTIER frame (shrinks as the wave passes —
+    * never the full node set after round 1), one distinct on the
+    * candidate ids, one anti-join against the visited frame — all
+    * hash-partitioned by node id, work ∝ edges touching the frontier.
+    * The visited frame localCheckpoints per round (the CC discipline:
+    * bounded plan depth across unrolled rounds). */
+  def bfsHops(pairs: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be ≥1, got $maxHops")
+    val und = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    var visited = seeds.select(col(seedIdCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("hop", lit(0L))
+    var frontier = visited.select("id")
+    for (r <- 1 to maxHops) {
+      val next = und.join(frontier.select(col("id").as("u")), "u")
+        .select(col("v").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("hop", lit(r.toLong))
+      val merged = visited.union(next)
+      visited = if (r < maxHops) Ckpt(merged) else merged
+      frontier = next.select("id")
+    }
+    visited
+  }
+
   def pageRank(pairs: DataFrame, srcCol: String, dstCol: String,
       allIds: DataFrame, idCol: String,
       iterations: Int = 3, damping: Double = 0.85,

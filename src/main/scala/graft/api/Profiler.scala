@@ -485,4 +485,64 @@ object Profiler {
         floor(col("stop").cast("double") / col("sx").cast("double") * 10000) / 10000)
         .otherwise(lit(0.0)).as("top_share"))
   }
+
+  /** Mutual information between two CATEGORICAL columns — the
+    * feature-dependence audit ("does `source` predict `lang`?") behind
+    * feature selection, leakage checks, and stratification design.
+    * Returns ONE row: n, MI (nats), the two marginal entropies, and
+    * normalized MI = MI / √(H(A)·H(B)) (0 = independent, 1 = one
+    * determines the other). Rows with a null on either side are
+    * excluded.
+    *
+    * Scale shape: the corpus collapses FIRST to its R×C cell-count
+    * frame (one map-side-combining aggregate); margins derive from the
+    * cells, the total crosses back as the sanctioned 1-row broadcast,
+    * and every sum after that is cell- or margin-cardinality. The
+    * [[graft.api.Drift]] chi² contingency pattern, reported as an
+    * information statistic.
+    *
+    * Exactness: each cell term is c·ln((c·n)/(r_a·c_b)) — the log of an
+    * exact-integer ratio (both products cast once to double), one ln per
+    * cell, quantized DECIMAL(30,10) before the order-proof sum; the
+    * entropy sums are r·ln(r) terms under the same treatment. The final
+    * statistics are fixed double expressions over those agreed sums,
+    * floor-4dp. */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = Ckpt(
+      df.filter(col(colA).isNotNull && col(colB).isNotNull)
+        .groupBy(col(colA).as("a"), col(colB).as("b"))
+        .agg(count(lit(1)).as("c")))
+    val ra = cells.groupBy("a").agg(sum("c").as("r"))
+    val cb = cells.groupBy("b").agg(sum("c").as("s"))
+    val tot = cells.agg(sum("c").as("n"))
+    // c·n and r·s as DECIMAL(38,0) products: exact beyond the long range
+    // (n² at 10¹⁰ rows overflows int64), cast ONCE to double for the ln
+    val miSum = cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .select((col("c").cast("double") *
+        log((col("c").cast("decimal(38,0)") * col("n")).cast("double") /
+          (col("r").cast("decimal(38,0)") * col("s")).cast("double")))
+        .cast("decimal(30,10)").as("t"))
+      .agg(sum("t").as("mi_sum"))
+    val haSum = ra.select((col("r").cast("double") *
+        log(col("r").cast("double"))).cast("decimal(30,10)").as("t"))
+      .agg(sum("t").as("ha_sum"))
+    val hbSum = cb.select((col("s").cast("double") *
+        log(col("s").cast("double"))).cast("decimal(30,10)").as("t"))
+      .agg(sum("t").as("hb_sum"))
+    tot.crossJoin(miSum).crossJoin(haSum).crossJoin(hbSum)
+      .select(col("n").cast("bigint").as("n"),
+        floor(col("mi_sum").cast("double") / col("n") * 10000).as("__mi"),
+        (log(col("n").cast("double"))
+          - col("ha_sum").cast("double") / col("n")).as("__ha"),
+        (log(col("n").cast("double"))
+          - col("hb_sum").cast("double") / col("n")).as("__hb"))
+      .select(col("n"),
+        (col("__mi") / 10000).as("mi"),
+        (floor(col("__ha") * 10000) / 10000).as("h_a"),
+        (floor(col("__hb") * 10000) / 10000).as("h_b"),
+        when(col("__ha") > 0 && col("__hb") > 0,
+          floor(col("__mi") / 10000 / sqrt(col("__ha") * col("__hb")) * 10000)
+            / 10000)
+          .otherwise(lit(0.0)).as("nmi"))
+  }
 }

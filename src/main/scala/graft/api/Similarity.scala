@@ -194,6 +194,50 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Leave-one-out k-NN label evaluation over a labeled embedding
+    * corpus: every vector is classified by the majority label of its k
+    * cosine-nearest OTHER vectors, and the result is reported as the
+    * (label, predicted, n_vecs) confusion matrix — "are these
+    * embeddings good enough to separate the classes?", the standard
+    * embedding-quality probe before committing to an index or a
+    * classifier head.
+    *
+    * EXACT all-pairs baseline — quadratic, the [[nearDupPairs]]
+    * correctness class over fixed-small corpora; at scale the neighbor
+    * lists come from [[annJoin]] and the vote is the same two windows.
+    * Determinism / cross-engine exactness: similarities are rounded to
+    * 4dp BEFORE ranking (the q_embed_neardup parity surface), neighbor
+    * ties break by id ascending, vote ties by (count desc, label asc) —
+    * every comparison is on exactly-agreed values, so the matrix is
+    * engine-exact. Null labels/vectors are excluded. */
+  def knnLooConfusion(corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be ≥1, got $k")
+    reg(corpus)
+    val em = corpus
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("e"),
+        col(labelCol).as("lab"), norm(col(embCol)).as("nrm"))
+    val a = em.select(col("id").as("ia"), col("e").as("ea"),
+      col("lab").as("la"), col("nrm").as("na"))
+    val b = em.select(col("id").as("ib"), col("e").as("eb"),
+      col("lab").as("lb"), col("nrm").as("nb"))
+    val top = a.join(b, col("ia") =!= col("ib"))
+      .select(col("ia"), col("la"), col("ib"), col("lb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ia").orderBy(col("sim").desc, col("ib").asc)))
+      .filter(col("rn") <= k)
+    val votes = top.groupBy("ia", "la", "lb").agg(count(lit(1)).as("c"))
+    votes.withColumn("vr", row_number().over(
+        Window.partitionBy("ia").orderBy(col("c").desc, col("lb").asc)))
+      .filter(col("vr") === 1)
+      .groupBy(col("la").as("label"), col("lb").as("predicted"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Deterministic ±1 random-hyperplane matrix (nPlanes × dim) — same
     * bit-identical formula as the native `graft_hyperplane_keys`
     * expression ([[graft.functions.VectorExprs.planeSign]]), so the

@@ -770,6 +770,57 @@ object TextAnalysis {
     * Plan: one token-count aggregate (map-side combined), a per-group
     * rank window (partitioned BY GROUP — vocab-sized partitions, never
     * global), then `regr_slope` over ≤ topN points per group. */
+  /** Heaps'-law fit of vocabulary growth: across documents, distinct
+    * token count V grows as K·Nᵝ in total token count N; the log-log
+    * OLS over per-document (ln N, ln V) points yields one row
+    * (n_docs, beta, ln_k, r2). Natural text sits near β ≈ 0.5–0.7 —
+    * a corpus whose β collapses toward 0 is template/boilerplate
+    * (vocabulary saturates), one near 1 is id-like noise (every token
+    * new); with [[zipfFit]] it's the second classic corpus-shape
+    * fingerprint, and it directly forecasts vocabulary (hence BPE/
+    * embedding-table) size at 100 TB from a sample.
+    *
+    * Plan: ONE (doc, token) aggregate produces both N and V per doc
+    * (count + count-distinct two-phase expand), then a 1-row moment
+    * aggregate — map-side combined, nothing after the first aggregate
+    * is corpus-sized. Exactness: the [[TimeSeries.linearFit]]
+    * discipline — ln values quantized `floor(ln·1e4)` to exact ints,
+    * five DECIMAL(38,0) moment sums, one fixed double expression per
+    * statistic, floor-truncated 4dp (slope is unitless — the 1e4
+    * factors cancel; the intercept divides back out). Docs with < 2
+    * tokens are excluded (ln N = 0 points carry no slope information
+    * and V = N = 1 is degenerate). */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("v_tok"))
+      .filter(col("n_tok") >= 2)
+      .select(
+        floor(log(col("n_tok").cast("double")) * 10000).cast("decimal(38,0)").as("x"),
+        floor(log(col("v_tok").cast("double")) * 10000).cast("decimal(38,0)").as("y"))
+    val m = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n_docs").cast("decimal(38,0)")
+    val den = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slopeNum = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val interNum = (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+    val dy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("n_docs"),
+      when(den > 0, floor(slopeNum / den * 10000) / 10000)
+        .otherwise(lit(0.0)).as("beta"),
+      when(den > 0, floor(interNum / den) / 10000)
+        .otherwise(floor(col("sy").cast("double") / col("n_docs")) / 10000)
+        .as("ln_k"),
+      when(den > 0 && dy > 0,
+        floor(slopeNum * slopeNum / (den * dy) * 10000) / 10000)
+        .otherwise(lit(0.0)).as("r2"))
+  }
+
   def zipfFit(df: DataFrame, groupCol: String, textCol: String,
       topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -729,6 +729,60 @@ object Dedup {
             FROM l3 ORDER BY doc_id""")
   )
 
+  /** Contamination blast radius ([[graft.api.Graph.bfsHops]]):
+    * multi-source BFS over the SAME trigram-Jaccard near-dup graph as
+    * q_pagerank/q_label_prop, seeded at every document that has an
+    * EXACT duplicate — "how many near-dup links away from a known
+    * duplicate is each document?" (hop 0 = is one; unreached docs are
+    * clean). Pure integer set algebra, rounds unrolled in the oracle;
+    * per round the edge list joins only the shrinking frontier. */
+  private val qBfsHops = Q(
+    "q_bfs_hops",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      val dupTexts = docs.groupBy(col("text")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("text")
+      val seeds = docs.join(dupTexts, Seq("text"), "left_semi").select("doc_id")
+      graft.api.Graph.bfsHops(pairs, "id_a", "id_b", seeds, "doc_id",
+          maxHops = 3)
+        .select(col("id").as("doc_id"), col("hop"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                       UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 dup AS (SELECT text FROM documents GROUP BY text HAVING count(*) > 1),
+                 s0 AS (SELECT DISTINCT d.doc_id AS id FROM documents d
+                        JOIN dup ON d.text = dup.text),
+                 v0 AS (SELECT id, 0 AS hop FROM s0),
+                 f1 AS (SELECT DISTINCT e.v AS id FROM e JOIN s0 ON e.u = s0.id
+                        WHERE e.v NOT IN (SELECT id FROM v0)),
+                 v1 AS (SELECT * FROM v0 UNION ALL SELECT id, 1 FROM f1),
+                 f2 AS (SELECT DISTINCT e.v AS id FROM e JOIN f1 ON e.u = f1.id
+                        WHERE e.v NOT IN (SELECT id FROM v1)),
+                 v2 AS (SELECT * FROM v1 UNION ALL SELECT id, 2 FROM f2),
+                 f3 AS (SELECT DISTINCT e.v AS id FROM e JOIN f2 ON e.u = f2.id
+                        WHERE e.v NOT IN (SELECT id FROM v2)),
+                 v3 AS (SELECT * FROM v2 UNION ALL SELECT id, 3 FROM f3)
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(hop AS BIGINT) AS hop
+            FROM v3 ORDER BY doc_id""")
+  )
+
   /** Triangle census (graft.api.Graph.triangleStats) over the SAME
     * trigram-Jaccard near-dup pair graph as q_pagerank: one row of exact
     * counts (nodes, edges, wedges, triangles) — transitivity
@@ -902,5 +956,5 @@ object Dedup {
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
-    qLabelProp, qTriangles, qCorpusDiff, qFuzzyJoin, qDegrees)
+    qLabelProp, qBfsHops, qTriangles, qCorpusDiff, qFuzzyJoin, qDegrees)
 }

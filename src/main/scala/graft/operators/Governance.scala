@@ -290,6 +290,49 @@ object Governance {
             FROM u ORDER BY event_type NULLS FIRST""")
   )
 
+  /** Mutual information between `lang` and `source`
+    * ([[graft.api.Profiler.mutualInfo]]): MI, marginal entropies, and
+    * normalized MI in one row — the feature-dependence audit ("does
+    * source predict language?") behind feature selection, leakage
+    * checks, and stratification design. The corpus collapses to its
+    * R×C cell frame first (the chi² contingency shape); each ln is of
+    * an exact DECIMAL(38,0)-integer ratio, quantized DECIMAL(30,10)
+    * before the order-proof sums; the statistics are fixed double
+    * expressions floor-4dp. */
+  private val qMutualInfo = Q(
+    "q_mutual_info",
+    (s, dir) =>
+      graft.api.Profiler.mutualInfo(Tables.documents(s, dir), "lang", "source"),
+    Some("""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS c
+                           FROM documents
+                           WHERE lang IS NOT NULL AND source IS NOT NULL
+                           GROUP BY 1, 2),
+                 ra AS (SELECT a, sum(c) AS r FROM cells GROUP BY 1),
+                 cb AS (SELECT b, sum(c) AS s FROM cells GROUP BY 1),
+                 tot AS (SELECT sum(c) AS n FROM cells),
+                 mi AS (SELECT sum(CAST(CAST(c AS DOUBLE)
+                            * ln(CAST(CAST(c AS HUGEINT) * n AS DOUBLE)
+                                 / CAST(CAST(r AS HUGEINT) * s AS DOUBLE))
+                            AS DECIMAL(30,10))) AS mi_sum
+                        FROM cells JOIN ra USING (a) JOIN cb USING (b)
+                        CROSS JOIN tot),
+                 ha AS (SELECT sum(CAST(CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE))
+                                        AS DECIMAL(30,10))) AS ha_sum FROM ra),
+                 hb AS (SELECT sum(CAST(CAST(s AS DOUBLE) * ln(CAST(s AS DOUBLE))
+                                        AS DECIMAL(30,10))) AS hb_sum FROM cb),
+                 f AS (SELECT n, floor(CAST(mi_sum AS DOUBLE) / n * 10000) AS fmi,
+                              ln(CAST(n AS DOUBLE)) - CAST(ha_sum AS DOUBLE) / n AS hha,
+                              ln(CAST(n AS DOUBLE)) - CAST(hb_sum AS DOUBLE) / n AS hhb
+                       FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb)
+            SELECT CAST(n AS BIGINT) AS n, fmi / 10000 AS mi,
+                   floor(hha * 10000) / 10000 AS h_a,
+                   floor(hhb * 10000) / 10000 AS h_b,
+                   CASE WHEN hha > 0 AND hhb > 0
+                        THEN floor(fmi / 10000 / sqrt(hha * hhb) * 10000) / 10000
+                        ELSE 0.0 END AS nmi
+            FROM f""")
+  )
+
   /** Benford first-digit audit of `l_extendedprice` — the classic
     * fabricated-numbers screen: observed first-significant-digit
     * frequencies against Benford's log₁₀(1+1/d) expectation, with each
@@ -476,6 +519,6 @@ object Governance {
   )
 
   val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
-    qScd2, qKAnonymity, qLDiversity, qTCloseness, qDpCounts, qBenford,
-    qGini, qUserGini, qDriftMw)
+    qScd2, qKAnonymity, qLDiversity, qTCloseness, qDpCounts, qMutualInfo,
+    qBenford, qGini, qUserGini, qDriftMw)
 }

@@ -1324,6 +1324,102 @@ object TextOps {
             FROM r WHERE rank <= 100 GROUP BY source ORDER BY source""")
   )
 
+  /** Heaps'-law vocabulary-growth fit
+    * ([[graft.api.TextAnalysis.heapsFit]]): log-log OLS of per-document
+    * distinct-token count on total-token count — V ≈ K·Nᵝ. With
+    * q_zipf_fit it's the second classic corpus-shape fingerprint, and
+    * it forecasts vocabulary (hence BPE/embedding-table) size at 100 TB
+    * from a sample. One (doc, token) aggregate then a 1-row moment
+    * aggregate; the q_linear_fit exactness discipline (quantized-ln
+    * ints, DECIMAL(38,0)/HUGEINT moments, fixed final expressions). */
+  private val qHeapsFit = Q(
+    "q_heaps_fit",
+    (s, dir) =>
+      graft.api.TextAnalysis.heapsFit(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH tk AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+                 pd AS (SELECT id, count(*) AS n_tok, count(DISTINCT tok) AS v_tok
+                        FROM tk WHERE len(tok) > 0 GROUP BY 1),
+                 q AS (SELECT CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 10000) AS HUGEINT) AS x,
+                              CAST(floor(ln(CAST(v_tok AS DOUBLE)) * 10000) AS HUGEINT) AS y
+                       FROM pd WHERE n_tok >= 2),
+                 m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                              sum(x * y) AS sxy, sum(x * x) AS sxx,
+                              sum(y * y) AS syy
+                       FROM q)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS beta,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE)) / 10000
+                        ELSE floor(CAST(sy AS DOUBLE) / n) / 10000 END AS ln_k,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
+                        ELSE 0.0 END AS r2
+            FROM m""")
+  )
+
+  /** In-engine multinomial Naive Bayes language classifier
+    * ([[graft.api.Classifier.naiveBayesConfusion]]): add-1 smoothed
+    * per-class token likelihoods fitted on the corpus, every document
+    * scored against every class, reported as the (actual, predicted)
+    * confusion matrix — the bag-of-words baseline a fastText-style
+    * quality/language gate starts from, trained by the same engine
+    * that filters with it. Exactness is the q_dsir_weights discipline:
+    * one ln per (term, class) quantized DECIMAL(30,10), per-doc scores
+    * as order-proof decimal sums, argmax ties → class ascending. */
+  private val qNaiveBayes = Q(
+    "q_naive_bayes",
+    (s, dir) =>
+      graft.api.Classifier.naiveBayesConfusion(Tables.documents(s, dir),
+          "doc_id", "text", "lang")
+        .orderBy(asc_nulls_first("actual"), asc_nulls_first("predicted")),
+    Some("""WITH tk AS (SELECT doc_id AS id, lang AS actual,
+                          unnest(string_split(text, ' ')) AS term
+                        FROM documents
+                        WHERE text IS NOT NULL AND lang IS NOT NULL),
+                 t2 AS (SELECT * FROM tk WHERE len(term) > 0),
+                 tf AS (SELECT id, actual, term, count(*) AS tf
+                        FROM t2 GROUP BY 1, 2, 3),
+                 ct AS (SELECT actual, term, count(*) AS ct FROM t2 GROUP BY 1, 2),
+                 ctot AS (SELECT actual AS cls, sum(ct) AS n_c FROM ct GROUP BY 1),
+                 vocab AS (SELECT count(DISTINCT term) AS v FROM ct),
+                 pri AS (SELECT actual AS cls, count(*) AS dc
+                         FROM (SELECT DISTINCT id, actual FROM tf) GROUP BY 1),
+                 ptot AS (SELECT sum(dc) AS dtot FROM pri),
+                 spine AS (SELECT t.term, c.cls,
+                             CAST(ln(CAST(coalesce(x.ct, 0) + 1 AS DOUBLE)
+                                     / CAST(c.n_c + v.v AS DOUBLE))
+                                  AS DECIMAL(30,10)) AS lnp
+                           FROM (SELECT DISTINCT term FROM ct) t
+                           CROSS JOIN ctot c CROSS JOIN vocab v
+                           LEFT JOIN ct x ON x.term = t.term AND x.actual = c.cls),
+                 pl AS (SELECT cls, CAST(ln(CAST(dc AS DOUBLE) / CAST(dtot AS DOUBLE))
+                                         AS DECIMAL(30,10)) AS lprior
+                        FROM pri CROSS JOIN ptot),
+                 sc AS (SELECT f.id, f.actual, s.cls,
+                          sum(CAST(CAST(f.tf AS DOUBLE) * CAST(s.lnp AS DOUBLE)
+                                   AS DECIMAL(30,10))) AS lsum
+                        FROM tf f JOIN spine s ON s.term = f.term
+                        GROUP BY 1, 2, 3),
+                 scored AS (SELECT sc.id, sc.actual, sc.cls,
+                              sc.lsum + pl.lprior AS score
+                            FROM sc JOIN pl ON pl.cls = sc.cls),
+                 prd AS (SELECT id, actual, cls,
+                           row_number() OVER (PARTITION BY id
+                             ORDER BY score DESC, cls ASC) AS rn
+                         FROM scored)
+            SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+            FROM prd WHERE rn = 1 GROUP BY 1, 2
+            ORDER BY actual NULLS FIRST, predicted NULLS FIRST""")
+  )
+
   /** Deterministic train/val/test split by content hash
     * ([[graft.api.Sampling.splitByHash]], 75/13/12): replayable on any
     * engine, leakage-proof (a duplicated document lands in ONE split —
@@ -1488,7 +1584,7 @@ object TextOps {
     qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qBm25Search, qRepStats,
-    qGopherRules, qDsirWeights, qLogisticFit,
+    qGopherRules, qDsirWeights, qLogisticFit, qNaiveBayes, qHeapsFit,
     qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,

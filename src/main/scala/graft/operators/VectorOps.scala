@@ -382,7 +382,53 @@ object VectorOps {
     None
   )
 
+  /** Leave-one-out 5-NN label evaluation
+    * ([[graft.api.Similarity.knnLooConfusion]]): every embedding
+    * classified by the majority label of its 5 cosine-nearest others,
+    * reported as the confusion matrix — the embedding-quality probe
+    * ("do these vectors separate the classes?") run before committing
+    * to an index or classifier head. EXACT all-pairs baseline over the
+    * fixed-small corpus (the q_embed_neardup exemption class; the
+    * scale path feeds the same vote windows from annJoin); similarity
+    * rounds to 4dp BEFORE ranking and every tie-break is pinned, so
+    * the matrix is engine-exact. */
+  private val qKnnEval = Q(
+    "q_knn_eval",
+    (s, dir) =>
+      Similarity.knnLooConfusion(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", k = 5)
+        .select(col("label").cast("bigint").as("label"),
+          col("predicted").cast("bigint").as("predicted"), col("n_vecs"))
+        .orderBy(asc_nulls_first("label"), asc_nulls_first("predicted")),
+    Some("""WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+                       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                         AND label IS NOT NULL),
+                 pr AS (SELECT a.vec_id AS ia, a.label AS la,
+                          b.vec_id AS ib, b.label AS lb,
+                          round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(a.embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(b.embedding,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+                        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+                 top AS (SELECT ia, la, lb,
+                           row_number() OVER (PARTITION BY ia
+                             ORDER BY sim DESC, ib ASC) AS rn
+                         FROM pr),
+                 v AS (SELECT ia, la, lb, count(*) AS c
+                       FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
+                 p AS (SELECT ia, la, lb,
+                         row_number() OVER (PARTITION BY ia
+                           ORDER BY c DESC, lb ASC) AS vr
+                       FROM v)
+            SELECT CAST(la AS BIGINT) AS label, CAST(lb AS BIGINT) AS predicted,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM p WHERE vr = 1 GROUP BY 1, 2
+            ORDER BY label NULLS FIRST, predicted NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
-    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance)
+    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance, qKnnEval)
 }

@@ -983,11 +983,89 @@ object Windows {
             FROM p""")
   )
 
+  /** Market-basket association rules ([[graft.api.Associations.rules]])
+    * over per-user event-type baskets: one rule row per ordered type
+    * pair with support / confidence / lift — "users who do A also do
+    * B". The corpus collapses to its distinct (user, type) frame first;
+    * pair fan-out is bounded by the per-user distinct-type count (the
+    * type vocabulary), margins are type-cardinality frames, and every
+    * measure is one exact-long division floor-4dp. */
+  private val qAssocRules = Q(
+    "q_assoc_rules",
+    (s, dir) =>
+      graft.api.Associations.rules(Tables.events(s, dir), "user_id",
+          "event_type", minBaskets = 1L)
+        .orderBy(asc_nulls_first("item_a"), asc_nulls_first("item_b")),
+    Some("""WITH items AS (SELECT DISTINCT user_id AS b, event_type AS item
+                           FROM events
+                           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+                 ic AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+                 nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+                 p AS (SELECT x.item AS item_a, y.item AS item_b,
+                              count(*) AS n_ab
+                       FROM items x JOIN items y
+                         ON x.b = y.b AND x.item <> y.item
+                       GROUP BY 1, 2)
+            SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(a.n_item AS BIGINT) AS n_a,
+                   CAST(c.n_item AS BIGINT) AS n_b,
+                   CAST(n_baskets AS BIGINT) AS n_baskets,
+                   floor(CAST(n_ab AS DOUBLE) / n_baskets * 10000) / 10000 AS support,
+                   floor(CAST(n_ab AS DOUBLE) / a.n_item * 10000) / 10000 AS confidence,
+                   floor(CAST(n_ab * n_baskets AS DOUBLE)
+                         / (a.n_item * c.n_item) * 10000) / 10000 AS lift
+            FROM p JOIN ic a ON a.item = p.item_a
+                   JOIN ic c ON c.item = p.item_b
+                   CROSS JOIN nb
+            ORDER BY item_a NULLS FIRST, item_b NULLS FIRST""")
+  )
+
+  /** Two-proportion z-test ([[graft.api.Experiment.twoProportionZ]]):
+    * per-user purchase conversion under the deterministic user_id-parity
+    * split — the A/B readout (arm sizes, conversions, rates, lift, z)
+    * as one corpus pass + one 4-long row; every statistic is a fixed
+    * IEEE expression over exactly-agreed integers, floor-4dp. */
+  private val qAbTest = Q(
+    "q_ab_test",
+    (s, dir) =>
+      graft.api.Experiment.twoProportionZ(Tables.events(s, dir), "user_id",
+        armExpr = col("user_id") % 2,
+        successExpr = col("event_type") === "purchase"),
+    Some("""WITH un AS (SELECT user_id,
+                          max(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS arm,
+                          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+                 m AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                              sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS x_a,
+                              sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                              sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x_b
+                       FROM un)
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+                   CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+                   floor(CAST(x_a AS DOUBLE) / n_a * 10000) / 10000 AS p_a,
+                   floor(CAST(x_b AS DOUBLE) / n_b * 10000) / 10000 AS p_b,
+                   floor((CAST(x_b AS DOUBLE) / n_b
+                          - CAST(x_a AS DOUBLE) / n_a) * 10000) / 10000 AS lift,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND
+                             sqrt(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+                                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)) > 0
+                        THEN floor((CAST(x_b AS DOUBLE) / n_b
+                                    - CAST(x_a AS DOUBLE) / n_a)
+                                   / sqrt(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+                                          * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                                          * (1.0 / n_a + 1.0 / n_b))
+                                   * 10000) / 10000
+                        ELSE 0.0 END AS z
+            FROM m""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
-    qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint)
+    qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
+    qAssocRules, qAbTest)
 }
 

@@ -570,4 +570,84 @@ object StatefulOps {
           }
       }
   }
+
+  /** Open-session state for [[streamingSessionize]]: bounds, row count,
+    * and the running value sum as an EXACT decimal (each arriving value
+    * quantized to 10dp before adding — the batch DECIMAL(30,10)
+    * accumulation — so the emitted sum is bit-equal to the batch
+    * window's regardless of arrival slicing). */
+  final case class SessState(startMs: Long, endMs: Long, cnt: Long,
+      sum: BigDecimal)
+
+  /** One COMPLETED session: emitted when a later event opens the next
+    * session (gap exceeded) or the watermark passes endMs + gap. */
+  final case class Session(key: Long, session_start_ms: Long,
+      session_end_ms: Long, cnt: Long, sum_value: Double)
+
+  /** Streaming sessionization — the at-ingest form of the batch
+    * gap-sessionize (`TimeSeries.sessionize` / q_session_window):
+    * events arriving per key fold into ONE open-session state row
+    * (start, end, cnt, exact decimal sum); a session is emitted as soon
+    * as it is provably complete — either a same-key event lands ≥
+    * `gapMs` after the session end (the next session opens), or the
+    * event-time watermark passes endMs + gapMs (no on-time event can
+    * extend it). Built on `flatMapGroupsWithState` rather than Spark's
+    * `session_window` aggregate so the state carries the EXACT
+    * DECIMAL(30,10)-quantized sum the batch query reports and the
+    * emission is a typed row, not a late-materializing aggregate.
+    *
+    * Parity contract (the [[streamingAttribution]] one): in-batch rows
+    * apply in (tsMs, id) order; an out-of-order event WITHIN the open
+    * session (tsMs ≥ startMs) folds in exactly as the batch sort would.
+    * Cross-batch late data beyond the watermark is dropped by Spark's
+    * late filter before reaching the function — the standard watermark
+    * trade-off, identical to `session_window` with watermark. Requires
+    * `withWatermark` upstream (event-time timeout).
+    *
+    * State at 100 TB: ONE ~48-byte row per key with an open session —
+    * bounded by active-key cardinality, never stream length; every
+    * timeout or gap-close removes/replaces it. */
+  def streamingSessionize(rows: Dataset[ValRow], gapMs: Long): Dataset[Session] = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val keyEnc = Encoders.scalaLong
+    def quant(v: Double): BigDecimal =
+      BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def finish(key: Long, s: SessState): Session =
+      Session(key, s.startMs, s.endMs, s.cnt,
+        math.floor(s.sum.toDouble * 10000) / 10000)
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[ValRow], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark ≥ endMs + gap: no on-time event can extend it
+            val done = finish(key, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            var cur = state.getOption
+            val out = Vector.newBuilder[Session]
+            it.toVector.sortBy(r => (r.tsMs, r.id)).foreach { r =>
+              cur match {
+                case Some(s) if r.tsMs - s.endMs >= gapMs =>
+                  out += finish(key, s)
+                  cur = Some(SessState(r.tsMs, r.tsMs, 1L, quant(r.value)))
+                case Some(s) =>
+                  cur = Some(SessState(math.min(s.startMs, r.tsMs),
+                    math.max(s.endMs, r.tsMs), s.cnt + 1, s.sum + quant(r.value)))
+                case None =>
+                  cur = Some(SessState(r.tsMs, r.tsMs, 1L, quant(r.value)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -160,7 +160,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q_burstiness" -> "1-row corpus-constant broadcast (doc count N)",
       "q_churn" -> "1-row time-range broadcast (lo/hi midpoint split)",
       "q_perplexity_kn" -> "1-row corpus-constant broadcast (distinct-pair total)",
-      "q_logistic_fit" -> "1-row weight-vector broadcast per unrolled GD iteration (the pageRank N pattern)")
+      "q_logistic_fit" -> "1-row weight-vector broadcast per unrolled GD iteration (the pageRank N pattern)",
+      "q_assoc_rules" -> "1-row corpus-constant broadcast (basket count)",
+      "q_naive_bayes" -> "margin-cardinality vocab×class likelihood spine + 1-row vocab/prior-total broadcasts",
+      "q_knn_eval" -> "pairwise exact LOO baseline over the fixed-small embedding corpus (the q_embed_neardup class; scale path = annJoin)",
+      "q_mutual_info" -> "1-row corpus-total broadcast + 1-row stat-frame combination (the q_triangles class)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —

@@ -2234,4 +2234,106 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out == Seq(("A", 6L, 3L, 3000L, 15.0), ("B", 4L, 1L, 1000L, 0.0)),
       out.toString)
   }
+
+  test("Graph.bfsHops labels minimal hop distance; unreached nodes absent; seed-adjacent seeds stay 0") {
+    import spark.implicits._
+    // path 1-2-3-4, disjoint edge 5-6, seed-seed edge 1-5, island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (1L, 5L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L, 5L).toDF("doc_id")
+    val out = graft.api.Graph.bfsHops(pairs, "id_a", "id_b", seeds, "doc_id",
+        maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L,
+      4L -> 3L), s"hop map wrong: $out")
+    // hop budget respected: nothing beyond maxHops, island untouched
+    assert(!out.contains(7L) && !out.contains(8L))
+  }
+
+  test("Associations.rules matches the hand-computed support/confidence/lift table") {
+    import spark.implicits._
+    val ev = Seq((1L, "A"), (1L, "B"), (1L, "B"), // dup row must not double-count
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C")).toDF("u", "item")
+    val out = graft.api.Associations.rules(ev, "u", "item")
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
+        "support", "confidence", "lift")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("A", "B", 2L, 3L, 2L, 3L, 0.6666, 0.6666, 1.0),
+      ("A", "C", 1L, 3L, 1L, 3L, 0.3333, 0.3333, 1.0),
+      ("B", "A", 2L, 2L, 3L, 3L, 0.6666, 1.0, 1.0),
+      ("C", "A", 1L, 1L, 3L, 3L, 0.3333, 1.0, 1.0)), out.toString)
+  }
+
+  test("Classifier.naiveBayesConfusion is diagonal on a token-separable corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa", "en"), (2L, "aa bb", "en"),
+      (3L, "cc cc", "fr"), (4L, "cc dd", "fr")).toDF("doc_id", "text", "lang")
+    val out = graft.api.Classifier.naiveBayesConfusion(docs, "doc_id", "text", "lang")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(("en", "en", 2L), ("fr", "fr", 2L)), out.toString)
+  }
+
+  test("TextAnalysis.heapsFit recovers a planted V = N^0.5 power law") {
+    import spark.implicits._
+    // docs with (N, V) = (4,2), (16,4), (64,8): ln V = 0.5·ln N exactly
+    def doc(distinct: Int, reps: Int): String =
+      (0 until distinct).flatMap(d => Seq.fill(reps)(s"t$d")).mkString(" ")
+    val docs = Seq((1L, doc(2, 2)), (2L, doc(4, 4)), (3L, doc(8, 8)))
+      .toDF("doc_id", "text")
+    val out = graft.api.TextAnalysis.heapsFit(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == 3L)
+    assert(math.abs(out._2 - 0.5) <= 0.001, s"beta ${out._2} != ~0.5")
+    assert(out._4 >= 0.9999, s"r2 ${out._4} not ~1 on an exact power law")
+  }
+
+  test("Similarity.knnLooConfusion is diagonal on two tight clusters; vote ties break low-label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.95f, 0.05f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.1f, 0.9f), 1),
+      (6L, Array(0.05f, 0.95f), 1)).toDF("vec_id", "embedding", "label")
+    val out = graft.api.Similarity.knnLooConfusion(vecs, "vec_id", "embedding",
+        "label", k = 2)
+      .as[(Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((0, 0, 3L), (1, 1, 3L)), out.toString)
+  }
+
+  test("Experiment.twoProportionZ matches a hand-computed z; empty arm guards to 0") {
+    import spark.implicits._
+    // units 0..3 even→arm0 (conv: u0 yes, u2 no), odd→arm1 (u1,u3 yes)
+    val ev = Seq((0L, "purchase"), (0L, "click"), (2L, "click"),
+      (1L, "purchase"), (3L, "purchase")).toDF("user_id", "event_type")
+    val out = graft.api.Experiment.twoProportionZ(ev, "user_id",
+        col("user_id") % 2, col("event_type") === "purchase")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    // p_a=1/2, p_b=1, pooled=3/4, se=sqrt(.75*.25*(1/2+1/2))=sqrt(.1875)
+    val z = math.floor(0.5 / math.sqrt(0.1875) * 10000) / 10000
+    assert(out == ((2L, 1L, 2L, 2L, 0.5, 1.0, 0.5, z)), out.toString)
+    val oneArm = Seq((0L, "purchase"), (2L, "click")).toDF("user_id", "event_type")
+    val g = graft.api.Experiment.twoProportionZ(oneArm, "user_id",
+        col("user_id") % 2, col("event_type") === "purchase")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(g._8 == 0.0, s"empty arm must guard z to 0: $g")
+  }
+
+  test("Profiler.mutualInfo: perfect dependence scores ln2/NMI≈1, independence scores 0") {
+    import spark.implicits._
+    val dep = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("x", "y")
+    val d = graft.api.Profiler.mutualInfo(dep, "x", "y")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(d == ((4L, 0.6931, 0.6931, 0.6931, 0.9999)), d.toString)
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("x", "y")
+    val i = graft.api.Profiler.mutualInfo(ind, "x", "y")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(i._2 == 0.0 && i._5 == 0.0, i.toString)
+  }
 }

@@ -1170,4 +1170,60 @@ class StreamingSemanticsSpec extends SparkTestBase {
     // the fixture exercises both first-row nulls and real lags
     assert(streamed.values.exists(_._1.isEmpty) && streamed.values.exists(_._1.isDefined))
   }
+
+  test("streaming sessionize ≡ batch session_window on replayed real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gap = 1800000L // 30 min — the q_session_window gap
+    val src = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+    val rows = src
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .orderBy("ts_ms", "event_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val maxTs = rows.map(_._3).max
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val ev = mem.toDF().toDF("key", "id", "tsMs", "value")
+      .withColumn("ts_t", timestamp_millis(col("tsMs")))
+      .withWatermark("ts_t", "1 minute")
+      .as[StatefulOps.ValRow]
+    val q = StatefulOps.streamingSessionize(ev, gapMs = gap)
+      .writeStream.format("memory").queryName("s_sess").outputMode("append")
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // real session's end + gap, the second gives the timeout sweep a
+      // trigger that RUNS with that watermark (timeouts fire on the batch
+      // after the one that moved the watermark)
+      mem.addData((-1L, -1L, maxTs + gap + 600000L, 0.0)); q.processAllAvailable()
+      mem.addData((-2L, -2L, maxTs + gap + 660000L, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_sess").as[StatefulOps.Session].collect()
+      .filter(_.key >= 0)
+      .map(s => (s.key, s.session_start_ms) ->
+        ((s.session_end_ms, s.cnt, s.sum_value))).toMap
+    val batch = graft.api.TimeSeries.sessionize(src, "ts_t", "user_id",
+        "30 minutes",
+        Seq(count(lit(1)).as("cnt"),
+          (floor(sum(col("value").cast("decimal(30,10)")).cast("double") * 10000)
+            / 10000.0).as("sum_value"),
+          max(col("ts_ms")).as("end_ms")))
+      .collect().map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ms")) ->
+          ((r.getAs[Long]("end_ms"), r.getAs[Long]("cnt"),
+            r.getAs[Double]("sum_value")))
+      }.toMap
+    assert(streamed.keySet == batch.keySet,
+      s"session sets differ: ${streamed.keySet.diff(batch.keySet).take(5)} / " +
+        s"${batch.keySet.diff(streamed.keySet).take(5)}")
+    streamed.foreach { case (k, v) =>
+      assert(v == batch(k), s"session $k: streaming $v != batch ${batch(k)}")
+    }
+    // the fixture must actually exercise multi-session keys
+    assert(streamed.keySet.groupBy(_._1).exists(_._2.size >= 2),
+      "expected at least one key with 2+ sessions")
+  }
 }
