@@ -424,6 +424,91 @@ object TimeSeries {
           / 10000).as("cusum_stat"))
   }
 
+  /** Kaplan–Meier survival curve over a (duration, event) subject frame
+    * (event 1 = observed, 0 = right-censored): one row per distinct
+    * duration with the at-risk count, deaths, censors, and the product-
+    * limit estimate S(t) = Π_{u ≤ t} (1 − d_u/n_u) — time-to-conversion
+    * / retention survival, the right way to read "how long until
+    * purchase" when most subjects never convert (dropping censored
+    * users biases every naive lag average).
+    *
+    * Scale shape — a distributed CUMULATIVE PRODUCT, executed as the
+    * [[Drift.ks]] ECDF scan on the log scale: the subject frame
+    * collapses to its distinct-duration (t, d, c) frame; at-risk counts
+    * are an EXCLUSIVE prefix of (d + c) (bucket-partitioned windows +
+    * one buckets-sized sorted-totals broadcast, never a global window);
+    * the survival product is exp of an INCLUSIVE prefix of
+    * ln((n−d)/n) terms run through the same bucketed scan. Bucket
+    * count derives from the distinct-frame size when `buckets = 0`
+    * ([[Drift.scanBuckets]]; the statistic is provably invariant to
+    * bucket boundaries — they only partition the prefix scans).
+    *
+    * Exactness: n and d are exact longs, so each log term is ONE ln of
+    * an agreed double ratio, quantized DECIMAL(30,10) before the
+    * order-proof prefix sums; S is one exp per OUTPUT row of an
+    * exactly-agreed decimal, floor-4dp (the logisticFit exp-then-
+    * quantize precedent). A final time where everyone at risk dies
+    * (n = d) takes S = 0 directly — the log term is skipped, not
+    * ln(0). */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+      eventCol: String, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets == 0 || buckets >= 2,
+      s"buckets must be ≥2 (or 0 = occupancy-derived), got $buckets")
+    val frame = Ckpt(
+      subjects
+        .filter(col(durationCol).isNotNull && col(durationCol) >= 0 &&
+          col(eventCol).isNotNull)
+        .groupBy(col(durationCol).cast("long").as("t"))
+        .agg(sum(col(eventCol).cast("long")).as("d"),
+          sum(lit(1L) - col(eventCol).cast("long")).as("c")))
+    val b = if (buckets > 0) buckets else Drift.scanBuckets(frame.count())
+    val fracs = (1 until b).map(i => i.toDouble / b)
+    val cuts = frame.agg(
+      expr(s"approx_percentile(t, array(${fracs.mkString(", ")}), 1000)").as("cuts"))
+    val bucketed = Ckpt(
+      frame.crossJoin(broadcast(cuts))
+        .select(col("t"), col("d"), col("c"),
+          (expr("aggregate(cuts, 0, (a, q) -> a + CASE WHEN t > q THEN 1 ELSE 0 END)")
+            + 1).cast("long").as("bucket")))
+    // stage A: at-risk = N − exclusive-prefix(d + c), via within-bucket
+    // inclusive running sums + the sorted bucket-totals broadcast
+    val w = Window.partitionBy("bucket").orderBy("t")
+    val btA = bucketed.groupBy("bucket").agg(sum(col("d") + col("c")).as("s"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("s")))).as("bt"),
+        sum(col("s")).as("n_total"))
+    val atRisk = bucketed
+      .withColumn("wi", sum(col("d") + col("c")).over(w))
+      .crossJoin(broadcast(btA))
+      .select(col("t"), col("d"), col("c"), col("bucket"),
+        (col("n_total") -
+          (col("wi") + expr(
+            "aggregate(filter(bt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.s)")
+            - (col("d") + col("c")))).as("n_risk"))
+    // stage B: log-survival prefix over the same bucket order; the
+    // n = d terminal row contributes no term and reports S = 0 directly.
+    // Terms are quantized 10dp and carried as UNSCALED LONGS (|cum| is
+    // bounded by |ln(1/N)|·1e10 ≲ 10¹² — decimal columns can't ride a
+    // HOF accumulator because every decimal add grows the precision)
+    val term = when(col("n_risk") > col("d"),
+      log((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+      .otherwise(lit(0.0))
+    val withTerm = Ckpt(atRisk.withColumn("lt",
+      round(term * 1e10).cast("long")))
+    val btB = withTerm.groupBy("bucket").agg(sum(col("lt")).as("s"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("s")))).as("btt"))
+    withTerm
+      .withColumn("wt", sum(col("lt")).over(w))
+      .crossJoin(broadcast(btB))
+      .withColumn("cum",
+        col("wt") + expr(
+          "aggregate(filter(btt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.s)"))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("d") < col("n_risk"),
+          floor(exp(col("cum").cast("double") / 1e10) * 10000) / 10000)
+          .otherwise(lit(0.0)).as("s"))
+  }
+
   /** Per-key autocorrelation function: Pearson correlation between the
     * resampled series and itself shifted by `1..maxLag` buckets — the
     * periodicity probe ("does traffic echo hour-over-hour?"). The series

@@ -1060,12 +1060,80 @@ object Windows {
             FROM m""")
   )
 
+  /** Kaplan–Meier time-to-conversion survival
+    * ([[graft.api.TimeSeries.kaplanMeier]]): per user, duration from
+    * first click to first subsequent purchase (event) or to the last
+    * seen event (censored); the product-limit curve over distinct
+    * durations — the right "how long until purchase" read when most
+    * users never convert. The cumulative product runs as the
+    * q_drift_ks bucketed prefix scan on the log scale; terms are
+    * DECIMAL(30,10)-quantized lns of exact integer ratios, S is one
+    * exp per output row floor-4dp. */
+  private val qSurvival = Q(
+    "q_survival",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val u0 = ev.filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", col("ts_ms"))).as("t0"),
+          max(col("ts_ms")).as("tmax"))
+        .filter(col("t0").isNotNull)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"))
+        .join(u0.select("user_id", "t0"), "user_id")
+        .filter(col("ts_ms") >= col("t0"))
+        .groupBy("user_id").agg(min("ts_ms").as("tp"))
+      val subjects = u0.join(p, Seq("user_id"), "left")
+        .select((coalesce(col("tp"), col("tmax")) - col("t0")).as("duration"),
+          col("tp").isNotNull.cast("int").as("event"))
+      graft.api.TimeSeries.kaplanMeier(subjects, "duration", "event")
+        .orderBy("t")
+    },
+    Some("""WITH u0 AS (SELECT user_id,
+                          min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t0,
+                          max(epoch_ms(ts)) AS tmax
+                        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+                 u1 AS (SELECT * FROM u0 WHERE t0 IS NOT NULL),
+                 p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS tp
+                       FROM events e JOIN u1 ON e.user_id = u1.user_id
+                       WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= u1.t0
+                       GROUP BY 1),
+                 subj AS (SELECT coalesce(p.tp, u1.tmax) - u1.t0 AS duration,
+                            CAST(p.tp IS NOT NULL AS INT) AS event
+                          FROM u1 LEFT JOIN p ON p.user_id = u1.user_id),
+                 f AS (SELECT duration AS t, sum(event) AS d,
+                              sum(1 - event) AS c
+                       FROM subj GROUP BY 1),
+                 tot AS (SELECT sum(d + c) AS n FROM f),
+                 o AS (SELECT t, d, c,
+                         sum(d + c) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - (d + c) AS before_t
+                       FROM f),
+                 r AS (SELECT t, d, c, n - before_t AS nr FROM o CROSS JOIN tot),
+                 sc AS (SELECT t, nr, d, c,
+                          sum(CASE WHEN nr > d
+                                THEN CAST(round(ln(CAST(nr - d AS DOUBLE) / nr)
+                                                * 10000000000.0) AS BIGINT)
+                                ELSE 0 END)
+                            OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                        FROM r)
+            SELECT CAST(t AS BIGINT) AS t, CAST(nr AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+                   CASE WHEN d < nr
+                        THEN floor(exp(CAST(cum AS DOUBLE) / 10000000000.0)
+                                   * 10000) / 10000
+                        ELSE 0.0 END AS s
+            FROM sc ORDER BY t""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
     qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
-    qAssocRules, qAbTest)
+    qAssocRules, qAbTest, qSurvival)
 }
 

@@ -164,6 +164,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_assoc_rules" -> "1-row corpus-constant broadcast (basket count)",
       "q_naive_bayes" -> "margin-cardinality vocab×class likelihood spine + 1-row vocab/prior-total broadcasts",
       "q_knn_eval" -> "pairwise exact LOO baseline over the fixed-small embedding corpus (the q_embed_neardup class; scale path = annJoin)",
+      "q_survival" -> "bucket-prefix-totals broadcasts (the q_drift_ks scan, x2 stages)",
       "q_mutual_info" -> "1-row corpus-total broadcast + 1-row stat-frame combination (the q_triangles class)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

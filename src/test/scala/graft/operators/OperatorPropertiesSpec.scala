@@ -2303,6 +2303,30 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(out == Seq((0, 0, 3L), (1, 1, 3L)), out.toString)
   }
 
+  test("TimeSeries.kaplanMeier matches the hand product-limit curve; terminal death hits 0") {
+    import spark.implicits._
+    // S: t1 d1/n5 → .8; t2 censor only → .8; t3 d2/n3 → .8/3; t5 censor
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (5L, 0))
+      .toDF("duration", "event")
+    // buckets = 3 exercises the cross-bucket offset broadcasts
+    val out = graft.api.TimeSeries.kaplanMeier(subj, "duration", "event",
+        buckets = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 5L, 1L, 0L, 0.8), (2L, 4L, 0L, 1L, 0.8),
+      (3L, 3L, 2L, 0L, 0.2666), (5L, 1L, 0L, 1L, 0.2666)), out.toString)
+    val all = Seq((1L, 1), (2L, 1)).toDF("duration", "event")
+    val t = graft.api.TimeSeries.kaplanMeier(all, "duration", "event",
+        buckets = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // S(1) reads 0.4999, not 0.5: round(ln(0.5)·1e10) rounds the log's
+    // magnitude UP, exp undershoots 0.5 by ~2e-11, and the final floor
+    // truncates the boundary value — deterministic and engine-exact
+    // (the ±1e-11 quantization jitter keeps the floor ~5 decades away
+    // from libm-ulp territory; only grid-exact true values shift)
+    assert(t == Seq((1L, 2L, 1L, 0L, 0.4999), (2L, 1L, 1L, 0L, 0.0)),
+      s"everyone-dies tail must reach S = 0: $t")
+  }
+
   test("Experiment.twoProportionZ matches a hand-computed z; empty arm guards to 0") {
     import spark.implicits._
     // units 0..3 even→arm0 (conv: u0 yes, u2 no), odd→arm1 (u1,u3 yes)
