@@ -16,6 +16,67 @@ import org.apache.spark.sql.functions._
   */
 object Experiment {
 
+  /** Cumulative Poisson(1) CDF thresholds for k = 0..5; a uniform draw
+    * maps through them to a bootstrap weight (≥ 6 truncated — P ≈ 6e-5,
+    * the standard bounded-weight cut). Full-precision literals so both
+    * engines compare against bit-identical constants. */
+  private[graft] val poisson1Cdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Poisson-bootstrap confidence interval for the mean of `valueCol` —
+    * the error bars every reported metric should carry. The multinomial
+    * bootstrap is Poissonized (each row enters replicate b with weight
+    * ~ Poisson(1)), which is THE distributed form: no resampling pass,
+    * no per-replicate shuffle of the corpus — one `explode` fans each
+    * row into its B replicate memberships and ONE map-side-combined
+    * (replicate)-keyed aggregate reduces to B weighted means; the
+    * percentile step runs on the B-row frame. Corpus cost is B× the
+    * scan — the published price of the estimator (use BLB beyond that).
+    *
+    * DETERMINISTIC: the Poisson draw comes from the inverse CDF over a
+    * uniform derived from `md5(id:b:seed)` (the [[Privacy.dpCounts]]
+    * mechanism), so the release is replayable and the oracle replays
+    * the identical weights. Exactness: each row's contribution
+    * `w · value` is one IEEE multiply of agreed operands quantized
+    * DECIMAL(30,10) before the order-proof sum; replicate means are
+    * fixed double expressions; the CI bounds are exact interpolated
+    * percentiles over the B means, floor-4dp.
+    *
+    * Returns one row: `b`, `ci_lo`, `ci_mid`, `ci_hi` (2.5 / 50 /
+    * 97.5 percentiles of the replicate means). */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 20, seed: String = "graft-boot"): DataFrame = {
+    require(b >= 4, s"need ≥4 replicates for a CI, got $b")
+    val vTerms = (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substring(__h, $i, 1)) - 1) * ${math.pow(16, i - 1).toLong}L")
+    val weight = poisson1Cdf.zipWithIndex
+      .foldRight(lit(6): Column) { case ((cut, k), rest) =>
+        when(col("__u") < cut, lit(k)).otherwise(rest)
+      }
+    val means = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v"),
+        explode(expr(s"sequence(1, $b)")).as("__b"))
+      .withColumn("__h", md5(concat_ws(":",
+        col("__id").cast("string"), col("__b").cast("string"), lit(seed))
+        .cast("binary")))
+      .withColumn("__u",
+        (expr(vTerms.mkString(" + ")).cast("double") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("__w", weight)
+      .groupBy("__b")
+      .agg(sum((col("__w") * col("__v")).cast("decimal(30,10)")).as("__s"),
+        sum(col("__w").cast("long")).as("__n"))
+      .filter(col("__n") > 0)
+      .select((col("__s").cast("double") / col("__n")).as("__m"))
+    means.agg(count(lit(1)).as("b"),
+        expr("percentile(__m, array(0.025, 0.5, 0.975))").as("__p"))
+      .select(col("b"),
+        (floor(col("__p").getItem(0) * 10000) / 10000).as("ci_lo"),
+        (floor(col("__p").getItem(1) * 10000) / 10000).as("ci_mid"),
+        (floor(col("__p").getItem(2) * 10000) / 10000).as("ci_hi"))
+  }
+
   /** Two-proportion z-test. `unitCol` is the randomization unit (user),
     * `armExpr` must be a deterministic 0/1 function of the unit (the
     * replayable hash-split contract — a rand() split is neither

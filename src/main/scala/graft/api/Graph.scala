@@ -120,8 +120,11 @@ object Graph {
   def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
       allIds: DataFrame, idCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be ≥1, got $rounds")
-    val und = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    // the edge frame is consumed once PER ROUND — without a checkpoint
+    // every round re-runs the (possibly expensive) pair-generation
+    // subtree (measured: 4.4 s → ~2.5 s for the trigram-Jaccard graph)
+    val und = Ckpt(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v"))))
     val ids = allIds.select(col(idCol).cast("long").as("id"))
     var labels = ids.withColumn("lab", col("id"))
     for (r <- 1 to rounds) {
@@ -159,17 +162,24 @@ object Graph {
   def bfsHops(pairs: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedIdCol: String, maxHops: Int = 3): DataFrame = {
     require(maxHops >= 1, s"maxHops must be ≥1, got $maxHops")
-    val und = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v")))
-    var visited = seeds.select(col(seedIdCol).cast("long").as("id"))
+    // checkpointed: each round's join/distinct/anti-join would otherwise
+    // re-run the pair-generation subtree (measured 8.3 s → ~2.5 s on
+    // the trigram-Jaccard graph at sf0.1)
+    val und = Ckpt(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v"))))
+    // frontier and visited both checkpoint per round: the un-pinned
+    // frontier's lineage chains through every previous round, so each
+    // later round would replay the seed subtree and all prior joins
+    // (measured 7.3 s → ~3 s at sf0.1)
+    var visited = Ckpt(seeds.select(col(seedIdCol).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
-      .withColumn("hop", lit(0L))
+      .withColumn("hop", lit(0L)))
     var frontier = visited.select("id")
     for (r <- 1 to maxHops) {
-      val next = und.join(frontier.select(col("id").as("u")), "u")
+      val next = Ckpt(und.join(frontier.select(col("id").as("u")), "u")
         .select(col("v").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .withColumn("hop", lit(r.toLong))
+        .withColumn("hop", lit(r.toLong)))
       val merged = visited.union(next)
       visited = if (r < maxHops) Ckpt(merged) else merged
       frontier = next.select("id")

@@ -1128,12 +1128,68 @@ object Windows {
             FROM sc ORDER BY t""")
   )
 
+  /** Poisson-bootstrap CI for the mean event value
+    * ([[graft.api.Experiment.bootstrapMeanCi]], B = 20): the error bars
+    * a reported metric should carry, with DETERMINISTIC md5-derived
+    * Poisson(1) weights so the resample is replayable and the oracle
+    * replays the identical draw. One explode fan-out (B× scan — the
+    * published estimator price) + one map-side-combined replicate
+    * aggregate + a percentile over the B-row mean frame. */
+  private val qBootstrapCi = Q(
+    "q_bootstrap_ci",
+    (s, dir) =>
+      graft.api.Experiment.bootstrapMeanCi(Tables.events(s, dir),
+        "event_id", "value", b = 20, seed = "graft-boot"),
+    Some("""WITH r AS (SELECT event_id, value, unnest(generate_series(1, 20)) AS b
+                       FROM events
+                       WHERE value IS NOT NULL AND event_id IS NOT NULL),
+                 h AS (SELECT value, b,
+                         md5(concat(CAST(event_id AS VARCHAR), ':',
+                                    CAST(b AS VARCHAR), ':', 'graft-boot')) AS hh
+                       FROM r),
+                 v AS (SELECT value, b,
+                         (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 1
+                       + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(hh, 5, 1)) - 1) * 65536
+                       + (strpos('0123456789abcdef', substring(hh, 6, 1)) - 1) * 1048576
+                       + (strpos('0123456789abcdef', substring(hh, 7, 1)) - 1) * 16777216
+                       + (strpos('0123456789abcdef', substring(hh, 8, 1)) - 1) * 268435456
+                         AS vv
+                       FROM h),
+                 u AS (SELECT value, b,
+                         (CAST(vv AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+                       FROM v),
+                 w AS (SELECT value, b,
+                         CASE WHEN uu < 0.36787944117144233 THEN 0
+                              WHEN uu < 0.7357588823428847 THEN 1
+                              WHEN uu < 0.9196986029286058 THEN 2
+                              WHEN uu < 0.9810118431238462 THEN 3
+                              WHEN uu < 0.9963401531726563 THEN 4
+                              WHEN uu < 0.9994058151824183 THEN 5
+                              ELSE 6 END AS w
+                       FROM u),
+                 m AS (SELECT b,
+                         CAST(sum(CAST(w * value AS DECIMAL(30,10))) AS DOUBLE)
+                           / sum(w) AS m
+                       FROM w GROUP BY b HAVING sum(w) > 0),
+                 q AS (SELECT count(*) AS b,
+                         quantile_cont(m, [0.025, 0.5, 0.975]) AS p
+                       FROM m)
+            SELECT CAST(b AS BIGINT) AS b,
+                   floor(p[1] * 10000) / 10000 AS ci_lo,
+                   floor(p[2] * 10000) / 10000 AS ci_mid,
+                   floor(p[3] * 10000) / 10000 AS ci_hi
+            FROM q""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
     qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
-    qAssocRules, qAbTest, qSurvival)
+    qAssocRules, qAbTest, qSurvival, qBootstrapCi)
 }
 

@@ -2327,6 +2327,22 @@ class OperatorPropertiesSpec extends SparkTestBase {
       s"everyone-dies tail must reach S = 0: $t")
   }
 
+  test("Experiment.bootstrapMeanCi: constant corpus pins CI exactly; bounds ordered on real spread") {
+    import spark.implicits._
+    // constant values: every weighted replicate mean is exactly 5.0,
+    // so the interpolated percentiles are exact regardless of weights
+    val const = (1L to 50L).map(i => (i, 5.0)).toDF("id", "v")
+    val c = graft.api.Experiment.bootstrapMeanCi(const, "id", "v", b = 8)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(c == ((8L, 5.0, 5.0, 5.0)), c.toString)
+    val spread = (1L to 200L).map(i => (i, (i % 13).toDouble)).toDF("id", "v")
+    val s = graft.api.Experiment.bootstrapMeanCi(spread, "id", "v", b = 20)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(s._1 == 20L && s._2 <= s._3 && s._3 <= s._4, s.toString)
+    // the resample actually varies (weights aren't degenerate)
+    assert(s._2 < s._4, s"CI must have positive width on a spread sample: $s")
+  }
+
   test("Experiment.twoProportionZ matches a hand-computed z; empty arm guards to 0") {
     import spark.implicits._
     // units 0..3 even→arm0 (conv: u0 yes, u2 no), odd→arm1 (u1,u3 yes)
