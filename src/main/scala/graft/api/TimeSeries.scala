@@ -424,6 +424,41 @@ object TimeSeries {
           / 10000).as("cusum_stat"))
   }
 
+  /** Cohort retention matrix: users grouped by their FIRST-activity
+    * bucket (the cohort), each cohort tracked across subsequent buckets
+    * — the (cohort × offset) triangle behind every retention dashboard.
+    * One row per (cohort_bucket, week_offset) with active-user count,
+    * cohort size, and the retention rate. Offset 0 is the cohort size
+    * by construction, so rates are self-normalizing.
+    *
+    * Scale shape: the corpus collapses FIRST to its distinct
+    * (user, bucket) frame (one map-side-combining aggregate); the
+    * cohort assignment is a user-keyed min + equi-join back (both
+    * partitioned by user); the matrix aggregate is
+    * (cohort × offset)-cardinality — time-range², corpus-size-
+    * independent — and the size join is cohort-cardinality. One
+    * long/long division per output row, floor-4dp. */
+  def cohortRetention(df: DataFrame, userCol: String, tsMsCol: String,
+      widthMs: Long): DataFrame = {
+    require(widthMs > 0, s"widthMs must be positive, got $widthMs")
+    val ub = Ckpt(df
+      .filter(col(userCol).isNotNull && col(tsMsCol).isNotNull)
+      .select(col(userCol).as("u"),
+        expr(floorDivSql(tsMsCol, widthMs)).as("b"))
+      .distinct())
+    val cohort = ub.groupBy("u").agg(min("b").as("c0"))
+    val matrix = ub.join(cohort, "u")
+      .groupBy(col("c0").as("cohort_bucket"), (col("b") - col("c0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (u, b) already distinct
+    val sizes = matrix.filter(col("week_offset") === 0)
+      .select(col("cohort_bucket"), col("n_active").as("n_cohort"))
+    matrix.join(sizes, "cohort_bucket")
+      .select(col("cohort_bucket"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        (floor(col("n_active").cast("double") / col("n_cohort") * 10000) / 10000)
+          .as("retention"))
+  }
+
   /** Kaplan–Meier survival curve over a (duration, event) subject frame
     * (event 1 = observed, 0 = right-censored): one row per distinct
     * duration with the at-risk count, deaths, censors, and the product-

@@ -1184,12 +1184,46 @@ object Windows {
             FROM q""")
   )
 
+  /** Weekly cohort retention matrix
+    * ([[graft.api.TimeSeries.cohortRetention]]): users grouped by
+    * first-activity week, each cohort tracked across week offsets —
+    * the retention triangle behind every growth dashboard (q_retention
+    * is the single-bucket slice; this is the full matrix). Corpus →
+    * distinct (user, week) frame → user-keyed cohort join →
+    * (cohort × offset)-cardinality aggregate; one long division per
+    * output row floor-4dp. */
+  private val qCohortMatrix = Q(
+    "q_cohort_matrix",
+    (s, dir) =>
+      graft.api.TimeSeries.cohortRetention(Tables.events(s, dir), "user_id",
+          "ts_ms", widthMs = 604800000L)
+        .orderBy("cohort_bucket", "week_offset"),
+    Some("""WITH ub AS (SELECT DISTINCT user_id AS u,
+                          (epoch_ms(ts) // 604800000
+                           - CASE WHEN epoch_ms(ts) % 604800000 < 0 THEN 1 ELSE 0 END) AS b
+                        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+                 c AS (SELECT u, min(b) AS c0 FROM ub GROUP BY 1),
+                 j AS (SELECT c0 AS cohort_bucket, b - c0 AS week_offset,
+                              count(*) AS n_active
+                       FROM ub JOIN c USING (u) GROUP BY 1, 2),
+                 s AS (SELECT cohort_bucket, n_active AS n_cohort
+                       FROM j WHERE week_offset = 0)
+            SELECT CAST(cohort_bucket AS BIGINT) AS cohort_bucket,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(n_cohort AS BIGINT) AS n_cohort,
+                   floor(CAST(n_active AS DOUBLE) / n_cohort * 10000) / 10000
+                     AS retention
+            FROM j JOIN s USING (cohort_bucket)
+            ORDER BY cohort_bucket, week_offset""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
     qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
-    qAssocRules, qAbTest, qSurvival, qBootstrapCi)
+    qAssocRules, qAbTest, qSurvival, qBootstrapCi, qCohortMatrix)
 }
 
