@@ -35,34 +35,13 @@ object Classifier {
   def logisticFit(df: DataFrame, label: Column, features: Seq[Column],
       iterations: Int = 3, lr: Double = 0.1): DataFrame = {
     require(features.nonEmpty, "need at least one feature column")
-    require(iterations >= 1, s"iterations must be ≥1, got $iterations")
-    require(lr > 0, s"lr must be positive, got $lr")
     val k = features.size
     val base = df.select((label.cast("double").as("y") +:
       features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"x$i") }): _*)
-    def sigma: Column = {
-      val z = col("w0") + (0 until k).map(i => col(s"w${i + 1}") * col(s"x$i"))
-        .reduce(_ + _)
-      lit(1.0) / (lit(1.0) + exp(-z))
-    }
-    val spark = df.sparkSession
-    var wf: DataFrame = spark.range(1)
-      .select((0 to k).map(j => lit(0.0).as(s"w$j")): _*)
-    for (_ <- 1 to iterations) {
-      val joined = base.crossJoin(broadcast(wf))
-      val aggCols =
-        (0 to k).map { j =>
-          val xj = if (j == 0) lit(1.0) else col(s"x${j - 1}")
-          sum((xj * (sigma - col("y"))).cast("decimal(30,10)")).as(s"g$j")
-        } ++ (0 to k).map(j => max(col(s"w$j")).as(s"pw$j"))
-      val agg = joined.agg(count(lit(1)).as("n"), aggCols: _*)
-      wf = agg.select((0 to k).map(j =>
-        (col(s"pw$j") - lit(lr) * (col(s"g$j").cast("double") / col("n")))
-          .as(s"w$j")): _*)
-    }
+    val wf = fitWeights(base, k, iterations, lr)
     val fin = base.crossJoin(broadcast(wf))
-    val perRowLoss = -(col("y") * log(sigma) +
-      (lit(1.0) - col("y")) * log(lit(1.0) - sigma))
+    val perRowLoss = -(col("y") * log(sigmaK(k)) +
+      (lit(1.0) - col("y")) * log(lit(1.0) - sigmaK(k)))
     fin.agg(
       count(lit(1)).as("n"),
       (Seq(sum(perRowLoss.cast("decimal(30,10)")).as("lsum")) ++
@@ -71,6 +50,73 @@ object Classifier {
         (0 to k).map(j =>
           (floor(col(s"fw$j") * 10000) / 10000).as(s"w$j")) :+
         (floor(col("lsum").cast("double") / col("n") * 10000) / 10000).as("loss")): _*)
+  }
+
+  /** The shared GD recurrence: `iterations` full-batch steps from zero
+    * weights over a `base` frame with columns `y, x0..x{k-1}`; returns
+    * the 1-row RAW (unfloored) weight frame `w0..wk`. Each iteration's
+    * weights are a fixed IEEE expression over DECIMAL(30,10)-quantized
+    * gradient sums, so the vector is bit-identical on any engine
+    * replaying the unrolled recurrence. */
+  private def fitWeights(base: DataFrame, k: Int, iterations: Int,
+      lr: Double): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥1, got $iterations")
+    require(lr > 0, s"lr must be positive, got $lr")
+    var wf: DataFrame = base.sparkSession.range(1)
+      .select((0 to k).map(j => lit(0.0).as(s"w$j")): _*)
+    for (_ <- 1 to iterations) {
+      val joined = base.crossJoin(broadcast(wf))
+      val aggCols =
+        (0 to k).map { j =>
+          val xj = if (j == 0) lit(1.0) else col(s"x${j - 1}")
+          sum((xj * (sigmaK(k) - col("y"))).cast("decimal(30,10)")).as(s"g$j")
+        } ++ (0 to k).map(j => max(col(s"w$j")).as(s"pw$j"))
+      val agg = joined.agg(count(lit(1)).as("n"), aggCols: _*)
+      wf = agg.select((0 to k).map(j =>
+        (col(s"pw$j") - lit(lr) * (col(s"g$j").cast("double") / col("n")))
+          .as(s"w$j")): _*)
+    }
+    wf
+  }
+
+  /** In-engine AUC of the logistic gate: fit the same `iterations` GD
+    * steps as [[logisticFit]], score every row with the RAW weights,
+    * and compute the exact ROC AUC from the rank statistic
+    * AUC = U₁ / (n₁·n₀) — the threshold-free quality readout of the
+    * filter ("does the score actually order positives above
+    * negatives?"), computed WITHOUT materializing a single (pos, neg)
+    * pair: U₁ comes from [[Drift.mannWhitney]]'s distributed bucketed
+    * rank scan (ties counted half, the exact AUC convention).
+    *
+    * Exactness: scores quantize to DECIMAL(30,10) per row BEFORE
+    * becoming rank keys (weights are bit-identical by the
+    * [[logisticFit]] induction; libm-ulp divergence in exp is absorbed
+    * except on measure-zero boundary rows — the documented class), so
+    * both engines rank identical keys and U₁ is integer-exact; AUC is
+    * one final division floor-4dp. Returns one row
+    * (n_pos, n_neg, auc). */
+  def logisticAuc(df: DataFrame, label: Column, features: Seq[Column],
+      iterations: Int = 3, lr: Double = 0.1): DataFrame = {
+    require(features.nonEmpty, "need at least one feature column")
+    val k = features.size
+    val base = df.select((label.cast("double").as("y") +:
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"x$i") }): _*)
+    val wf = fitWeights(base, k, iterations, lr)
+    val z = col("w0") + (0 until k).map(i => col(s"w${i + 1}") * col(s"x$i"))
+      .reduce(_ + _)
+    val scored = base.crossJoin(broadcast(wf))
+      .select(col("y").cast("int").cast("string").as("lab"),
+        z.cast("decimal(30,10)").as("score"))
+    Drift.mannWhitney(scored, "score", "lab", labelA = "1", labelB = "0")
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (floor(col("u") / (col("n_a") * col("n_b")) * 10000) / 10000).as("auc"))
+  }
+
+  /** σ(w·x) over the `w0..wk` / `x0..x{k-1}` column convention. */
+  private def sigmaK(k: Int): Column = {
+    val z = col("w0") + (0 until k).map(i => col(s"w${i + 1}") * col(s"x$i"))
+      .reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
   }
 
   /** Multinomial Naive Bayes trained AND evaluated in-engine: fit add-1

@@ -143,6 +143,50 @@ object Graph {
     labels.select(col("id"), col("lab").as("community"))
   }
 
+  /** Newman modularity of a community assignment over an undirected
+    * pair graph: Q = Σ_c [e_c/m − (d_c/2m)²] — the standard "are these
+    * communities denser than chance?" score (≈0 random, ≥0.3 real
+    * structure), the quality readout for [[labelPropagation]]'s output.
+    * Returns one row (n_communities, n_edges, modularity).
+    *
+    * INTEGER-exact core: Q is computed in the common-denominator form
+    * `Σ_c (4·m·e_c − d_c²) / (4m²)` — every numerator term is exact
+    * DECIMAL(38,0) integer arithmetic (communities with no edges
+    * contribute exactly 0 and drop out), so the ONE float division at
+    * the end is engine-exact, floor-4dp.
+    *
+    * Scale shape: two equi-joins of the edge list against the
+    * node-sized label frame (within-community edge counts + degree
+    * sums, both hash-keyed and map-side-combining down to
+    * community-cardinality frames); m and the community count attach
+    * as sanctioned 1-row broadcasts. Work ∝ |edges|, never all-pairs. */
+  def modularity(pairs: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, idCol: String, communityCol: String): DataFrame = {
+    val p = Ckpt(pairs.select(col(srcCol).as("a"), col(dstCol).as("b")))
+    val lab = communities.select(col(idCol).as("id"), col(communityCol).as("c"))
+    val eIn = p
+      .join(lab.select(col("id").as("a"), col("c").as("ca")), "a")
+      .join(lab.select(col("id").as("b"), col("c").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+    val deg = p.select(col("a").as("id")).union(p.select(col("b").as("id")))
+      .join(lab, "id")
+      .groupBy("c").agg(count(lit(1)).as("dc"))
+    val m = p.agg(count(lit(1)).as("m"))
+    val nc = lab.agg(countDistinct(col("c")).as("n_communities"))
+    val numer = deg.join(eIn, Seq("c"), "left")
+      .crossJoin(broadcast(m))
+      .select((lit(4).cast("decimal(38,0)") * col("m") * coalesce(col("ec"), lit(0L))
+        - col("dc").cast("decimal(38,0)") * col("dc")).as("t"))
+      .agg(sum("t").as("num"))
+    nc.crossJoin(broadcast(m)).crossJoin(broadcast(numer))
+      .select(col("n_communities"), col("m").as("n_edges"),
+        when(col("m") > 0,
+          floor(col("num").cast("double")
+            / (lit(4.0) * col("m") * col("m")) * 10000) / 10000)
+          .otherwise(lit(0.0)).as("modularity"))
+  }
+
   /** Multi-source BFS hop distance over an undirected pair graph: every
     * node in `seeds` starts at hop 0; round r labels every yet-unlabeled
     * neighbor of the round-(r−1) frontier with hop r, up to `maxHops`.

@@ -783,6 +783,83 @@ object Dedup {
             FROM v3 ORDER BY doc_id""")
   )
 
+  /** Modularity of the q_label_prop communities
+    * ([[graft.api.Graph.modularity]]): Q = Σ_c [e_c/m − (d_c/2m)²]
+    * over the SAME trigram-Jaccard pair graph — the "are these
+    * communities denser than chance?" readout that closes the loop on
+    * community detection (detect with q_label_prop, score here).
+    * Integer-exact common-denominator numerator, one final division
+    * floor-4dp; work ∝ edges. */
+  private val qModularity = Q(
+    "q_modularity",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      val comm = graft.api.Graph.labelPropagation(pairs, "id_a", "id_b",
+        docs, "doc_id", rounds = 3)
+      graft.api.Graph.modularity(pairs, "id_a", "id_b",
+        comm, "id", "community")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                       UNION ALL SELECT doc_b, doc_a FROM pairs),
+                 l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+                 n1 AS (SELECT e.u AS id, l.lab, count(*) AS c
+                        FROM e JOIN l0 l ON l.id = e.v GROUP BY 1, 2),
+                 t1 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lab) AS rn FROM n1),
+                 l1 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                        FROM l0 l LEFT JOIN (SELECT id, lab FROM t1 WHERE rn = 1) t
+                          ON t.id = l.id),
+                 n2 AS (SELECT e.u AS id, l.lab, count(*) AS c
+                        FROM e JOIN l1 l ON l.id = e.v GROUP BY 1, 2),
+                 t2 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lab) AS rn FROM n2),
+                 l2 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                        FROM l1 l LEFT JOIN (SELECT id, lab FROM t2 WHERE rn = 1) t
+                          ON t.id = l.id),
+                 n3 AS (SELECT e.u AS id, l.lab, count(*) AS c
+                        FROM e JOIN l2 l ON l.id = e.v GROUP BY 1, 2),
+                 t3 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lab) AS rn FROM n3),
+                 l3 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                        FROM l2 l LEFT JOIN (SELECT id, lab FROM t3 WHERE rn = 1) t
+                          ON t.id = l.id),
+                 ein AS (SELECT la.lab AS c, count(*) AS ec
+                         FROM pairs p
+                         JOIN l3 la ON la.id = p.doc_a
+                         JOIN l3 lb ON lb.id = p.doc_b
+                         WHERE la.lab = lb.lab GROUP BY 1),
+                 deg AS (SELECT l.lab AS c, count(*) AS dc
+                         FROM e JOIN l3 l ON l.id = e.u GROUP BY 1),
+                 mm AS (SELECT count(*) AS m FROM pairs),
+                 ncc AS (SELECT count(DISTINCT lab) AS n_communities FROM l3),
+                 num AS (SELECT sum(4 * CAST(m AS HUGEINT) * coalesce(ec, 0)
+                                    - CAST(dc AS HUGEINT) * dc) AS num
+                         FROM deg LEFT JOIN ein USING (c) CROSS JOIN mm)
+            SELECT CAST(n_communities AS BIGINT) AS n_communities,
+                   CAST(m AS BIGINT) AS n_edges,
+                   CASE WHEN m > 0
+                        THEN floor(CAST(num AS DOUBLE)
+                                   / (4.0 * m * m) * 10000) / 10000
+                        ELSE 0.0 END AS modularity
+            FROM ncc CROSS JOIN mm CROSS JOIN num""")
+  )
+
   /** Triangle census (graft.api.Graph.triangleStats) over the SAME
     * trigram-Jaccard near-dup pair graph as q_pagerank: one row of exact
     * counts (nodes, edges, wedges, triangles) — transitivity
@@ -956,5 +1033,6 @@ object Dedup {
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
-    qLabelProp, qBfsHops, qTriangles, qCorpusDiff, qFuzzyJoin, qDegrees)
+    qLabelProp, qBfsHops, qModularity, qTriangles, qCorpusDiff, qFuzzyJoin,
+    qDegrees)
 }

@@ -593,6 +593,75 @@ object TextOps {
             FROM fin""")
   )
 
+  /** In-engine AUC of the logistic gate
+    * ([[graft.api.Classifier.logisticAuc]]): the same 3 unrolled GD
+    * iterations as q_logistic_fit, every doc scored with the RAW
+    * weights, exact ROC AUC = U₁/(n₁·n₀) via the Mann–Whitney bucketed
+    * rank scan — train AND evaluate the quality filter without ever
+    * materializing a (pos, neg) pair. Scores quantize DECIMAL(30,10)
+    * before becoming rank keys, so U₁ is integer-exact cross-engine. */
+  private val qLogisticAuc = Q(
+    "q_logistic_auc",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.api.Classifier.logisticAuc(d,
+        label = (col("lang") === "en").cast("double"),
+        features = Seq(
+          log(col("n_chars").cast("double") + lit(1.0)),
+          size(split(col("text"), " ")).cast("double") / lit(100.0)),
+        iterations = 3, lr = 0.1)
+    },
+    Some("""WITH b AS (SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+                   ln(CAST(n_chars AS DOUBLE) + 1.0) AS x0,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1
+                 FROM documents),
+                 w0c AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+                 g1c AS (SELECT count(*) AS n,
+                   sum(CAST(1.0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g0,
+                   sum(CAST(x0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g1,
+                   sum(CAST(x1 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g2,
+                   max(w0) AS pw0, max(w1) AS pw1, max(w2) AS pw2
+                 FROM b CROSS JOIN w0c),
+                 w1c AS (SELECT pw0 - 0.1*(CAST(g0 AS DOUBLE)/n) AS w0,
+                                pw1 - 0.1*(CAST(g1 AS DOUBLE)/n) AS w1,
+                                pw2 - 0.1*(CAST(g2 AS DOUBLE)/n) AS w2 FROM g1c),
+                 g2cc AS (SELECT count(*) AS n,
+                   sum(CAST(1.0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g0,
+                   sum(CAST(x0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g1,
+                   sum(CAST(x1 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g2,
+                   max(w0) AS pw0, max(w1) AS pw1, max(w2) AS pw2
+                 FROM b CROSS JOIN w1c),
+                 w2c AS (SELECT pw0 - 0.1*(CAST(g0 AS DOUBLE)/n) AS w0,
+                                pw1 - 0.1*(CAST(g1 AS DOUBLE)/n) AS w1,
+                                pw2 - 0.1*(CAST(g2 AS DOUBLE)/n) AS w2 FROM g2cc),
+                 g3c AS (SELECT count(*) AS n,
+                   sum(CAST(1.0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g0,
+                   sum(CAST(x0 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g1,
+                   sum(CAST(x1 * (1.0/(1.0+exp(-(w0 + w1*x0 + w2*x1))) - y) AS DECIMAL(30,10))) AS g2,
+                   max(w0) AS pw0, max(w1) AS pw1, max(w2) AS pw2
+                 FROM b CROSS JOIN w2c),
+                 w3c AS (SELECT pw0 - 0.1*(CAST(g0 AS DOUBLE)/n) AS w0,
+                                pw1 - 0.1*(CAST(g1 AS DOUBLE)/n) AS w1,
+                                pw2 - 0.1*(CAST(g2 AS DOUBLE)/n) AS w2 FROM g3c),
+                 sc AS (SELECT CAST(y AS INT) AS lab,
+                          CAST(w0 + w1*x0 + w2*x1 AS DECIMAL(30,10)) AS s
+                        FROM b CROSS JOIN w3c),
+                 c AS (SELECT s AS x,
+                         sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS ca,
+                         sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS cb
+                       FROM sc
+                       WHERE s IS NOT NULL AND lab IS NOT NULL
+                       GROUP BY s),
+                 cum AS (SELECT ca, cb, sum(cb) OVER (ORDER BY x) AS cumb FROM c),
+                 m AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                              sum(CAST(ca AS HUGEINT)
+                                  * CAST(2 * cumb - cb AS HUGEINT)) AS u2
+                       FROM cum)
+            SELECT CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+                   floor(CAST(u2 AS DOUBLE) / 2 / (na * nb) * 10000) / 10000 AS auc
+            FROM m""")
+  )
+
   private val qGopherRules = Q(
     "q_gopher_rules",
     (s, dir) =>
@@ -1584,7 +1653,7 @@ object TextOps {
     qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
     qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qBm25Search, qRepStats,
-    qGopherRules, qDsirWeights, qLogisticFit, qNaiveBayes, qHeapsFit,
+    qGopherRules, qDsirWeights, qLogisticFit, qLogisticAuc, qNaiveBayes, qHeapsFit,
     qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,

@@ -161,11 +161,13 @@ class PlanAuditSpec extends SparkTestBase {
       "q_churn" -> "1-row time-range broadcast (lo/hi midpoint split)",
       "q_perplexity_kn" -> "1-row corpus-constant broadcast (distinct-pair total)",
       "q_logistic_fit" -> "1-row weight-vector broadcast per unrolled GD iteration (the pageRank N pattern)",
+      "q_logistic_auc" -> "1-row weight-vector broadcasts (the q_logistic_fit recurrence) + the q_drift_mw bucket-prefix scan broadcasts",
       "q_assoc_rules" -> "1-row corpus-constant broadcast (basket count)",
       "q_naive_bayes" -> "margin-cardinality vocab×class likelihood spine + 1-row vocab/prior-total broadcasts",
       "q_knn_eval" -> "pairwise exact LOO baseline over the fixed-small embedding corpus (the q_embed_neardup class; scale path = annJoin)",
       "q_survival" -> "bucket-prefix-totals broadcasts (the q_drift_ks scan, x2 stages)",
-      "q_mutual_info" -> "1-row corpus-total broadcast + 1-row stat-frame combination (the q_triangles class)")
+      "q_mutual_info" -> "1-row corpus-total broadcast + 1-row stat-frame combination (the q_triangles class)",
+      "q_modularity" -> "1-row edge-count broadcast + 1-row stat-frame combination (the q_triangles class)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —

@@ -2327,6 +2327,38 @@ class OperatorPropertiesSpec extends SparkTestBase {
       s"everyone-dies tail must reach S = 0: $t")
   }
 
+  test("Graph.modularity: two clean triangles score 0.5; one global community scores 0") {
+    import spark.implicits._
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "community")
+    val q = graft.api.Graph.modularity(twoTri, "id_a", "id_b", comm, "id", "community")
+      .as[(Long, Long, Double)].collect().head
+    // per triangle: e=3, d=6, m=6 → 2·(3/6 − (6/12)²) = 0.5 exactly
+    assert(q == ((2L, 6L, 0.5)), q.toString)
+    val one = comm.select(col("id"), lit(9L).as("community"))
+    val q1 = graft.api.Graph.modularity(twoTri, "id_a", "id_b", one, "id", "community")
+      .as[(Long, Long, Double)].collect().head
+    assert(q1 == ((1L, 6L, 0.0)), s"everything-in-one must score 0: $q1")
+  }
+
+  test("Classifier.logisticAuc: separable data scores AUC 1.0; constant feature scores 0.5") {
+    import spark.implicits._
+    val sep = (Seq.tabulate(5)(i => (1.0, 2.0 + i * 0.25)) ++
+      Seq.tabulate(5)(i => (0.0, 0.0 + i * 0.25))).toDF("yy", "xx")
+    val a = graft.api.Classifier.logisticAuc(sep, col("yy"), Seq(col("xx")))
+      .as[(Long, Long, Double)].collect().head
+    // one GD step from zero weights already signs the feature correctly,
+    // and AUC only reads the ordering — separable data must hit 1.0
+    assert(a == ((5L, 5L, 1.0)), a.toString)
+    val const = (Seq.fill(4)((1.0, 3.0)) ++ Seq.fill(4)((0.0, 3.0))).toDF("yy", "xx")
+    val c = graft.api.Classifier.logisticAuc(const, col("yy"), Seq(col("xx")))
+      .as[(Long, Long, Double)].collect().head
+    // every score ties → U = n1·n0/2 → AUC exactly 0.5
+    assert(c == ((4L, 4L, 0.5)), c.toString)
+  }
+
   test("Experiment.bootstrapMeanCi: constant corpus pins CI exactly; bounds ordered on real spread") {
     import spark.implicits._
     // constant values: every weighted replicate mean is exactly 5.0,
