@@ -1171,6 +1171,45 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(streamed.values.exists(_._1.isEmpty) && streamed.values.exists(_._1.isDefined))
   }
 
+  test("streaming funnel: error→purchase within tolerance ≡ the batch as-of funnel hit set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200000L
+    val min = 60000L
+    // (user, id, tsMs, isError, isPurchase): u1 converts in-tolerance,
+    // u2 has no error, u3's error is outside the 10-min tolerance,
+    // u4's error arrives AFTER the purchase
+    val rows = Seq(
+      (1L, 10L, base, true, false), (1L, 11L, base + 5 * min, false, true),
+      (2L, 20L, base + min, false, true),
+      (3L, 30L, base, true, false), (3L, 31L, base + 11 * min, false, true),
+      (4L, 40L, base + 3 * min, false, true), (4L, 41L, base + 4 * min, true, false))
+    val mem = MemoryStream[(Long, Long, Long, Boolean, Boolean)]
+    // the streaming funnel IS streamingAttribution instantiated at
+    // (error → purchase, 10 min): a purchase's hit ⇔ attributed id set
+    val q = StatefulOps.streamingAttribution(
+        mem.toDF().toDF("userId", "eventId", "tsMs", "isClick", "isPurchase")
+          .as[StatefulOps.UserEvent], lookbackMs = 10 * min)
+      .writeStream.format("memory").queryName("s_funnel").outputMode("append")
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_funnel").as[StatefulOps.Attribution]
+      .collect().map(a => a.event_id -> a.attributed_click_id.isDefined).toMap
+    val ev = rows.toDF("user_id", "event_id", "ts_ms", "is_err", "is_pur")
+    val batch = graft.api.TimeSeries.asofJoin(
+        ev.filter(col("is_pur")), "event_id", "ts_ms", "user_id",
+        ev.filter(col("is_err")), "ts_ms", "user_id",
+        toleranceMs = Some(10 * min))
+      .select(col("event_id"), col("asof_ts_ms").isNotNull.as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(streamed == batch, s"streaming $streamed != batch $batch")
+    assert(streamed == Map(11L -> true, 20L -> false, 31L -> false, 40L -> false))
+  }
+
   test("streaming sessionize ≡ batch session_window on replayed real events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
