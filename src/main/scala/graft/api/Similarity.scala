@@ -230,12 +230,46 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("ia").orderBy(col("sim").desc, col("ib").asc)))
       .filter(col("rn") <= k)
-    val votes = top.groupBy("ia", "la", "lb").agg(count(lit(1)).as("c"))
-    votes.withColumn("vr", row_number().over(
+    majorityConfusion(top)
+  }
+
+  /** The shared majority-vote → confusion reduction: `nbrs` carries one
+    * row per (probe, retained neighbor) with columns `ia` (probe id),
+    * `la` (probe label), `lb` (neighbor label). Vote ties break
+    * (count desc, label asc); probes with no rows are absent. */
+  private def majorityConfusion(nbrs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    nbrs.groupBy("ia", "la", "lb").agg(count(lit(1)).as("c"))
+      .withColumn("vr", row_number().over(
         Window.partitionBy("ia").orderBy(col("c").desc, col("lb").asc)))
       .filter(col("vr") === 1)
       .groupBy(col("la").as("label"), col("lb").as("predicted"))
       .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** The SCALE form of [[knnLooConfusion]]: identical majority-vote and
+    * confusion reduction, but the neighbor lists come from
+    * [[annJoinAuto]]'s bucketed LSH index instead of the quadratic
+    * exact pair frame — candidate generation is band equi-joins with
+    * the occupancy-derived parameters and hot-bucket cap, so the whole
+    * evaluation is bucketed at any corpus size. Approximate ONLY in
+    * which neighbors are found (candidates are exact-cosine re-ranked);
+    * probes whose every bucket missed drop out of the matrix (recall is
+    * the property-tested contract, matching the rest of the ANN
+    * family). */
+  def knnAnnConfusion(corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int = 5, dim: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be ≥1, got $k")
+    val base = corpus.filter(col(idCol).isNotNull && col(embCol).isNotNull &&
+      col(labelCol).isNotNull)
+    val lab = base.select(col(idCol).as("__nid"), col(labelCol).as("__nlab"))
+    val nn = annJoinAuto(base, idCol, embCol, k = k, dim = dim)
+    val nbrs = nn
+      .join(lab.select(col("__nid").as("id"), col("__nlab").as("la")), "id")
+      .join(lab.select(col("__nid").as("neighbor_id"), col("__nlab").as("lb")),
+        "neighbor_id")
+      .select(col("id").as("ia"), col("la"), col("lb"))
+    majorityConfusion(nbrs)
   }
 
   /** Deterministic ±1 random-hyperplane matrix (nPlanes × dim) — same

@@ -428,7 +428,26 @@ object VectorOps {
             ORDER BY label NULLS FIRST, predicted NULLS FIRST""")
   )
 
+  /** The SCALE composition of q_knn_eval
+    * ([[graft.api.Similarity.knnAnnConfusion]]): the same majority-vote
+    * confusion, with neighbor lists from annJoinAuto's bucketed LSH
+    * index (occupancy-derived params, hot-bucket cap) instead of the
+    * exact quadratic pair frame — what the evaluation actually runs at
+    * 100 TB. Approximate only in which neighbors are found (candidates
+    * are exact-cosine re-ranked); no SQL oracle by design — accuracy
+    * parity vs the exact q_knn_eval is property-tested. */
+  private val qKnnEvalAnn = Q(
+    "q_knn_eval_ann",
+    (s, dir) =>
+      Similarity.knnAnnConfusion(Tables.embeddings(s, dir), "vec_id",
+          "embedding", "label", k = 5, dim = 64)
+        .select(col("label").cast("bigint").as("label"),
+          col("predicted").cast("bigint").as("predicted"), col("n_vecs"))
+        .orderBy(asc_nulls_first("label"), asc_nulls_first("predicted")),
+    None
+  )
+
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
-    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance, qKnnEval)
+    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn)
 }

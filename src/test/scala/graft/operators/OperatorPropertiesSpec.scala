@@ -2327,6 +2327,30 @@ class OperatorPropertiesSpec extends SparkTestBase {
       s"everyone-dies tail must reach S = 0: $t")
   }
 
+  test("knnAnnConfusion tracks the exact LOO confusion: coverage and accuracy within contract") {
+    import spark.implicits._
+    def acc(rows: Seq[(Long, Long, Long)]): (Long, Double) = {
+      val total = rows.map(_._3).sum
+      (total, rows.filter(r => r._1 == r._2).map(_._3).sum.toDouble / total)
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = graft.api.Similarity.knnLooConfusion(emb, "vec_id", "embedding",
+        "label", k = 5)
+      .select(col("label").cast("long"), col("predicted").cast("long"), col("n_vecs"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val ann = graft.api.Similarity.knnAnnConfusion(emb, "vec_id", "embedding",
+        "label", k = 5)
+      .select(col("label").cast("long"), col("predicted").cast("long"), col("n_vecs"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val (nExact, accExact) = acc(exact)
+    val (nAnn, accAnn) = acc(ann)
+    // coverage: probes drop out only when EVERY band bucket missed
+    assert(nAnn >= (0.9 * nExact).toLong, s"ANN covered $nAnn of $nExact probes")
+    // accuracy parity: found-neighbor voting tracks the exact vote
+    assert(accAnn >= accExact - 0.1,
+      s"ANN accuracy $accAnn vs exact $accExact — more than 0.1 below")
+  }
+
   test("Graph.modularity: two clean triangles score 0.5; one global community scores 0") {
     import spark.implicits._
     val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
