@@ -119,4 +119,43 @@ object Experiment {
         floor((pb - pa) / se * 10000) / 10000)
         .otherwise(lit(0.0)).as("z"))
   }
+
+  /** Wilson-lower-bound rate ranking: per key, trials/successes counted
+    * in one aggregate, then the 95%-style Wilson score interval's lower
+    * bound — the "rank by rate without being fooled by tiny
+    * denominators" estimator (a 1/1 item must NOT outrank a 95/100
+    * item; the Wilson LB prices the sample size in). Returns the top
+    * `topK` keys by lower bound. Successes clamp to ≤ trials so p̂ stays
+    * a probability even when the two event streams are independent
+    * counters (as in a raw event log).
+    *
+    * Exactness: (n, s) are exact longs from one map-side-combining
+    * aggregate; the bound is a single fixed IEEE expression both
+    * engines replay, floor-4dp BEFORE the ordering so the rank ties are
+    * decided on the agreed quantized value with a key tiebreak.
+    *
+    * Scale: one hash aggregate (key-cardinality frame) + one TakeOrdered
+    * top-k — no window, no broadcast, no join. */
+  def wilsonRank(df: DataFrame, keyCol: String, trialExpr: Column,
+      successExpr: Column, z: Double = 1.96, topK: Int = 100): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    require(topK >= 1, s"topK must be ≥1, got $topK")
+    val agg = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(trialExpr.cast("long")).as("n"),
+        sum(successExpr.cast("long")).as("s_raw"))
+      .filter(col("n") > 0)
+      .withColumn("s", least(col("s_raw"), col("n")))
+    val nD = col("n").cast("double")
+    val p = col("s").cast("double") / nD
+    val zz = lit(z) * lit(z)
+    val lb = (p + zz / (lit(2.0) * nD) -
+      lit(z) * sqrt((p * (lit(1.0) - p) + zz / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + zz / nD)
+    agg.select(col("key"), col("n"), col("s"),
+        (floor(lb * 10000) / 10000).as("wilson_lb"))
+      .orderBy(desc("wilson_lb"), asc("key"))
+      .limit(topK)
+  }
 }

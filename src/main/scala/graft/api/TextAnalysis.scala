@@ -835,4 +835,68 @@ object TextAnalysis {
       .agg(expr("regr_slope(ln(cnt), ln(rank))").as("zipf_slope"),
         count(lit(1)).as("n_ranks"))
   }
+
+  /** Per-group character-class census: doc count, total characters, and
+    * the digit / letter / space / non-ASCII character ratios — the
+    * encoding-health audit a multilingual corpus runs before tokenizer
+    * training ("is this 'en' shard actually mojibake?", "how much of
+    * the 'de' slice is non-ASCII?"). Character classes are counted per
+    * doc as length deltas after class deletion (`[^ -~]` is the literal
+    * space→tilde printable-ASCII range — no escapes, so the Java-regex
+    * and RE2 readings are identical), summed exactly as longs; each
+    * ratio is ONE double division over the agreed integer sums,
+    * floor-4dp. One map-side-combining aggregate — no shuffle beyond
+    * the group hash, no join. */
+  def charClassProfile(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("long")
+    def cnt(cls: String): Column =
+      (len - length(regexp_replace(t, cls, ""))).cast("long")
+    val perDoc = df.filter(t.isNotNull)
+      .select(col(groupCol).as("g"), len.as("len"),
+        cnt("[0-9]").as("c_digit"), cnt("[A-Za-z]").as("c_letter"),
+        cnt("[ ]").as("c_space"), cnt("[^ -~]").as("c_nonascii"))
+    val agg = perDoc.groupBy("g").agg(
+      count(lit(1)).as("n_docs"), sum("len").as("total_chars"),
+      sum("c_digit").as("sd"), sum("c_letter").as("sl"),
+      sum("c_space").as("ssp"), sum("c_nonascii").as("sna"))
+    def ratio(c: Column): Column =
+      when(col("total_chars") > 0,
+        floor(c.cast("double") / col("total_chars").cast("double") * 10000) / 10000)
+        .otherwise(lit(0.0))
+    agg.select(col("g"), col("n_docs"), col("total_chars"),
+      ratio(col("sd")).as("digit_ratio"), ratio(col("sl")).as("letter_ratio"),
+      ratio(col("ssp")).as("space_ratio"), ratio(col("sna")).as("nonascii_ratio"))
+  }
+
+  /** Per-group lexicon hit rate: tokens matched against a fixed term
+    * list (repeats counted — a doc that says a flagged term ten times
+    * scores ten), reported as doc count, token total, hit total, and
+    * the hit rate — the blocklist/stopword-density scorer behind
+    * "drop documents over X% flagged terms" quality gates. Tokenization
+    * is the engine's standard single-space split (the q_token_count
+    * convention), so the score composes with every other token-level
+    * operator. The lexicon crosses as an array LITERAL (never a join —
+    * at 100 TB the lexicon is still a constant in the task binary);
+    * counts are exact longs, the rate is one double division,
+    * floor-4dp. One Generator-free map pass + one hash aggregate. */
+  def lexiconHitRate(df: DataFrame, groupCols: Seq[String], textCol: String,
+      lexicon: Seq[String]): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must be non-empty")
+    val lex = array(lexicon.map(lit): _*)
+    val toks = split(col(textCol), " ")
+    val perDoc = df.filter(col(textCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        size(toks).cast("long").as("ntok"),
+        size(filter(toks, t => array_contains(lex, t))).cast("long").as("hits")): _*)
+    val agg = perDoc.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"),
+      sum("hits").as("total_hits"))
+    agg.withColumn("hit_rate",
+      when(col("total_tokens") > 0,
+        floor(col("total_hits").cast("double") /
+          col("total_tokens").cast("double") * 10000) / 10000)
+        .otherwise(lit(0.0)))
+  }
 }

@@ -213,6 +213,39 @@ object TimeSeries {
       .drop("__vals")
   }
 
+  /** Brown double exponential smoothing over each key's trailing
+    * `windowRows`-row window: S′ = EWMA(x), S″ = EWMA(S′), then
+    * level = 2S′ − S″, trend = α/(1−α)·(S′ − S″), one-step forecast =
+    * level + trend — the constant-trend forecaster one notch past
+    * [[ewma]]'s smoother. Staying WINDOWED (vs the textbook infinite
+    * recurrence) keeps the plan two identical keyed window passes — no
+    * iteration, no state, bounded per-row work — and the truncation
+    * error is the same β^windowRows tail [[ewma]] already accepts.
+    *
+    * Float discipline (the [[ewma]] contract, applied twice): dyadic α
+    * makes every weight an exact binary double; each stage's weighted
+    * terms cross the window sum as DECIMAL(30,10); the normalizer
+    * (1 − β^m)/α is dyadic-exact for dyadic α. Stage 2 re-weights stage
+    * 1's output through the identical cast path, so an oracle replaying
+    * the two banded scans reproduces the doubles bit-for-bit;
+    * level/trend/forecast are fixed expressions of the two stage
+    * outputs. Scale: two hash exchanges on the key (Catalyst reuses the
+    * sort), window frames bounded at `windowRows`. */
+  def holtBrown(df: DataFrame, keyCol: String, tsMsCol: String, idCol: String,
+      valueCol: String, windowRows: Int, alpha: Double = 0.5): DataFrame = {
+    val s1 = ewma(df, keyCol, tsMsCol, idCol, valueCol, windowRows, alpha)
+      .withColumnRenamed("ewma", "s_prime")
+      .drop("win_m")
+    val s2 = ewma(s1, keyCol, tsMsCol, idCol, "s_prime", windowRows, alpha)
+      .withColumnRenamed("ewma", "s_dprime")
+      .withColumnRenamed("win_m", "win_m2")
+    s2.withColumn("level", lit(2.0) * col("s_prime") - col("s_dprime"))
+      .withColumn("trend",
+        lit(alpha / (1.0 - alpha)) * (col("s_prime") - col("s_dprime")))
+      .withColumn("forecast", col("level") + col("trend"))
+      .drop("win_m2")
+  }
+
   /** Fixed-width resampling with GAP FILL: per key, per-bucket aggregates
     * over the corpus-wide [min, max] bucket range, with EXPLICIT filler
     * rows for empty buckets — the step that turns a sparse event stream
@@ -699,5 +732,70 @@ object TimeSeries {
     m.select(col("g"), col("n_eval"),
       (floor(col("sad").cast("double") / col("n_eval")) / 10000).as("mae"),
       (floor(sqrt(col("ssd").cast("double") / col("n_eval"))) / 10000).as("rmse"))
+  }
+
+  /** SAX (Symbolic Aggregate approXimation) of each key's value series:
+    * PAA over `segments` equal-count segments of the key's time-ordered
+    * rows, z-normalized against the key's own mean/σ, each segment mean
+    * mapped to a letter by the fixed N(0,1) quartile breakpoints
+    * (−0.6745, 0, 0.6745 → a/b/c/d) — the classic shape word that turns
+    * a numeric series into a string for motif mining, shape clustering,
+    * and cheap similarity grouping. Keys with fewer than `minRows`
+    * non-null values are dropped (a 3-row "word" is noise, not shape);
+    * a zero-variance series reads 'c' everywhere by convention.
+    *
+    * Exactness: the key moments and each segment sum cross their
+    * aggregates as DECIMAL(30,10) (order-proof); mean/σ/z derive in one
+    * fixed expression tree both engines replay bit-for-bit (the
+    * q_anomaly discipline), so every breakpoint comparison agrees.
+    * Segment ids are pure integer math ((rn−1)·segments div n).
+    *
+    * Scale shape: one key-partitioned window pass (rank + unbounded
+    * moments over the same exchange), one (key, segment) hash
+    * aggregate, one key-level word aggregate — all keyed, no broadcast,
+    * no self-join; a key's rows must fit a partition (the standing
+    * keyed-window contract). */
+  def sax(df: DataFrame, keyCol: String, tsMsCol: String, idCol: String,
+      valueCol: String, segments: Int = 8, minRows: Int = 16): DataFrame = {
+    require(segments >= 2, s"segments must be ≥2, got $segments")
+    require(minRows >= segments, s"minRows ($minRows) must be ≥ segments ($segments)")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val wOrd = Window.partitionBy(keyCol)
+      .orderBy(col(tsMsCol).asc_nulls_first, col(idCol).asc_nulls_first)
+    val wAll = Window.partitionBy(keyCol)
+    val ranked = df
+      .filter(col(keyCol).isNotNull && v.isNotNull)
+      .select(col(keyCol).as("k"), v.as("x"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"),
+        sum(v.cast("decimal(30,10)")).over(wAll).as("s1"),
+        sum((v * v).cast("decimal(30,10)")).over(wAll).as("s2"))
+      .filter(col("n") >= minRows)
+    val seg = ranked
+      .withColumn("seg", expr(s"((rn - 1) * $segments) div n"))
+      .groupBy("k", "seg")
+      .agg(count(lit(1)).as("sn"),
+        sum(col("x").cast("decimal(30,10)")).as("ss"),
+        max("n").as("n"), max("s1").as("s1"), max("s2").as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val varE = (col("s2").cast("double") - nD * mean * mean) / (nD - lit(1.0))
+    val segMean = col("ss").cast("double") / col("sn").cast("double")
+    val sym = seg
+      .withColumn("sd", when(varE > 0, sqrt(varE)).otherwise(lit(0.0)))
+      .withColumn("z",
+        when(col("sd") > 0, (segMean - mean) / col("sd")).otherwise(lit(0.0)))
+      .withColumn("sym",
+        when(col("sd") <= 0, lit("c"))
+          .when(col("z") < -0.6745, lit("a"))
+          .when(col("z") < 0.0, lit("b"))
+          .when(col("z") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    sym.groupBy(col("k"))
+      .agg(max("n").as("n_rows"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg"), col("sym")))),
+            t => t.getField("sym")), "").as("sax"))
   }
 }

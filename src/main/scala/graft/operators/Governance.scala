@@ -518,7 +518,49 @@ object Governance {
             FROM m""")
   )
 
+  /** Lorenz curve of token mass across documents per source
+    * (graft.api.Profiler.lorenz): docs ranked ascending by n_chars, cut
+    * into 10 equal-count bins, each bin's share and cumulative share of
+    * the source's character total — the full concentration curve behind
+    * q_gini's single coefficient (its last row IS q_gini's top_share
+    * complement). Exact DECIMAL mass sums, pure-integer bin ids, one
+    * double division per share, floor-4dp; plan is the q_gini shape
+    * (group-partitioned rank window + (group, bin) aggregate + 10-row
+    * per-group cumulative windows). */
+  private val qLorenz = Q(
+    "q_lorenz",
+    (s, dir) =>
+      graft.api.Profiler.lorenz(Tables.documents(s, dir),
+          groupCol = "source", valueCol = "n_chars", idCol = "doc_id", bins = 10)
+        .select(col("g").as("source"), col("bin"), col("n_rows"),
+          col("bin_total"), col("bin_share"), col("cum_share"))
+        .orderBy(asc_nulls_first("source"), asc("bin")),
+    Some("""WITH d AS (SELECT source AS g, CAST(n_chars AS HUGEINT) AS x,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n
+                       FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+                 b AS (SELECT g, ((rn - 1) * 10) // n + 1 AS bin,
+                         count(*) AS n_rows, sum(x) AS bx
+                       FROM d GROUP BY 1, 2),
+                 c AS (SELECT g, bin, n_rows, bx,
+                         sum(bx) OVER (PARTITION BY g ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+                         sum(bx) OVER (PARTITION BY g) AS tx
+                       FROM b)
+            SELECT g AS source, CAST(bin AS BIGINT) AS bin,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(bx AS BIGINT) AS bin_total,
+                   CASE WHEN tx > 0
+                        THEN floor(CAST(bx AS DOUBLE) / CAST(tx AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS bin_share,
+                   CASE WHEN tx > 0
+                        THEN floor(CAST(cx AS DOUBLE) / CAST(tx AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS cum_share
+            FROM c ORDER BY source NULLS FIRST, bin""")
+  )
+
   val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
     qScd2, qKAnonymity, qLDiversity, qTCloseness, qDpCounts, qMutualInfo,
-    qBenford, qGini, qUserGini, qDriftMw)
+    qBenford, qGini, qUserGini, qDriftMw, qLorenz)
 }

@@ -1648,6 +1648,149 @@ object TextOps {
             FROM j GROUP BY g ORDER BY g NULLS FIRST""")
   )
 
+  /** Per-language character-class census
+    * (graft.api.TextAnalysis.charClassProfile): digit / letter / space /
+    * non-ASCII ratios per lang — the encoding-health audit a
+    * multilingual corpus runs before tokenizer training ("is the 'en'
+    * shard mojibake?", "how non-ASCII is the 'de' slice?"). Counts are
+    * length deltas after class deletion with escape-free classes (the
+    * `[^ -~]` printable range reads identically in Java regex and RE2);
+    * exact long sums, one double division per ratio, floor-4dp. One
+    * map-side-combining aggregate. */
+  private val qUnicodeProfile = Q(
+    "q_unicode_profile",
+    (s, dir) =>
+      graft.api.TextAnalysis.charClassProfile(Tables.documents(s, dir), "lang", "text")
+        .select(col("g").as("lang"), col("n_docs"), col("total_chars"),
+          col("digit_ratio"), col("letter_ratio"), col("space_ratio"),
+          col("nonascii_ratio"))
+        .orderBy(asc_nulls_first("lang")),
+    Some("""WITH p AS (SELECT lang AS g, length(text) AS len,
+                         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS cd,
+                         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS cl,
+                         length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS csp,
+                         length(text) - length(regexp_replace(text, '[^ -~]', '', 'g')) AS cna
+                       FROM documents WHERE text IS NOT NULL),
+                 a AS (SELECT g, count(*) AS n_docs, sum(len) AS total_chars,
+                         sum(cd) AS sd, sum(cl) AS sl, sum(csp) AS ssp,
+                         sum(cna) AS sna
+                       FROM p GROUP BY g)
+            SELECT g AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(total_chars AS BIGINT) AS total_chars,
+                   CASE WHEN total_chars > 0
+                        THEN floor(CAST(sd AS DOUBLE) / CAST(total_chars AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS digit_ratio,
+                   CASE WHEN total_chars > 0
+                        THEN floor(CAST(sl AS DOUBLE) / CAST(total_chars AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS letter_ratio,
+                   CASE WHEN total_chars > 0
+                        THEN floor(CAST(ssp AS DOUBLE) / CAST(total_chars AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS space_ratio,
+                   CASE WHEN total_chars > 0
+                        THEN floor(CAST(sna AS DOUBLE) / CAST(total_chars AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS nonascii_ratio
+            FROM a ORDER BY lang NULLS FIRST""")
+  )
+
+  /** Lexicon hit-rate gate (graft.api.TextAnalysis.lexiconHitRate): per
+    * (lang, source), how much of the token stream matches a fixed term
+    * list (repeats counted) — the blocklist/stopword-density scorer
+    * behind "drop documents over X% flagged terms" quality filters. The
+    * lexicon crosses as an array LITERAL (a constant in the task binary
+    * at any scale, never a join); standard single-space tokenization
+    * (the q_token_count convention); exact long sums, one division,
+    * floor-4dp. */
+  private val qLexiconHits = Q(
+    "q_lexicon_hits",
+    (s, dir) =>
+      graft.api.TextAnalysis.lexiconHitRate(Tables.documents(s, dir),
+          Seq("lang", "source"), "text",
+          Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+    Some("""WITH p AS (SELECT lang, source,
+                         len(string_split(text, ' ')) AS ntok,
+                         len(list_filter(string_split(text, ' '),
+                             t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS hits
+                       FROM documents WHERE text IS NOT NULL)
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                   CAST(sum(hits) AS BIGINT) AS total_hits,
+                   CASE WHEN sum(ntok) > 0
+                        THEN floor(CAST(sum(hits) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS hit_rate
+            FROM p GROUP BY 1, 2
+            ORDER BY lang NULLS FIRST, source NULLS FIRST""")
+  )
+
+  /** TextRank keyword extraction: PageRank (graft.api.Graph.pageRank, 3
+    * damped iterations) over the adjacent-token co-occurrence graph of
+    * the 'en' slice, top 25 tokens — the classic unsupervised keyword
+    * scorer, and a demonstration that the graph machinery composes onto
+    * text: edge gen is ONE positional equi-join (tokens at pos, pos+1 —
+    * never all-pairs), the node universe is the distinct vocabulary,
+    * and the rank recurrence is the exact q_pagerank plan (per
+    * iteration: edge-to-rank equi-join + hash aggregate, DECIMAL(30,10)
+    * contributions, N as the sanctioned 1-row broadcast). Ranks
+    * reported scaled by N, floor-6dp, key tiebreak before the LIMIT. */
+  private val qTextrank = Q(
+    "q_textrank",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("text").isNotNull)
+        .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, tok)")
+        .filter(length(col("tok")) > 0)
+      val a = toks.select(col("doc_id").as("d"), col("pos").as("p"), col("tok").as("t1"))
+      val b = toks.select(col("doc_id").as("d"), (col("pos") - 1).as("p"), col("tok").as("t2"))
+      val pairs = a.join(b, Seq("d", "p"))
+        .filter(col("t1") =!= col("t2"))
+        .select(least(col("t1"), col("t2")).as("w1"),
+          greatest(col("t1"), col("t2")).as("w2"))
+        .distinct()
+      val vocab = toks.select("tok").distinct()
+      graft.api.Graph.pageRank(pairs, "w1", "w2", vocab, "tok",
+          iterations = 3, damping = 0.85)
+        .select(col("id").as("token"),
+          (floor(col("rank") * col("n_nodes") * 1000000) / 1000000.0).as("rank_n"))
+        .orderBy(desc("rank_n"), asc("token"))
+        .limit(25)
+    },
+    Some("""WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t
+                           FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+                 pp AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+                        FROM toks0),
+                 pe AS (SELECT t[i] AS x, t[i+1] AS y FROM pp
+                        WHERE len(t[i]) > 0 AND len(t[i+1]) > 0 AND t[i] <> t[i+1]),
+                 pairs AS (SELECT DISTINCT least(x, y) AS w1, greatest(x, y) AS w2 FROM pe),
+                 vocab AS (SELECT DISTINCT tok
+                           FROM (SELECT unnest(t) AS tok FROM toks0) WHERE len(tok) > 0),
+                 e AS (SELECT w1 AS u, w2 AS v FROM pairs
+                       UNION ALL SELECT w2, w1 FROM pairs),
+                 deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+                 ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+                 nn AS (SELECT count(*) AS n FROM vocab),
+                 r0 AS (SELECT tok AS id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                        FROM vocab, nn),
+                 c1 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
+                        FROM ed JOIN r0 r ON r.id = ed.u GROUP BY ed.v),
+                 r1 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                          + CAST(0.85 AS DOUBLE) * coalesce(CAST(c1.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+                        FROM r0 r CROSS JOIN nn LEFT JOIN c1 ON c1.id = r.id),
+                 c2 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
+                        FROM ed JOIN r1 r ON r.id = ed.u GROUP BY ed.v),
+                 r2 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                          + CAST(0.85 AS DOUBLE) * coalesce(CAST(c2.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+                        FROM r1 r CROSS JOIN nn LEFT JOIN c2 ON c2.id = r.id),
+                 c3 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
+                        FROM ed JOIN r2 r ON r.id = ed.u GROUP BY ed.v),
+                 r3 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                          + CAST(0.85 AS DOUBLE) * coalesce(CAST(c3.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+                        FROM r2 r CROSS JOIN nn LEFT JOIN c3 ON c3.id = r.id)
+            SELECT r3.id AS token,
+                   floor(r3.rank * nn.n * 1000000) / 1000000 AS rank_n
+            FROM r3 CROSS JOIN nn
+            ORDER BY rank_n DESC, token LIMIT 25""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qLangIdNgram, qQualityScore, qTokenCount, qZipfFit,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
     qCoverage, qBurstiness, qIqrOutliers,
@@ -1657,5 +1800,6 @@ object TextOps {
     qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
-    qHistogram, qBinQuantile, qWinsorize, qMadOutliers)
+    qHistogram, qBinQuantile, qWinsorize, qMadOutliers,
+    qUnicodeProfile, qLexiconHits, qTextrank)
 }

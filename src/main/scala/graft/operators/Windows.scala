@@ -1218,12 +1218,236 @@ object Windows {
             ORDER BY cohort_bucket, week_offset""")
   )
 
+  /** RFM segmentation of the customer base from the orders stream:
+    * per-customer Recency (epoch day of the last order), Frequency
+    * (order count), Monetary (lifetime spend), each scored 1–5 by the
+    * corpus's own quintile cuts (exact `percentile` ≡ `quantile_cont`,
+    * the q_session_stats precedent; strict-> so ties score low, the
+    * quantileBins convention), then the 5×5×5 segment census with mean
+    * spend — the classic marketing segmentation table. Higher is better
+    * on every axis (r_score 5 = most recent).
+    *
+    * Float discipline: R/F are exact integers and M is the double image
+    * of a DECIMAL(30,10) spend sum, so the only cross-engine surface is
+    * the interpolated cuts — a cut either lands exactly ON a data value
+    * (both interpolations return the element bit-exactly; strict-> puts
+    * it below) or sits a data-gap away from every value, so a last-ulp
+    * interpolation difference cannot flip a score. Segment means divide
+    * the exact DECIMAL spend sum once, floor-4dp.
+    *
+    * Scale: one customer-keyed aggregate, one 1-row cut broadcast (swap
+    * `approx_percentile` at 100 TB), one 125-ary hash aggregate. */
+  private val qRfm = Q(
+    "q_rfm",
+    (s, dir) => {
+      val per = Tables.orders(s, dir)
+        .filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"))
+            .as("r_day"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(30,10)")).as("money_d"))
+        .withColumn("money", col("money_d").cast("double"))
+      val cuts = per.agg(
+        expr("percentile(CAST(r_day AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+        expr("percentile(CAST(freq AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+        expr("percentile(money, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+      def score(v: org.apache.spark.sql.Column,
+          cut: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (0 to 3).map(i => when(v > cut.getItem(i), 1L).otherwise(0L))
+          .reduce(_ + _) + lit(1L)
+      per.crossJoin(broadcast(cuts))
+        .select(col("money_d"),
+          score(col("r_day").cast("double"), col("rc")).as("r_score"),
+          score(col("freq").cast("double"), col("fc")).as("f_score"),
+          score(col("money"), col("mc")).as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          (floor(sum(col("money_d")).cast("double") / count(lit(1)) * 10000)
+            / 10000).as("avg_money"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some("""WITH per AS (SELECT o_custkey AS custkey,
+                           max(epoch_ms(o_orderdate) // 86400000) AS r_day,
+                           count(*) AS freq,
+                           sum(CAST(o_totalprice AS DECIMAL(30,10))) AS money_d
+                         FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+                 perm AS (SELECT custkey, r_day, freq, money_d,
+                            CAST(money_d AS DOUBLE) AS money FROM per),
+                 cuts AS (SELECT quantile_cont(CAST(r_day AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
+                                 quantile_cont(CAST(freq AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
+                                 quantile_cont(money, [0.2, 0.4, 0.6, 0.8]) AS mc
+                          FROM perm),
+                 sc AS (SELECT money_d,
+                          1 + (CASE WHEN CAST(r_day AS DOUBLE) > rc[1] THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(r_day AS DOUBLE) > rc[2] THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(r_day AS DOUBLE) > rc[3] THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(r_day AS DOUBLE) > rc[4] THEN 1 ELSE 0 END) AS r_score,
+                          1 + (CASE WHEN CAST(freq AS DOUBLE) > fc[1] THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(freq AS DOUBLE) > fc[2] THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(freq AS DOUBLE) > fc[3] THEN 1 ELSE 0 END)
+                            + (CASE WHEN CAST(freq AS DOUBLE) > fc[4] THEN 1 ELSE 0 END) AS f_score,
+                          1 + (CASE WHEN money > mc[1] THEN 1 ELSE 0 END)
+                            + (CASE WHEN money > mc[2] THEN 1 ELSE 0 END)
+                            + (CASE WHEN money > mc[3] THEN 1 ELSE 0 END)
+                            + (CASE WHEN money > mc[4] THEN 1 ELSE 0 END) AS m_score
+                        FROM perm, cuts)
+            SELECT CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   floor(CAST(sum(money_d) AS DOUBLE) / count(*) * 10000) / 10000
+                     AS avg_money
+            FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+  )
+
+  /** Wilson-lower-bound purchase-rate ranking
+    * (graft.api.Experiment.wilsonRank): the top 100 users by the 95%
+    * Wilson score interval's lower bound on purchases-per-view — "rank
+    * by rate without being fooled by tiny denominators" (1/1 must not
+    * outrank 95/100). Purchases clamp to ≤ views so p̂ stays a
+    * probability on independent counters. One per-user aggregate + one
+    * fixed IEEE expression over the exact (n, s) longs, floor-4dp
+    * BEFORE ranking (ties break on user_id) — engine-exact. No window,
+    * no join: key-cardinality frame + TakeOrdered. */
+  private val qWilsonRank = Q(
+    "q_wilson_rank",
+    (s, dir) =>
+      graft.api.Experiment.wilsonRank(Tables.events(s, dir), "user_id",
+          when(col("event_type") === "view", 1L).otherwise(0L),
+          when(col("event_type") === "purchase", 1L).otherwise(0L),
+          z = 1.96, topK = 100)
+        .select(col("key").as("user_id"), col("n").as("n_views"),
+          col("s").as("n_purchases"), col("wilson_lb")),
+    Some("""WITH a AS (SELECT user_id,
+                         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n,
+                         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s_raw
+                       FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+                 b AS (SELECT user_id, n, least(s_raw, n) AS s FROM a WHERE n > 0),
+                 w AS (SELECT user_id, n, s,
+                         floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                                - 1.96 * sqrt((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                               * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                               + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                                              / CAST(n AS DOUBLE)))
+                               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                               * 10000) / 10000 AS wilson_lb
+                       FROM b)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n AS BIGINT) AS n_views,
+                   CAST(s AS BIGINT) AS n_purchases,
+                   wilson_lb
+            FROM w ORDER BY wilson_lb DESC, user_id LIMIT 100""")
+  )
+
+  /** Brown double exponential smoothing
+    * (graft.api.TimeSeries.holtBrown): level / trend / one-step
+    * forecast for each view event's value over the user's trailing
+    * 20-row window, α = 0.5 — the constant-trend forecaster one notch
+    * past q_ewma's smoother, still windowed so the plan is two
+    * identical keyed window passes (no recurrence). The oracle replays
+    * both banded scans with the q_ewma float discipline (dyadic
+    * weights, DECIMAL(30,10) sums, dyadic normalizer) applied twice. */
+  private val qHolt = Q(
+    "q_holt",
+    (s, dir) =>
+      graft.api.TimeSeries.holtBrown(
+          Tables.events(s, dir)
+            .filter(col("event_type") === "view" && col("value").isNotNull),
+          "user_id", "ts_ms", "event_id", "value", windowRows = 20, alpha = 0.5)
+        .select(col("user_id"), col("event_id"),
+          (floor(col("level") * 10000) / 10000.0).as("level"),
+          (floor(col("trend") * 10000) / 10000.0).as("trend"),
+          (floor(col("forecast") * 10000) / 10000.0).as("forecast"))
+        .orderBy("user_id", "event_id"),
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS tm
+                       FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+                 r AS (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id ORDER BY tm, event_id) AS rn
+                       FROM e),
+                 s1 AS (SELECT a.user_id, a.event_id, a.rn,
+                          CAST(sum(CAST(b.value * pow(0.5, a.rn - b.rn) AS DECIMAL(30,10))) AS DOUBLE)
+                            / ((1 - pow(0.5, least(a.rn, 20))) / 0.5) AS sp
+                        FROM r a JOIN r b ON b.user_id = a.user_id
+                                         AND b.rn BETWEEN a.rn - 19 AND a.rn
+                        GROUP BY a.user_id, a.event_id, a.rn),
+                 s2 AS (SELECT a.user_id, a.event_id,
+                          CAST(sum(CAST(b.sp * pow(0.5, a.rn - b.rn) AS DECIMAL(30,10))) AS DOUBLE)
+                            / ((1 - pow(0.5, least(a.rn, 20))) / 0.5) AS sdp,
+                          max(CASE WHEN b.rn = a.rn THEN b.sp END) AS sp
+                        FROM s1 a JOIN s1 b ON b.user_id = a.user_id
+                                           AND b.rn BETWEEN a.rn - 19 AND a.rn
+                        GROUP BY a.user_id, a.event_id, a.rn)
+            SELECT user_id, event_id,
+                   floor((2.0 * sp - sdp) * 10000) / 10000 AS level,
+                   floor((1.0 * (sp - sdp)) * 10000) / 10000 AS trend,
+                   floor(((2.0 * sp - sdp) + (1.0 * (sp - sdp))) * 10000) / 10000 AS forecast
+            FROM s2 ORDER BY user_id, event_id""")
+  )
+
+  /** SAX shape words (graft.api.TimeSeries.sax): each user's value
+    * series PAA'd into 8 equal-count segments, z-normalized against the
+    * user's own mean/σ, segment means mapped to a/b/c/d by the fixed
+    * N(0,1) quartile breakpoints — the series-to-string transform
+    * behind motif mining and cheap shape clustering. Users under 16
+    * values drop; zero-variance series read 'c'. Exactness: the
+    * q_anomaly moment discipline (DECIMAL sums, one fixed mean/σ/z
+    * tree) so every breakpoint comparison agrees cross-engine; segment
+    * ids are pure integer math. */
+  private val qSax = Q(
+    "q_sax",
+    (s, dir) =>
+      graft.api.TimeSeries.sax(Tables.events(s, dir),
+          "user_id", "ts_ms", "event_id", "value", segments = 8, minRows = 16)
+        .select(col("k").as("user_id"), col("n_rows"), col("sax"))
+        .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id AS k, event_id, CAST(value AS DOUBLE) AS x,
+                              epoch_ms(ts) AS tm
+                       FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+                 r AS (SELECT k, x,
+                         row_number() OVER (PARTITION BY k ORDER BY tm, event_id) AS rn,
+                         count(*) OVER (PARTITION BY k) AS n,
+                         sum(CAST(x AS DECIMAL(30,10))) OVER (PARTITION BY k) AS s1,
+                         sum(CAST(x * x AS DECIMAL(30,10))) OVER (PARTITION BY k) AS s2
+                       FROM e),
+                 g AS (SELECT k, ((rn - 1) * 8) // n AS seg, count(*) AS sn,
+                         sum(CAST(x AS DECIMAL(30,10))) AS ss,
+                         max(n) AS n, max(s1) AS s1, max(s2) AS s2
+                       FROM r WHERE n >= 16 GROUP BY 1, 2),
+                 z AS (SELECT k, seg, n,
+                         CASE WHEN (CAST(s2 AS DOUBLE)
+                                    - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                                   / (CAST(n AS DOUBLE) - 1.0) > 0
+                              THEN sqrt((CAST(s2 AS DOUBLE)
+                                         - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                                        / (CAST(n AS DOUBLE) - 1.0))
+                              ELSE 0.0 END AS sd,
+                         CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE) AS segmean,
+                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+                       FROM g),
+                 sy AS (SELECT k, n, seg,
+                          CASE WHEN sd <= 0 THEN 'c'
+                               WHEN (segmean - mean) / sd < -0.6745 THEN 'a'
+                               WHEN (segmean - mean) / sd < 0.0 THEN 'b'
+                               WHEN (segmean - mean) / sd < 0.6745 THEN 'c'
+                               ELSE 'd' END AS sym
+                        FROM z)
+            SELECT CAST(k AS BIGINT) AS user_id,
+                   CAST(max(n) AS BIGINT) AS n_rows,
+                   string_agg(sym, '' ORDER BY seg) AS sax
+            FROM sy GROUP BY k ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
     qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
-    qAssocRules, qAbTest, qSurvival, qBootstrapCi, qCohortMatrix)
+    qAssocRules, qAbTest, qSurvival, qBootstrapCi, qCohortMatrix,
+    qRfm, qWilsonRank, qHolt, qSax)
 }
 

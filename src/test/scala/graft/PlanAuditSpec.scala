@@ -167,7 +167,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q_knn_eval" -> "pairwise exact LOO baseline over the fixed-small embedding corpus (the q_embed_neardup class; scale path = annJoin)",
       "q_survival" -> "bucket-prefix-totals broadcasts (the q_drift_ks scan, x2 stages)",
       "q_mutual_info" -> "1-row corpus-total broadcast + 1-row stat-frame combination (the q_triangles class)",
-      "q_modularity" -> "1-row edge-count broadcast + 1-row stat-frame combination (the q_triangles class)")
+      "q_modularity" -> "1-row edge-count broadcast + 1-row stat-frame combination (the q_triangles class)",
+      "q_rfm" -> "1-row corpus-constant broadcast (RFM quintile cut arrays)",
+      "q_textrank" -> "1-row corpus-constant broadcast (vocabulary size N, the q_pagerank pattern)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —
