@@ -33,6 +33,39 @@ object TextDedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     rawShingles(df, idCol, textCol, n).distinct()
 
+  /** Per-document novelty report: of the doc's distinct word n-grams,
+    * how many appear NOWHERE else in the corpus (df = 1) — the
+    * memorization/novelty probe ("is this document template boilerplate
+    * or original text?") that complements dedup: a doc can be
+    * pair-unique yet 0% novel because every one of its n-grams lives in
+    * other docs. Docs too short for a single n-gram report 0 shingles,
+    * ratio 0. Exact longs + one division floor-4dp.
+    *
+    * Scale shape: the posting-list discipline — one shuffle to the
+    * shingle-keyed df frame, one equi-join back, one id-keyed
+    * aggregate, one left join to the id universe (all hash-keyed, no
+    * pair generation, no broadcast). The shingle frame is
+    * localCheckpoint'd: both the df aggregate and the probe join
+    * consume it. */
+  def noveltyReport(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).transform(Ckpt.apply)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, "shingle")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_uq"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_uq"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_ratio",
+        when(col("n_shingles") > 0,
+          floor(col("n_unique").cast("double") /
+            col("n_shingles").cast("double") * 10000) / 10000)
+          .otherwise(lit(0.0)))
+  }
+
   /** Exact dedup: one surviving id per distinct text (the smallest).
     * Returns (id). For very large documents pass a fingerprinted column
     * (see [[fingerprint]]) so the shuffle key is 32 bytes, not the text. */

@@ -1029,10 +1029,48 @@ object Dedup {
             ORDER BY degree NULLS FIRST""")
   )
 
+  /** Bipartite Adamic–Adar supplier affinity
+    * ([[graft.api.Graph.adamicAdarBipartite]]): top-50 supplier pairs
+    * by Σ 1/ln(deg c) over the customers both supply — "suppliers
+    * reached through the same RARE customers belong together", the
+    * collaborative-filtering wedge scorer (the doc near-dup graph is a
+    * perfect matching on this fixture — no wedges — so the graph with
+    * real common-neighbor structure is the order stream's bipartite
+    * customer–supplier projection). Centers above deg 50 are excluded:
+    * negligible 1/ln weight, quadratic wedge fan-out. Floor-4dp before
+    * ranking, pair tiebreak — engine-exact top-k membership. */
+  private val qAdamicAdar = Q(
+    "q_adamic_adar",
+    (s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      graft.api.Graph.adamicAdarBipartite(edges, "o_custkey", "l_suppkey",
+        maxCenterDeg = 50L, topK = 50)
+    },
+    Some("""WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS r
+                        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                        WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
+                 deg AS (SELECT c, count(*) AS deg FROM cs GROUP BY c),
+                 kept AS (SELECT * FROM deg WHERE deg <= 50),
+                 ek AS (SELECT cs.c, cs.r, kept.deg FROM cs JOIN kept USING (c)),
+                 w AS (SELECT x.deg, x.r AS a, y.r AS b
+                       FROM ek x JOIN ek y ON x.c = y.c
+                       WHERE x.r < y.r),
+                 sc AS (SELECT a, b, count(*) AS n_common,
+                          sum(CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(30,10))) AS s
+                        FROM w GROUP BY 1, 2)
+            SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   floor(CAST(s AS DOUBLE) * 10000) / 10000 AS aa_score
+            FROM sc ORDER BY aa_score DESC, id_a, id_b LIMIT 50""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
     qLabelProp, qBfsHops, qModularity, qTriangles, qCorpusDiff, qFuzzyJoin,
-    qDegrees)
+    qDegrees, qAdamicAdar)
 }

@@ -1722,6 +1722,40 @@ object TextOps {
             ORDER BY lang NULLS FIRST, source NULLS FIRST""")
   )
 
+  /** Per-document novelty probe (graft.api.TextDedup.noveltyReport):
+    * how many of each doc's distinct trigrams appear NOWHERE else in
+    * the corpus — the memorization/boilerplate scorer that complements
+    * dedup (a doc can be pair-unique yet 0% novel because every one of
+    * its n-grams lives in other docs). Posting-list plan: one
+    * shingle-keyed df aggregate, one equi-join back, one doc-keyed
+    * aggregate — never pair generation. Exact longs, one division
+    * floor-4dp; too-short docs report 0 shingles. */
+  private val qNovelty = Q(
+    "q_novelty",
+    (s, dir) =>
+      graft.api.TextDedup.noveltyReport(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_unique"),
+          col("novelty_ratio"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+                 per AS (SELECT doc_id, count(*) AS n_sh,
+                           sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_uq
+                         FROM sh JOIN dfq USING (s) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(per.n_uq, 0) AS BIGINT) AS n_unique,
+                   CASE WHEN coalesce(per.n_sh, 0) > 0
+                        THEN floor(CAST(per.n_uq AS DOUBLE) / CAST(per.n_sh AS DOUBLE) * 10000) / 10000
+                        ELSE 0.0 END AS novelty_ratio
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
   /** TextRank keyword extraction: PageRank (graft.api.Graph.pageRank, 3
     * damped iterations) over the adjacent-token co-occurrence graph of
     * the 'en' slice, top 25 tokens — the classic unsupervised keyword
@@ -1801,5 +1835,5 @@ object TextOps {
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers,
-    qUnicodeProfile, qLexiconHits, qTextrank)
+    qUnicodeProfile, qLexiconHits, qTextrank, qNovelty)
 }

@@ -318,6 +318,62 @@ object StatefulOps {
       }
   }
 
+  /** One level/trend/forecast point from [[streamingHolt]]. */
+  final case class HoltRow(key: Long, id: Long, tsMs: Long, value: Double,
+      level: Double, trend: Double, forecast: Double)
+
+  /** Streaming Brown double exponential smoothing — the at-ingest form
+    * of `TimeSeries.holtBrown`: each point emits level / trend /
+    * one-step forecast against its key's trailing `windowRows` window,
+    * cross-batch. State = TWO rings per key (raw values and the
+    * first-stage smooth S′), both capped at `windowRows` — bounded by
+    * construction, the [[streamingEwma]] trade-off. Replaying a key's
+    * rows in order reproduces the batch operator's doubles EXACTLY:
+    * stage 1 is term-for-term the streamingEwma computation, the S′
+    * ring then feeds the identical computation a second time (the batch
+    * plan's second window pass over the s_prime column), and
+    * level/trend/forecast replay the same fixed expressions. Same
+    * arrival-order contract as streamingZscore: in-batch rows sort by
+    * (tsMs, id); state cannot re-order across batches. */
+  def streamingHolt(rows: Dataset[ValRow], windowRows: Int,
+      alpha: Double = 0.5): Dataset[HoltRow] = {
+    require(windowRows >= 1, s"windowRows must be ≥1, got $windowRows")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    implicit val stateEnc = Encoders.kryo[(Vector[Double], Vector[Double])]
+    implicit val outEnc = Encoders.product[HoltRow]
+    implicit val keyEnc = Encoders.scalaLong
+    val beta = 1.0 - alpha
+    def dec(v: Double): BigDecimal =
+      BigDecimal(v).setScale(10, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    // one windowed-EWMA step over a ring — the batch ewma formula
+    def smooth(ring: Vector[Double]): Double = {
+      val m = ring.size
+      val num = ring.iterator.zipWithIndex
+        .map { case (v, j) => dec(v * math.pow(beta, (m - 1 - j).toDouble)) }
+        .sum
+      val den = (1.0 - math.pow(beta, m.toDouble)) / alpha
+      num.toDouble / den
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ValRow],
+            state: GroupState[(Vector[Double], Vector[Double])]) =>
+          var (vRing, spRing) =
+            state.getOption.getOrElse((Vector.empty[Double], Vector.empty[Double]))
+          val out = it.toVector.sortBy(r => (r.tsMs, r.id)).map { r =>
+            vRing = (vRing :+ r.value).takeRight(windowRows)
+            val sp = smooth(vRing)
+            spRing = (spRing :+ sp).takeRight(windowRows)
+            val sdp = smooth(spRing)
+            val level = 2.0 * sp - sdp
+            val trend = (alpha / (1.0 - alpha)) * (sp - sdp)
+            HoltRow(key, r.id, r.tsMs, r.value, level, trend, level + trend)
+          }
+          state.update((vRing, spRing))
+          out.iterator
+      }
+  }
+
   /** Streaming exact-dedup with per-key state. `ttlMs > 0` expires idle
     * state once the watermark passes last-event-time + ttl. */
   def streamingDedup(docs: Dataset[FpDoc], ttlMs: Long = 0L): Dataset[FpUpdate] = {

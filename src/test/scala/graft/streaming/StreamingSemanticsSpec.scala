@@ -771,6 +771,45 @@ class StreamingSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming Holt ≡ batch TimeSeries.holtBrown on in-order replay, both rings carry across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = for {
+      k <- Seq(1L, 2L)
+      i <- 0 until 30
+    } yield StatefulOps.ValRow(k, i.toLong, i.toLong * 1000,
+      math.sin(i * 0.9) * 10 + 0.3 * i + k)
+    val mem = MemoryStream[StatefulOps.ValRow]
+    val q = StatefulOps.streamingHolt(mem.toDS(), windowRows = 20)
+      .writeStream.format("memory").queryName("s_holt").outputMode("append")
+      .start()
+    try {
+      // mid-window split: BOTH rings (values and S') must carry across
+      // the batch boundary
+      val (b1, b2) = rows.partition(_.id < 13)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("s_holt").as[StatefulOps.HoltRow].collect()
+      .map(h => (h.key, h.id) -> ((h.level, h.trend, h.forecast))).toMap
+    val batch = graft.api.TimeSeries.holtBrown(
+        rows.toDF("user_id", "event_id", "ts_ms", "value"),
+        "user_id", "ts_ms", "event_id", "value", windowRows = 20)
+      .select(col("user_id"), col("event_id"),
+        col("level"), col("trend"), col("forecast"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map { case (k, i, l, t, f) => (k, i) -> ((l, t, f)) }.toMap
+    assert(streaming.keySet == batch.keySet)
+    // EXACT double equality: stage 1 is the streamingEwma computation,
+    // stage 2 replays it over the S' ring, level/trend/forecast replay
+    // the batch expression tree term for term
+    streaming.foreach { case (ki, ltf) =>
+      assert(ltf == batch(ki), s"$ki: streaming $ltf != batch ${batch(ki)}")
+    }
+    // and the trend on a rising series is positive once warmed
+    assert(streaming((1L, 29L))._2 > 0)
+  }
+
   test("stream-stream interval join: cross-batch matches in-window, watermark drops late left rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
