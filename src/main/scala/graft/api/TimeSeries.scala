@@ -170,6 +170,92 @@ object TimeSeries {
       .select(col("__lid").as(leftIdCol), bounded.as("asof_ts_ms"))
   }
 
+  /** NEAREST as-of join: for each left row, the closest right-side
+    * timestamp in EITHER direction within `toleranceMs` (pandas
+    * merge_asof `direction='nearest'`) — ties break BACKWARD (the
+    * at-or-before match wins an exact tie, matching the convention that
+    * past evidence beats future evidence at equal distance). Returns
+    * (leftIdCol, asof_ts_ms: nullable, direction: 'b'/'f'/NULL,
+    * lag_ms: signed asof − leftTs).
+    *
+    * Plan: the [[asofJoin]] and [[asofJoinForward]] union-window passes
+    * (each one exchange, no join against the right side), then two
+    * id-keyed equi-joins to pick the winner per left row — 3 shuffles
+    * total, still never a time-range theta-join. */
+  def asofJoinNearest(left: DataFrame, leftIdCol: String, leftTsMsCol: String,
+      leftKeyCol: String, right: DataFrame, rightTsMsCol: String,
+      rightKeyCol: String, toleranceMs: Option[Long] = None): DataFrame = {
+    val b = asofJoin(left, leftIdCol, leftTsMsCol, leftKeyCol,
+        right, rightTsMsCol, rightKeyCol, toleranceMs)
+      .withColumnRenamed("asof_ts_ms", "__b")
+    val f = asofJoinForward(left, leftIdCol, leftTsMsCol, leftKeyCol,
+        right, rightTsMsCol, rightKeyCol, toleranceMs)
+      .withColumnRenamed("asof_ts_ms", "__f")
+    val picked = left
+      .select(col(leftIdCol), col(leftTsMsCol).cast("long").as("__ts"))
+      .join(b, Seq(leftIdCol))
+      .join(f, Seq(leftIdCol))
+      .withColumn("asof_ts_ms",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          // both distances are non-negative by construction; tie → backward
+          .when(col("__ts") - col("__b") <= col("__f") - col("__ts"), col("__b"))
+          .otherwise(col("__f")))
+    picked.select(col(leftIdCol),
+      col("asof_ts_ms"),
+      when(col("asof_ts_ms").isNull, lit(null).cast("string"))
+        .when(col("asof_ts_ms") <= col("__ts"), lit("b"))
+        .otherwise(lit("f")).as("direction"),
+      (col("asof_ts_ms") - col("__ts")).as("lag_ms"))
+  }
+
+  /** Classical seasonal decomposition of each key's bucketed series
+    * (period `period` buckets): trend = centered moving average over
+    * ±period/2 buckets (full windows only — a RANGE frame, so gaps
+    * disqualify honestly instead of silently shrinking the window),
+    * seasonal index = mean detrended value per phase (bucket mod
+    * period) — the decomposition behind "is Monday actually bigger or
+    * is the series just growing?". Returns one row per (key, phase):
+    * observation count and the seasonal index in value units.
+    *
+    * Exactness (the q_autocorr discipline): bucket sums quantize to
+    * exact scaled ints; the detrended value is kept INTEGER by scaling —
+    * detr = w·x − Σ_w x (never x − avg, which would go double too
+    * early) — and summed exactly; ONE final double division unscales,
+    * floor-4dp. Phase is pure integer math.
+    *
+    * Scale: one (key, bucket) map-side-combining aggregate (bucket
+    * frame ∝ time range × keys, corpus-size-independent), one
+    * key-partitioned range window over it, one (key, phase) aggregate. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsMsCol: String,
+      valueCol: String, widthMs: Long, period: Int): DataFrame = {
+    require(widthMs > 0, s"widthMs must be positive, got $widthMs")
+    require(period >= 2, s"period must be ≥2, got $period")
+    require(period % 2 == 0, s"period must be even (centered MA), got $period")
+    import org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    val win = period + 1 // centered: ±half inclusive
+    val series = df
+      .filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("g"), expr(floorDivSql(tsMsCol, widthMs)).as("bucket"))
+      .agg(sum(col(valueCol).cast("decimal(30,10)")).as("sd"))
+      .select(col("g"), col("bucket"),
+        floor(col("sd").cast("double") * 10000).cast("decimal(38,0)").as("x"))
+    val w = Window.partitionBy("g").orderBy(col("bucket").asc)
+      .rangeBetween(-half, half)
+    val detrended = series
+      .withColumn("wsum", sum(col("x")).over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .filter(col("wn") === win)
+      .withColumn("detr", lit(win).cast("decimal(38,0)") * col("x") - col("wsum"))
+    detrended
+      .groupBy(col("g"), (col("bucket") % period).cast("bigint").as("phase"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("detr")).as("sdetr"))
+      .select(col("g"), col("phase"), col("n_obs"),
+        (floor(col("sdetr").cast("double") /
+          (lit(win.toDouble) * col("n_obs").cast("double"))) / 10000).as("seasonal"))
+  }
+
   /** Trailing-window EWMA smoothing per key — the exponential smoothing
     * primitive (pandas `ewm(adjust=True)` over a bounded trailing
     * window): each row's smoothed value is

@@ -1067,10 +1067,65 @@ object Dedup {
             FROM sc ORDER BY aa_score DESC, id_a, id_b LIMIT 50""")
   )
 
+  /** Dedup threshold tuning curve: how many near-dup pairs survive at
+    * each Jaccard cut from 0.5 to 1.0 — the table an operator reads
+    * BEFORE picking the production threshold (the q_dedup_* family all
+    * hard-code 0.5; this prices the alternatives in one pass over the
+    * same posting-list pair frame). Counts are exact longs; each pair's
+    * jaccard is the identical long-ratio double on both engines, so the
+    * ≥-cut membership is engine-exact at every edge. One pair-gen pass
+    * + ONE 1-row conditional aggregate, unpivoted driver-free with
+    * stack. */
+  private val qDedupCurve = Q(
+    "q_dedup_curve",
+    (s, dir) => {
+      val pairs = TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      def ge(t: Double) =
+        coalesce(sum(when(col("jaccard") >= t, 1L).otherwise(0L)), lit(0L))
+      pairs.agg(ge(0.5).as("g50"), ge(0.6).as("g60"), ge(0.7).as("g70"),
+          ge(0.8).as("g80"), ge(0.9).as("g90"), ge(1.0).as("g100"))
+        .selectExpr("""stack(6,
+            double(0.5), g50, double(0.6), g60, double(0.7), g70,
+            double(0.8), g80, double(0.9), g90, double(1.0), g100)
+          AS (threshold, n_pairs)""")
+        .orderBy("threshold")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pj AS (SELECT i * 1.0 / (x.n + y.n - i) AS j
+                        FROM inter JOIN sz x ON x.doc_id = doc_a
+                                   JOIN sz y ON y.doc_id = doc_b),
+                 c AS (SELECT
+                         coalesce(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END), 0) AS g50,
+                         coalesce(sum(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END), 0) AS g60,
+                         coalesce(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END), 0) AS g70,
+                         coalesce(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END), 0) AS g80,
+                         coalesce(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END), 0) AS g90,
+                         coalesce(sum(CASE WHEN j >= 1.0 THEN 1 ELSE 0 END), 0) AS g100
+                       FROM pj)
+            SELECT CAST(0.5 AS DOUBLE) AS threshold, CAST(g50 AS BIGINT) AS n_pairs FROM c
+            UNION ALL SELECT CAST(0.6 AS DOUBLE), CAST(g60 AS BIGINT) FROM c
+            UNION ALL SELECT CAST(0.7 AS DOUBLE), CAST(g70 AS BIGINT) FROM c
+            UNION ALL SELECT CAST(0.8 AS DOUBLE), CAST(g80 AS BIGINT) FROM c
+            UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(g90 AS BIGINT) FROM c
+            UNION ALL SELECT CAST(1.0 AS DOUBLE), CAST(g100 AS BIGINT) FROM c
+            ORDER BY threshold""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
     qLabelProp, qBfsHops, qModularity, qTriangles, qCorpusDiff, qFuzzyJoin,
-    qDegrees, qAdamicAdar)
+    qDegrees, qAdamicAdar, qDedupCurve)
 }

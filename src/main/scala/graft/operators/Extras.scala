@@ -344,6 +344,42 @@ object Extras {
             ORDER BY p.event_id""")
   )
 
+  /** NEAREST as-of join (graft.api.TimeSeries.asofJoinNearest): for
+    * each purchase, the closest error in EITHER direction within 10
+    * minutes, ties breaking backward (past evidence beats future
+    * evidence at equal distance) — pandas merge_asof
+    * direction='nearest', completing the as-of family
+    * (backward / tolerance / forward / nearest). Two union-window
+    * passes + two id-keyed equi-joins — never a time-range theta-join;
+    * direction and signed lag are reported for the attribution
+    * consumer. */
+  private val qJoinAsofNearest = Q(
+    "q_join_asof_nearest",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.api.TimeSeries.asofJoinNearest(
+          ev.filter(col("event_type") === "purchase"), "event_id", "ts_ms", "user_id",
+          ev.filter(col("event_type") === "error"), "ts_ms", "user_id",
+          toleranceMs = Some(600000L))
+        .orderBy("event_id")
+    },
+    Some("""WITH pe AS (SELECT event_id, user_id, epoch_ms(ts) AS tm
+                        FROM events WHERE event_type = 'purchase'),
+                 er AS (SELECT user_id, epoch_ms(ts) AS tm
+                        FROM events WHERE event_type = 'error'),
+                 p2 AS (SELECT pe.event_id, pe.tm,
+                          (SELECT er.tm FROM er
+                           WHERE er.user_id = pe.user_id
+                             AND abs(er.tm - pe.tm) <= 600000
+                           ORDER BY abs(er.tm - pe.tm), er.tm LIMIT 1) AS asof_ts_ms
+                        FROM pe)
+            SELECT event_id, asof_ts_ms,
+                   CASE WHEN asof_ts_ms IS NULL THEN NULL
+                        WHEN asof_ts_ms <= tm THEN 'b' ELSE 'f' END AS direction,
+                   asof_ts_ms - tm AS lag_ms
+            FROM p2 ORDER BY event_id""")
+  )
+
   /** Sketch percentiles (t-digest-style approx, one pass, fixed memory) —
     * the 100 TB path where exact `percentile` shuffles every value.
     * Approximate → no SQL oracle; accuracy property-tested vs exact. */
@@ -580,7 +616,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(qPivot, qAggPercentile, qAggStats, qCorrelation, qAggListagg,
     qPosexplode, qWindowNtile, qUnionDistinct, qJoinCross, qArgmax,
-    qJoinAsof, qJoinAsofTol, qJoinAsofFwd, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
+    qJoinAsof, qJoinAsofTol, qJoinAsofFwd, qJoinAsofNearest, qApproxPercentile, qGroupingId, qJsonStruct, qEditDistance,
     qSkewSalted, qSkewSaltedJoin, qJoinFull, qUnpivot, qWindowDistribution,
     qSpearman)
 }

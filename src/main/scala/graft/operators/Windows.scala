@@ -1441,6 +1441,47 @@ object Windows {
             FROM sy GROUP BY k ORDER BY user_id""")
   )
 
+  /** Classical seasonal decomposition
+    * (graft.api.TimeSeries.seasonalDecompose): each event_type's hourly
+    * value-sum series detrended by a centered ±12 h moving average
+    * (full RANGE windows only — gaps disqualify honestly), then the
+    * seasonal index per clock hour — "is 14:00 actually bigger, or is
+    * the series just growing?", the decomposition q_hourly_profile's
+    * raw means can't answer under trend. Integer-exact until ONE final
+    * division (detr = 25·x − Σ₂₅x stays in exact ints — never x−avg),
+    * floor-4dp. */
+  private val qSeasonalDecompose = Q(
+    "q_seasonal_decompose",
+    (s, dir) =>
+      graft.api.TimeSeries.seasonalDecompose(
+          Tables.events(s, dir).filter(col("event_type").isNotNull),
+          "event_type", "ts_ms", "value", widthMs = 3600000L, period = 24)
+        .select(col("g").as("event_type"), col("phase"), col("n_obs"),
+          col("seasonal"))
+        .orderBy(asc_nulls_first("event_type"), asc("phase")),
+    Some("""WITH s0 AS (SELECT event_type AS g,
+                          (epoch_ms(ts) // 3600000
+                           - CASE WHEN epoch_ms(ts) % 3600000 < 0 THEN 1 ELSE 0 END) AS bucket,
+                          CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) AS HUGEINT) AS x
+                        FROM events
+                        WHERE value IS NOT NULL AND event_type IS NOT NULL
+                        GROUP BY 1, 2),
+                 w AS (SELECT g, bucket, x,
+                         sum(x) OVER (PARTITION BY g ORDER BY bucket
+                           RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wsum,
+                         count(*) OVER (PARTITION BY g ORDER BY bucket
+                           RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wn
+                       FROM s0),
+                 d AS (SELECT g, bucket % 24 AS phase, 25 * x - wsum AS detr
+                       FROM w WHERE wn = 25)
+            SELECT g AS event_type, CAST(phase AS BIGINT) AS phase,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   floor(CAST(sum(detr) AS DOUBLE)
+                         / (25.0 * CAST(count(*) AS DOUBLE))) / 10000 AS seasonal
+            FROM d GROUP BY 1, 2
+            ORDER BY event_type NULLS FIRST, phase""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
@@ -1448,6 +1489,6 @@ object Windows {
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
     qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
     qAssocRules, qAbTest, qSurvival, qBootstrapCi, qCohortMatrix,
-    qRfm, qWilsonRank, qHolt, qSax)
+    qRfm, qWilsonRank, qHolt, qSax, qSeasonalDecompose)
 }
 
