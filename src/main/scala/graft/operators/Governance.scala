@@ -560,7 +560,92 @@ object Governance {
             FROM c ORDER BY source NULLS FIRST, bin""")
   )
 
+  /** Jensen–Shannon divergence between the train and eval token
+    * distributions (the doc_id % 97 decontamination split) — TEXT drift
+    * for the drift family (KS/PSI/χ²/MW cover numeric and categorical
+    * columns; this covers the token stream itself): JS(P‖M) with
+    * M = (P+Q)/2, plus the ln2-normalized [0,1] form. The eval split
+    * should read ≈0 on an i.i.d. corpus; a rising value means the eval
+    * slice's vocabulary is drifting from training.
+    *
+    * Exactness (the q_mutual_info discipline): each term's log argument
+    * is an exact-integer ratio — 2·c_t·N_e / (c_t·N_e + c_e·N_t), both
+    * products in DECIMAL(38,0)/HUGEINT, cast once to double — so one ln
+    * per vocab row is the whole transcendental surface; terms quantize
+    * DECIMAL(30,10) before the order-proof sums; the two statistics are
+    * fixed expressions floor-4dp. Zero-count sides contribute exactly 0
+    * (the 0·ln0 convention) via the guard.
+    *
+    * Scale: ONE tokenize scan collapses to the vocab-keyed (c_t, c_e)
+    * frame (map-side-combining conditional sums); totals cross back as
+    * the sanctioned 1-row broadcast; everything after is
+    * vocab-cardinality. */
+  private val qDriftJs = Q(
+    "q_drift_js",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select((col("doc_id") % 97 === 0).as("is_eval"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val counts = toks.groupBy("term").agg(
+        sum(when(!col("is_eval"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("ce"))
+      val totals = counts.agg(sum("ct").as("nt"), sum("ce").as("ne"),
+        count(lit(1)).as("nv"))
+      def half(cSelf: String, nSelf: String, cOther: String, nOther: String) =
+        sum(when(col(cSelf) > 0,
+          ((col(cSelf).cast("double") / col(nSelf).cast("double")) *
+            log(lit(2.0) *
+              (col(cSelf).cast("decimal(38,0)") * col(nOther)).cast("double") /
+              (col(cSelf).cast("decimal(38,0)") * col(nOther) +
+                col(cOther).cast("decimal(38,0)") * col(nSelf)).cast("double")))
+            .cast("decimal(30,10)"))
+          .otherwise(lit(0).cast("decimal(30,10)")))
+      val m = counts.crossJoin(broadcast(totals))
+        .agg(max("nt").as("nt"), max("ne").as("ne"), max("nv").as("nv"),
+          half("ct", "nt", "ce", "ne").as("sa"),
+          half("ce", "ne", "ct", "nt").as("sb"))
+      val js = lit(0.5) * col("sa").cast("double") +
+        lit(0.5) * col("sb").cast("double")
+      m.select(col("nt").as("n_train_tokens"), col("ne").as("n_eval_tokens"),
+        col("nv").as("n_vocab"),
+        (floor(js * 10000) / 10000).as("js"),
+        (floor(js / log(lit(2.0)) * 10000) / 10000).as("js_norm"))
+    },
+    Some("""WITH toks AS (SELECT doc_id % 97 = 0 AS is_eval,
+                            unnest(string_split(text, ' ')) AS term
+                          FROM documents),
+                 tk AS (SELECT * FROM toks WHERE len(term) > 0),
+                 c AS (SELECT term,
+                         sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS ct,
+                         sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS ce
+                       FROM tk GROUP BY term),
+                 tot AS (SELECT sum(ct) AS nt, sum(ce) AS ne, count(*) AS nv FROM c),
+                 m AS (SELECT max(nt) AS nt, max(ne) AS ne, max(nv) AS nv,
+                         sum(CASE WHEN ct > 0
+                             THEN CAST((CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE))
+                                  * ln(2.0 * CAST(CAST(ct AS HUGEINT) * ne AS DOUBLE)
+                                       / CAST(CAST(ct AS HUGEINT) * ne
+                                              + CAST(ce AS HUGEINT) * nt AS DOUBLE))
+                                  AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END) AS sa,
+                         sum(CASE WHEN ce > 0
+                             THEN CAST((CAST(ce AS DOUBLE) / CAST(ne AS DOUBLE))
+                                  * ln(2.0 * CAST(CAST(ce AS HUGEINT) * nt AS DOUBLE)
+                                       / CAST(CAST(ce AS HUGEINT) * nt
+                                              + CAST(ct AS HUGEINT) * ne AS DOUBLE))
+                                  AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END) AS sb
+                       FROM c, tot)
+            SELECT CAST(nt AS BIGINT) AS n_train_tokens,
+                   CAST(ne AS BIGINT) AS n_eval_tokens,
+                   CAST(nv AS BIGINT) AS n_vocab,
+                   floor((0.5 * CAST(sa AS DOUBLE) + 0.5 * CAST(sb AS DOUBLE)) * 10000) / 10000 AS js,
+                   floor((0.5 * CAST(sa AS DOUBLE) + 0.5 * CAST(sb AS DOUBLE)) / ln(2.0) * 10000) / 10000 AS js_norm
+            FROM m""")
+  )
+
   val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
     qScd2, qKAnonymity, qLDiversity, qTCloseness, qDpCounts, qMutualInfo,
-    qBenford, qGini, qUserGini, qDriftMw, qLorenz)
+    qBenford, qGini, qUserGini, qDriftMw, qLorenz, qDriftJs)
 }

@@ -1756,6 +1756,93 @@ object TextOps {
             ORDER BY doc_id""")
   )
 
+  /** Language-ID confusion matrix: the trigram classifier
+    * (graft.api.TextAnalysis.languageIdNgram) scored against the
+    * fixture's ground-truth lang label — in-engine model evaluation for
+    * the text family (the q_knn_eval convention applied to lang-id):
+    * (truth, predicted, count, within-truth share). The share divides
+    * by the truth-row total via a lang-partitioned window — matrix
+    * cardinality is |langs|², corpus-size-independent after the one
+    * scoring scan. */
+  private val qLangidConfusion = Q(
+    "q_langid_confusion",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      graft.api.TextAnalysis.languageIdNgram(Tables.documents(s, dir), "text")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          floor(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(w).cast("double") * 10000) / 10000)
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("pred_lang"))
+    },
+    Some {
+      val (scores, caseExpr) = graft.api.TextAnalysis.trigramOracleSql("text")
+      s"""WITH sc AS (SELECT lang,
+              ${scores.mkString(",\n              ")}
+            FROM documents),
+            p AS (SELECT lang, $caseExpr AS pred_lang FROM sc),
+            m AS (SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2),
+            t AS (SELECT lang, sum(n_docs) AS tot FROM m GROUP BY 1)
+            SELECT m.lang, m.pred_lang, CAST(m.n_docs AS BIGINT) AS n_docs,
+                   floor(CAST(m.n_docs AS DOUBLE) / CAST(t.tot AS DOUBLE) * 10000) / 10000 AS share
+            FROM m JOIN t USING (lang)
+            ORDER BY lang NULLS FIRST, pred_lang NULLS FIRST"""
+    }
+  )
+
+  /** Curriculum difficulty binning: every doc scored by unigram-LM
+    * avg NLL (the q_perplexity signal), cut into 5 difficulty quintiles
+    * by the corpus's own percentile cuts, each bucket reported with doc
+    * count, token mass, and mean NLL — the table a curriculum-ordered
+    * training run reads to schedule easy→hard data. Cuts via exact
+    * `percentile` ≡ `quantile_cont` (1-row broadcast, strict-> ties
+    * low — the q_rfm discipline); per-bucket NLL means quantize each
+    * doc's score DECIMAL(30,10) before the order-proof sum,
+    * floor-4dp. */
+  private val qCurriculum = Q(
+    "q_curriculum",
+    (s, dir) => {
+      val scored = graft.api.TextAnalysis.unigramNll(Tables.documents(s, dir), "doc_id", "text")
+      val cuts = scored.agg(
+        expr("percentile(avg_nll, array(0.2, 0.4, 0.6, 0.8))").as("qc"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("n_tok"), col("avg_nll"),
+          ((0 to 3).map(i => when(col("avg_nll") > col("qc").getItem(i), 1L).otherwise(0L))
+            .reduce(_ + _) + lit(1L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          (floor(sum(col("avg_nll").cast("decimal(30,10)")).cast("double")
+            / count(lit(1)) * 10000) / 10000).as("mean_nll"))
+        .select(col("bucket"), col("n_docs"),
+          col("n_tokens").cast("bigint").as("n_tokens"), col("mean_nll"))
+        .orderBy("bucket")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                 c AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+                 tot AS (SELECT count(*) AS n_total FROM toks),
+                 d AS (SELECT t.doc_id, count(*) AS n_tok,
+                         sum(CAST(ln(CAST(c.c AS DOUBLE)) AS DECIMAL(30,10))) AS s
+                       FROM toks t JOIN c USING (term) GROUP BY t.doc_id),
+                 sc AS (SELECT d.doc_id, d.n_tok,
+                          ln(CAST(tot.n_total AS DOUBLE)) - CAST(d.s AS DOUBLE) / d.n_tok AS avg_nll
+                        FROM d, tot),
+                 cu AS (SELECT quantile_cont(avg_nll, [0.2, 0.4, 0.6, 0.8]) AS qc FROM sc),
+                 b AS (SELECT n_tok, avg_nll,
+                         1 + (CASE WHEN avg_nll > qc[1] THEN 1 ELSE 0 END)
+                           + (CASE WHEN avg_nll > qc[2] THEN 1 ELSE 0 END)
+                           + (CASE WHEN avg_nll > qc[3] THEN 1 ELSE 0 END)
+                           + (CASE WHEN avg_nll > qc[4] THEN 1 ELSE 0 END) AS bucket
+                       FROM sc, cu)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   floor(CAST(sum(CAST(avg_nll AS DECIMAL(30,10))) AS DOUBLE)
+                         / count(*) * 10000) / 10000 AS mean_nll
+            FROM b GROUP BY 1 ORDER BY 1""")
+  )
+
   /** TextRank keyword extraction: PageRank (graft.api.Graph.pageRank, 3
     * damped iterations) over the adjacent-token co-occurrence graph of
     * the 'en' slice, top 25 tokens — the classic unsupervised keyword
@@ -1835,5 +1922,6 @@ object TextOps {
     qCollocations, qPiiScrub, qPipelineE2e,
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers,
-    qUnicodeProfile, qLexiconHits, qTextrank, qNovelty)
+    qUnicodeProfile, qLexiconHits, qTextrank, qNovelty,
+    qLangidConfusion, qCurriculum)
 }
