@@ -697,6 +697,90 @@ object TextOps {
             FROM m ORDER BY doc_id""")
   )
 
+  /** Gopher-rule ablation table: for each quality rule, how many docs
+    * (and how much token mass) it rejects, and how many docs it ALONE
+    * rejects (fail this rule, pass all others) — the tuning table read
+    * before changing a threshold ("rule_rep only uniquely kills 12
+    * docs; loosening it is nearly free"), plus the 'any' row = the
+    * composite gate's total cost. One q_gopher_rules scoring pass +
+    * ONE 1-row conditional aggregate unpivoted with stack (the
+    * q_dedup_curve shape — adding a rule costs expressions, not
+    * scans). Exact longs throughout. */
+  private val qGopherAblation = Q(
+    "q_gopher_ablation",
+    (s, dir) => {
+      val r = graft.api.TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+        minTok = GopherParams.minTok, maxTok = GopherParams.maxTok,
+        minWlen = GopherParams.minWlen, maxWlen = GopherParams.maxWlen,
+        maxTopFrac = GopherParams.maxTopFrac, minStopHits = GopherParams.minStopHits,
+        stopwords = GopherParams.stopwords)
+      def fails(c: org.apache.spark.sql.Column) = sum(when(c, 0L).otherwise(1L))
+      def ftok(c: org.apache.spark.sql.Column) = sum(when(c, 0L).otherwise(col("n_tok")))
+      def only(self: org.apache.spark.sql.Column,
+          others: org.apache.spark.sql.Column*) =
+        sum(when(!self && others.reduce(_ && _), 1L).otherwise(0L))
+      val len = col("rule_len"); val wl = col("rule_wlen")
+      val rep = col("rule_rep"); val st = col("rule_stop")
+      r.agg(
+          fails(len).as("f_len"), ftok(len).as("t_len"), only(len, wl, rep, st).as("o_len"),
+          fails(wl).as("f_wlen"), ftok(wl).as("t_wlen"), only(wl, len, rep, st).as("o_wlen"),
+          fails(rep).as("f_rep"), ftok(rep).as("t_rep"), only(rep, len, wl, st).as("o_rep"),
+          fails(st).as("f_stop"), ftok(st).as("t_stop"), only(st, len, wl, rep).as("o_stop"),
+          fails(col("keep")).as("f_any"), ftok(col("keep")).as("t_any"))
+        .selectExpr("""stack(5,
+            'any',  f_any,  t_any,  CAST(NULL AS BIGINT),
+            'len',  f_len,  t_len,  o_len,
+            'rep',  f_rep,  t_rep,  o_rep,
+            'stop', f_stop, t_stop, o_stop,
+            'wlen', f_wlen, t_wlen, o_wlen)
+          AS (rule, n_docs_failing, n_tokens_failing, n_docs_failing_only)""")
+        .orderBy("rule")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                            length(text) AS nch
+                          FROM documents WHERE text IS NOT NULL),
+                 tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+                          SELECT doc_id, unnest(toks) AS tok FROM base)
+                        GROUP BY doc_id, tok),
+                 tp AS (SELECT doc_id, max(c) AS topc FROM tc GROUP BY doc_id),
+                 m AS (SELECT b.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                         round(CAST(nch - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS mean_wlen,
+                         round(CAST(topc AS DOUBLE) / len(toks), 4) AS top_frac,
+                         CAST(len(list_intersect(list_distinct(toks),
+                           ${GopherParams.sqlList})) AS BIGINT) AS stop_hits
+                       FROM base b JOIN tp USING (doc_id)),
+                 fl AS (SELECT n_tok,
+                          n_tok BETWEEN ${GopherParams.minTok} AND ${GopherParams.maxTok} AS rule_len,
+                          mean_wlen BETWEEN ${GopherParams.minWlen} AND ${GopherParams.maxWlen} AS rule_wlen,
+                          top_frac <= ${GopherParams.maxTopFrac} AS rule_rep,
+                          stop_hits >= ${GopherParams.minStopHits} AS rule_stop
+                        FROM m),
+                 a AS (SELECT
+                         sum(CASE WHEN rule_len THEN 0 ELSE 1 END) AS f_len,
+                         sum(CASE WHEN rule_len THEN 0 ELSE n_tok END) AS t_len,
+                         sum(CASE WHEN NOT rule_len AND rule_wlen AND rule_rep AND rule_stop THEN 1 ELSE 0 END) AS o_len,
+                         sum(CASE WHEN rule_wlen THEN 0 ELSE 1 END) AS f_wlen,
+                         sum(CASE WHEN rule_wlen THEN 0 ELSE n_tok END) AS t_wlen,
+                         sum(CASE WHEN NOT rule_wlen AND rule_len AND rule_rep AND rule_stop THEN 1 ELSE 0 END) AS o_wlen,
+                         sum(CASE WHEN rule_rep THEN 0 ELSE 1 END) AS f_rep,
+                         sum(CASE WHEN rule_rep THEN 0 ELSE n_tok END) AS t_rep,
+                         sum(CASE WHEN NOT rule_rep AND rule_len AND rule_wlen AND rule_stop THEN 1 ELSE 0 END) AS o_rep,
+                         sum(CASE WHEN rule_stop THEN 0 ELSE 1 END) AS f_stop,
+                         sum(CASE WHEN rule_stop THEN 0 ELSE n_tok END) AS t_stop,
+                         sum(CASE WHEN NOT rule_stop AND rule_len AND rule_wlen AND rule_rep THEN 1 ELSE 0 END) AS o_stop,
+                         sum(CASE WHEN rule_len AND rule_wlen AND rule_rep AND rule_stop THEN 0 ELSE 1 END) AS f_any,
+                         sum(CASE WHEN rule_len AND rule_wlen AND rule_rep AND rule_stop THEN 0 ELSE n_tok END) AS t_any
+                       FROM fl)
+            SELECT 'any' AS rule, CAST(f_any AS BIGINT) AS n_docs_failing,
+                   CAST(t_any AS BIGINT) AS n_tokens_failing,
+                   CAST(NULL AS BIGINT) AS n_docs_failing_only FROM a
+            UNION ALL SELECT 'len', CAST(f_len AS BIGINT), CAST(t_len AS BIGINT), CAST(o_len AS BIGINT) FROM a
+            UNION ALL SELECT 'rep', CAST(f_rep AS BIGINT), CAST(t_rep AS BIGINT), CAST(o_rep AS BIGINT) FROM a
+            UNION ALL SELECT 'stop', CAST(f_stop AS BIGINT), CAST(t_stop AS BIGINT), CAST(o_stop AS BIGINT) FROM a
+            UNION ALL SELECT 'wlen', CAST(f_wlen AS BIGINT), CAST(t_wlen AS BIGINT), CAST(o_wlen AS BIGINT) FROM a
+            ORDER BY rule""")
+  )
+
   /** DSIR-style importance log-weights toward the lang='en' slice
     * (Xie et al. NeurIPS'23) — vocab-sized log-ratio model, one token
     * join, decimal per-doc sum. */
@@ -1923,5 +2007,5 @@ object TextOps {
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers,
     qUnicodeProfile, qLexiconHits, qTextrank, qNovelty,
-    qLangidConfusion, qCurriculum)
+    qLangidConfusion, qCurriculum, qGopherAblation)
 }

@@ -447,7 +447,46 @@ object VectorOps {
     None
   )
 
+  /** Embedding L2-norm census per label — the vector-health audit run
+    * before any cosine/ANN stage (un-normalized or zero vectors break
+    * cosine semantics silently; a label whose norm band differs from
+    * the rest signals an encoder version mix). Per row, ONE sequential
+    * left-fold of x² in double (Spark's `aggregate` starting at 0.0 ≡
+    * DuckDB's `list_reduce` seeded by the first element — the 0.0+x₀²
+    * identity keeps the folds bit-equal); per label, min/max are exact
+    * double picks and the mean quantizes each norm DECIMAL(30,10)
+    * before the order-proof sum. Map-side + one hash aggregate. */
+  private val qEmbedNorms = Q(
+    "q_embed_norms",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("label"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(min("nrm") * 10000) / 10000).as("min_norm"),
+          (floor(max("nrm") * 10000) / 10000).as("max_norm"),
+          (floor(sum(col("nrm").cast("decimal(30,10)")).cast("double")
+            / count(lit(1)) * 10000) / 10000).as("mean_norm"))
+        .orderBy(asc_nulls_first("label")),
+    Some("""WITH v AS (SELECT label,
+                         sqrt(list_reduce(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           (a, b) -> a + b)) AS nrm
+                       FROM embeddings
+                       WHERE embedding IS NOT NULL AND len(embedding) > 0)
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   floor(min(nrm) * 10000) / 10000 AS min_norm,
+                   floor(max(nrm) * 10000) / 10000 AS max_norm,
+                   floor(CAST(sum(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE)
+                         / count(*) * 10000) / 10000 AS mean_norm
+            FROM v GROUP BY label ORDER BY label NULLS FIRST""")
+  )
+
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
-    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn)
+    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn,
+    qEmbedNorms)
 }
