@@ -1122,10 +1122,57 @@ object Dedup {
             ORDER BY threshold""")
   )
 
+  /** Cross-source duplication matrix: the trigram-Jaccard near-dup
+    * pairs classified by the (source, source) pair they connect — the
+    * "is duplication inter-source syndication or within-source
+    * reposting?" readout that decides WHERE dedup effort goes
+    * (q_source_overlap counts shared shingles; this counts actual
+    * near-dup PAIR verdicts). Diagonal rows (source_a = source_b) are
+    * within-source duplication. Two doc-keyed equi-joins attach sources
+    * to the pair frame, one |sources|²-bounded aggregate. */
+  private val qDedupSources = Q(
+    "q_dedup_sources",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val src = docs.filter(col("source").isNotNull)
+        .select(col("doc_id"), col("source"))
+      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh0 AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+                        FROM toks),
+                 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
+                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+                           WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+                 ds AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL)
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs JOIN ds da ON da.doc_id = pairs.doc_a
+                       JOIN ds db ON db.doc_id = pairs.doc_b
+            GROUP BY 1, 2 ORDER BY source_a, source_b""")
+  )
+
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
     qLabelProp, qBfsHops, qModularity, qTriangles, qCorpusDiff, qFuzzyJoin,
-    qDegrees, qAdamicAdar, qDedupCurve)
+    qDegrees, qAdamicAdar, qDedupCurve, qDedupSources)
 }

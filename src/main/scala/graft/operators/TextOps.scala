@@ -781,6 +781,57 @@ object TextOps {
             ORDER BY rule""")
   )
 
+  /** Per-source PII census: email / phone / numeric-id hit counts,
+    * total redactions, and how many docs carry ANY hit — the governance
+    * dashboard over q_pii_scrub's per-row machinery ("which ingestion
+    * source is leaking contact data?"). Patterns apply in the scrub's
+    * sequential order (pattern i counts against the text AFTER patterns
+    * < i replaced — no double counting), so the census sums exactly
+    * what the scrub would redact. Pure map-side regex work + one hash
+    * aggregate; exact longs. */
+  private val qPiiCensus = Q(
+    "q_pii_census",
+    (s, dir) => {
+      val pats = graft.api.TextAnalysis.defaultPiiPatterns
+      var t: org.apache.spark.sql.Column = col("text")
+      val cnts = pats.zipWithIndex.map { case ((pat, repl), i) =>
+        val n = coalesce(regexp_count(t, lit(pat)), lit(0L)).as(s"n$i")
+        t = regexp_replace(t, pat, repl)
+        n
+      }
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source") +: cnts: _*)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n0").as("n_email"), sum("n1").as("n_phone"), sum("n2").as("n_id"),
+          sum(col("n0") + col("n1") + col("n2")).as("n_pii_total"),
+          sum(when(col("n0") + col("n1") + col("n2") > 0, 1L).otherwise(0L))
+            .as("n_docs_with_pii"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH s0 AS (SELECT source, text AS t0 FROM documents WHERE text IS NOT NULL),
+                 s1 AS (SELECT source,
+                          len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n0,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                        FROM s0),
+                 s2 AS (SELECT source, n0,
+                          len(regexp_extract_all(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n1,
+                          regexp_replace(t1, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t2
+                        FROM s1),
+                 s3 AS (SELECT source, n0, n1,
+                          len(regexp_extract_all(t2, '[0-9]{6,}')) AS n2
+                        FROM s2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n0) AS BIGINT) AS n_email,
+                   CAST(sum(n1) AS BIGINT) AS n_phone,
+                   CAST(sum(n2) AS BIGINT) AS n_id,
+                   CAST(sum(n0 + n1 + n2) AS BIGINT) AS n_pii_total,
+                   CAST(sum(CASE WHEN n0 + n1 + n2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_docs_with_pii
+            FROM s3 GROUP BY source ORDER BY source NULLS FIRST""")
+  )
+
   /** DSIR-style importance log-weights toward the lang='en' slice
     * (Xie et al. NeurIPS'23) — vocab-sized log-ratio model, one token
     * join, decimal per-doc sum. */
@@ -2007,5 +2058,5 @@ object TextOps {
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers,
     qUnicodeProfile, qLexiconHits, qTextrank, qNovelty,
-    qLangidConfusion, qCurriculum, qGopherAblation)
+    qLangidConfusion, qCurriculum, qGopherAblation, qPiiCensus)
 }

@@ -88,6 +88,50 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(TimeSeries.sax(short, "k", "ts_ms", "id", "v").count() == 0)
   }
 
+  test("seasonalDecompose: a square wave on a linear trend recovers phase signs; a gap disqualifies windows") {
+    // period 4: phases 0,1 high (+5), phases 2,3 low (-5), plus trend i/10
+    // (the trend is what raw phase means would misread; the centered MA
+    // removes it)
+    val rows = (0 until 64).map { i =>
+      val seasonal = if (i % 4 < 2) 5.0 else -5.0
+      ("k", i.toLong * 1000, seasonal + i / 10.0)
+    }
+    val df = rows.toDF("g", "ts_ms", "v")
+    val got = TimeSeries.seasonalDecompose(df, "g", "ts_ms", "v",
+        widthMs = 1000L, period = 4)
+      .orderBy("phase")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got(0)._4 > 3 && got(1)._4 > 3 && got(2)._4 < -3 && got(3)._4 < -3,
+      got.mkString(", "))
+    // drop one middle bucket: every window RANGE-spanning it must
+    // disqualify (count < 5), shrinking n_obs vs the dense series
+    val dense = got.map(_._3).sum
+    val gapped = TimeSeries.seasonalDecompose(
+        df.filter(col("ts_ms") =!= 32000L), "g", "ts_ms", "v",
+        widthMs = 1000L, period = 4)
+      .agg(sum("n_obs")).as[Long].head()
+    assert(gapped == dense - 5, s"dense $dense gapped $gapped")
+  }
+
+  test("asofJoinNearest: picks the closer side, breaks ties backward, nulls outside tolerance") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 1L, 300L), (4L, 2L, 100L))
+      .toDF("id", "k", "ts")
+    // key 1 rights: 90 and 104 (id 1: |Δ|=10 vs 4 → forward 104);
+    // 195 and 205 (id 2: tie → backward 195); id 3 at 300: nothing
+    // within 50; key 2 has no rights at all
+    val right = Seq((1L, 90L), (1L, 104L), (1L, 195L), (1L, 205L))
+      .toDF("k", "ts")
+    val got = TimeSeries.asofJoinNearest(left, "id", "ts", "k",
+        right, "ts", "k", toleranceMs = Some(50L))
+      .as[(Long, Option[Long], Option[String], Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) == ((Some(104L), Some("f"), Some(4L))))
+    assert(got(2L) == ((Some(195L), Some("b"), Some(-5L))))
+    assert(got(3L) == ((None, None, None)))
+    assert(got(4L) == ((None, None, None)))
+  }
+
   test("holtBrown: constant series has ~zero trend and forecast == level + trend") {
     val df = (0 until 25).map(i => (1L, i.toLong * 1000, i.toLong, 4.0))
       .toDF("k", "ts_ms", "id", "v")
