@@ -275,6 +275,37 @@ object Drift {
     PsiReference(cuts, binCounts, binCounts.sum)
   }
 
+  /** Fitted TOKEN reference for the streaming JS drift monitor
+    * ([[graft.streaming.DriftStream.jsTokenStream]]): the top-k
+    * vocabulary with counts, the OOV remainder mass, and the token
+    * total. k+1 buckets (index 0 = OOV) is the whole model — kilobytes
+    * regardless of corpus size, the same "fit once on the validated
+    * corpus, ship as literals" contract as [[PsiReference]]. */
+  final case class TokenReference(tokens: Array[String], counts: Array[Long],
+      oov: Long, n: Long) {
+    def k: Int = tokens.length
+  }
+
+  /** Fit a [[TokenReference]]: standard single-space tokenization, count
+    * aggregate, top-k by (count desc, token asc — deterministic ties).
+    * Driver traffic is ONE scalar (the token total) + k rows (the
+    * model) — the ML-fit exemption class, never corpus-sized. */
+  def fitTokenReference(df: DataFrame, textCol: String,
+      topK: Int = 20): TokenReference = {
+    require(topK >= 1, s"topK must be ≥1, got $topK")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totalRow = counts.agg(sum("c").as("n")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    require(total > 0, s"empty reference corpus for $textCol")
+    val top = counts.orderBy(desc("c"), asc("tok")).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    TokenReference(top.map(_._1), top.map(_._2),
+      total - top.map(_._2).sum, total)
+  }
+
   /** Pearson χ² independence statistic over the `rowCol` × `colCol`
     * contingency table: `χ² = Σ_cells (O − E)² / E` with
     * `E = n_r · n_c / n`, absent cells contributing their full expected

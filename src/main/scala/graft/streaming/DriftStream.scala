@@ -92,4 +92,76 @@ object DriftStream {
       valueCol, ref)
     windowedPsi(bucketed, tsCol, width, ref, alpha)
   }
+
+  // ---- token-distribution drift (the q_drift_js monitor at ingest) ----
+
+  /** Tokenize and map each token to its reference bucket: 1..k for the
+    * fitted vocabulary (a LITERAL map in the plan — the model is
+    * kilobytes), 0 for OOV. The explode preserves the upstream
+    * watermark. */
+  private[streaming] def bucketizeTokens(df: DataFrame, tsCol: String,
+      textCol: String, ref: graft.api.Drift.TokenReference): DataFrame = {
+    val idx: Map[String, Int] =
+      ref.tokens.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    df.filter(col(textCol).isNotNull)
+      .select(col(tsCol), explode(split(col(textCol), " ")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col(tsCol),
+        coalesce(element_at(typedLit(idx), col("__tok")), lit(0))
+          .cast("long").as("bucket"))
+  }
+
+  /** Per-window bucket counts + smoothed Jensen–Shannon projection vs
+    * the reference, shared by stream and batch replay (the parity proof
+    * is the shared plan, as with [[windowedPsi]]). State per open window
+    * is k+1 longs. */
+  private[streaming] def windowedJs(bucketed: DataFrame, tsCol: String,
+      width: String, ref: graft.api.Drift.TokenReference,
+      alpha: Double): DataFrame = {
+    val k = ref.k
+    val cells = (0 to k).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = bucketed
+      .groupBy(window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("n"), cells: _*)
+    val denomR = ref.n + alpha * (k + 1)
+    val terms: Seq[Column] = (0 to k).map { b =>
+      val refCount = if (b == 0) ref.oov else ref.counts(b - 1)
+      val pr = (refCount + alpha) / denomR
+      val pc = (col(s"c$b") + alpha) / (col("n") + lit(alpha) * (k + 1))
+      val m = (pc + lit(pr)) / 2.0
+      lit(0.5) * pc * log(pc / m) + lit(0.5) * lit(pr) * log(lit(pr) / m)
+    }
+    agged.select(
+      unix_millis(col("w.start")).as("window_start_ms"),
+      col("n").as("n_tokens"),
+      terms.reduce(_ + _).as("js"))
+  }
+
+  /** Streaming token-distribution drift: one
+    * `(window_start_ms, n_tokens, js)` row per finalized `width`
+    * tumbling window of a live TEXT stream, scored as smoothed
+    * Jensen–Shannon divergence against a fitted
+    * [[graft.api.Drift.TokenReference]] — the q_drift_js monitor at
+    * ingest ("the feed started speaking a different language /
+    * template"). Plain watermarked windowed aggregation, no custom
+    * state: the vocabulary rides as a literal map, per-window state is
+    * k+1 longs. JS is bounded by ln 2; ≥0.1 is a large vocabulary
+    * shift. Append mode; rows finalize when the watermark passes the
+    * window end. */
+  def jsTokenStream(stream: DataFrame, tsCol: String, textCol: String,
+      ref: graft.api.Drift.TokenReference, width: String, delay: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    windowedJs(
+      bucketizeTokens(stream.withWatermark(tsCol, delay), tsCol, textCol, ref),
+      tsCol, width, ref, alpha)
+  }
+
+  /** The batch replay of [[jsTokenStream]] on a bounded frame — same
+    * bucketing, aggregation, and projection (no watermark). */
+  def jsTokenBatch(df: DataFrame, tsCol: String, textCol: String,
+      ref: graft.api.Drift.TokenReference, width: String,
+      alpha: Double = 0.5): DataFrame =
+    windowedJs(bucketizeTokens(df, tsCol, textCol, ref), tsCol, width, ref, alpha)
 }

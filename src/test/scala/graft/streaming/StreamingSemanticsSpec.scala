@@ -1073,6 +1073,47 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(batch == streamed, s"batch $batch != streamed $streamed")
   }
 
+  test("streaming JS token drift: windowed scores ≡ batch replay; OOV-flooded window flags") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: 5-token uniform vocabulary
+    val refDf = (0 until 500).map(i => s"t${i % 5}").grouped(10)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val ref = graft.api.Drift.fitTokenReference(refDf, "text", topK = 5)
+    assert(ref.k == 5 && ref.n == 500L && ref.oov == 0L)
+    assert(ref.counts.forall(_ == 100L), ref.counts.mkString(","))
+    val base = 1700000000000L
+    // window 1: in-distribution text; window 2: vocabulary replaced (OOV flood)
+    val w1 = (0 until 50).map(i => (base + i * 1000L, s"t${i % 5} t${(i + 1) % 5} t${(i + 2) % 5}"))
+    val w2 = (0 until 50).map(i => (base + 600000L + i * 1000L, "zzz qqq xxx"))
+    val rows = w1 ++ w2
+    val mem = MemoryStream[(Long, String)]
+    val q = DriftStream.jsTokenStream(
+        mem.toDF().toDF("ts_ms", "text").withColumn("ts_t", timestamp_millis(col("ts_ms"))),
+        "ts_t", "text", ref, width = "10 minutes", delay = "1 minute")
+      .writeStream.format("memory").queryName("s_jstok").outputMode("append")
+      .start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      mem.addData(Seq((base + 3600000L, "t0"))) // advance the watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_jstok")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(streamed.map(_._1) == Seq(base - 200000L, base + 400000L),
+      s"expected both finalized windows, got $streamed")
+    val Seq(inDist, flooded) = streamed
+    assert(inDist._2 == 150L && flooded._2 == 150L)
+    assert(inDist._3 < 0.01, s"in-distribution window scored ${inDist._3}")
+    assert(flooded._3 > 0.3, s"OOV-flooded window scored ${flooded._3}")
+    // batch parity: identical plan over the bounded frame, bit-equal JS
+    val batch = DriftStream.jsTokenBatch(
+        rows.toDF("ts_ms", "text").withColumn("ts_t", timestamp_millis(col("ts_ms"))),
+        "ts_t", "text", ref, width = "10 minutes")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(batch == streamed, s"batch $batch != streamed $streamed")
+  }
+
   test("PSI drift: sub-second windows keep distinct millisecond start keys (no whole-second aliasing)") {
     // the r9 ADVICE fix: window_start_ms via unix_millis — the previous
     // cast-to-long×1000 truncated to whole seconds, so two 500 ms
