@@ -106,4 +106,38 @@ class WriterSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bk_stats")
     }
   }
+
+  test("writePartitioned: directory layout, one file per partition value, planning-time pruning") {
+    val out = Files.createTempDirectory("graft-part-").toString + "/events_by_type"
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    Writer.writePartitioned(ev, out, Seq("event_type"))
+    // one data file per partition directory (the repartition co-location
+    // contract — naive partitionBy would write one file per task per value)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(dirs.length == ev.select("event_type").distinct().count(),
+      dirs.map(_.getName).mkString(","))
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    // a filtered read prunes at PLANNING time: the scan carries the
+    // predicate as a PartitionFilter and reads only the matching dir
+    val rd = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("purchase"), plan)
+    // materialize THIS physical plan (count() would plan its own) so its
+    // scan metrics reflect what actually got read
+    val qe = rd.queryExecution
+    val nRows = qe.executedPlan.execute().count()
+    assert(nRows == ev.filter(col("event_type") === "purchase").count())
+    // the executed scan touched exactly ONE file: the matching
+    // partition's (inputFiles would lie here — it lists the UNPRUNED
+    // relation; the scan metric is what actually got read)
+    val scan = qe.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value == 1L,
+      s"pruned scan read ${scan.metrics("numFiles").value} files")
+  }
 }
