@@ -46,5 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
       VectorExprs.buildMightContain(_)))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimates"),
+      new ExpressionInfo(
+        classOf[graft.functions.SketchExprs.CmsEstimates].getName, "graft_cms_estimates"),
+      graft.functions.SketchExprs.buildCmsEstimates(_)))
+    ext.injectFunction((FunctionIdentifier("graft_dd_quantiles"),
+      new ExpressionInfo(
+        classOf[graft.functions.SketchExprs.DdQuantiles].getName, "graft_dd_quantiles"),
+      graft.functions.SketchExprs.buildDdQuantiles(_)))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_overlap"),
+      new ExpressionInfo(
+        classOf[graft.functions.SketchExprs.KmvOverlapExpr].getName, "graft_kmv_overlap"),
+      graft.functions.SketchExprs.buildKmvOverlap(_)))
   }
 }

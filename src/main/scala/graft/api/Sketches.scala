@@ -174,7 +174,7 @@ object Sketches {
     * upstream; a null category is profile territory). */
   final case class CMSketch(counts: Array[Long], total: Long)
 
-  private def cmsIdx(x: String, row: Int, width: Int): Int =
+  private[graft] def cmsIdx(x: String, row: Int, width: Int): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(x, row), width)
 
   class CmsAgg(depth: Int, width: Int)
@@ -239,32 +239,14 @@ object Sketches {
     (c: Column) => fn(c.getField("counts"), c.getField("total"))
   }
 
-  def cmsEstimates(depth: Int, width: Int, probes: Seq[String]): Column => Column = {
-    val f = F.udf((counts: Array[Long], total: Long) =>
-      // a CmsMergeAgg.zero that merged nothing is an empty array — an
-      // empty sketch holds no mass, so every probe estimates 0 (the
-      // same answer a populated sketch gives for a never-added key when
-      // its cells are untouched); any OTHER length is a caller passing
-      // a sketch built with different depth/width — fail loudly rather
-      // than silently probing wrong cells
-      if (counts.isEmpty) probes.map(_ => 0L)
-      else {
-        require(counts.length == depth * width,
-          s"CMS shape mismatch: sketch has ${counts.length} cells, " +
-            s"probe expects depth*width = ${depth * width}")
-        probes.map { p =>
-          var best = Long.MaxValue
-          var i = 0
-          while (i < depth) {
-            val c = counts(i * width + cmsIdx(p, i, width))
-            if (c < best) best = c
-            i += 1
-          }
-          best
-        }
-      })
-    (c: Column) => f(c.getField("counts"), c.getField("total"))
-  }
+  def cmsEstimates(depth: Int, width: Int, probes: Seq[String]): Column => Column =
+    // the native finalizer (graft.functions.SketchExprs.CmsEstimates —
+    // empty-sketch→zeros and the shape require live there); callers'
+    // sessions must have SketchExprs.register'd (the VectorExprs
+    // convention — every registered query body does)
+    (c: Column) => F.call_function("graft_cms_estimates",
+      c.getField("counts"), c.getField("total"),
+      F.lit(depth), F.lit(width), F.array(probes.map(F.lit): _*))
 
   /** Quantile estimates from a [[DDSketch]]: the value at 0-based rank
     * floor(q·(cnt−1)) — negatives walked most-negative-first, then
@@ -313,11 +295,12 @@ object Sketches {
     (c: Column) => fn(c.getField("pos"), c.getField("neg"), c.getField("zero"), c.getField("cnt"))
   }
 
-  def ddQuantiles(alpha: Double, qs: Seq[Double]): Column => Column = {
-    val f = F.udf((pos: Map[Int, Long], neg: Map[Int, Long], zero: Long, cnt: Long) =>
-      qs.map(q => ddQuery(DDSketch(pos, neg, zero, cnt), alpha, q).map(Double.box).orNull))
-    (c: Column) => f(c.getField("pos"), c.getField("neg"), c.getField("zero"), c.getField("cnt"))
-  }
+  def ddQuantiles(alpha: Double, qs: Seq[Double]): Column => Column =
+    // the native finalizer (graft.functions.SketchExprs.DdQuantiles;
+    // empty sketch → NULL per quantile, the ddQuery Option)
+    (c: Column) => F.call_function("graft_dd_quantiles",
+      c.getField("pos"), c.getField("neg"), c.getField("zero"), c.getField("cnt"),
+      F.lit(alpha), F.array(qs.map(F.lit): _*))
 
   // ---- KMV (theta) distinct/intersection sketch ---------------------------
 
@@ -451,13 +434,10 @@ object Sketches {
     (c: Column) => fn(c.getField("vals"), c.getField("k"))
   }
 
-  def kmvOverlapCols(a: Column, b: Column): Column = {
-    val f = F.udf((va: Seq[Long], ka: Int, vb: Seq[Long], kb: Int) => {
-      val ska = KMVSketch(va, ka); val skb = KMVSketch(vb, kb)
-      val (shared, jac) = kmvOverlap(ska, skb)
-      (kmvDistinct(ska), kmvDistinct(skb), shared, jac)
-    })
-    f(a.getField("vals"), a.getField("k"), b.getField("vals"), b.getField("k"))
-      .cast("struct<est_a:double,est_b:double,est_shared:double,jaccard:double>")
-  }
+  def kmvOverlapCols(a: Column, b: Column): Column =
+    // the native finalizer (graft.functions.SketchExprs.KmvOverlapExpr
+    // — its struct type already carries the field names, so the old
+    // UDF's cast is gone with the UDF)
+    F.call_function("graft_kmv_overlap",
+      a.getField("vals"), a.getField("k"), b.getField("vals"), b.getField("k"))
 }

@@ -486,6 +486,7 @@ object Dedup {
   private val qKmvOverlap = Q(
     "q_kmv_overlap",
     (s, dir) => {
+      graft.functions.SketchExprs.register(s)
       val k = 256
       val grams = Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("source").isNotNull)
@@ -497,7 +498,7 @@ object Dedup {
         .agg(graft.api.Sketches.kmvSketch(k)(col("h")).as("sk"))
       val a = sketches.select(col("source").as("group_a"), col("sk").as("ska"))
       val b = sketches.select(col("source").as("group_b"), col("sk").as("skb"))
-      // group-sized UDF pair evaluation; the struct's two field reads
+      // group-sized native pair evaluation (SketchExprs.KmvOverlapExpr); the struct's two field reads
       // are the documented bounded ×2 on a sketch-frame-sized projection
       val ov = graft.api.Sketches.kmvOverlapCols(col("ska"), col("skb"))
       a.crossJoin(b).filter(col("group_a") < col("group_b"))

@@ -11,6 +11,10 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
   */
 class OperatorPropertiesSpec extends SparkTestBase {
 
+  // the sketch finalizers are native registered functions (SketchExprs);
+  // direct api.Sketches column-form calls here need them on the session
+  graft.functions.SketchExprs.register(spark)
+
   private def check(p: Prop): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
     assert(res.passed, res.status.toString)
