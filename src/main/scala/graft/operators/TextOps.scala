@@ -1978,6 +1978,59 @@ object TextOps {
             FROM b GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Distinctive terms per source: group-level TF-IDF — each source's
+    * top-5 terms by tf · ln(n_sources / df_sources), the "what
+    * characterizes this slice" exploratory table (q_tfidf scores
+    * doc-level; this treats each SOURCE as the document, the standard
+    * corpus-comparison move). Exactness: tf/df/n are exact longs, the
+    * score is one ln of an integer ratio times an integer — floor-4dp
+    * BEFORE the per-source rank window (term tiebreak), so top-5
+    * membership is engine-exact. Plan: two map-side-combining
+    * aggregates over one tokenize scan, the source count as the
+    * sanctioned 1-row broadcast, one source-partitioned rank window. */
+  private val qDistinctiveTerms = Q(
+    "q_distinctive_terms",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df_src"))
+      val ns = tf.select("source").distinct().agg(count(lit(1)).as("n_src"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("score"), asc("term"))
+      tf.join(dfq, "term").crossJoin(broadcast(ns))
+        .withColumn("score",
+          floor(col("tf").cast("double")
+            * log(col("n_src").cast("double") / col("df_src").cast("double"))
+            * 10000) / 10000)
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .select("source", "term", "tf", "score", "rk")
+        .orderBy(asc("source"), asc("rk"))
+    },
+    Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                          FROM documents
+                          WHERE text IS NOT NULL AND source IS NOT NULL),
+                 tk AS (SELECT * FROM toks WHERE len(term) > 0),
+                 tf AS (SELECT source, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+                 dfq AS (SELECT term, count(*) AS df_src FROM tf GROUP BY 1),
+                 ns AS (SELECT count(DISTINCT source) AS n_src FROM tf),
+                 sc AS (SELECT source, term, tf,
+                          floor(CAST(tf AS DOUBLE)
+                                * ln(CAST(n_src AS DOUBLE) / CAST(df_src AS DOUBLE))
+                                * 10000) / 10000 AS score
+                        FROM tf JOIN dfq USING (term) CROSS JOIN ns),
+                 rk AS (SELECT source, term, tf, score,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY score DESC, term) AS rk
+                        FROM sc)
+            SELECT source, term, CAST(tf AS BIGINT) AS tf, score,
+                   CAST(rk AS BIGINT) AS rk
+            FROM rk WHERE rk <= 5 ORDER BY source, rk""")
+  )
+
   /** TextRank keyword extraction: PageRank (graft.api.Graph.pageRank, 3
     * damped iterations) over the adjacent-token co-occurrence graph of
     * the 'en' slice, top 25 tokens — the classic unsupervised keyword
@@ -2058,5 +2111,6 @@ object TextOps {
     qPipelineNeardup, qPipelineReport, qProfile, qEntropy, qSkewProfile,
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers,
     qUnicodeProfile, qLexiconHits, qTextrank, qNovelty,
-    qLangidConfusion, qCurriculum, qGopherAblation, qPiiCensus)
+    qLangidConfusion, qCurriculum, qGopherAblation, qPiiCensus,
+    qDistinctiveTerms)
 }

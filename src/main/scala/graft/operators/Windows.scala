@@ -1482,6 +1482,65 @@ object Windows {
             ORDER BY event_type NULLS FIRST, phase""")
   )
 
+  /** Per-session behavioral entropy: Shannon entropy (nats) of each
+    * session's event-type distribution — 0 = single-minded (a bot
+    * hammering one action), ln(5) ≈ 1.61 = uniformly mixed — the
+    * diversity signal next to q_session_paths' sequence view. Sessions
+    * are the standard 30-minute-gap assignment
+    * (graft.api.TimeSeries.sessionIds — the q_session_paths form; break
+    * flags depend only on consecutive time gaps, so tie order cannot
+    * move a session boundary). Entropy via the exact-count identity
+    * H = ln n − (Σ c·ln c)/n: one ln per (session, type) cell plus one
+    * per session is the whole transcendental surface, each c·ln c
+    * quantized DECIMAL(30,10) before the order-proof sum (the
+    * mutual-info discipline), floor-4dp. Plan: the user-key session
+    * window + two keyed hash aggregates — no broadcast, no join. */
+  private val qSessionEntropy = Q(
+    "q_session_entropy",
+    (s, dir) => {
+      val rows = graft.api.TimeSeries.sessionIds(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("ts_us", expr("ts div 1000")),
+        "ts_us", "user_id", 1800000000L, Seq("event_id", "event_type"))
+      val cells = rows.groupBy(col("user_id"), col("session_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy("user_id", "session_id")
+        .agg(sum("c").as("n"),
+          sum((col("c").cast("double") * log(col("c").cast("double")))
+            .cast("decimal(30,10)")).as("sclnc"))
+        .select(col("user_id"), col("session_id").cast("bigint").as("session_id"),
+          col("n").cast("bigint").as("n_events"),
+          (floor((log(col("n").cast("double"))
+            - col("sclnc").cast("double") / col("n")) * 10000) / 10000).as("entropy"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+                       FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+                 l AS (SELECT user_id, event_type, tu, event_id,
+                         lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev
+                       FROM e),
+                 f AS (SELECT user_id, event_type, tu, event_id,
+                         CASE WHEN prev IS NULL OR tu - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+                       FROM l),
+                 s AS (SELECT user_id, event_type,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       FROM f),
+                 cells AS (SELECT user_id, session_id, event_type, count(*) AS c
+                           FROM s GROUP BY 1, 2, 3),
+                 sess AS (SELECT user_id, session_id, sum(c) AS n,
+                            sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                     AS DECIMAL(30,10))) AS sclnc
+                          FROM cells GROUP BY 1, 2)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(n AS BIGINT) AS n_events,
+                   floor((ln(CAST(n AS DOUBLE)) - CAST(sclnc AS DOUBLE) / n) * 10000) / 10000
+                     AS entropy
+            FROM sess ORDER BY user_id, session_id""")
+  )
+
   val all: Seq[Q] = Seq(qWindowRank, qWindowLag, qWindowFrame,
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
@@ -1489,6 +1548,6 @@ object Windows {
     qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
     qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
     qAssocRules, qAbTest, qSurvival, qBootstrapCi, qCohortMatrix,
-    qRfm, qWilsonRank, qHolt, qSax, qSeasonalDecompose)
+    qRfm, qWilsonRank, qHolt, qSax, qSeasonalDecompose, qSessionEntropy)
 }
 

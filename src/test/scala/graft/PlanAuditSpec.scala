@@ -171,7 +171,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_rfm" -> "1-row corpus-constant broadcast (RFM quintile cut arrays)",
       "q_textrank" -> "1-row corpus-constant broadcast (vocabulary size N, the q_pagerank pattern)",
       "q_curriculum" -> "1-row corpus-constant broadcasts (the q_perplexity token total + the difficulty cut array)",
-      "q_drift_js" -> "1-row corpus-constant broadcast (train/eval token totals, the q_mutual_info class)")
+      "q_drift_js" -> "1-row corpus-constant broadcast (train/eval token totals, the q_mutual_info class)",
+      "q_distinctive_terms" -> "1-row corpus-constant broadcast (source count for the idf)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —
