@@ -32,7 +32,10 @@ object Bench {
       "q_dedup_ngram_jaccard",
       "q_dedup_minhash", "q_dedup_simhash", "q_heavy_hitters",
       "q_pipeline_e2e", "q_dedup_survivors", "q_pipeline_neardup",
-      "q_triangles", "q_pagerank")
+      "q_triangles", "q_pagerank",
+      // r9 driver artifacts showed 35 s cold-janino first reps on these
+      // two (steady-state 2.4/4.6 s) — warm them like the other heavies
+      "q_adamic_adar", "q_knn_eval")
       .filter(selected)
       .foreach { name =>
         // warmup must never fail the bench, but a silently-skipped name

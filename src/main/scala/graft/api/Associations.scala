@@ -55,7 +55,11 @@ object Associations {
           .as("support"),
         (floor(col("n_ab").cast("double") / col("n_a") * 10000) / 10000)
           .as("confidence"),
-        (floor((col("n_ab") * col("n_baskets")).cast("double")
-          / (col("n_a") * col("n_b")) * 10000) / 10000).as("lift"))
+        // products as decimal(38,0) BEFORE the double division — long×long
+        // silently wraps past ~9.2e18 at 10^10-row scale (the mutualInfo
+        // discipline); DuckDB's HUGEINT oracle would diverge otherwise
+        (floor((col("n_ab").cast("decimal(38,0)") * col("n_baskets")).cast("double")
+          / (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double")
+          * 10000) / 10000).as("lift"))
   }
 }

@@ -139,8 +139,11 @@ object ImageCodec {
       var i = 2
       while (i + 9 < bytes.length) {
         if ((bytes(i) & 0xff) != 0xff) return None
+        // 0xFF fill bytes may pad before any marker — skip them
+        while (i + 9 < bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
         val marker = bytes(i + 1) & 0xff
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+        // standalone markers (no length field): SOI, RSTn, TEM
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) { i += 2 }
         else {
           val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
           if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
@@ -161,7 +164,7 @@ object ImageCodec {
         bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
       val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
       val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
-      val depth = ((bytes(10) & 0xff) & 0x07) + 1 // color resolution bits
+      val depth = (((bytes(10) & 0xff) >> 4) & 0x07) + 1 // color resolution (bits 4-6)
       return Some(ImageMeta("gif", w.toLong, h.toLong, depth.toLong, 3L))
     }
     // BMP: "BM" + BITMAPINFOHEADER (little-endian; height may be
@@ -220,7 +223,10 @@ object ImageCodec {
     try {
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 on an unfinished stream means no progress is possible:
+        // truncated input OR a preset-dictionary (FDICT) stream we don't
+        // support — either way bail rather than spin the executor thread
+        if (n == 0) return None
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }

@@ -179,10 +179,12 @@ object MediaCodec {
           case "moov" | "trak" if depth < 4 => walk(i + 8, i + len, depth + 1)
           case "mvhd" if len >= 32 =>
             val ver = bytes(i + 8) & 0xff
-            if (ver == 1 && len >= 44) {
-              ts = be32(bytes, i + 32).toLong & 0xffffffffL
-              dur = ((be32(bytes, i + 36).toLong & 0xffffffffL) << 32) |
-                (be32(bytes, i + 40).toLong & 0xffffffffL)
+            if (ver == 1 && len >= 40) {
+              // v1 payload: ver/flags(4) ctime(8) mtime(8) timescale(4)
+              // duration(8) — timescale at i+28, 64-bit duration at i+32
+              ts = be32(bytes, i + 28).toLong & 0xffffffffL
+              dur = ((be32(bytes, i + 32).toLong & 0xffffffffL) << 32) |
+                (be32(bytes, i + 36).toLong & 0xffffffffL)
             } else {
               ts = be32(bytes, i + 20).toLong & 0xffffffffL
               dur = be32(bytes, i + 24).toLong & 0xffffffffL

@@ -77,6 +77,48 @@ class ImageCodecSpec extends AnyFunSuite {
       && bmp.bitDepth == 24, bmp.toString)
   }
 
+  test("JPEG marker scan tolerates 0xFF fill bytes and standalone TEM (0x01)") {
+    // spec-valid JPEG: SOI, fill bytes before APP0, TEM, fill before SOF0
+    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ u16(4) ++ Array[Byte](0, 0)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ u16(11) ++
+      Array[Byte](8) ++ u16(21) ++ u16(37) ++
+      Array[Byte](1, 0x11, 0x11, 0) // 1 component
+    val payload = Array[Byte](0xff.toByte, 0xd8.toByte) ++ // SOI
+      Array[Byte](0xff.toByte) ++ // fill byte before APP0's own 0xFF
+      app0 ++
+      Array[Byte](0xff.toByte, 0x01.toByte) ++ // standalone TEM
+      Array[Byte](0xff.toByte, 0xff.toByte) ++ // two fills before SOF0's 0xFF
+      sof0 ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val m = ImageCodec.decodeMeta(payload).get
+    assert(m == ImageCodec.ImageMeta("jpeg", 37L, 21L, 8L, 1L), m.toString)
+  }
+
+  test("zlib stream with FDICT set returns None instead of spinning forever") {
+    // forge the IDAT zlib header of a valid PNG to set the FDICT bit
+    // (0x20 in FLG) — inflate() then returns 0 with needsDictionary()
+    // and neither finished() nor needsInput(); decode must bail, not hang
+    val good = ImageCodec.encodePngGray(4, 4, pix(3L, 4, 4))
+    // locate the IDAT chunk; its first 2 payload bytes are CMF/FLG
+    var i = 8; var idatOff = -1
+    while (idatOff < 0 && i + 8 <= good.length) {
+      val len = ((good(i) & 0xff) << 24) | ((good(i + 1) & 0xff) << 16) |
+        ((good(i + 2) & 0xff) << 8) | (good(i + 3) & 0xff)
+      if (new String(good.slice(i + 4, i + 8), "US-ASCII") == "IDAT") idatOff = i + 8
+      i += 12 + len
+    }
+    assert(idatOff > 0, "no IDAT found in encoder output")
+    val forged = good.clone()
+    val cmf = forged(idatOff) & 0xff
+    var flg = (forged(idatOff + 1) & 0xff) | 0x20 // set FDICT
+    flg = (flg & 0xe0) | ((31 - (cmf * 256 + (flg & 0xe0)) % 31) % 31) // fix FCHECK
+    forged(idatOff + 1) = flg.toByte
+    val fut = scala.concurrent.Future(ImageCodec.decodePngGray(forged))(
+      scala.concurrent.ExecutionContext.global)
+    val res = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(10, "s"))
+    assert(res.isEmpty, "FDICT stream must return None")
+  }
+
   test("corrupt / truncated / foreign payloads return None, never throw") {
     val good = ImageCodec.encodePngGray(5, 5, pix(1L, 5, 5))
     assert(ImageCodec.decodeMeta(Array.emptyByteArray).isEmpty)

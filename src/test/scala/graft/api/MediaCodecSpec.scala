@@ -65,6 +65,39 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeMp4Meta reads a hand-built VERSION-1 mvhd at the spec offsets") {
+    // ISO 14496-12 v1 mvhd payload: ver/flags(4) ctime(8) mtime(8)
+    // timescale(4) duration(8) rate(4) volume+res(4) 2×reserved(8)
+    // matrix(36) predefined(24) next_track_id(4) — timescale at payload
+    // offset 28, 64-bit duration at 32
+    def be32(v: Int): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      be32(len) ++ tp.getBytes("US-ASCII") ++ payload.flatten
+    }
+    val timescale = 90000
+    val durationHi = 1  // force a duration that needs all 64 bits read
+    val durationLo = 500
+    val duration = (durationHi.toLong << 32) | durationLo.toLong
+    val mvhdV1 = box("mvhd", be32(0x01000000),
+      be32(0), be32(0xdeadbeef), be32(0), be32(0xcafebabe), // ctime/mtime: 8B each, non-zero noise
+      be32(timescale), be32(durationHi), be32(durationLo),
+      be32(0x00010000), be32(0x01000000), be32(0), be32(0),
+      Array.fill(9)(be32(0)).flatten.toArray,
+      Array.fill(6)(be32(0)).flatten.toArray, be32(2))
+    val tkhd = box("tkhd", be32(0x00000007), be32(0), be32(0), be32(1),
+      be32(0), be32(600), be32(0), be32(0), be32(0), be32(0),
+      Array.fill(9)(be32(0)).flatten.toArray,
+      be32(640 << 16), be32(360 << 16))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512),
+      "isom".getBytes("US-ASCII"))
+    val payload = ftyp ++ box("moov", mvhdV1, box("trak", tkhd))
+    val m = MediaCodec.decodeMp4Meta(payload).get
+    assert(m == MediaCodec.VideoMeta("mp4", 640L, 360L,
+      duration * 1000L / timescale, timescale.toLong), m.toString)
+  }
+
   test("corrupt / truncated / foreign payloads return None, never throw") {
     val wav = MediaCodec.encodeWavPcm16(8000, 1, samples(1L, 30))
     val mp4 = MediaCodec.encodeMp4Header(320, 240, 600, 600)
