@@ -175,7 +175,11 @@ object Dedup {
   )
 
   /** SimHash near-dup pairs with hamming ≤ 3 — EXACT output (block-LSH is
-    * pigeonhole-complete at this distance), bucketing is purely pruning. */
+    * pigeonhole-complete at this distance), bucketing is purely pruning.
+    * Oracle: DuckDB replays the FULL computation from `documents` —
+    * per-token XXH64(seed 42) re-implemented in pure SQL (HUGEINT mod
+    * 2⁶⁴; see [[SimhashOracleSql]]), bit votes, block-bucket join,
+    * hamming verify — so signature AND pairing are hash-matched. */
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) =>
@@ -183,7 +187,7 @@ object Dedup {
           maxHamming = 3, blocks = 4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b"),
-    None
+    Some(SimhashOracleSql.sql)
   )
 
   /** Dedup clusters: connected components over the exact Jaccard ≥ 0.5

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimhashOracleSql
+
+/** Pins the foundation the q_dedup_simhash DuckDB oracle rests on.
+  *
+  * The oracle re-implements XXH64(seed 42) in pure SQL, so its
+  * correctness splits into (a) "the algorithm we transcribed IS the
+  * hash `graft_simhash` votes with" — proven here by comparing a
+  * clean-room spec-reference XXH64 against Spark's own `xxhash64`
+  * column for strings covering every tail-length class the unrolled
+  * SQL handles — and (b) "the SQL transcribes that algorithm" — proven
+  * end-to-end by the driver gate (DuckDB replays signature + pairing
+  * from `documents` and hash-matches the Spark dump; also
+  * `tools/gen_xxh64_sql.py`, the same generator developed against
+  * Spark outputs). Structural assertions below keep the emission from
+  * drifting silently.
+  */
+class SimhashOracleSpec extends SparkTestBase {
+
+  // clean-room XXH64 (public spec); the same algorithm the SQL unrolls
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  private def rnd(acc: Long, lane: Long): Long =
+    java.lang.Long.rotateLeft(acc + lane * P2, 31) * P1
+
+  private def refXxh64(data: Array[Byte], seed: Long): Long = {
+    val n = data.length
+    var i = 0
+    def word(off: Int, len: Int): Long = {
+      var w = 0L; var j = len - 1
+      while (j >= 0) { w = (w << 8) | (data(off + j) & 0xffL); j -= 1 }
+      w
+    }
+    var h =
+      if (n >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (i <= n - 32) {
+          v1 = rnd(v1, word(i, 8)); v2 = rnd(v2, word(i + 8, 8))
+          v3 = rnd(v3, word(i + 16, 8)); v4 = rnd(v4, word(i + 24, 8))
+          i += 32
+        }
+        var m = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+        for (v <- Seq(v1, v2, v3, v4)) m = (m ^ rnd(0L, v)) * P1 + P4
+        m
+      } else seed + P5
+    h += n
+    while (i <= n - 8) {
+      h = java.lang.Long.rotateLeft(h ^ rnd(0L, word(i, 8)), 27) * P1 + P4
+      i += 8
+    }
+    if (i <= n - 4) {
+      h = java.lang.Long.rotateLeft(h ^ (word(i, 4) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < n) {
+      h = java.lang.Long.rotateLeft(h ^ ((data(i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  test("spec-reference XXH64(42) matches Spark's xxhash64 on every tail-length class") {
+    // lengths 0..33 hit: empty, byte-only tails (1-3), the 4-byte step
+    // (4-7), word steps ×1..3 (8..31), and the ≥32 stripe path the SQL
+    // guards against; plus multi-byte UTF-8
+    val cases = (0 to 33).map(k => "abcdefghijklmnopqrstuvwxyz0123456789".take(k)) ++
+      Seq("café", "中文token", "naïve-Ω", "x" * 64, "y" * 65)
+    val df = spark.createDataFrame(cases.map(Tuple1(_))).toDF("s")
+      .select(col("s"), xxhash64(col("s")).as("h"))
+    df.collect().foreach { r =>
+      val s = r.getString(0)
+      val expect = refXxh64(s.getBytes("UTF-8"), 42L)
+      assert(r.getLong(1) == expect,
+        s"xxhash64 mismatch for '${s.take(12)}' (len ${s.getBytes("UTF-8").length})")
+    }
+  }
+
+  test("emitted oracle SQL carries the XXH64 constants, loud guard, and total order") {
+    val sql = SimhashOracleSql.sql
+    // unsigned decimal spellings of the five public primes
+    for (p <- Seq("11400714785074694791", "14029467366897019727",
+        "1609587929392839161", "9650029242287828579", "2870177450012600261"))
+      assert(sql.contains(p), s"prime $p missing from oracle SQL")
+    assert(sql.contains("xxh64-oracle-token-over-31-bytes"),
+      "≥32-byte loud-fail guard missing")
+    assert(sql.contains("ORDER BY doc_a, doc_b"), "total order missing")
+    assert(sql.contains("hamming <= 3"), "hamming bound missing")
+    // 4 blocks of 16 bits — the pigeonhole-complete bucketing at ≤3
+    for (shift <- Seq("65536", "4294967296", "281474976710656"))
+      assert(sql.contains(shift), s"block shift $shift missing")
+    // stage chain stays linear: well under 100 KB (the naive nested
+    // emission was 437 KB and growing exponentially with step depth)
+    assert(sql.length < 100000, s"oracle SQL ballooned to ${sql.length} bytes")
+  }
+
+  test("simhash signatures vote with xxhash64(42): one-doc fixture cross-check") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val toks = Seq("alpha", "beta", "gamma", "delta8ch")
+    val sig = Seq(toks.mkString(" ")).toDF("text")
+      .selectExpr("graft_simhash(array_distinct(split(text, ' '))) AS sig")
+      .head().getLong(0)
+    val votes = Array.fill(64)(0)
+    toks.foreach { t =>
+      val h = refXxh64(t.getBytes("UTF-8"), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var expect = 0L
+    for (j <- 0 until 64) if (votes(j) >= 0) expect |= (1L << j)
+    assert(sig == expect, f"graft_simhash votes diverge: got $sig%x want $expect%x")
+  }
+}
