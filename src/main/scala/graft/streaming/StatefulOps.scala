@@ -706,4 +706,185 @@ object StatefulOps {
           }
       }
   }
+
+  // ------------------------------------------------------------------
+  // Streaming EMBEDDING near-dup — the vector mirror of
+  // [[streamingNearDedup]]: hyperplane band buckets instead of MinHash
+  // bands, signature-angle scoring instead of the Jaccard estimate,
+  // exact-cosine reconcile instead of exact-Jaccard.
+  // ------------------------------------------------------------------
+
+  /** One (vector × hyperplane band) row for streaming embedding
+    * near-dup. `probe = false` rows INDEX (they are scored AND added to
+    * bucket state); `probe = true` rows are the hamming-1 multi-probe
+    * fan-out — scored against the bucket but never added — reproducing
+    * batch `Similarity.annPairs`' probe/index asymmetry exactly (flips
+    * are symmetric under XOR, so probing earlier arrivals from the new
+    * doc's side covers the same candidate set as the batch join's
+    * pid<id direction). `ks` carries ALL band keys: their concatenated
+    * low sign bits ARE the full nPlanes-bit hyperplane signature the
+    * bucket scorer estimates angles from. */
+  final case class VecBand(band: Long, id: Long, ks: Seq[Long], tsMs: Long,
+      probe: Boolean)
+
+  /** A vector retained in a band bucket's state: id + band keys (the
+    * signature — never the embedding; state is bands longs per vec). */
+  final case class VecInState(id: Long, ks: Seq[Long])
+
+  /** Per-bucket state: the first `maxBucketVecs` vectors that INDEXED
+    * into the bucket (earliest-first keeps canonical priority), plus
+    * the TTL anchor. */
+  final case class VecBandState(vecs: Seq[VecInState], maxTsMs: Long)
+
+  /** One emitted candidate: vector `id` estimated near `matched_id`
+    * (est_cos = cos(π·(1 − matching sign bits / nPlanes)) — the
+    * standard random-hyperplane angle estimate). Best match per
+    * (vec, bucket row); per-doc reduction and the exact-cosine verify
+    * happen downstream ([[exactVerifyVecMatches]]). */
+  final case class VecMatch(band: Long, id: Long, matched_id: Long, est_cos: Double)
+
+  /** Prepare [[VecBand]] rows from an (id, embedding, tsMs) stream:
+    * per-ROW native `graft_hyperplane_keys` (the same keys batch
+    * `Similarity.annPairs` indexes and probes — hyperplane LSH is
+    * scale-invariant, so no normalization is needed for keys), one
+    * index row per band plus, when `multiProbe`, w hamming-1 probe rows
+    * per band — a map-side streaming transform, no explode+groupBy.
+    * Rows with NULL/empty embeddings are dropped (no signature to
+    * stand in a bucket). `carryCols` keeps e.g. the watermarked
+    * timestamp for TTL. */
+  def vecBandRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, tsMsCol: String, nPlanes: Int = 16, bands: Int = 8,
+      dim: Int = 64, multiProbe: Boolean = true,
+      carryCols: Seq[String] = Nil): Dataset[VecBand] = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val w = nPlanes / bands
+    graft.functions.VectorExprs.register(df.sparkSession)
+    import org.apache.spark.sql.functions._
+    val probes =
+      if (multiProbe)
+        s""", flatten(transform(ks, k0 -> transform(sequence(0, ${w - 1}),
+              r -> struct(cast(k0 ^ shiftleft(1L, r) AS BIGINT) AS band, true AS probe))))"""
+      else ""
+    df.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .withColumn("ks", expr(s"graft_hyperplane_keys($embCol, $nPlanes, $bands, $dim)"))
+      .select(Seq(col(idCol).cast("long").as("id"), col("ks"),
+        col(tsMsCol).cast("long").as("tsMs"),
+        explode(expr(
+          s"concat(transform(ks, k -> struct(k AS band, false AS probe))$probes"
+            + ")")).as("__bp")) ++
+        carryCols.map(col): _*)
+      .withColumn("band", col("__bp.band"))
+      .withColumn("probe", col("__bp.probe"))
+      .drop("__bp")
+      .as[VecBand](Encoders.product[VecBand])
+  }
+
+  /** Streaming hyperplane-LSH embedding near-dup with cross-batch
+    * state — the vector form of [[streamingNearDedup]] and the
+    * streaming form of batch `Similarity.annPairs`: embeddings arrive
+    * continuously and the pipeline learns AT INGEST whether a vector is
+    * a likely near-duplicate of anything seen before, without joining
+    * against the accumulated corpus.
+    *
+    * State is per band BUCKET, holding at most `maxBucketVecs` earliest
+    * vectors (ids + band-key signatures — `bands` longs per vec, never
+    * the embedding; the hot-bucket cap is the same skew guard as batch
+    * `maxBucketVecs`). Candidates are scored with the hyperplane angle
+    * estimate from matching sign bits; `estThreshold` prunes emission
+    * (set it BELOW the exact threshold you reconcile at — with nPlanes
+    * sign bits the estimate is quantized to nPlanes+1 values, so a
+    * margin is part of the contract, exactly like the batch banding
+    * curve's conservatism). Probe rows score but never index, so the
+    * candidate space on an in-order replay equals batch annPairs'
+    * (multiProbe ⇔ multiProbe). `ttlMs > 0` expires idle buckets via
+    * event-time timeout.
+    *
+    * Emits the best match per (vec, bucket) with est ≥ estThreshold;
+    * batch rows are processed in (tsMs, id) order so output is
+    * deterministic for a given batch slicing. Complete the decision
+    * with [[exactVerifyVecMatches]] in foreachBatch — precision returns
+    * to 1.0 there, the streaming-near-dup convention. */
+  def streamingVecNearDedup(rows: Dataset[VecBand], nPlanes: Int = 16,
+      estThreshold: Double = 0.0, maxBucketVecs: Int = 64,
+      ttlMs: Long = 0L): Dataset[VecMatch] = {
+    implicit val stateEnc = Encoders.product[VecBandState]
+    implicit val outEnc = Encoders.product[VecMatch]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (band: Long, it: Iterator[VecBand], state: GroupState[VecBandState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toVector.sortBy(r => (r.tsMs, r.id, r.probe))
+            val prev = state.getOption
+            var vecs = prev.map(_.vecs.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[VecMatch]
+            batch.foreach { r =>
+              var bestEst = Double.NegativeInfinity
+              var bestId = Long.MaxValue
+              vecs.foreach { vs =>
+                if (vs.id != r.id) {
+                  // matching sign bits across ALL bands: each key's low
+                  // w bits, where w = nPlanes / bands
+                  val nb = math.min(vs.ks.length, r.ks.length)
+                  val w = if (nb == 0) 1 else nPlanes / nb
+                  val mask = (1L << w) - 1
+                  var m = 0; var i = 0
+                  while (i < nb) {
+                    m += java.lang.Long.bitCount(~(vs.ks(i) ^ r.ks(i)) & mask)
+                    i += 1
+                  }
+                  val est = math.cos(math.Pi * (1.0 - m.toDouble / math.max(1, nPlanes)))
+                  if (est >= estThreshold &&
+                      (est > bestEst || (est == bestEst && vs.id < bestId))) {
+                    bestEst = est; bestId = vs.id
+                  }
+                }
+              }
+              if (bestId != Long.MaxValue)
+                out += VecMatch(band, r.id, bestId, bestEst)
+              if (!r.probe && vecs.size < maxBucketVecs && !vecs.exists(_.id == r.id))
+                vecs :+= VecInState(r.id, r.ks)
+            }
+            val maxTs = math.max(prev.map(_.maxTsMs).getOrElse(Long.MinValue),
+              batch.map(_.tsMs).max)
+            state.update(VecBandState(vecs, maxTs))
+            if (ttlMs > 0) state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Exact-COSINE reconcile for [[streamingVecNearDedup]]'s emitted
+    * matches — the foreachBatch step that restores batch
+    * `Similarity.annPairs` precision (1.0) on the streaming path: joins
+    * each emitted (id, matched_id) pair back to the embeddings (state
+    * carried only sign-bit signatures), computes the exact cosine with
+    * the same native `vec_dot` + round(4) the batch operator reports,
+    * and keeps pairs ≥ `threshold`. Match-sized, never corpus-sized.
+    * Returns (id, matched_id, sim). */
+  def exactVerifyVecMatches(matches: org.apache.spark.sql.DataFrame,
+      vecs: org.apache.spark.sql.DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExprs.register(matches.sparkSession)
+    val pairs = matches.select(col("id"), col("matched_id")).distinct()
+    val em = vecs.dropDuplicates(Seq(idCol))
+      .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).cast("long").as("__vid"),
+        col(embCol).cast("array<double>").as("__e"))
+    def cosSql(a: String, b: String): org.apache.spark.sql.Column = expr(
+      s"""vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)))""")
+    pairs
+      .join(em.select(col("__vid").as("id"), col("__e").as("__ea")), "id")
+      .join(em.select(col("__vid").as("matched_id"), col("__e").as("__eb")), "matched_id")
+      .withColumn("sim", round(cosSql("__ea", "__eb"), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id"), col("matched_id"), col("sim"))
+  }
 }

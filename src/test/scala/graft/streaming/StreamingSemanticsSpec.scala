@@ -1345,4 +1345,120 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(streamed.keySet.groupBy(_._1).exists(_._2.size >= 2),
       "expected at least one key with 2+ sessions")
   }
+
+  // -------------------------------------------------------------------
+  // Streaming EMBEDDING near-dup (vector mirror of streamingNearDedup)
+  // -------------------------------------------------------------------
+
+  /** Block-orthogonal test vectors (dim 64): base p is 1.0 over coords
+    * [8p, 8p+8); its variant perturbs one in-block coord and adds a tiny
+    * out-of-block component (cos ≈ 0.99); distinct blocks → exact cos 0
+    * between different pairs, so each variant is near exactly ONE base
+    * and the best-per-bucket emission cannot mask a second true pair. */
+  private def vecBase(p: Int): Seq[Double] =
+    Seq.tabulate(64)(i => if (i >= 8 * p && i < 8 * p + 8) 1.0 else 0.0)
+
+  private def vecVariant(p: Int): Seq[Double] =
+    Seq.tabulate(64) { i =>
+      if (i == 8 * p) 0.7
+      else if (i >= 8 * p && i < 8 * p + 8) 1.0
+      else if (i == (8 * p + 37) % 64) 0.3
+      else 0.0
+    }
+
+  test("streaming vec near-dup + exact-cosine reconcile ≡ batch annPairs on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // 6 orthogonal (base, variant) true pairs + 2 solo vectors. Bases
+    // and solos arrive first; variants (and one more solo pairing
+    // nothing) arrive in a SECOND batch, so every true pair crosses the
+    // band-state batch boundary except pair 5, which arrives whole in
+    // batch 2 (the same-batch case).
+    val pairs = (0 until 6).map(p => (2L * p, vecBase(p), 2L * p + 1, vecVariant(p)))
+    val solos = Seq((100L, vecBase(6)), (101L, vecBase(7)))
+    val all: Seq[(Long, Seq[Double])] =
+      pairs.flatMap(t => Seq((t._1, t._2), (t._3, t._4))) ++ solos
+    val df = all.toDF("vid", "emb")
+    val (nPlanes, bands, thr) = (16, 8, 0.8)
+    val batchPairs = graft.api.Similarity.annPairs(df, "vid", "emb",
+        threshold = thr, nPlanes = nPlanes, bands = bands, dim = 64,
+        multiProbe = true, maxBucketVecs = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // fixture sanity: the exact pair set is exactly the 6 constructed
+    // pairs (cos(base_p, variant_p) ≈ 0.993; cross pairs exactly 0) and
+    // the LSH catches all of them here (orthogonal blocks hash apart)
+    assert(batchPairs == (0 until 6).map(p => (2L * p, 2L * p + 1)).toSet,
+      s"batch annPairs surprised: $batchPairs")
+
+    val mem = MemoryStream[(Long, Seq[Double], Long)]
+    val rows = StatefulOps.vecBandRows(
+      mem.toDF().toDF("vid", "emb", "tsMs"), "vid", "emb", "tsMs",
+      nPlanes = nPlanes, bands = bands, dim = 64)
+    val q = StatefulOps.streamingVecNearDedup(rows, nPlanes = nPlanes,
+        estThreshold = 0.0)
+      .writeStream.format("memory").queryName("s_vecnd").outputMode("append")
+      .start()
+    try {
+      // batch 1: bases of pairs 0-4 + solos (arrival order = id order)
+      mem.addData((0 until 5).map(p => (2L * p, vecBase(p), 1000L + p)) ++
+        solos.map { case (id, v) => (id, v, 1050L) })
+      q.processAllAvailable()
+      // batch 2: variants 0-4 (cross-batch) + pair 5 whole (same-batch)
+      mem.addData((0 until 5).map(p => (2L * p + 1, vecVariant(p), 2000L + p)) ++
+        Seq((10L, vecBase(5), 2100L), (11L, vecVariant(5), 2101L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val matches = spark.table("s_vecnd")
+    // est-threshold-0 candidates include signature noise; the reconcile
+    // must reduce them to EXACTLY the batch pair set
+    val verified = StatefulOps.exactVerifyVecMatches(matches, df, "vid", "emb",
+        threshold = thr)
+      .collect().map(r => (math.min(r.getAs[Long]("id"), r.getAs[Long]("matched_id")),
+        math.max(r.getAs[Long]("id"), r.getAs[Long]("matched_id")))).toSet
+    assert(verified == batchPairs,
+      s"stream-batch mismatch: extra=${verified -- batchPairs} missing=${batchPairs -- verified}")
+    // the verified sim is the exact rounded cosine batch annPairs reports
+    val simByPair = graft.api.Similarity.annPairs(df, "vid", "emb",
+        threshold = thr, nPlanes = nPlanes, bands = bands, dim = 64)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("sim")).toMap
+    StatefulOps.exactVerifyVecMatches(matches, df, "vid", "emb", threshold = thr)
+      .collect().foreach { r =>
+        val key = (math.min(r.getAs[Long]("id"), r.getAs[Long]("matched_id")),
+          math.max(r.getAs[Long]("id"), r.getAs[Long]("matched_id")))
+        assert(r.getAs[Double]("sim") == simByPair(key),
+          s"pair $key sim ${r.getAs[Double]("sim")} != batch ${simByPair(key)}")
+      }
+    // solos flagged nothing after the reconcile
+    assert(!verified.flatMap(p => Set(p._1, p._2)).exists(Set(100L, 101L)),
+      verified.toString)
+  }
+
+  test("streaming vec near-dup: hot-bucket cap keeps earliest, probe rows never index") {
+    implicit val sqlCtx = spark.sqlContext
+    val v = vecBase(2)
+    val mem = MemoryStream[(Long, Seq[Double], Long)]
+    val rows = StatefulOps.vecBandRows(
+      mem.toDF().toDF("vid", "emb", "tsMs"), "vid", "emb", "tsMs",
+      nPlanes = 16, bands = 8, dim = 64)
+    // cap 2: only the two EARLIEST vectors per bucket are retained;
+    // later identical vectors still match against those representatives
+    val q = StatefulOps.streamingVecNearDedup(rows, nPlanes = 16,
+        estThreshold = 0.9, maxBucketVecs = 2)
+      .writeStream.format("memory").queryName("s_veccap").outputMode("append")
+      .start()
+    try {
+      mem.addData((20L, v, 1000L), (21L, v, 1001L), (22L, v, 1002L))
+      q.processAllAvailable()
+      mem.addData((23L, v, 2000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = spark.table("s_veccap").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("matched_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc.keySet == Set(21L, 22L, 23L), byDoc.toString)
+    assert(byDoc.values.flatten.toSet.subsetOf(Set(20L, 21L)), byDoc.toString)
+    // identical vectors estimate cos 1.0 (every sign bit agrees)
+    assert(spark.table("s_veccap").collect()
+      .forall(_.getAs[Double]("est_cos") >= 0.99))
+  }
 }
