@@ -244,6 +244,59 @@ object Multimodal {
             FROM p ORDER BY doc_id""")
   )
 
+  /** REAL baseline JPEG decode (graft.api.JpegCodec — entropy decode,
+    * dequant, IDCT): per doc a real JFIF JPEG is built whose 8×8 blocks
+    * are CONSTANT (DC-only — bit-exact at quant=1 in ANY compliant
+    * decoder, so the lossy format becomes oracle-replayable), a third
+    * of them carrying DRI/RSTn restart markers, and pushed through the
+    * full marker walk → Huffman scan → dequant → IDCT → level shift.
+    * The oracle predicts every decoded pixel arithmetically, so a
+    * Huffman-table, DC-prediction, restart, zigzag, or IDCT bug breaks
+    * the hash. ImageIO cross-checks live in JpegCodecSpec (including
+    * foreign-table ImageIO-written scans at the spec's ±1 IDCT
+    * variance). */
+  private def synthJpegDims(id: Long): (Int, Int) =
+    (((id % 25) + 8).toInt, ((id % 17) + 8).toInt)
+
+  private def synthFlatBlocks(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val bx = (k % w) / 8; val by = (k / w) / 8
+      ((id * 37 + by * 11 + bx * 5) % 256).toInt
+    }
+
+  private val qImageDecodeJpeg = Q(
+    "q_image_decode_jpeg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = synthJpegDims(id)
+          val ri = if (id % 3 == 0) 2 else 0 // a third of the corpus restarts
+          val bytes = graft.api.JpegCodec.encodeJpegGray(
+            w, h, synthFlatBlocks(id, w, h), quant = 1, restartInterval = ri)
+          val (dw, dh, px) = graft.api.JpegCodec.decodeJpegGray(bytes).get
+          ImgDecodeRow(id, dw.toLong, dh.toLong, px.length.toLong,
+            px.map(_.toLong).sum, px.min.toLong, px.max.toLong)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 25) + 8 AS w, (doc_id % 17) + 8 AS h
+                       FROM documents),
+                 p AS (SELECT doc_id, w, h,
+                         flatten(list_transform(generate_series(0, h - 1), i ->
+                           list_transform(generate_series(0, w - 1), j ->
+                             (doc_id * 37 + (i // 8) * 11 + (j // 8) * 5) % 256))) AS px
+                       FROM d)
+            SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(len(px) AS BIGINT) AS n_px,
+                   CAST(list_sum(px) AS BIGINT) AS px_sum,
+                   CAST(list_min(px) AS BIGINT) AS px_min,
+                   CAST(list_max(px) AS BIGINT) AS px_max
+            FROM p ORDER BY doc_id""")
+  )
+
   /** Real resize output statistics. */
   final case class ImgResizeRow(doc_id: Long, dst_w: Long, dst_h: Long,
       r_sum: Long, r_first: Long, r_last: Long)
@@ -405,6 +458,6 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
-    qImageMeta, qImageDecode, qImageResize,
+    qImageMeta, qImageDecode, qImageDecodeJpeg, qImageResize,
     qAudioDecode, qVideoMeta, qPipelineMultimodal)
 }
