@@ -204,4 +204,160 @@ object MediaCodec {
     if (ts <= 0 || dur < 0 || w <= 0 || h <= 0) None
     else Some(VideoMeta("mp4", w, h, dur * 1000L / ts, ts))
   }
+
+  // ------------------------------------------- MP4 sample tables (stbl)
+
+  /** The track's sample-table structure (ISO 14496-12 §8.6-8.7): per-
+    * sample byte sizes (`stsz`), decode-time deltas as the stts
+    * run-length pairs (sampleCount, delta), the 1-BASED sync-sample
+    * (keyframe) numbers (`stss` — absent box = every sample is sync,
+    * per spec), and the media timescale (`mdhd`). Everything real
+    * frame sampling keys on: a keyframe's decode time is the sum of
+    * deltas before it, its byte range comes from stsz. */
+  final case class Mp4SampleTable(timescale: Long, sizes: Seq[Long],
+      stts: Seq[(Long, Long)], sync: Seq[Long]) {
+    def nSamples: Long = sizes.length.toLong
+    def totalBytes: Long = sizes.sum
+    /** Decode time (media-timescale units) of 1-based sample `n`:
+      * Σ deltas of the samples before it, walked through the stts
+      * run-length pairs. */
+    def decodeTime(n: Long): Long = {
+      var remaining = n - 1
+      var t = 0L
+      stts.foreach { case (cnt, delta) =>
+        val take = math.min(cnt, math.max(0L, remaining))
+        t += take * delta
+        remaining -= take
+      }
+      t
+    }
+  }
+
+  /** Encode a REAL ISO-BMFF header whose track carries a full sample
+    * table: `moov/trak/mdia/{mdhd,hdlr,minf/stbl/{stsd,stts,stss,stsz,
+    * stco}}` beside the usual mvhd/tkhd — spec-correct box sizes and
+    * nesting, a minimal 86-byte `mp4v` VisualSampleEntry in stsd. Media
+    * data is absent (header-only, like [[encodeMp4Header]]): the table
+    * IS what container-level frame sampling reads. `syncEvery` marks
+    * samples 1, 1+k, 1+2k, … as keyframes. */
+  def encodeMp4WithSamples(width: Int, height: Int, timescale: Int,
+      sampleSizes: Seq[Int], sampleDelta: Int, syncEvery: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0, "bad dims/timescale")
+    require(sampleSizes.nonEmpty && sampleDelta > 0 && syncEvery > 0, "bad sample params")
+    val n = sampleSizes.length
+    val duration = n * sampleDelta
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), beBytes(512),
+      "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", beBytes(0), beBytes(0), beBytes(0),
+      beBytes(timescale), beBytes(duration), beBytes(0x00010000),
+      beBytes(0x01000000), beBytes(0), beBytes(0),
+      Array.fill(9)(beBytes(0)).flatten.toArray,
+      Array.fill(6)(beBytes(0)).flatten.toArray, beBytes(2))
+    val tkhd = box("tkhd", beBytes(0x00000007), beBytes(0), beBytes(0),
+      beBytes(1), beBytes(0), beBytes(duration), beBytes(0), beBytes(0),
+      beBytes(0), beBytes(0),
+      Array.fill(9)(beBytes(0)).flatten.toArray,
+      beBytes(width << 16), beBytes(height << 16))
+    val mdhd = box("mdhd", beBytes(0), beBytes(0), beBytes(0),
+      beBytes(timescale), beBytes(duration),
+      Array[Byte](0x55, 0xc4.toByte, 0, 0)) // language 'und' + predefined
+    val hdlr = box("hdlr", beBytes(0), beBytes(0),
+      "vide".getBytes("US-ASCII"), beBytes(0), beBytes(0), beBytes(0),
+      Array[Byte](0)) // empty null-terminated name
+    // stsd: one minimal VisualSampleEntry (86 bytes: all-zero codec
+    // fields — the table walk reads structure, not pixel payloads)
+    val entry = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(beBytes(86)); b.write("mp4v".getBytes("US-ASCII"))
+      b.write(new Array[Byte](6)); b.write(Array[Byte](0, 1)) // data_ref_index 1
+      b.write(new Array[Byte](16)) // predefined/reserved
+      b.write(Array[Byte]((width >> 8).toByte, width.toByte,
+        (height >> 8).toByte, height.toByte))
+      b.write(beBytes(0x00480000)); b.write(beBytes(0x00480000)) // 72 dpi
+      b.write(beBytes(0)); b.write(Array[Byte](0, 1)) // frame_count 1
+      b.write(new Array[Byte](32)) // compressorname
+      b.write(Array[Byte](0, 24)); b.write(Array[Byte](0xff.toByte, 0xff.toByte))
+      b.toByteArray
+    }
+    val stsd = box("stsd", beBytes(0), beBytes(1), entry)
+    val stts = box("stts", beBytes(0), beBytes(1),
+      beBytes(n), beBytes(sampleDelta))
+    val syncSamples = (1 to n by syncEvery).toArray
+    val stss = box("stss", beBytes(0), beBytes(syncSamples.length),
+      syncSamples.flatMap(beBytes))
+    val stsz = box("stsz", beBytes(0), beBytes(0), beBytes(n),
+      sampleSizes.toArray.flatMap(beBytes))
+    val stco = box("stco", beBytes(0), beBytes(0))
+    val stbl = box("stbl", stsd, stts, stss, stsz, stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val moov = box("moov", mvhd, box("trak", tkhd, mdia))
+    ftyp ++ moov
+  }
+
+  /** Walk `moov/trak/mdia` of a BMFF payload and read the FIRST video
+    * track's sample table: mdhd timescale (v0 or v1), stts run-length
+    * pairs, stss sync numbers (absent → all samples sync, per spec),
+    * stsz (uniform `sample_size` or the per-sample list). None for
+    * non-BMFF/truncated payloads or absent/oversized tables (counts are
+    * bounded against the payload length BEFORE any allocation — a
+    * forged header cannot OOM an executor). */
+  def decodeMp4Samples(bytes: Array[Byte]): Option[Mp4SampleTable] = {
+    if (bytes == null || bytes.length < 16) return None
+    val first = tag(bytes, 4)
+    if (first != "ftyp" && first != "styp" && first != "moov") return None
+    var timescale = 0L
+    var sizes: Seq[Long] = null
+    var stts: Seq[(Long, Long)] = null
+    var sync: Seq[Long] = null
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val len = be32(bytes, i)
+        if (len < 8 || i + len > end) return
+        val tp = tag(bytes, i + 4)
+        val p = i + 8
+        tp match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 8 =>
+            walk(p, i + len, depth + 1)
+          case "mdhd" if timescale == 0 && len >= 32 =>
+            val ver = bytes(p) & 0xff
+            timescale =
+              if (ver == 1 && len >= 36) be32(bytes, p + 20).toLong & 0xffffffffL
+              else be32(bytes, p + 12).toLong & 0xffffffffL
+          case "stts" if stts == null && len >= 16 =>
+            val cnt = be32(bytes, p + 4)
+            if (cnt < 0 || p + 8 + 8L * cnt > i + len) return
+            stts = (0 until cnt).map { k =>
+              (be32(bytes, p + 8 + 8 * k).toLong & 0xffffffffL,
+                be32(bytes, p + 12 + 8 * k).toLong & 0xffffffffL)
+            }
+          case "stss" if sync == null && len >= 16 =>
+            val cnt = be32(bytes, p + 4)
+            if (cnt < 0 || p + 8 + 4L * cnt > i + len) return
+            sync = (0 until cnt).map(k => be32(bytes, p + 8 + 4 * k).toLong & 0xffffffffL)
+          case "stsz" if sizes == null && len >= 20 =>
+            val uniform = be32(bytes, p + 4).toLong & 0xffffffffL
+            val cnt = be32(bytes, p + 8)
+            // uniform-size tables carry no per-sample list to bound the
+            // count against — cap it so a forged header cannot OOM
+            if (cnt < 0 || cnt > (1 << 24)) return
+            if (uniform != 0) sizes = Seq.fill(cnt)(uniform)
+            else {
+              if (p + 12 + 4L * cnt > i + len) return
+              sizes = (0 until cnt).map(k => be32(bytes, p + 12 + 4 * k).toLong & 0xffffffffL)
+            }
+          case _ => ()
+        }
+        i += len
+      }
+    }
+    walk(0, bytes.length, 0)
+    if (timescale <= 0 || sizes == null || stts == null) None
+    else {
+      // absent stss = every sample is a sync sample (ISO 14496-12 §8.6.2)
+      val sy = if (sync == null) (1L to sizes.length.toLong) else sync
+      Some(Mp4SampleTable(timescale, sizes, stts, sy))
+    }
+  }
 }

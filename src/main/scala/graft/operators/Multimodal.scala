@@ -456,8 +456,65 @@ object Multimodal {
             FROM d GROUP BY source ORDER BY source NULLS FIRST""")
   )
 
+  /** Real sample-table frame-sampling stats. */
+  final case class VideoFramesRow(doc_id: Long, n_samples: Long,
+      total_bytes: Long, max_size: Long, n_sync: Long,
+      last_sync_ts_ms: Long, duration_ms: Long)
+
+  /** REAL MP4 frame sampling: per doc a spec-correct ISO-BMFF header is
+    * built whose track carries a FULL sample table (stsd/stts/stss/
+    * stsz/stco inside moov/trak/mdia/minf/stbl; fixture-derived sample
+    * count, per-sample sizes, decode deltas, keyframe cadence), then
+    * `MediaCodec.decodeMp4Samples` walks the boxes back and the frame
+    * sampler keys on the DECODED table: sync-sample (keyframe) count
+    * and the last keyframe's decode time accumulated through stts —
+    * what a real video pipeline samples frames by, replacing synthetic
+    * sequence fan-out. Oracle replays the arithmetic, so a box-walk,
+    * stts-accumulation, or stss bug breaks the hash. */
+  private val qVideoFrames = Q(
+    "q_video_frames",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = ((id % 13) + 3).toInt
+          val delta = (100 + (id % 50)).toInt
+          val syncEvery = ((id % 4) + 2).toInt
+          val sizes = Array.tabulate(n)(k => (500 + ((id * 7 + k * 13) % 256)).toInt)
+          val bytes = graft.api.MediaCodec.encodeMp4WithSamples(
+            320, 240, timescale = 1000, sampleSizes = sizes.toSeq,
+            sampleDelta = delta, syncEvery = syncEvery)
+          val t = graft.api.MediaCodec.decodeMp4Samples(bytes).get
+          val lastSync = t.sync.max
+          // timescale is 1000, so decode-time ticks ARE milliseconds
+          VideoFramesRow(id, t.nSamples, t.totalBytes, t.sizes.max,
+            t.sync.length.toLong, t.decodeTime(lastSync),
+            t.decodeTime(t.nSamples + 1))
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                   (doc_id % 13) + 3 AS n,
+                   100 + (doc_id % 50) AS delta,
+                   (doc_id % 4) + 2 AS s
+                 FROM documents),
+                 t AS (SELECT doc_id, n, delta, s,
+                   list_transform(range(0, n), k -> 500 + (doc_id * 7 + k * 13) % 256) AS sizes
+                 FROM d)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum(sizes) AS BIGINT) AS total_bytes,
+                   CAST(list_max(sizes) AS BIGINT) AS max_size,
+                   CAST(1 + (n - 1) // s AS BIGINT) AS n_sync,
+                   CAST(delta * (s * ((n - 1) // s)) AS BIGINT) AS last_sync_ts_ms,
+                   CAST(n * delta AS BIGINT) AS duration_ms
+            FROM t ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
     qImageMeta, qImageDecode, qImageDecodeJpeg, qImageResize,
-    qAudioDecode, qVideoMeta, qPipelineMultimodal)
+    qAudioDecode, qVideoMeta, qVideoFrames, qPipelineMultimodal)
 }

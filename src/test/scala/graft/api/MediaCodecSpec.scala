@@ -98,6 +98,73 @@ class MediaCodecSpec extends AnyFunSuite {
       duration * 1000L / timescale, timescale.toLong), m.toString)
   }
 
+  test("encodeMp4WithSamples round-trips the full sample table through the stbl walk") {
+    val sizes = Seq(512, 700, 513, 999, 640, 800, 517)
+    val b = MediaCodec.encodeMp4WithSamples(320, 240, timescale = 1000,
+      sampleSizes = sizes, sampleDelta = 40, syncEvery = 3)
+    val t = MediaCodec.decodeMp4Samples(b).get
+    assert(t.timescale == 1000L)
+    assert(t.sizes == sizes.map(_.toLong))
+    assert(t.stts == Seq((7L, 40L)))
+    assert(t.sync == Seq(1L, 4L, 7L))
+    assert(t.nSamples == 7L && t.totalBytes == sizes.map(_.toLong).sum)
+    // decode-time accumulation through the run-length pairs
+    assert(t.decodeTime(1) == 0L && t.decodeTime(4) == 120L && t.decodeTime(7) == 240L)
+    assert(t.decodeTime(8) == 280L) // one past the end = track duration
+    // the header still parses as plain video metadata too
+    val m = MediaCodec.decodeMp4Meta(b).get
+    assert(m.width == 320 && m.height == 240 && m.durationMs == 280L, m.toString)
+  }
+
+  test("decodeMp4Samples: absent stss means every sample is sync (spec default); corrupt tables bounded") {
+    // strip the stss box: re-encode then surgically remove it
+    val b = MediaCodec.encodeMp4WithSamples(64, 64, 600, Seq(100, 200, 300), 10, 2)
+    def findBox(tag: String): Int = {
+      var i = 0
+      while (i + 8 <= b.length) {
+        if (new String(b.slice(i + 4, i + 8), "US-ASCII") == tag) return i
+        i += 1
+      }
+      -1
+    }
+    val off = findBox("stss")
+    assert(off > 0)
+    val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    val stripped = b.take(off) ++ b.drop(off + len)
+    // fix every ancestor box length (moov, trak, mdia, minf, stbl all shrink)
+    def patchLens(arr: Array[Byte]): Array[Byte] = {
+      val out = arr.clone()
+      for (tag <- Seq("moov", "trak", "mdia", "minf", "stbl")) {
+        var i = 0
+        while (i + 8 <= out.length) {
+          if (new String(out.slice(i + 4, i + 8), "US-ASCII") == tag) {
+            val old = ((out(i) & 0xff) << 24) | ((out(i + 1) & 0xff) << 16) |
+              ((out(i + 2) & 0xff) << 8) | (out(i + 3) & 0xff)
+            val nv = old - len
+            out(i) = (nv >>> 24).toByte; out(i + 1) = (nv >>> 16).toByte
+            out(i + 2) = (nv >>> 8).toByte; out(i + 3) = nv.toByte
+            i = out.length
+          } else i += 1
+        }
+      }
+      out
+    }
+    val t = MediaCodec.decodeMp4Samples(patchLens(stripped)).get
+    assert(t.sync == Seq(1L, 2L, 3L), s"absent stss should default to all-sync: ${t.sync}")
+    // forged uniform stsz with a giant count must be rejected pre-allocation
+    val forged = b.clone()
+    val so = findBox("stsz")
+    // set uniform size 1 and count 0x7fffffff
+    forged(so + 12) = 0; forged(so + 13) = 0; forged(so + 14) = 0; forged(so + 15) = 1
+    forged(so + 16) = 0x7f.toByte; forged(so + 17) = 0xff.toByte
+    forged(so + 18) = 0xff.toByte; forged(so + 19) = 0xff.toByte
+    assert(MediaCodec.decodeMp4Samples(forged).isEmpty)
+    // truncated payload: clean None
+    assert(MediaCodec.decodeMp4Samples(b.take(40)).isEmpty)
+    assert(MediaCodec.decodeMp4Samples(MediaCodec.encodeMp4Header(16, 16, 600, 60)).isEmpty)
+  }
+
   test("corrupt / truncated / foreign payloads return None, never throw") {
     val wav = MediaCodec.encodeWavPcm16(8000, 1, samples(1L, 30))
     val mp4 = MediaCodec.encodeMp4Header(320, 240, 600, 600)
