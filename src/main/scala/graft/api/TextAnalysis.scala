@@ -189,6 +189,67 @@ object TextAnalysis {
           .cast("binary")).as("pack_md5"))
   }
 
+  /** GPT-style pack-WITH-SPLITTING — the other packing discipline
+    * beside [[packBins]] (whole-doc bins): all documents' tokens are
+    * conceptually concatenated in `idCol` order and cut every `seqTok`
+    * tokens, so a document may straddle a sequence boundary (what
+    * causal-LM pretraining actually feeds the model, zero padding
+    * waste by construction). Returns one row per training sequence:
+    * (seq_id, n_docs, first_doc, last_doc, n_tokens) — n_tokens = seqTok
+    * everywhere except the final partial sequence.
+    *
+    * The global token-offset scan is the [[Drift.ks]] two-level pattern
+    * (CLAUDE.md invariant 3: a global cumsum is NEVER a bare
+    * `Window.orderBy`): approx-percentile cuts over doc ids balance
+    * occupancy-derived buckets ([[Drift.scanBuckets]] — bounded
+    * per-window rows at any corpus size), within-bucket windows compute
+    * local running sums, and a buckets-sized totals array broadcasts
+    * back for the cross-bucket offsets. Cut positions only partition
+    * the scan — they cannot move any offset. Per-doc fan-out after the
+    * scan is `n/seqTok + 1` sequence rows, so the explode is
+    * totalTokens/seqTok + nDocs — linear, never quadratic. */
+  def packSplit(df: DataFrame, idCol: String, textCol: String,
+      seqTok: Int, buckets: Int = 0): DataFrame = {
+    require(seqTok > 0, s"seqTok must be positive, got $seqTok")
+    require(buckets == 0 || buckets >= 2,
+      s"buckets must be ≥2 (or 0 = occupancy-derived), got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__i"),
+        size(split(col(textCol), " ")).cast("long").as("__n"))
+      .transform(Ckpt.apply)
+    val b = if (buckets > 0) buckets else Drift.scanBuckets(toks.count())
+    val fracs = (1 until b).map(i => i.toDouble / b)
+    val cuts = toks.agg(
+      expr(s"approx_percentile(__i, array(${fracs.mkString(", ")}), 1000)").as("cuts"))
+    val bucketed = toks.crossJoin(broadcast(cuts))
+      .select(col("__i"), col("__n"),
+        (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN __i > c THEN 1 ELSE 0 END)")
+          + 1).cast("long").as("__b"))
+      .transform(Ckpt.apply)
+    val w = Window.partitionBy("__b").orderBy("__i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = bucketed.groupBy("__b").agg(sum("__n").as("__s"))
+      .agg(sort_array(collect_list(struct(col("__b"), col("__s")))).as("bt"))
+    val offs = bucketed
+      .withColumn("__wc", sum(col("__n")).over(w))
+      .crossJoin(broadcast(bt))
+      .select(col("__i"), col("__n"),
+        (col("__wc") - col("__n") + expr(
+          "aggregate(filter(bt, e -> e.__b < __b), 0L, (a, e) -> a + e.__s)"))
+          .as("__start"))
+    offs
+      .select(col("__i"), col("__n"), col("__start"),
+        explode(expr(s"sequence(__start div $seqTok, (__start + __n - 1) div $seqTok)"))
+          .as("seq_id"))
+      .withColumn("__ov",
+        least(col("__start") + col("__n"), (col("seq_id") + 1) * seqTok)
+          - greatest(col("__start"), col("seq_id") * seqTok))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), min("__i").as("first_doc"),
+        max("__i").as("last_doc"), sum("__ov").as("n_tokens"))
+  }
+
   /** Whitespace token count and BPE-ish regex token count (letter runs |
     * digit runs | single punctuation). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =

@@ -380,6 +380,39 @@ object TextOps {
             ORDER BY source NULLS FIRST, bin NULLS FIRST""")
   )
 
+  /** GPT-style pack-WITH-SPLITTING (graft.api.TextAnalysis.packSplit):
+    * all documents' tokens conceptually concatenated in doc_id order and
+    * cut every 128 tokens — docs straddle boundaries, zero padding waste
+    * (what causal-LM pretraining feeds the model; q_pack is the
+    * whole-doc T5-style discipline). The global token-offset scan uses
+    * the bucketed two-level prefix pattern (Drift.ks), never a bare
+    * global window; the oracle replays it as one DuckDB window cumsum +
+    * generate_series span fan-out — integer-exact. */
+  private val qPackSplit = Q(
+    "q_pack_split",
+    (s, dir) =>
+      graft.api.TextAnalysis.packSplit(Tables.documents(s, dir),
+          "doc_id", "text", seqTok = 128)
+        .orderBy("seq_id"),
+    Some("""WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents WHERE text IS NOT NULL),
+                 o AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+                 FROM t),
+                 e AS (SELECT doc_id, n, s,
+                   unnest(generate_series(s // 128, (s + n - 1) // 128)) AS seq_id
+                 FROM o)
+            SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                   count(*) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc,
+                   CAST(max(doc_id) AS BIGINT) AS last_doc,
+                   CAST(sum(least(s + n, (seq_id + 1) * 128)
+                        - greatest(s, seq_id * 128)) AS BIGINT) AS n_tokens
+            FROM e GROUP BY seq_id ORDER BY seq_id""")
+  )
+
   /** TF-IDF relevance: top-3 scoring terms per document (first 100 docs)
     * with corpus-wide document frequencies. Ranks on the ROUNDED score —
     * distinct (tf, df) pairs can be real-equal (2·ln(10) = ln(100)) and
@@ -2104,7 +2137,7 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
     qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
-    qSampleWeighted, qMixTemperature, qPack, qTfidf, qBm25, qBm25Search, qRepStats,
+    qSampleWeighted, qMixTemperature, qPack, qPackSplit, qTfidf, qBm25, qBm25Search, qRepStats,
     qGopherRules, qDsirWeights, qLogisticFit, qLogisticAuc, qNaiveBayes, qHeapsFit,
     qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,
