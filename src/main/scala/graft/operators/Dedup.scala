@@ -94,8 +94,12 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs (candidates verified with exact Jaccard —
     * precision 1.0; recall governed by the 8×4 banding curve and
-    * property-tested ≥ 0.7 in OperatorPropertiesSpec). Hash family is
-    * probabilistically SQL-inexpressible → no DuckDB oracle. */
+    * property-tested ≥ 0.7 in OperatorPropertiesSpec). Oracle: DuckDB
+    * replays the FULL computation — per-shingle XXH64(seed 0..31)
+    * re-implemented in pure SQL with the seed as a column (see
+    * [[MinhashOracleSql]]), signed minima, band-tuple bucketing with the
+    * 256-doc hot-bucket cap, exact-Jaccard verify — so signature AND
+    * pairing are hash-matched. */
   private val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) =>
@@ -104,7 +108,7 @@ object Dedup {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
-    None
+    Some(MinhashOracleSql.sql)
   )
 
   /** The PERSISTED standing-corpus band index behind
@@ -154,10 +158,12 @@ object Dedup {
     * band index of the standing corpus ([[persistedBandIndex]] — built
     * once, bucketed by `bh` on disk, read back on every later run) —
     * candidate generation costs new-batch work, old-vs-old is never
-    * revisited, and old text is re-read only for colliding ids. Hash
-    * family shared with q_dedup_minhash → no SQL oracle; property test
-    * pins the result EXACTLY equal to batch minhashPairs(old ∪ new)
-    * restricted to pairs touching a new doc. */
+    * revisited, and old text is re-read only for colliding ids. The
+    * property test pins the result EXACTLY equal to batch
+    * minhashPairs(old ∪ new) restricted to pairs touching a new doc;
+    * the oracle replays exactly that — the [[MinhashOracleSql]] XXH64
+    * band replay, UNCAPPED (index equi-joins need no hot-bucket guard),
+    * candidates restricted to pairs touching a new doc. */
   private val qDedupIncremental = Q(
     "q_dedup_incremental",
     (s, dir) => {
@@ -171,7 +177,7 @@ object Dedup {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
-    None
+    Some(MinhashOracleSql.incrementalSql)
   )
 
   /** SimHash near-dup pairs with hamming ≤ 3 — EXACT output (block-LSH is

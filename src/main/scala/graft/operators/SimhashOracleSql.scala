@@ -2,120 +2,23 @@ package graft.operators
 
 /** DuckDB oracle SQL for `q_dedup_simhash`, built programmatically.
   *
-  * DuckDB has no xxhash64, so the oracle replays the PUBLIC XXH64 spec
-  * (seed 42 — the exact hash `graft_simhash` votes with) in pure SQL:
-  * unsigned-64 arithmetic modeled as HUGEINT mod 2⁶⁴, the 64×64→64
-  * multiply split into 32-bit halves so no intermediate exceeds 128
-  * bits, XOR through a signed-BIGINT round trip (bit-identical either
-  * representation). Tokens are words (fixture max 8 bytes), so the
-  * <32-byte XXH64 path is fully unrolled — 3 word steps, one 4-byte
-  * step, 3 byte steps, the avalanche; a token ≥32 bytes raises a
-  * conversion error ON PURPOSE, so a fixture change that grows tokens
-  * fails the gate loudly instead of silently diverging. Each primitive
-  * (mul/rotl/xor) gets its own star-carry CTE stage, keeping the
-  * emitted SQL linear (~22 KB) in the number of steps rather than
-  * exponential in their nesting depth.
+  * The oracle replays the PUBLIC XXH64 spec (seed 42 — the exact hash
+  * `graft_simhash` votes with) in pure SQL via [[XxhashSqlChain]]
+  * (HUGEINT mod-2⁶⁴ arithmetic, split multiplies, the unrolled <32-byte
+  * path with its loud ≥32-byte guard). Tokens are words (fixture max
+  * 8 bytes); per-bit votes, block-bucket join, and hamming verify are
+  * then plain SQL over the hashed token frame.
   *
   * Validated two ways: `tools/gen_xxh64_sql.py` is the same generator
   * in Python (developed against Spark's own xxhash64 outputs for
   * strings of every tail-length class), and [[graft.SimhashOracleSpec]]
-  * pins this Scala emission byte-for-byte against a reference XXH64.
+  * pins this Scala emission structurally against a reference XXH64.
   */
 object SimhashOracleSql {
-  private val M64 = "18446744073709551616::HUGEINT" // 2^64
-  private val M32 = "4294967296::HUGEINT" // 2^32
-  private val P1 = "11400714785074694791::HUGEINT"
-  private val P2 = "14029467366897019727::HUGEINT"
-  private val P3 = "1609587929392839161::HUGEINT"
-  private val P4 = "9650029242287828579::HUGEINT"
-  private val P5 = "2870177450012600261::HUGEINT"
-
-  private final class Chain {
-    val stages = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    private var counter = 0
-
-    /** One CTE computing `expr` AS x{i} over the previous stage
-      * (star-carry so every earlier intermediate stays addressable). */
-    def stage(expr: String, carry: String = "*"): String = {
-      counter += 1
-      val name = s"s$counter"
-      val prev = if (stages.isEmpty) "toww" else stages.last._1
-      val col = s"x$counter"
-      stages += ((name, s"SELECT $carry, $expr AS $col FROM $prev"))
-      col
-    }
-
-    /** (a·b) mod 2⁶⁴ via 32-bit half products (each < 2⁹⁶). */
-    def mul(a: String, b: String): String = {
-      val lo = stage(s"(($a)%$M32)*(($b)%$M32)")
-      val cross = stage(s"((($a)%$M32)*(($b)//$M32) + (($a)//$M32)*(($b)%$M32))%$M32")
-      stage(s"($lo + $cross*$M32)%$M64")
-    }
-
-    def rotl(x: String, r: Int): String = {
-      val hi = 1L << r
-      val lo = BigInt(1) << (64 - r)
-      stage(s"((($x)*$hi::HUGEINT)%$M64) + (($x)//$lo::HUGEINT)")
-    }
-
-    def xor(a: String, b: String): String = {
-      def i64(x: String) =
-        s"(CASE WHEN ($x) >= 9223372036854775808::HUGEINT THEN ($x) - $M64 ELSE ($x) END)::BIGINT"
-      val r = stage(s"xor(${i64(a)}, ${i64(b)})")
-      stage(s"CASE WHEN $r < 0 THEN $r::HUGEINT + $M64 ELSE $r::HUGEINT END")
-    }
-
-    def shr(x: String, s: Int): String =
-      stage(s"(($x)//${BigInt(1) << s}::HUGEINT)")
-
-    def addm(a: String, b: String): String = stage(s"(($a) + ($b))%$M64")
-
-    def guarded(cond: String, thenCol: String, elseCol: String): String =
-      stage(s"CASE WHEN $cond THEN $thenCol ELSE $elseCol END")
-
-    /** XXH64 round with acc = 0: rotl(lane·P2, 31)·P1. */
-    def rnd0(lane: String): String = mul(rotl(mul(lane, P2), 31), P1)
-
-    def wordStep(h: String, w: String, cond: String): String =
-      guarded(cond, addm(mul(rotl(xor(h, rnd0(w)), 27), P1), P4), h)
-
-    def fourStep(h: String, w32: String, cond: String): String =
-      guarded(cond, addm(mul(rotl(xor(h, mul(w32, P1)), 23), P2), P3), h)
-
-    def byteStep(h: String, b: String, cond: String): String =
-      guarded(cond, mul(rotl(xor(h, mul(b, P5)), 11), P1), h)
-  }
+  import XxhashSqlChain.{M64, word64}
 
   lazy val sql: String = {
-    val c = new Chain
-    import c._
-    val word64 = (0 until 8)
-      .map(j => s"bl[8*k+${j + 1}]*${BigInt(1) << (8 * j)}::HUGEINT")
-      .mkString("(", " + ", ")")
-    val word32 = (0 until 4)
-      .map(j => s"bl[(n//8)*8+${j + 1}]*${BigInt(1) << (8 * j)}::HUGEINT")
-      .mkString("(", " + ", ")")
-
-    // conditional steps pass dummy operand 0 when absent (guarded()
-    // discards the result; coalesce keeps every stage non-NULL because
-    // list indexing past the end yields NULL)
-    var h = stage(s"(42::HUGEINT + $P5 + n::HUGEINT)%$M64")
-    h = wordStep(h, "coalesce(w[1], 0::HUGEINT)", "n//8 >= 1")
-    h = wordStep(h, "coalesce(w[2], 0::HUGEINT)", "n//8 >= 2")
-    h = wordStep(h, "coalesce(w[3], 0::HUGEINT)", "n//8 >= 3")
-    h = fourStep(h, s"coalesce($word32, 0::HUGEINT)", "n%8 >= 4")
-    h = byteStep(h, "coalesce(bl[n-(n%4)+1], 0::HUGEINT)", "n%4 >= 1")
-    h = byteStep(h, "coalesce(bl[n-(n%4)+2], 0::HUGEINT)", "n%4 >= 2")
-    h = byteStep(h, "coalesce(bl[n-(n%4)+3], 0::HUGEINT)", "n%4 >= 3")
-    h = mul(xor(h, shr(h, 33)), P2)
-    h = mul(xor(h, shr(h, 29)), P3)
-    h = xor(h, shr(h, 32))
-    val fin = stage(
-      "CASE WHEN n >= 32 THEN CAST('xxh64-oracle-token-over-31-bytes' AS HUGEINT)" +
-        s" ELSE $h END",
-      carry = "tok")
-
-    val ctes = stages.map { case (n, b) => s"$n AS ($b)" }.mkString(",\n")
+    val (ctes, fin, last) = XxhashSqlChain.emit("42::HUGEINT", "tok")
     val bitw = (0 until 64)
       .map(j => s"WHEN $j THEN ${BigInt(1) << j}::HUGEINT")
       .mkString(" ")
@@ -124,15 +27,13 @@ object SimhashOracleSql {
 tok0 AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
          FROM documents WHERE text IS NOT NULL),
 tokb AS (SELECT tok, octet_length(encode(tok)) AS n,
-           list_transform(range(1, octet_length(encode(tok))+1),
-             i -> ((strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i-1, 1))-1)*16
-                 + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1))-1))::HUGEINT) AS bl
+           ${XxhashSqlChain.byteList} AS bl
          FROM tok0),
 toww AS (SELECT tok, n, bl,
            list_transform(range(0, n//8), k -> $word64) AS w
          FROM tokb),
 $ctes,
-hsh AS (SELECT tok, $fin AS h FROM ${stages.last._1}),
+hsh AS (SELECT tok, $fin AS h FROM $last),
 dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
          FROM documents WHERE text IS NOT NULL),
 votes AS (SELECT d.doc_id, j.j,

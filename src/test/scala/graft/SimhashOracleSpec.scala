@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.SimhashOracleSql
+import graft.operators.{MinhashOracleSql, SimhashOracleSql}
 
 /** Pins the foundation the q_dedup_simhash DuckDB oracle rests on.
   *
@@ -100,6 +100,39 @@ class SimhashOracleSpec extends SparkTestBase {
     // stage chain stays linear: well under 100 KB (the naive nested
     // emission was 437 KB and growing exponentially with step depth)
     assert(sql.length < 100000, s"oracle SQL ballooned to ${sql.length} bytes")
+  }
+
+  test("minhash signatures are signed minima of xxhash64(seed j): cross-check") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val shingles = Seq("alpha beta gamma", "beta gamma delta8ch", "gamma delta8ch x",
+      "naïve-Ω café 中文", "aaaaaaaa bbbbbbbb cccccccc") // 26-byte max, multi-byte UTF-8
+    val sig = Seq(Tuple1(shingles)).toDF("shs")
+      .selectExpr("graft_minhash(shs) AS sig")
+      .head().getSeq[Long](0)
+    assert(sig.length == 32)
+    for (j <- 0 until 32) {
+      val expect = shingles.map(s => refXxh64(s.getBytes("UTF-8"), j.toLong)).min
+      assert(sig(j) == expect, s"minhash seed $j diverges: got ${sig(j)} want $expect")
+    }
+  }
+
+  test("emitted minhash oracle SQL carries seeds-as-column, cap, verify, and total order") {
+    val sql = MinhashOracleSql.sql
+    for (p <- Seq("11400714785074694791", "14029467366897019727",
+        "1609587929392839161", "9650029242287828579", "2870177450012600261"))
+      assert(sql.contains(p), s"prime $p missing from minhash oracle SQL")
+    assert(sql.contains("xxh64-oracle-token-over-31-bytes"),
+      "≥32-byte loud-fail guard missing")
+    assert(sql.contains("unnest(range(0, 32)) AS sd"), "32-seed column missing")
+    assert(sql.contains("BETWEEN 2 AND 256"), "hot-bucket cap missing from batch SQL")
+    assert(sql.contains(">= 0.5"), "jaccard threshold missing")
+    assert(sql.contains("ORDER BY doc_a, doc_b"), "total order missing")
+    assert(sql.length < 100000, s"minhash oracle SQL ballooned to ${sql.length} bytes")
+    val inc = MinhashOracleSql.incrementalSql
+    assert(!inc.contains("BETWEEN 2 AND 256"), "incremental SQL must be uncapped")
+    assert(inc.contains("% 7 = 0"), "new-doc restriction missing from incremental SQL")
+    assert(inc.contains("ORDER BY doc_a, doc_b"), "total order missing (incremental)")
   }
 
   test("simhash signatures vote with xxhash64(42): one-doc fixture cross-check") {
