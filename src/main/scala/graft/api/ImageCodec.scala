@@ -258,6 +258,334 @@ object ImageCodec {
     Some((w, h, px))
   }
 
+  // ---------------------------------------------------------------- BMP
+
+  private def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >>> 8).toByte)
+  private def le32b(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  /** Encode an 8-bit GRAYSCALE image as a real, spec-conformant BMP:
+    * BITMAPFILEHEADER + BITMAPINFOHEADER (40 bytes), a 256-entry
+    * identity-gray palette, 8-bpp uncompressed bottom-up rows padded to
+    * 4-byte stride. Opens in any standards BMP reader (ImageIO
+    * round-trip pinned in the spec suite). */
+  def encodeBmpGray(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(pixels.length == w * h, s"pixels ${pixels.length} != ${w * h}")
+    val stride = (w + 3) & ~3
+    val dataOff = 14 + 40 + 256 * 4
+    val fileSize = dataOff + stride * h
+    val out = new java.io.ByteArrayOutputStream(fileSize)
+    out.write('B'); out.write('M')
+    out.write(le32b(fileSize)); out.write(le32b(0)); out.write(le32b(dataOff))
+    out.write(le32b(40)); out.write(le32b(w)); out.write(le32b(h)) // positive h = bottom-up
+    out.write(le16(1)); out.write(le16(8))                         // planes, bpp
+    out.write(le32b(0)); out.write(le32b(stride * h))              // BI_RGB, image size
+    out.write(le32b(2835)); out.write(le32b(2835))                 // 72 dpi
+    out.write(le32b(256)); out.write(le32b(0))                     // colors used/important
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); out.write(0); i += 1 }
+    var y = h - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < w) { out.write(pixels(y * w + x) & 0xff); x += 1 }
+      x = w
+      while (x < stride) { out.write(0); x += 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** FULL BMP decode to grayscale: 8-bpp palette (palette entries must
+    * be gray, i.e. B = G = R — the index maps through it) or 24-bpp
+    * BGR with gray pixels; uncompressed (BI_RGB) only, bottom-up or
+    * top-down (negative height). Returns (w, h, row-major pixels
+    * 0–255); None on anything unsupported/corrupt, including dims past
+    * [[MaxDecodePixels]] or a non-gray palette/pixel. */
+  def decodeBmpGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def le32r(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    val dataOff = le32r(10)
+    val hdrSize = le32r(14)
+    if (hdrSize < 40) return None
+    val w = le32r(18)
+    val rawH = le32r(22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    val compression = le32r(30)
+    if (w <= 0 || h <= 0 || compression != 0) return None
+    if (w.toLong * h > MaxDecodePixels) return None
+    val px = new Array[Int](w * h)
+    if (bpp == 8) {
+      // palette: colorsUsed (0 → 256) BGRx entries right after the header
+      val colors = { val c = le32r(46); if (c == 0) 256 else c }
+      val palOff = 14 + hdrSize
+      if (palOff + colors * 4 > bytes.length) return None
+      val pal = new Array[Int](colors)
+      var i = 0
+      while (i < colors) {
+        val b = bytes(palOff + i * 4) & 0xff
+        val g = bytes(palOff + i * 4 + 1) & 0xff
+        val r = bytes(palOff + i * 4 + 2) & 0xff
+        if (b != g || g != r) return None // non-gray palette: not a gray image
+        pal(i) = r
+        i += 1
+      }
+      val stride = (w + 3) & ~3
+      if (dataOff + stride.toLong * h > bytes.length) return None
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        var x = 0
+        while (x < w) {
+          val idx = bytes(dataOff + srcRow * stride + x) & 0xff
+          if (idx >= colors) return None
+          px(y * w + x) = pal(idx)
+          x += 1
+        }
+        y += 1
+      }
+    } else if (bpp == 24) {
+      val stride = (w * 3 + 3) & ~3
+      if (dataOff + stride.toLong * h > bytes.length) return None
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        var x = 0
+        while (x < w) {
+          val o = dataOff + srcRow * stride + x * 3
+          val b = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val r = bytes(o + 2) & 0xff
+          if (b != g || g != r) return None
+          px(y * w + x) = r
+          x += 1
+        }
+        y += 1
+      }
+    } else return None
+    Some((w, h, px))
+  }
+
+  // ---------------------------------------------------------------- GIF
+
+  /** Encode an 8-bit GRAYSCALE image as a real GIF87a: logical screen
+    * descriptor, 256-entry identity-gray global color table, one image
+    * descriptor, and a REAL LZW-compressed index stream (variable code
+    * width 9→12 bits, clear-code reset at table-full, LSB-first bit
+    * packing, ≤255-byte sub-blocks) — the full GIF compression path,
+    * not a stored escape. Opens in any standards GIF reader (ImageIO
+    * round-trip pinned in the spec suite). */
+  def encodeGifGray(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(pixels.length == w * h, s"pixels ${pixels.length} != ${w * h}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xf7) // GCT present, color resolution 8, GCT size 2^8
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+    out.write(0)    // no local table, not interlaced
+    out.write(8)    // LZW minimum code size
+    // --- LZW compress the index stream ---
+    val clear = 256; val eoi = 257
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = 9
+    var next = 258
+    var clearFlag = false
+    // width-bump discipline (matches the stock GIF decoder, no TIFF
+    // "early change"): a code is packed at the CURRENT width; the bump
+    // to the next width — or the post-clear reset — takes effect from
+    // the following code, exactly when the decoder's lagging table
+    // crosses the same boundary
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      if (clearFlag) { codeSize = 9; clearFlag = false }
+      else if (next > (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+    }
+    var dict = new scala.collection.mutable.LongMap[Int]() // (prefixCode << 8 | byte) -> code
+    emit(clear)
+    var cur = pixels(0) & 0xff
+    var k = 1
+    while (k < pixels.length) {
+      val c = pixels(k) & 0xff
+      val key = ((cur << 8) | c).toLong
+      val hit = dict.getOrElse(key, -1)
+      if (hit >= 0) cur = hit
+      else {
+        emit(cur)
+        if (next < 4096) {
+          dict.put(key, next)
+          next += 1
+        } else { // table full: clear (packed at the 12-bit width) + reset
+          clearFlag = true
+          emit(clear)
+          dict = new scala.collection.mutable.LongMap[Int]()
+          next = 258
+        }
+        cur = c
+      }
+      k += 1
+    }
+    emit(cur)
+    emit(eoi)
+    if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+    // ≤255-byte sub-blocks + terminator
+    val comp = data.toByteArray
+    var off = 0
+    while (off < comp.length) {
+      val n = math.min(255, comp.length - off)
+      out.write(n)
+      out.write(comp, off, n)
+      off += n
+    }
+    out.write(0)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** FULL GIF decode to grayscale: header + logical screen descriptor,
+    * global/local color table (entries must be gray — the index maps
+    * through it), extension-block skip, and a REAL LZW decompressor
+    * (variable code width, clear-code reset, KwKwK case). First image
+    * only; the four-pass interlace row permutation is handled (ImageIO
+    * writes interlaced by default). Returns (w, h, row-major pixels
+    * 0–255);
+    * None on anything unsupported/corrupt, including dims past
+    * [[MaxDecodePixels]] or a non-gray palette. */
+  def decodeGifGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 14) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')) return None
+    var i = 6
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    i += 4 // screen dims (the image descriptor's dims are authoritative)
+    val packed = bytes(i) & 0xff; i += 3
+    var palette: Array[Int] = null
+    def readTable(sizeExp: Int, off: Int): Option[Int] = {
+      val n = 1 << (sizeExp + 1)
+      if (off + 3 * n > bytes.length) return None
+      palette = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        val r = bytes(off + 3 * j) & 0xff
+        val g = bytes(off + 3 * j + 1) & 0xff
+        val b = bytes(off + 3 * j + 2) & 0xff
+        if (r != g || g != b) return None // non-gray palette: not a gray image
+        palette(j) = r
+        j += 1
+      }
+      Some(off + 3 * n)
+    }
+    if ((packed & 0x80) != 0) readTable(packed & 0x07, i) match {
+      case Some(nOff) => i = nOff
+      case None => return None
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    while (i < bytes.length && (bytes(i) & 0xff) == 0x21) {
+      i += 2 // introducer + label
+      while (i < bytes.length && (bytes(i) & 0xff) != 0) i += 1 + (bytes(i) & 0xff)
+      i += 1
+    }
+    if (i >= bytes.length || (bytes(i) & 0xff) != 0x2c) return None
+    if (i + 10 > bytes.length) return None
+    val w = u16(i + 5); val h = u16(i + 7)
+    val ipacked = bytes(i + 9) & 0xff
+    i += 10
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+    // interlace (bit 6) is a fixed four-pass row permutation — decode
+    // order rows 0,8,16…/4,12…/2,6…/1,3,5… land at their true offsets
+    // (ImageIO's GIF writer interlaces by default, so real-world
+    // payloads hit this path constantly)
+    val rowMap = new Array[Int](h)
+    if ((ipacked & 0x40) != 0) {
+      var r = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+        rowMap(r) = y; r += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) { rowMap(y) = y; y += 1 }
+    }
+    if ((ipacked & 0x80) != 0) readTable(ipacked & 0x07, i) match { // local table wins
+      case Some(nOff) => i = nOff
+      case None => return None
+    }
+    if (palette == null) return None
+    if (i >= bytes.length) return None
+    val minCode = bytes(i) & 0xff; i += 1
+    if (minCode < 2 || minCode > 8) return None
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (i < bytes.length && (bytes(i) & 0xff) != 0) {
+      val n = bytes(i) & 0xff
+      if (i + 1 + n > bytes.length) return None
+      data.write(bytes, i + 1, n)
+      i += 1 + n
+    }
+    val comp = data.toByteArray
+    // --- LZW decompress ---
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    val px = new Array[Int](w * h)
+    var nPx = 0
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    val stack = new Array[Int](4097)
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done && nPx < px.length) {
+      while (bitCnt < codeSize && pos < comp.length) {
+        bitBuf |= (comp(pos) & 0xffL) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      if (bitCnt < codeSize) return None // truncated stream
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        if (code > next || (code == next && prev < 0)) return None
+        var sp = 0
+        var c = if (code == next) { stack(sp) = firstOf(prev); sp += 1; prev } else code
+        while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c; sp += 1
+        while (sp > 0) {
+          sp -= 1
+          if (stack(sp) >= palette.length) return None
+          if (nPx < px.length) {
+            px(rowMap(nPx / w) * w + nPx % w) = palette(stack(sp))
+            nPx += 1
+          }
+        }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = firstOf(code)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    if (nPx < px.length) return None
+    Some((w, h, px))
+  }
+
   /** Nearest-neighbor resample (the standard integer mapping
     * `src = floor(dst · srcDim / dstDim)`) — deterministic, so a SQL
     * oracle can replay the index arithmetic exactly. */

@@ -297,6 +297,90 @@ object Multimodal {
             FROM p ORDER BY doc_id""")
   )
 
+  /** REAL GIF decode (LZW): per doc a real GIF87a is built — 256-gray
+    * global color table and a REAL LZW-compressed index stream
+    * (variable code width 9→12 bits, LSB-first packing, sub-blocks) —
+    * and pushed back through the full LZW decompressor. GIF is
+    * lossless, so the oracle predicts every decoded pixel from the
+    * synth formula; a bit-packing, width-bump, clear-reset, or KwKwK
+    * bug breaks the hash. ImageIO cross-checks (both directions,
+    * including ImageIO's interlaced output) live in ImageCodecSpec. */
+  private val qImageDecodeGif = Q(
+    "q_image_decode_gif",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = synthDims(id)
+          val px = Array.tabulate(w * h) { k =>
+            val i = k / w; val j = k % w
+            ((id * 41 + i * 5 + j * 17) % 256).toInt
+          }
+          val bytes = graft.api.ImageCodec.encodeGifGray(w, h, px)
+          val (dw, dh, out) = graft.api.ImageCodec.decodeGifGray(bytes).get
+          ImgDecodeRow(id, dw.toLong, dh.toLong, out.length.toLong,
+            out.map(_.toLong).sum, out.min.toLong, out.max.toLong)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 31) + 2 AS w, (doc_id % 17) + 2 AS h
+                       FROM documents),
+                 p AS (SELECT doc_id, w, h,
+                         flatten(list_transform(generate_series(0, h - 1), i ->
+                           list_transform(generate_series(0, w - 1), j ->
+                             (doc_id * 41 + i * 5 + j * 17) % 256))) AS px
+                       FROM d)
+            SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(len(px) AS BIGINT) AS n_px,
+                   CAST(list_sum(px) AS BIGINT) AS px_sum,
+                   CAST(list_min(px) AS BIGINT) AS px_min,
+                   CAST(list_max(px) AS BIGINT) AS px_max
+            FROM p ORDER BY doc_id""")
+  )
+
+  /** REAL BMP decode: per doc a real 8-bpp palette BMP is built
+    * (BITMAPFILEHEADER/INFOHEADER, identity-gray palette, bottom-up
+    * rows, 4-byte stride padding) and decoded back through the palette
+    * walk. Lossless → the oracle predicts every pixel; a stride,
+    * bottom-up, or palette-mapping bug breaks the hash. ImageIO
+    * cross-checks live in ImageCodecSpec. */
+  private val qImageDecodeBmp = Q(
+    "q_image_decode_bmp",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = synthDims(id)
+          val px = Array.tabulate(w * h) { k =>
+            val i = k / w; val j = k % w
+            ((id * 29 + i * 3 + j * 19) % 256).toInt
+          }
+          val bytes = graft.api.ImageCodec.encodeBmpGray(w, h, px)
+          val (dw, dh, out) = graft.api.ImageCodec.decodeBmpGray(bytes).get
+          ImgDecodeRow(id, dw.toLong, dh.toLong, out.length.toLong,
+            out.map(_.toLong).sum, out.min.toLong, out.max.toLong)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 31) + 2 AS w, (doc_id % 17) + 2 AS h
+                       FROM documents),
+                 p AS (SELECT doc_id, w, h,
+                         flatten(list_transform(generate_series(0, h - 1), i ->
+                           list_transform(generate_series(0, w - 1), j ->
+                             (doc_id * 29 + i * 3 + j * 19) % 256))) AS px
+                       FROM d)
+            SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(len(px) AS BIGINT) AS n_px,
+                   CAST(list_sum(px) AS BIGINT) AS px_sum,
+                   CAST(list_min(px) AS BIGINT) AS px_min,
+                   CAST(list_max(px) AS BIGINT) AS px_max
+            FROM p ORDER BY doc_id""")
+  )
+
   /** Real resize output statistics. */
   final case class ImgResizeRow(doc_id: Long, dst_w: Long, dst_h: Long,
       r_sum: Long, r_first: Long, r_last: Long)
@@ -515,6 +599,7 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
-    qImageMeta, qImageDecode, qImageDecodeJpeg, qImageResize,
+    qImageMeta, qImageDecode, qImageDecodeJpeg, qImageDecodeGif,
+    qImageDecodeBmp, qImageResize,
     qAudioDecode, qVideoMeta, qVideoFrames, qPipelineMultimodal)
 }

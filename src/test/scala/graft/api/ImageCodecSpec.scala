@@ -149,6 +149,118 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodeMeta(forged).exists(_.width == 32768L))
   }
 
+  test("encodeBmpGray round-trips through our own decoder (stride padding, bottom-up)") {
+    // widths chosen to hit every stride-padding class (w % 4 = 0..3)
+    for ((w, h) <- Seq((1, 1), (4, 3), (5, 7), (6, 2), (7, 9), (32, 18))) {
+      val px = pix(w * 100L + h, w, h)
+      val bytes = ImageCodec.encodeBmpGray(w, h, px)
+      val Some((dw, dh, out)) = ImageCodec.decodeBmpGray(bytes)
+      assert((dw, dh) == (w, h))
+      assert(out.sameElements(px), s"BMP pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("encodeBmpGray output is a standards BMP: ImageIO decodes identical pixels") {
+    val (w, h) = (21, 13)
+    val px = pix(99L, w, h)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(ImageCodec.encodeBmpGray(w, h, px)))
+    assert(img != null, "ImageIO rejected our BMP")
+    assert(img.getWidth == w && img.getHeight == h)
+    // read RAW samples: getRGB on a gray image goes through ICC gray→sRGB
+    // conversion (253 → 254), which would test the JDK's color engine,
+    // not our bytes; on the identity-gray palette index == gray value
+    assert(img.getRaster.getNumBands == 1, s"expected indexed/gray raster")
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = img.getRaster.getSample(x, y, 0)
+      assert(v == px(y * w + x), s"ImageIO BMP pixel ($x,$y): $v != ${px(y * w + x)}")
+    }
+  }
+
+  test("ImageIO-produced BMP decodes through our full decoder") {
+    val (w, h) = (18, 11)
+    val px = pix(55L, w, h)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "bmp", bos), "ImageIO cannot write bmp")
+    val Some((dw, dh, out)) = ImageCodec.decodeBmpGray(bos.toByteArray)
+    assert((dw, dh) == (w, h) && out.sameElements(px),
+      "our decoder mis-read an ImageIO-written BMP")
+  }
+
+  test("encodeGifGray round-trips through our own LZW decoder (code-width growth + table-full clear)") {
+    // 200x120 = 24k px of high-entropy pattern: the LZW table crosses the
+    // 512/1024/2048 width boundaries AND fills to 4096 (clear-reset path);
+    // small shapes cover the trivial end
+    for ((w, h) <- Seq((1, 1), (3, 2), (19, 11), (64, 64), (200, 120))) {
+      val px = Array.tabulate(w * h) { k =>
+        val i = k / w; val j = k % w
+        ((i * 7919 + j * 104729 + i * j * 31) % 256).toInt
+      }
+      val bytes = ImageCodec.encodeGifGray(w, h, px)
+      val Some((dw, dh, out)) = ImageCodec.decodeGifGray(bytes)
+      assert((dw, dh) == (w, h))
+      assert(out.sameElements(px), s"GIF pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("encodeGifGray output is a standards GIF: ImageIO decodes identical pixels") {
+    // big enough to cross several LZW width boundaries in a foreign reader
+    val (w, h) = (150, 90)
+    val px = Array.tabulate(w * h) { k =>
+      val i = k / w; val j = k % w
+      ((i * 131 + j * 31 + i * j) % 256).toInt
+    }
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(ImageCodec.encodeGifGray(w, h, px)))
+    assert(img != null, "ImageIO rejected our GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      assert(r == g && g == b && r == px(y * w + x),
+        s"ImageIO GIF pixel ($x,$y): ($r,$g,$b) != ${px(y * w + x)}")
+    }
+  }
+
+  test("ImageIO-produced GIF decodes through our full decoder") {
+    val (w, h) = (47, 29)
+    val px = pix(77L, w, h)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "gif", bos), "ImageIO cannot write gif")
+    val Some((dw, dh, out)) = ImageCodec.decodeGifGray(bos.toByteArray)
+    assert((dw, dh) == (w, h) && out.sameElements(px),
+      "our decoder mis-read an ImageIO-written GIF (89a extensions, its own LZW)")
+  }
+
+  test("GIF/BMP corrupt and non-gray payloads return None, never throw") {
+    val px = pix(8L, 9, 6)
+    val gif = ImageCodec.encodeGifGray(9, 6, px)
+    val bmp = ImageCodec.encodeBmpGray(9, 6, px)
+    assert(ImageCodec.decodeGifGray(gif.take(20)).isEmpty)   // truncated mid-table
+    assert(ImageCodec.decodeGifGray(gif.dropRight(6)).isEmpty) // truncated LZW stream
+    assert(ImageCodec.decodeBmpGray(bmp.take(40)).isEmpty)   // truncated header
+    assert(ImageCodec.decodeBmpGray(gif).isEmpty)            // wrong container
+    assert(ImageCodec.decodeGifGray(bmp).isEmpty)
+    // non-gray palette: a color image must refuse the gray decode
+    val colorGif = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (x * 30) << 16 | (y * 30))
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "gif", bos); bos.toByteArray
+    }
+    assert(ImageCodec.decodeGifGray(colorGif).isEmpty, "non-gray palette must return None")
+    // adversarial dims: forge the image descriptor to claim 2^15 x 2^15
+    val forged = gif.clone()
+    // image descriptor follows 6+7+768 bytes (header+LSD+GCT): 0x2C at 781
+    assert((forged(781) & 0xff) == 0x2c, "image descriptor offset drifted")
+    forged(786) = 0; forged(787) = 0x80.toByte // w = 32768
+    forged(788) = 0; forged(789) = 0x80.toByte // h = 32768
+    assert(ImageCodec.decodeGifGray(forged).isEmpty,
+      "giant claimed GIF dims must be rejected up front")
+  }
+
   test("resizeNearest uses floor(dst·src/dstDim) index mapping exactly") {
     val (w, h) = (4, 2)
     val px = Array(10, 20, 30, 40, 50, 60, 70, 80)
