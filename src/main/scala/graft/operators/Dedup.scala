@@ -489,10 +489,14 @@ object Dedup {
     * exemption). Sketches are persistable and union-mergeable
     * (merged ≡ sketch-of-union field-exact), so per-shard sketches
     * roll up without rescanning — the q_hll_rollup pattern extended to
-    * set INTERSECTION, which HLL cannot answer. Approximate → no SQL
-    * oracle; merge exactness, un-full-exactness (≡ the q_source_overlap
-    * oracle numbers when k covers the strata), and the estimator error
-    * bound are property-tested (OperatorPropertiesSpec "kmv"). */
+    * set INTERSECTION, which HLL cannot answer. Approximate ESTIMATOR,
+    * deterministic FUNCTION: the sketch is the k smallest distinct
+    * 63-bit xxhash64 values, so [[KmvOracleSql]] replays the whole
+    * computation in DuckDB (the XXH64 chain, the minima, the theta-cut
+    * arithmetic) and hash-matches; merge exactness, un-full-exactness
+    * (≡ the q_source_overlap oracle numbers when k covers the strata),
+    * and the estimator error bound remain property-tested
+    * (OperatorPropertiesSpec "kmv"). */
   private val qKmvOverlap = Q(
     "q_kmv_overlap",
     (s, dir) => {
@@ -517,7 +521,7 @@ object Dedup {
           round(ov.getField("jaccard"), 4).as("jaccard"))
         .orderBy("group_a", "group_b")
     },
-    None
+    Some(KmvOracleSql.sql)
   )
 
   /** Gram-level Bloom decontamination — q_decontaminate_ngram's exact

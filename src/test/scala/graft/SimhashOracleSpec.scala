@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{MinhashOracleSql, SimhashOracleSql}
+import graft.operators.{KmvOracleSql, MinhashOracleSql, SimhashOracleSql}
 
 /** Pins the foundation the q_dedup_simhash DuckDB oracle rests on.
   *
@@ -133,6 +133,16 @@ class SimhashOracleSpec extends SparkTestBase {
     assert(!inc.contains("BETWEEN 2 AND 256"), "incremental SQL must be uncapped")
     assert(inc.contains("% 7 = 0"), "new-doc restriction missing from incremental SQL")
     assert(inc.contains("ORDER BY doc_a, doc_b"), "total order missing (incremental)")
+  }
+
+  test("emitted kmv oracle SQL carries the 63-bit mask, k=256, theta sentinel, and total order") {
+    val sql = KmvOracleSql.sql
+    assert(sql.contains("9223372036854775808"), "2^63 mask/scale missing")
+    assert(sql.contains("9223372036854775807"), "un-full theta sentinel missing")
+    assert(sql.contains("rn <= 256"), "k=256 minima cut missing")
+    assert(sql.contains("xxh64-oracle-token-over-31-bytes"), "≥32-byte loud-fail guard missing")
+    assert(sql.contains("ORDER BY group_a, group_b"), "total order missing")
+    assert(sql.length < 100000, s"kmv oracle SQL ballooned to ${sql.length} bytes")
   }
 
   test("simhash signatures vote with xxhash64(42): one-doc fixture cross-check") {
