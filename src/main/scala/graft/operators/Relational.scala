@@ -442,9 +442,13 @@ object Relational {
     * (e/width)·N w.h.p. Long output shape (day_idx, key, est): per-day
     * rows plus the merged range under day_idx NULL; probe evaluation
     * runs on the DAY-sized sketch frame only, never raw rows.
-    * Approximate → no SQL oracle; merge-exactness, the overestimate-only
-    * bound, and the empty/shape-mismatch probe guards are
-    * property-tested (OperatorPropertiesSpec "cms frequency rollup"). */
+    * Approximate ESTIMATOR, deterministic FUNCTION: [[CmsOracleSql]]
+    * replays MurmurHash3.stringHash in 32-bit SQL over the
+    * key-cardinality type frame, rebuilds every probed cell from exact
+    * per-(day, type) counts, and hash-matches; merge-exactness, the
+    * overestimate-only bound, and the empty/shape-mismatch probe guards
+    * remain property-tested (OperatorPropertiesSpec "cms frequency
+    * rollup"). */
   private val qFreqRollup = Q(
     "q_freq_rollup",
     (s, dir) => {
@@ -467,7 +471,7 @@ object Relational {
           .select(lit(null).cast("long").as("day_idx"), col("sk"))))
         .orderBy(asc_nulls_first("day_idx"), asc("key"))
     },
-    None
+    Some(CmsOracleSql.sql)
   )
 
   // ---- set operations ----------------------------------------------------

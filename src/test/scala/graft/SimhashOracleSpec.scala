@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{KmvOracleSql, MinhashOracleSql, SimhashOracleSql}
+import graft.operators.{CmsOracleSql, KmvOracleSql, MinhashOracleSql, SimhashOracleSql}
 
 /** Pins the foundation the q_dedup_simhash DuckDB oracle rests on.
   *
@@ -143,6 +143,51 @@ class SimhashOracleSpec extends SparkTestBase {
     assert(sql.contains("xxh64-oracle-token-over-31-bytes"), "≥32-byte loud-fail guard missing")
     assert(sql.contains("ORDER BY group_a, group_b"), "total order missing")
     assert(sql.length < 100000, s"kmv oracle SQL ballooned to ${sql.length} bytes")
+  }
+
+  test("cms oracle transcribes MurmurHash3.stringHash: clean-room cross-check") {
+    // the algorithm the 32-bit SQL unrolls, written independently from
+    // the public murmur3 spec — must agree with Scala's own stringHash
+    // for every length/parity class the oracle handles (≤16 chars)
+    def ref(s: String, seed: Int): Int = {
+      def mixLast(h: Int, d: Int): Int = {
+        var k = d
+        k *= 0xcc9e2d51
+        k = Integer.rotateLeft(k, 15)
+        k *= 0x1b873593
+        h ^ k
+      }
+      def mix(h: Int, d: Int): Int =
+        Integer.rotateLeft(mixLast(h, d), 13) * 5 + 0xe6546b64
+      var h = seed
+      var i = 0
+      while (i + 1 < s.length) {
+        h = mix(h, (s.charAt(i) << 16) + s.charAt(i + 1))
+        i += 2
+      }
+      if (i < s.length) h = mixLast(h, s.charAt(i).toInt)
+      h ^= s.length
+      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+      h
+    }
+    val cases = (0 to 16).map(k => "purchaseviewclick".take(k))
+    for (s <- cases; seed <- 0 until 5)
+      assert(ref(s, seed) == scala.util.hashing.MurmurHash3.stringHash(s, seed),
+        s"murmur transcription diverges for '$s' seed $seed")
+    // and the bucket mapping is floorMod into width
+    assert(graft.api.Sketches.cmsIdx("purchase", 3, 1024) ==
+      math.floorMod(ref("purchase", 3), 1024))
+  }
+
+  test("emitted cms oracle SQL carries the murmur constants, guards, and total order") {
+    val sql = CmsOracleSql.sql
+    for (c <- Seq("3432918353", "461845907", "2246822507", "3266489909", "3864292196"))
+      assert(sql.contains(c), s"murmur constant $c missing")
+    assert(sql.contains("murmur-oracle-string-unsupported"), "loud guard missing")
+    assert(sql.contains("range(0, 5)"), "depth-5 seed column missing")
+    assert(sql.contains("1024"), "width missing")
+    assert(sql.contains("ORDER BY day_idx NULLS FIRST, key ASC"), "total order missing")
+    assert(sql.length < 100000, s"cms oracle SQL ballooned to ${sql.length} bytes")
   }
 
   test("simhash signatures vote with xxhash64(42): one-doc fixture cross-check") {

@@ -683,6 +683,42 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(e == Map(0L -> ((2L, 600L)), 1L -> ((1L, 300L))), e.toString)
   }
 
+  test("packSplit: mass conservation, full sequences, straddle accounting, bucket invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val seqTok = 128
+    val out = graft.api.TextAnalysis.packSplit(
+      Tables.documents(spark, sfDir), "doc_id", "text", seqTok)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalTok = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect().sum
+    // concat-and-cut: every token lands in exactly one sequence
+    assert(out.map(_._5).sum == totalTok, "token mass must be conserved")
+    // sequences are dense 0..N-1 and every one except the last holds
+    // exactly seqTok tokens (zero padding waste BY CONSTRUCTION)
+    val ids = out.map(_._1).sorted
+    assert(ids.sameElements(ids.indices.map(_.toLong)), "seq ids must be dense from 0")
+    out.sortBy(_._1).dropRight(1).foreach { case (sid, _, _, _, n) =>
+      assert(n == seqTok, s"non-final sequence $sid holds $n != $seqTok tokens")
+    }
+    // doc spans are contiguous: consecutive sequences overlap on the
+    // straddling doc (last_doc of seq k >= first_doc of seq k+1 - ... )
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, _, _, lastA, _), (_, _, firstB, _, _)) =>
+        assert(firstB == lastA || firstB == lastA + 1 || firstB >= lastA,
+          s"doc order must be monotone across sequences: $lastA then $firstB")
+      case _ =>
+    }
+    assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted), "first_doc monotone")
+    // the bucketed two-level scan is bucket-count-INVARIANT: forcing a
+    // different bucketing reproduces identical offsets
+    val alt = graft.api.TextAnalysis.packSplit(
+      Tables.documents(spark, sfDir), "doc_id", "text", seqTok, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(alt.toSet == out.toSet, "bucket count must not change the statistic")
+  }
+
   test("weightedSample: rate 0 drops all, rate 1 keeps all, NULL rate drops") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
