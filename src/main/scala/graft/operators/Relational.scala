@@ -345,8 +345,14 @@ object Relational {
 
   /** HyperLogLog++ approximate distinct (north-star scale op): one pass,
     * fixed memory per group vs count(DISTINCT)'s shuffle of every key.
-    * Approximate → no SQL oracle; accuracy property-tested vs exact
-    * (RelationalSpec). */
+    * Approximate ESTIMATOR, deterministic FUNCTION: [[HllOracleSql]]
+    * replays Spark's own HLL++ in DuckDB — XXH64(42)-of-long registers,
+    * exact dyadic zInverse, the K=6 sliding-window bias interpolation
+    * over tables read from `HyperLogLogPlusPlusHelper` at emission
+    * time, linear counting with the threshold switch — and
+    * hash-matches; accuracy vs exact remains property-tested
+    * (RelationalSpec), and HllOracleSpec pins the transcription against
+    * the real helper on the estimator paths the fixture never reaches. */
   private val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, dir) =>
@@ -354,7 +360,7 @@ object Relational {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type"),
-    None
+    Some(HllOracleSql.sql)
   )
 
   /** MERGEABLE HLL sketch rollup — the incremental-distinct pattern at
