@@ -1351,15 +1351,17 @@ object TextOps {
     * adjacent symbol pair (count-desc, pair-asc tiebreak) everywhere and
     * recounts, the published subword algorithm. One corpus scan builds
     * the word-frequency table; every round after is vocab-sized.
-    * Iterative + driver-held merge table → no SQL oracle; the merge
-    * sequence is pinned against an independent plain-Scala model in
+    * Iterative but DETERMINISTIC → the oracle unrolls all 12 rounds in
+    * DuckDB ([[BpeOracleSql]]: sentinel-rendered symbols make plain
+    * string replace ≡ the greedy fold); the merge sequence is ALSO
+    * pinned against an independent plain-Scala model in
     * OperatorPropertiesSpec ("bpeLearn ≡ plain-Scala reference"). */
   private val qBpeLearn = Q(
     "q_bpe_learn",
     (s, dir) =>
       graft.api.TextAnalysis.bpeLearn(Tables.documents(s, dir), "text", rounds = 12)
         .orderBy("round"),
-    None
+    Some(BpeOracleSql.learnSql)
   )
 
   /** BPE ENCODE (graft.api.TextAnalysis.bpeEncode): apply the 12-round
@@ -1370,9 +1372,11 @@ object TextOps {
     * a pure function of the word, so one corpus scan builds the
     * word-frequency table and everything after is vocab-sized (the same
     * reason the learner aggregates words first; the per-row form
-    * measured 6× slower on the same fixture). Iterative model → no SQL
-    * oracle; encode ≡ plain-Scala reference property-tested (incl.
-    * losslessness) in OperatorPropertiesSpec. */
+    * measured 6× slower on the same fixture). Oracle: [[BpeOracleSql]]
+    * continues from the unrolled learn chain's final vocab state —
+    * parse, explode weighted, top-30; encode ≡ plain-Scala reference
+    * remains property-tested (incl. losslessness) in
+    * OperatorPropertiesSpec. */
   private val qBpeEncode = Q(
     "q_bpe_encode",
     (s, dir) => {
@@ -1389,7 +1393,7 @@ object TextOps {
         .orderBy(desc("cnt"), asc("subword"))
         .limit(30)
     },
-    None
+    Some(BpeOracleSql.encodeSql)
   )
 
   /** PMI collocations (graft.api.TextAnalysis.pmiCollocations): top-30

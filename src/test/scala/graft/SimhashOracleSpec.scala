@@ -190,6 +190,18 @@ class SimhashOracleSpec extends SparkTestBase {
     assert(sql.length < 100000, s"cms oracle SQL ballooned to ${sql.length} bytes")
   }
 
+  test("emitted bpe oracle SQL carries the unrolled rounds, sentinels, and total order") {
+    val learn = graft.operators.BpeOracleSql.learnSql
+    assert(learn.contains("m12 AS MATERIALIZED"), "12th merge round missing")
+    assert(!learn.contains("m13 AS"), "round count drifted past 12")
+    assert(learn.contains("chr(2)") && learn.contains("chr(3)"), "symbol sentinels missing")
+    assert(learn.contains("ORDER BY c DESC, a ASC, b ASC LIMIT 1"), "tiebreak missing")
+    assert(learn.contains("ORDER BY round"), "total order missing")
+    val enc = graft.operators.BpeOracleSql.encodeSql
+    assert(enc.contains("FROM v13"), "encode must read the final vocab state")
+    assert(enc.contains("ORDER BY cnt DESC, subword ASC LIMIT 30"), "encode order missing")
+  }
+
   test("simhash signatures vote with xxhash64(42): one-doc fixture cross-check") {
     import spark.implicits._
     graft.functions.VectorExprs.register(spark)
