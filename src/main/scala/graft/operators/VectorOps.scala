@@ -50,21 +50,29 @@ object VectorOps {
             FROM pr WHERE dot / (na * nb) >= 0.4 ORDER BY vec_a, vec_b""")
   )
 
-  /** Multi-probe LSH ANN top-10 (approximate → no SQL oracle; recall
-    * property-tested vs the exact baseline). */
+  /** Multi-probe LSH ANN top-10. Approximate in RECALL, deterministic
+    * as a FUNCTION: [[AnnOracleSql.lshSql]] replays the planeSign
+    * integer arithmetic, the sequential plane dots, the band keys +
+    * hamming-1 probe flips, and the exact-cosine re-rank in DuckDB —
+    * hash-matched; recall vs the exact baseline stays property-tested. */
   private val qAnnLsh = Q(
     "q_ann_lsh",
     (s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
           probeId = 0L, k = 10, nPlanes = 16, bands = 4, dim = 64)
         .select(col("id").as("vec_id"), col("sim")),
-    None
+    Some(AnnOracleSql.lshSql)
   )
 
   /** ANN JOIN: approximate top-5 neighbors for EVERY vector via the LSH
     * band-bucket self-join + exact re-rank — the all-vectors form a
-    * 100 TB embedding dedup runs (approximate → no SQL oracle; pair
-    * recall vs the exact q_embed_neardup pairs property-tested ≥ 0.8).
+    * 100 TB embedding dedup runs. Approximate in RECALL, deterministic
+    * as a FUNCTION: [[AnnOracleSql.joinSql]] replays the occupancy
+    * derivation (from the same corpus count), packed band keys,
+    * multi-probe XOR, 256-cap guard, and exact re-rank in DuckDB —
+    * hash-matched at all three SFs (the derivation differs per SF:
+    * w=4 at sf0.01, w=8 at sf0.1); pair recall vs the exact
+    * q_embed_neardup pairs stays property-tested ≥ 0.8.
     *
     * OCCUPANCY-AWARE parameters (Similarity.annJoinAuto): sign bits per
     * band derive from corpus size vs target bucket occupancy 32, band
@@ -88,7 +96,7 @@ object VectorOps {
           simThreshold = 0.4, targetRecall = 0.8)
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank"),
-    None
+    Some(AnnOracleSql.joinSql)
   )
 
   /** UNDIRECTED ANN near-dup pairs ≥ 0.4 (Similarity.annPairsAuto) —
@@ -97,8 +105,9 @@ object VectorOps {
     * truncation, each unordered pair verified once. The approximate
     * scale path of the exact q_embed_neardup baseline (precision 1.0
     * by the exact verify; recall measured on contract by
-    * graft.tools.AnnRecall at sf0.01 and sf0.1). Approximate → no SQL
-    * oracle. */
+    * graft.tools.AnnRecall at sf0.01 and sf0.1). Oracle:
+    * [[AnnOracleSql.pairsSql]] — the joinSql chain, undirected
+    * candidates, threshold instead of top-k. */
   private val qAnnPairs = Q(
     "q_ann_pairs",
     (s, dir) =>
@@ -106,7 +115,7 @@ object VectorOps {
           threshold = 0.4, dim = 64, targetBucket = 32, targetRecall = 0.8)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
         .orderBy("vec_a", "vec_b"),
-    None
+    Some(AnnOracleSql.pairsSql)
   )
 
   /** IVF JOIN: the coarse-quantizer ANN variant (hash-seeded centers +
@@ -271,7 +280,9 @@ object VectorOps {
         .select(col("id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     },
-    None
+    // AnnOracleSql.clustersSql: the pairsSql chain + the q_dedup_clusters
+    // recursive min-label reachability closure
+    Some(AnnOracleSql.clustersSql)
   )
 
   /** PRODUCT quantization (graft.api.Similarity.pqFit/pqEncode — Jégou
@@ -455,7 +466,9 @@ object VectorOps {
         .select(col("label").cast("bigint").as("label"),
           col("predicted").cast("bigint").as("predicted"), col("n_vecs"))
         .orderBy(asc_nulls_first("label"), asc_nulls_first("predicted")),
-    None
+    // AnnOracleSql.knnSql: the joinSql chain at the knn defaults
+    // (simThreshold 0.5), majority vote, confusion matrix
+    Some(AnnOracleSql.knnSql)
   )
 
   /** Embedding L2-norm census per label — the vector-health audit run
