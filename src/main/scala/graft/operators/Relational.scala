@@ -404,10 +404,14 @@ object Relational {
     * change the answer — rank-based sketches (GK/KLL) could not pass
     * the determinism gate here. Long output shape (day_idx, q, est):
     * per-day rows plus the merged range under day_idx NULL; quantile
-    * evaluation runs on the DAY-sized frame only. Approximate → no SQL
-    * oracle; merge-exactness, partition-order independence and the
-    * α·|x| error contract are property-tested (OperatorPropertiesSpec
-    * "ddsketch"). */
+    * evaluation runs on the DAY-sized frame only. Approximate
+    * ESTIMATOR, deterministic FUNCTION: [[DdOracleSql]] replays the
+    * log-bucket indexing (ln(γ)/γ as Java literals — the only per-value
+    * transcendental is ln(v), boundary-audited on the fixture), the
+    * cumulative quantile walk, and the counter-sum merge in DuckDB and
+    * hash-matches; merge-exactness, partition-order independence and
+    * the α·|x| error contract remain property-tested
+    * (OperatorPropertiesSpec "ddsketch"). */
   private val qQuantileRollup = Q(
     "q_quantile_rollup",
     (s, dir) => {
@@ -431,7 +435,7 @@ object Relational {
           .select(lit(null).cast("long").as("day_idx"), col("sk"))))
         .orderBy(asc_nulls_first("day_idx"), asc("q"))
     },
-    None
+    Some(DdOracleSql.sql)
   )
 
   /** MERGEABLE FREQUENCY sketch rollup — the per-item-COUNT member of

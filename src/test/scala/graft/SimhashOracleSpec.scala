@@ -202,6 +202,27 @@ class SimhashOracleSpec extends SparkTestBase {
     assert(enc.contains("ORDER BY cnt DESC, subword ASC LIMIT 30"), "encode order missing")
   }
 
+  test("emitted ann + ddsketch oracle SQL carries derivations, caps, and total orders") {
+    import graft.operators.{AnnOracleSql, DdOracleSql}
+    for ((sql, name) <- Seq((AnnOracleSql.joinSql, "join"), (AnnOracleSql.pairsSql, "pairs"),
+        (AnnOracleSql.clustersSql, "clusters"), (AnnOracleSql.knnSql, "knn"))) {
+      assert(sql.contains("2654435761"), s"planeSign constant missing ($name)")
+      assert(sql.contains("256 AS cap"), s"hot-bucket cap missing ($name)")
+      assert(sql.contains(java.lang.Double.toString(math.log1p(-0.8))),
+        s"banding-curve numerator missing ($name)")
+    }
+    assert(AnnOracleSql.joinSql.contains("acos(0.4)") &&
+      AnnOracleSql.knnSql.contains("acos(0.5)"),
+      "derivation operating points must differ (join 0.4, knn 0.5)")
+    assert(AnnOracleSql.clustersSql.contains("WITH RECURSIVE"), "CC closure missing")
+    assert(AnnOracleSql.lshSql.contains("LIMIT 10"), "lsh top-k missing")
+    val dd = DdOracleSql.sql
+    assert(dd.contains(java.lang.Double.toString(math.log((1 + 0.01) / (1 - 0.01)))),
+      "lnGamma literal missing")
+    assert(dd.contains("floor(q.q * (t.cnt - 1))"), "rank walk missing")
+    assert(dd.contains("ORDER BY day_idx NULLS FIRST, q ASC"), "total order missing")
+  }
+
   test("simhash signatures vote with xxhash64(42): one-doc fixture cross-check") {
     import spark.implicits._
     graft.functions.VectorExprs.register(spark)
