@@ -586,6 +586,29 @@ object ImageCodec {
     Some((w, h, px))
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: nearest-resample
+    * to 8×8, then bit j = 1 iff 64·px(j) ≥ Σpx — the mean threshold kept
+    * in INTEGER arithmetic (compare 64·px against the sum, never a
+    * float mean), so the hash is bit-replayable in any engine. Bit j is
+    * the row-major pixel j (LSB = pixel 0). The standard near-dup
+    * fingerprint for image corpora: visually identical images (recompress,
+    * small crops/scales) land within a few bits, so the SimHash block
+    * machinery (pigeonhole-complete at hamming ≤ 3 over 4×16-bit blocks)
+    * applies unchanged. */
+  def aHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val r = resizeNearest(px, w, h, 8, 8)
+    var sum = 0L
+    var j = 0
+    while (j < 64) { sum += (r(j) & 0xff); j += 1 }
+    var bits = 0L
+    j = 0
+    while (j < 64) {
+      if (64L * (r(j) & 0xff) >= sum) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
   /** Nearest-neighbor resample (the standard integer mapping
     * `src = floor(dst · srcDim / dstDim)`) — deterministic, so a SQL
     * oracle can replay the index arithmetic exactly. */

@@ -381,6 +381,114 @@ object Multimodal {
             FROM p ORDER BY doc_id""")
   )
 
+  /** Perceptual-hash image near-dup census row. */
+  final case class PhashRow(doc_id: Long, phash: Long)
+
+  /** IMAGE near-dup dedup via perceptual hashing — the multimodal twin
+    * of q_dedup_simhash, the dedup pass a multimodal corpus runs on its
+    * image column: per doc a REAL PNG is synthesized from a GROUPED
+    * pattern (id % 41 picks the motif; one per-doc pixel is perturbed,
+    * and dims vary per doc — near-dups at DIFFERENT sizes, the case
+    * exact byte-hash dedup can never catch), fully decoded, and
+    * fingerprinted with the 64-bit aHash (nearest 8×8 resample +
+    * integer mean threshold — [[graft.api.ImageCodec.aHash64]]).
+    * Near-dup pairs at hamming ≤ 3 come from the SimHash block
+    * machinery (4×16-bit block buckets — pigeonhole-complete at this
+    * distance, bucketing is purely pruning, never recall-lossy), and
+    * the output is the per-doc census: (doc_id, phash, n_dups,
+    * min_dup). Scale shape: hash = one mapPartitions decode pass;
+    * pairing = block equi-join on 8-byte keys, work ∝ bucket
+    * collisions. The oracle replays EVERYTHING — pixel formula, resize
+    * index arithmetic, integer mean threshold, block buckets, hamming —
+    * so any codec/resample/hash bug breaks the hash. */
+  private val qImagePhashDedup = Q(
+    "q_image_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = synthDims(id)
+          val g = id % 41
+          val pi = (id % h).toInt; val pj = ((id / 7) % w).toInt
+          val px = Array.tabulate(w * h) { k =>
+            val i = k / w; val j = k % w
+            val base = (g * 37 + i * 11 + j * 7) % 256
+            (if (i == pi && j == pj) (base + 64) % 256 else base).toInt
+          }
+          val bytes = graft.api.ImageCodec.encodePngGray(w, h, px)
+          val (dw, dh, out) = graft.api.ImageCodec.decodePngGray(bytes).get
+          PhashRow(id, graft.api.ImageCodec.aHash64(out, dw, dh))
+        })
+        .toDF()
+      val blk = hashed.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("b", expr("shiftrightunsigned(phash, k * 16)")
+          .bitwiseAND(lit(0xffffL)))
+      val pairs = blk.as("a")
+        .join(blk.as("b"),
+          col("a.k") === col("b.k") && col("a.b") === col("b.b") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hm"))
+        .distinct()
+        .filter(col("hm") <= 3)
+      val census = pairs.select(col("da").as("doc_id"), col("db").as("nb"))
+        .unionByName(pairs.select(col("db").as("doc_id"), col("da").as("nb")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dups"), min("nb").as("min_dup"))
+      hashed.join(census, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("phash"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("min_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 31) + 2 AS w, (doc_id % 17) + 2 AS h,
+                   doc_id % 41 AS g, doc_id % ((doc_id % 17) + 2) AS pi,
+                   (doc_id // 7) % ((doc_id % 31) + 2) AS pj
+                 FROM documents),
+                 -- the decoded image replayed arithmetically, then the 8x8
+                 -- nearest resample: r(y,x) = px(y*h//8, x*w//8)
+                 r AS (SELECT doc_id,
+                         flatten(list_transform(generate_series(0, 7), y ->
+                           list_transform(generate_series(0, 7), x ->
+                             CASE WHEN (y * h) // 8 = pi AND (x * w) // 8 = pj
+                                  THEN (g * 37 + ((y * h) // 8) * 11 + ((x * w) // 8) * 7 + 64) % 256
+                                  ELSE (g * 37 + ((y * h) // 8) * 11 + ((x * w) // 8) * 7) % 256
+                             END))) AS px
+                       FROM d),
+                 hb AS (SELECT doc_id, px, list_sum(px) AS s FROM r),
+                 -- integer mean threshold: bit j = 1 iff 64*px[j] >= sum;
+                 -- signed-BIGINT view matches the Scala Long
+                 hs AS (SELECT doc_id,
+                          list_sum(list_transform(range(0, 64), j ->
+                            CASE WHEN 64 * px[j + 1] >= s
+                                 THEN CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                                      ELSE (1::BIGINT << j) END
+                                 ELSE 0::BIGINT END))::BIGINT AS phash
+                        FROM hb),
+                 blk AS (SELECT doc_id, phash, k.k,
+                           CAST((CASE WHEN phash < 0
+                                 THEN CAST(phash AS HUGEINT) + 18446744073709551616::HUGEINT
+                                 ELSE CAST(phash AS HUGEINT) END
+                                // (1::HUGEINT << (16 * k.k))) % 65536 AS BIGINT) AS b
+                         FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+                 pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                             bit_count(xor(a.phash, b.phash)) AS hm
+                           FROM blk a JOIN blk b
+                             ON a.k = b.k AND a.b = b.b AND a.doc_id < b.doc_id),
+                 np AS (SELECT da, db FROM pairs WHERE hm <= 3),
+                 census AS (SELECT doc_id, count(*) AS n_dups, min(nb) AS min_dup FROM (
+                              SELECT da AS doc_id, db AS nb FROM np
+                              UNION ALL SELECT db, da FROM np)
+                            GROUP BY doc_id)
+            SELECT h.doc_id, h.phash,
+                   CAST(coalesce(c.n_dups, 0) AS BIGINT) AS n_dups,
+                   CAST(c.min_dup AS BIGINT) AS min_dup
+            FROM hs h LEFT JOIN census c USING (doc_id)
+            ORDER BY h.doc_id""")
+  )
+
   /** Real resize output statistics. */
   final case class ImgResizeRow(doc_id: Long, dst_w: Long, dst_h: Long,
       r_sum: Long, r_first: Long, r_last: Long)
@@ -600,6 +708,6 @@ object Multimodal {
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
     qImageMeta, qImageDecode, qImageDecodeJpeg, qImageDecodeGif,
-    qImageDecodeBmp, qImageResize,
+    qImageDecodeBmp, qImagePhashDedup, qImageResize,
     qAudioDecode, qVideoMeta, qVideoFrames, qPipelineMultimodal)
 }

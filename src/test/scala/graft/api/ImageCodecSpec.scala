@@ -261,6 +261,26 @@ class ImageCodecSpec extends AnyFunSuite {
       "giant claimed GIF dims must be rejected up front")
   }
 
+  test("aHash64 is the integer mean threshold over the 8x8 resample") {
+    // 8x8 identity case: bit j set iff 64*px(j) >= sum
+    val px = Array.tabulate(64)(j => j * 4) // sum = 8064; threshold px >= 126
+    val h = ImageCodec.aHash64(px, 8, 8)
+    for (j <- 0 until 64) {
+      val want = 64L * px(j) >= px.map(_.toLong).sum
+      assert(((h >>> j) & 1L) == (if (want) 1L else 0L), s"bit $j wrong")
+    }
+    // scale invariance of the motif: the same pattern at 16x16 resamples
+    // to the identical 8x8 grid → identical hash (the property that makes
+    // aHash catch near-dups across image sizes)
+    val big = Array.tabulate(16 * 16) { k =>
+      val i = k / 16; val j = k % 16
+      px((i / 2) * 8 + (j / 2))
+    }
+    assert(ImageCodec.aHash64(big, 16, 16) == h, "aHash must be resize-stable")
+    // constant image: every pixel equals the mean → all 64 bits set
+    assert(ImageCodec.aHash64(Array.fill(35)(7), 7, 5) == -1L)
+  }
+
   test("resizeNearest uses floor(dst·src/dstDim) index mapping exactly") {
     val (w, h) = (4, 2)
     val px = Array(10, 20, 30, 40, 50, 60, 70, 80)
