@@ -360,4 +360,36 @@ object MediaCodec {
       Some(Mp4SampleTable(timescale, sizes, stts, sy))
     }
   }
+
+  /** 64-bit energy-envelope fingerprint of a PCM sample stream: the
+    * samples split into 64 equal index windows (window w covers
+    * [w·n/64, (w+1)·n/64) — pure integer index arithmetic), per-window
+    * energy = Σ|sample|, and bit w = 1 iff 64·energy(w) ≥ Σenergy — the
+    * same INTEGER mean-threshold discipline as `ImageCodec.aHash64`, so
+    * the fingerprint is bit-replayable in any engine. Length-invariant
+    * by construction (windows are fractions of the stream, not fixed
+    * frame counts): the same motif at different durations lands within
+    * a few bits, which is what makes it a near-dup key rather than a
+    * byte hash. The audio member of the per-modality dedup family
+    * (text MinHash/SimHash, image aHash, audio envelope). */
+  def envelopeHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    require(n > 0, "empty sample stream")
+    val energy = new Array[Long](64)
+    var k = 0
+    while (k < n) {
+      energy((k.toLong * 64 / n).toInt) += math.abs(samples(k).toLong)
+      k += 1
+    }
+    var total = 0L
+    var w = 0
+    while (w < 64) { total += energy(w); w += 1 }
+    var bits = 0L
+    w = 0
+    while (w < 64) {
+      if (64L * energy(w) >= total) bits |= (1L << w)
+      w += 1
+    }
+    bits
+  }
 }

@@ -575,6 +575,108 @@ object Multimodal {
             FROM p ORDER BY doc_id""")
   )
 
+  /** AUDIO near-dup dedup via energy-envelope fingerprinting — the
+    * audio member of the per-modality dedup family (text MinHash/
+    * SimHash, image aHash q_image_phash_dedup, audio THIS): per doc a
+    * REAL RIFF/WAVE PCM16 payload is built from a GROUPED motif
+    * (id % 37 picks it; samples are constant per envelope WINDOW —
+    * position-fraction indexed, so the same motif at DIFFERENT
+    * durations fingerprints identically, the case a byte hash can
+    * never catch — with one per-doc perturbed sample), fully decoded
+    * through the RIFF chunk walk, and fingerprinted with the 64-bit
+    * energy envelope ([[graft.api.MediaCodec.envelopeHash64]]:
+    * 64 index windows, integer |sample| sums, integer mean threshold).
+    * Near-dup pairs at hamming ≤ 3 via the SimHash 4×16-bit block
+    * buckets; output = the per-doc census (fp, n_dups, min_dup). The
+    * oracle replays EVERYTHING — sample formula, window index
+    * arithmetic, energy sums, mean threshold, block buckets, hamming. */
+  private val qAudioFpDedup = Q(
+    "q_audio_fp_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = ((id % 441) + 100).toInt
+          val g = id % 37
+          val k0 = (id % n).toInt
+          val samples = Array.tabulate(n) { k =>
+            val w = k.toLong * 64 / n
+            val base = ((g * 31 + w * 97) % 65536) - 32768
+            (if (k == k0) ((g * 31 + w * 97 + 4096) % 65536) - 32768 else base).toShort
+          }
+          val bytes = graft.api.MediaCodec.encodeWavPcm16(16000, 1, samples)
+          val (_, out) = graft.api.MediaCodec.decodeWavPcm16(bytes).get
+          PhashRow(id, graft.api.MediaCodec.envelopeHash64(out))
+        })
+        .toDF()
+      val blk = hashed.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("b", expr("shiftrightunsigned(phash, k * 16)")
+          .bitwiseAND(lit(0xffffL)))
+      val pairs = blk.as("a")
+        .join(blk.as("b"),
+          col("a.k") === col("b.k") && col("a.b") === col("b.b") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hm"))
+        .distinct()
+        .filter(col("hm") <= 3)
+      val census = pairs.select(col("da").as("doc_id"), col("db").as("nb"))
+        .unionByName(pairs.select(col("db").as("doc_id"), col("da").as("nb")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dups"), min("nb").as("min_dup"))
+      hashed.join(census, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("phash").as("fp"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("min_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 441) + 100 AS n,
+                   doc_id % 37 AS g, doc_id % ((doc_id % 441) + 100) AS k0
+                 FROM documents),
+                 -- per (doc, window) energies: one flat explode + hash
+                 -- aggregate (n >= 100 > 64 so every window is hit)
+                 ex AS (SELECT doc_id, n, g, k0,
+                          unnest(generate_series(0, n - 1)) AS k
+                        FROM d),
+                 sm AS (SELECT doc_id, (k * 64) // n AS w,
+                          sum(abs(CASE WHEN k = k0
+                               THEN ((g * 31 + ((k * 64) // n) * 97 + 4096) % 65536) - 32768
+                               ELSE ((g * 31 + ((k * 64) // n) * 97) % 65536) - 32768
+                          END)) AS e
+                        FROM ex
+                        GROUP BY doc_id, (k * 64) // n),
+                 tot AS (SELECT doc_id, sum(e) AS te FROM sm GROUP BY doc_id),
+                 hs AS (SELECT s.doc_id,
+                          sum(CASE WHEN 64 * s.e >= t.te
+                               THEN CASE WHEN s.w = 63 THEN -9223372036854775807 - 1
+                                    ELSE (1::BIGINT << s.w::INT) END
+                               ELSE 0::BIGINT END)::BIGINT AS fp
+                        FROM sm s JOIN tot t USING (doc_id)
+                        GROUP BY s.doc_id),
+                 blk AS (SELECT doc_id, fp, k.k,
+                           CAST((CASE WHEN fp < 0
+                                 THEN CAST(fp AS HUGEINT) + 18446744073709551616::HUGEINT
+                                 ELSE CAST(fp AS HUGEINT) END
+                                // (1::HUGEINT << (16 * k.k))) % 65536 AS BIGINT) AS b
+                         FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+                 pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                             bit_count(xor(a.fp, b.fp)) AS hm
+                           FROM blk a JOIN blk b
+                             ON a.k = b.k AND a.b = b.b AND a.doc_id < b.doc_id),
+                 np AS (SELECT da, db FROM pairs WHERE hm <= 3),
+                 census AS (SELECT doc_id, count(*) AS n_dups, min(nb) AS min_dup FROM (
+                              SELECT da AS doc_id, db AS nb FROM np
+                              UNION ALL SELECT db, da FROM np)
+                            GROUP BY doc_id)
+            SELECT h.doc_id, h.fp,
+                   CAST(coalesce(c.n_dups, 0) AS BIGINT) AS n_dups,
+                   CAST(c.min_dup AS BIGINT) AS min_dup
+            FROM hs h LEFT JOIN census c USING (doc_id)
+            ORDER BY h.doc_id""")
+  )
+
   /** Real decoded video-container metadata. */
   final case class VideoRow(doc_id: Long, format: String, width: Long,
       height: Long, duration_ms: Long, timescale: Long)
@@ -709,5 +811,5 @@ object Multimodal {
     qMultimodalFeatures, qMultimodalResize,
     qImageMeta, qImageDecode, qImageDecodeJpeg, qImageDecodeGif,
     qImageDecodeBmp, qImagePhashDedup, qImageResize,
-    qAudioDecode, qVideoMeta, qVideoFrames, qPipelineMultimodal)
+    qAudioDecode, qAudioFpDedup, qVideoMeta, qVideoFrames, qPipelineMultimodal)
 }

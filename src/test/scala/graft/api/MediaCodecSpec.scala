@@ -178,4 +178,25 @@ class MediaCodecSpec extends AnyFunSuite {
     val png = ImageCodec.encodePngGray(3, 3, Array.fill(9)(7))
     assert(MediaCodec.decodeWavMeta(png).isEmpty && MediaCodec.decodeMp4Meta(png).isEmpty)
   }
+
+  test("envelopeHash64: integer mean threshold, length-invariant motif") {
+    // 64 samples, one per window: bit w = 1 iff 64*|s(w)| >= sum|s|
+    val base = Array.tabulate(64)(w => (w * 100 - 3200).toShort)
+    val h = MediaCodec.envelopeHash64(base)
+    val total = base.map(x => math.abs(x.toLong)).sum
+    for (w <- 0 until 64) {
+      val want = 64L * math.abs(base(w).toLong) >= total
+      assert(((h >>> w) & 1L) == (if (want) 1L else 0L), s"bit $w wrong")
+    }
+    // the same motif at 4x the duration (constant per window) must
+    // fingerprint IDENTICALLY — the property that makes it a near-dup
+    // key across durations, which a byte hash can never be
+    val long4 = Array.tabulate(256)(k => base((k * 64) / 256))
+    assert(MediaCodec.envelopeHash64(long4) == h, "must be length-invariant")
+    // constant stream with EQUAL window counts (128 = 2 per window):
+    // every window equals the mean -> all bits set; at n = 100 the
+    // uneven 1-or-2-sample windows split around the mean instead —
+    // window energies are counts x |s|, not per-sample means
+    assert(MediaCodec.envelopeHash64(Array.fill(128)(5.toShort)) == -1L)
+  }
 }
