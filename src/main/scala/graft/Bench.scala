@@ -102,6 +102,14 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] file dump skipped: ${e.getMessage}") }
+    // The driver keeps only the LAST 2000 chars of the log, so the full
+    // line above is always head-clipped once the surface is large
+    // (BENCH_r08-r10 all recorded parsed:null). Emit a compact headline
+    // line LAST — totals + the slowest queries only — small enough to
+    // survive whole inside the tail and be mechanically parseable.
+    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slow,"full":"/tmp/graft_bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -267,9 +267,20 @@ object JpegCodec {
       nbits = 0
       // the marker may already have been latched by bit()
       if (hitMarker >= 0xd0 && hitMarker <= 0xd7) { hitMarker = -1; return true }
-      if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff) {
-        val m = data(pos + 1) & 0xff
-        if (m >= 0xd0 && m <= 0xd7) { pos += 2; return true }
+      // T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+      // marker, and an encoder may have emitted a stuffed FF00 pad at
+      // the segment boundary — skip both before expecting RSTn
+      var p = pos
+      var skipping = true
+      while (skipping && p + 1 < data.length && (data(p) & 0xff) == 0xff) {
+        val m = data(p + 1) & 0xff
+        if (m == 0xff) p += 1
+        else if (m == 0x00) p += 2
+        else skipping = false
+      }
+      if (p + 1 < data.length && (data(p) & 0xff) == 0xff) {
+        val m = data(p + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) { pos = p + 2; return true }
       }
       false
     }

@@ -421,6 +421,9 @@ object Multimodal {
           PhashRow(id, graft.api.ImageCodec.aHash64(out, dw, dh))
         })
         .toDF()
+        // consumed by the band self-join (twice) AND the final census
+        // join — without truncation the codec pass re-executes 2-3x
+        .transform(graft.api.Ckpt.apply)
       val blk = hashed.select(col("doc_id"), col("phash"),
           explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("b", expr("shiftrightunsigned(phash, k * 16)")
@@ -610,6 +613,8 @@ object Multimodal {
           PhashRow(id, graft.api.MediaCodec.envelopeHash64(out))
         })
         .toDF()
+        // same shape as q_image_phash_dedup: one codec pass, not three
+        .transform(graft.api.Ckpt.apply)
       val blk = hashed.select(col("doc_id"), col("phash"),
           explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("b", expr("shiftrightunsigned(phash, k * 16)")

@@ -706,7 +706,7 @@ class OperatorPropertiesSpec extends SparkTestBase {
     val sorted = out.sortBy(_._1)
     sorted.sliding(2).foreach {
       case Array((_, _, _, lastA, _), (_, _, firstB, _, _)) =>
-        assert(firstB == lastA || firstB == lastA + 1 || firstB >= lastA,
+        assert(firstB == lastA || firstB == lastA + 1,
           s"doc order must be monotone across sequences: $lastA then $firstB")
       case _ =>
     }
