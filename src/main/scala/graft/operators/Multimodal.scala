@@ -297,6 +297,166 @@ object Multimodal {
             FROM p ORDER BY doc_id""")
   )
 
+  /** Decoded color-pixel statistics (packed-RGB channel sums). */
+  final case class RgbDecodeRow(doc_id: Long, width: Long, height: Long, n_px: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long, r_min: Long, b_max: Long)
+
+  /** REAL baseline COLOR JPEG decode (graft.api.JpegCodec 3-component
+    * YCbCr): per doc a real color JFIF is built whose RGB is CONSTANT
+    * per MCU (16×16 tiles under 4:2:0 — two thirds of the corpus — and
+    * 8×8 under 4:4:4; a quarter additionally carries DRI/RSTn restart
+    * markers), making every Y/Cb/Cr block DC-only, so the lossy color
+    * format round-trips exactly: decoded RGB = the floor(x+0.5) JFIF
+    * matrix applied forward and back. The oracle replays tile
+    * arithmetic + BOTH conversions term-for-term — a sampling-factor,
+    * MCU-interleave, per-component predictor/quant-table, chroma
+    * up/downsample, or conversion-rounding bug breaks the hash.
+    * ImageIO cross-checks live in JpegCodecSpec. */
+  private def synthColorDims(id: Long): (Int, Int) =
+    (((id % 29) + 8).toInt, ((id % 19) + 8).toInt)
+
+  private def synthColorTiles(id: Long, w: Int, h: Int, tile: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val tx = (k % w) / tile; val ty = (k / w) / tile
+      val r = ((id * 7 + ty * 13 + tx * 29) % 256).toInt
+      val g = ((id * 11 + ty * 17 + tx * 5) % 256).toInt
+      val b = ((id * 13 + ty * 3 + tx * 23) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  private val qImageDecodeJpegColor = Q(
+    "q_image_decode_jpeg_color",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = synthColorDims(id)
+          val sub = id % 3 != 0
+          val tile = if (sub) 16 else 8
+          val ri = if (id % 4 == 0) 2 else 0 // a quarter restarts
+          val bytes = graft.api.JpegCodec.encodeJpegColor(
+            w, h, synthColorTiles(id, w, h, tile), quant = 1,
+            chromaSubsample = sub, restartInterval = ri)
+          val (dw, dh, px) = graft.api.JpegCodec.decodeJpegColor(bytes).get
+          RgbDecodeRow(id, dw.toLong, dh.toLong, px.length.toLong,
+            px.map(p => ((p >> 16) & 0xff).toLong).sum,
+            px.map(p => ((p >> 8) & 0xff).toLong).sum,
+            px.map(p => (p & 0xff).toLong).sum,
+            px.map(p => ((p >> 16) & 0xff).toLong).min,
+            px.map(p => (p & 0xff).toLong).max)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 29) + 8 AS w, (doc_id % 19) + 8 AS h,
+                   CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS tile
+                 FROM documents),
+                 g AS (SELECT doc_id, w, h, tile,
+                         unnest(generate_series(0, w * h - 1)) AS k FROM d),
+                 -- constant-per-MCU tile color (the encoder input)
+                 c AS (SELECT doc_id, w, h,
+                         (doc_id * 7 + ((k // w) // tile) * 13 + ((k % w) // tile) * 29) % 256 AS r0,
+                         (doc_id * 11 + ((k // w) // tile) * 17 + ((k % w) // tile) * 5) % 256 AS g0,
+                         (doc_id * 13 + ((k // w) // tile) * 3 + ((k % w) // tile) * 23) % 256 AS b0
+                       FROM g),
+                 -- forward JFIF RGB -> YCbCr, floor(x+0.5), clamped: the
+                 -- integer component samples every DC-only decoder recovers.
+                 -- Every fractional literal is cast to DOUBLE: DuckDB parses
+                 -- bare decimals as exact DECIMAL, whose floor() crosses
+                 -- half-integer boundaries differently from the codec's
+                 -- IEEE-double matrix (3/500 docs flipped at sf0.01)
+                 ycc AS (SELECT doc_id, w, h,
+                           least(255, greatest(0, floor(0.299::DOUBLE * r0 + 0.587::DOUBLE * g0 + 0.114::DOUBLE * b0 + 0.5::DOUBLE))) AS yq,
+                           least(255, greatest(0, floor(128.0::DOUBLE - 0.168736::DOUBLE * r0 - 0.331264::DOUBLE * g0 + 0.5::DOUBLE * b0 + 0.5::DOUBLE))) AS cb,
+                           least(255, greatest(0, floor(128.0::DOUBLE + 0.5::DOUBLE * r0 - 0.418688::DOUBLE * g0 - 0.081312::DOUBLE * b0 + 0.5::DOUBLE))) AS cr
+                         FROM c),
+                 -- inverse matrix, floor(x+0.5), clamped: the decoded RGB
+                 o AS (SELECT doc_id, w, h,
+                         least(255, greatest(0, floor(yq + 1.402::DOUBLE * (cr - 128) + 0.5::DOUBLE))) AS r,
+                         least(255, greatest(0, floor(yq - 0.344136::DOUBLE * (cb - 128) - 0.714136::DOUBLE * (cr - 128) + 0.5::DOUBLE))) AS g,
+                         least(255, greatest(0, floor(yq + 1.772::DOUBLE * (cb - 128) + 0.5::DOUBLE))) AS b
+                       FROM ycc)
+            SELECT doc_id, CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+                   CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+                   CAST(sum(b) AS BIGINT) AS b_sum,
+                   CAST(min(r) AS BIGINT) AS r_min, CAST(max(b) AS BIGINT) AS b_max
+            FROM o GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** REAL COLOR PNG decode: per doc either a TRUECOLOR (type 2, even
+    * ids — byte-level unfilter at bpp=3 across all five cycling
+    * filters) or a PALETTE (type 3, odd ids — PLTE chunk + index
+    * unfilter + palette expansion) PNG is built and fully decoded.
+    * Lossless → the oracle predicts every channel of every pixel from
+    * the fixture arithmetic; a bpp-offset filter, PLTE layout, or
+    * palette-lookup bug breaks the hash. ImageIO cross-checks (both
+    * directions, truecolor + indexed) live in ImageCodecSpec. */
+  private val qImageDecodePngColor = Q(
+    "q_image_decode_png_color",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = (((id % 23) + 2).toInt, ((id % 13) + 2).toInt)
+          val bytes =
+            if (id % 2 == 0) {
+              val px = Array.tabulate(w * h) { k =>
+                val i = k / w; val j = k % w
+                val r = ((id * 19 + i * 7 + j * 3) % 256).toInt
+                val g = ((id * 23 + i * 5 + j * 11) % 256).toInt
+                val b = ((id * 29 + i * 13 + j * 17) % 256).toInt
+                (r << 16) | (g << 8) | b
+              }
+              graft.api.ImageCodec.encodePngColor(w, h, px)
+            } else {
+              val nPal = ((id % 15) + 2).toInt
+              val pal = Array.tabulate(nPal) { n =>
+                val r = ((n * 41 + id) % 256).toInt
+                val g = ((n * 59 + id * 3) % 256).toInt
+                val b = ((n * 83 + id * 7) % 256).toInt
+                (r << 16) | (g << 8) | b
+              }
+              val idx = Array.tabulate(w * h)(k => ((id + k * 7) % nPal).toInt)
+              graft.api.ImageCodec.encodePngPal(w, h, pal, idx)
+            }
+          val (dw, dh, px) = graft.api.ImageCodec.decodePngColor(bytes).get
+          RgbDecodeRow(id, dw.toLong, dh.toLong, px.length.toLong,
+            px.map(p => ((p >> 16) & 0xff).toLong).sum,
+            px.map(p => ((p >> 8) & 0xff).toLong).sum,
+            px.map(p => (p & 0xff).toLong).sum,
+            px.map(p => ((p >> 16) & 0xff).toLong).min,
+            px.map(p => (p & 0xff).toLong).max)
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 23) + 2 AS w, (doc_id % 13) + 2 AS h,
+                   (doc_id % 15) + 2 AS np
+                 FROM documents),
+                 g AS (SELECT doc_id, w, h, np,
+                         unnest(generate_series(0, w * h - 1)) AS k FROM d),
+                 o AS (SELECT doc_id, w, h,
+                         CASE WHEN doc_id % 2 = 0
+                              THEN (doc_id * 19 + (k // w) * 7 + (k % w) * 3) % 256
+                              ELSE (((doc_id + k * 7) % np) * 41 + doc_id) % 256 END AS r,
+                         CASE WHEN doc_id % 2 = 0
+                              THEN (doc_id * 23 + (k // w) * 5 + (k % w) * 11) % 256
+                              ELSE (((doc_id + k * 7) % np) * 59 + doc_id * 3) % 256 END AS g,
+                         CASE WHEN doc_id % 2 = 0
+                              THEN (doc_id * 29 + (k // w) * 13 + (k % w) * 17) % 256
+                              ELSE (((doc_id + k * 7) % np) * 83 + doc_id * 7) % 256 END AS b
+                       FROM g)
+            SELECT doc_id, CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+                   CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+                   CAST(sum(b) AS BIGINT) AS b_sum,
+                   CAST(min(r) AS BIGINT) AS r_min, CAST(max(b) AS BIGINT) AS b_max
+            FROM o GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** REAL GIF decode (LZW): per doc a real GIF87a is built — 256-gray
     * global color table and a REAL LZW-compressed index stream
     * (variable code width 9→12 bits, LSB-first packing, sub-blocks) —
@@ -814,7 +974,8 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
-    qImageMeta, qImageDecode, qImageDecodeJpeg, qImageDecodeGif,
+    qImageMeta, qImageDecode, qImageDecodeJpeg, qImageDecodeJpegColor,
+    qImageDecodePngColor, qImageDecodeGif,
     qImageDecodeBmp, qImagePhashDedup, qImageResize,
     qAudioDecode, qAudioFpDedup, qVideoMeta, qVideoFrames, qPipelineMultimodal)
 }

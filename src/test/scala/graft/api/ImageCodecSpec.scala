@@ -290,4 +290,109 @@ class ImageCodecSpec extends AnyFunSuite {
     val up = ImageCodec.resizeNearest(px, w, h, 8, 4)
     assert(up.length == 32 && up(0) == 10 && up(31) == 80)
   }
+
+  // ----------------------------------------------------------- color PNG
+
+  private def rgbPix(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val i = k / w; val j = k % w
+      val r = ((id * 19 + i * 7 + j * 3) % 256).toInt
+      val g = ((id * 23 + i * 5 + j * 11) % 256).toInt
+      val b = ((id * 29 + i * 13 + j * 17) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  test("encodePngColor round-trips through decodePngColor (all five filters at bpp=3)") {
+    for ((w, h, id) <- Seq((7, 9, 1L), (16, 16, 2L), (31, 3, 3L), (1, 12, 4L), (40, 25, 5L))) {
+      val px = rgbPix(id, w, h)
+      val bytes = ImageCodec.encodePngColor(w, h, px)
+      val Some((dw, dh, out)) = ImageCodec.decodePngColor(bytes)
+      assert((dw, dh) == (w, h), s"dims ${dw}x$dh != ${w}x$h")
+      assert(out.sameElements(px), s"truecolor pixel mismatch at ${w}x$h id=$id")
+      // the gray decoder correctly refuses a color payload
+      assert(ImageCodec.decodePngGray(bytes).isEmpty)
+      // meta reports type-2 layout
+      val m = ImageCodec.decodeMeta(bytes).get
+      assert(m == ImageCodec.ImageMeta("png", w.toLong, h.toLong, 8L, 3L), m.toString)
+    }
+  }
+
+  test("encodePngColor output is a standards PNG: ImageIO decodes identical pixels") {
+    val (w, h) = (23, 17)
+    val px = rgbPix(7L, w, h)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageCodec.encodePngColor(w, h, px)))
+    assert(img != null, "ImageIO could not read our color PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xffffff) == px(y * w + x), s"ImageIO differs at ($x,$y)")
+  }
+
+  test("ImageIO-produced truecolor PNG decodes through decodePngColor") {
+    val (w, h) = (19, 21)
+    val px = rgbPix(8L, w, h)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val Some((dw, dh, out)) = ImageCodec.decodePngColor(bos.toByteArray)
+    assert((dw, dh) == (w, h))
+    assert(out.sameElements(px), "foreign truecolor PNG mis-decoded")
+  }
+
+  test("encodePngPal round-trips: PLTE lookup after the bpp=1 unfilter") {
+    for ((w, h, id) <- Seq((9, 6, 1L), (16, 11, 2L), (3, 30, 3L))) {
+      val nPal = ((id % 15) + 2).toInt
+      val pal = Array.tabulate(nPal) { n =>
+        val r = ((n * 41 + id) % 256).toInt
+        val g = ((n * 59 + id * 3) % 256).toInt
+        val b = ((n * 83 + id * 7) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val idx = Array.tabulate(w * h)(k => ((id + k * 7) % nPal).toInt)
+      val bytes = ImageCodec.encodePngPal(w, h, pal, idx)
+      val Some((dw, dh, out)) = ImageCodec.decodePngColor(bytes)
+      assert((dw, dh) == (w, h))
+      assert(out.sameElements(idx.map(pal)), s"palette pixel mismatch id=$id")
+      // ImageIO agrees on the palette-expanded pixels
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO could not read our palette PNG")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == pal(idx(y * w + x)), s"ImageIO differs at ($x,$y)")
+    }
+  }
+
+  test("ImageIO-produced indexed PNG decodes through decodePngColor") {
+    val (w, h) = (14, 10)
+    // small fixed palette so ImageIO writes TYPE_BYTE_INDEXED as PNG type 3
+    val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0x102030)
+    val cm = new java.awt.image.IndexColorModel(8, colors.length,
+      colors.map(c => ((c >> 16) & 0xff).toByte),
+      colors.map(c => ((c >> 8) & 0xff).toByte),
+      colors.map(c => (c & 0xff).toByte))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x + y) % colors.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    ImageCodec.decodePngColor(bos.toByteArray) match {
+      case Some((dw, dh, out)) =>
+        assert((dw, dh) == (w, h))
+        for (y <- 0 until h; x <- 0 until w)
+          assert(out(y * w + x) == colors((x + y) % colors.length), s"differs at ($x,$y)")
+      case None => fail("foreign indexed PNG returned None")
+    }
+  }
+
+  test("decodePngColor corrupt / unsupported payloads return None, never throw") {
+    assert(ImageCodec.decodePngColor(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.decodePngColor("nope".getBytes).isEmpty)
+    // gray payloads belong to decodePngGray
+    val gray = ImageCodec.encodePngGray(5, 5, Array.fill(25)(9))
+    assert(ImageCodec.decodePngColor(gray).isEmpty)
+    // truncated color stream
+    val good = ImageCodec.encodePngColor(8, 8, rgbPix(1L, 8, 8))
+    assert(ImageCodec.decodePngColor(good.dropRight(16)).isEmpty)
+  }
 }

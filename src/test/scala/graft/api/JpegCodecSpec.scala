@@ -129,6 +129,143 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(done && JpegCodec.decodeJpegGray(forged).isEmpty)
   }
 
+  // ------------------------------------------------------------- color
+
+  /** Deterministic flat-TILE color image: constant packed RGB per
+    * tile×tile square (tile = 16 for 4:2:0 MCUs, 8 for 4:4:4) — the
+    * DC-only class whose color round trip is exact at quant=1 (the
+    * q_image_decode_jpeg_color fixture formula). */
+  private def flatTiles(id: Long, w: Int, h: Int, tile: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val tx = (k % w) / tile; val ty = (k / w) / tile
+      val r = ((id * 7 + ty * 13 + tx * 29) % 256).toInt
+      val g = ((id * 11 + ty * 17 + tx * 5) % 256).toInt
+      val b = ((id * 13 + ty * 3 + tx * 23) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  /** The exact expected round trip of a DC-only color pixel: RGB →
+    * floor-rounded JFIF YCbCr → floor-rounded RGB (the codec's declared
+    * float matrices — what the SQL oracle replays). */
+  private def yccRoundTrip(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    val y = cl(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt)
+    val cb = cl(math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5).toInt)
+    val cr = cl(math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5).toInt)
+    val rr = cl(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+    val gg = cl(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+    val bb = cl(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+    (rr << 16) | (gg << 8) | bb
+  }
+
+  test("color flat-MCU images round-trip to the exact YCbCr formula at quant=1 (4:2:0 + 4:4:4)") {
+    for ((w, h, id, sub) <- Seq((32, 32, 1L, true), (24, 40, 2L, true), (17, 29, 3L, true),
+        (16, 16, 4L, false), (23, 11, 5L, false), (33, 18, 6L, true))) {
+      val tile = if (sub) 16 else 8
+      val px = flatTiles(id, w, h, tile)
+      val bytes = JpegCodec.encodeJpegColor(w, h, px, quant = 1, chromaSubsample = sub)
+      val Some((dw, dh, out)) = JpegCodec.decodeJpegColor(bytes)
+      assert((dw, dh) == (w, h), s"dims ${dw}x$dh != ${w}x$h")
+      val expect = px.map(yccRoundTrip)
+      val bad = out.indices.find(i => out(i) != expect(i))
+      assert(bad.isEmpty, bad.map(i =>
+        s"pixel $i: got ${out(i).toHexString} want ${expect(i).toHexString} (id=$id sub=$sub)").getOrElse(""))
+    }
+  }
+
+  test("our color encoder output is a standards JPEG: ImageIO agrees within fixed-point tolerance") {
+    val (w, h) = (32, 32)
+    val px = flatTiles(9L, w, h, 16)
+    val bytes = JpegCodec.encodeJpegColor(w, h, px, quant = 1)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not read our color JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    // DC-only blocks give every decoder the same integer YCbCr samples.
+    // TILE INTERIORS must agree to conversion rounding (ImageIO uses a
+    // fixed-point YCbCr→RGB matrix, ours is float floor(x+0.5)): ±2.
+    // The 2-px ring at tile boundaries additionally sees ImageIO's
+    // bilinear ("fancy") chroma upsampling blending neighboring tiles
+    // where we replicate — a decoder CHOICE, not an error — so the ring
+    // gets only a sanity bound.
+    var maxIn = 0; var maxEdge = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val got = img.getRGB(x, y); val want = yccRoundTrip(px(y * w + x))
+      val interior = (x % 16) >= 2 && (x % 16) <= 13 && (y % 16) >= 2 && (y % 16) <= 13
+      for (shift <- Seq(16, 8, 0)) {
+        val d = math.abs(((got >> shift) & 0xff) - ((want >> shift) & 0xff))
+        if (interior) maxIn = math.max(maxIn, d) else maxEdge = math.max(maxEdge, d)
+      }
+    }
+    assert(maxIn <= 2, s"ImageIO interior conversion drifts $maxIn > 2")
+    assert(maxEdge <= 48, s"ImageIO boundary upsampling drifts $maxEdge > 48")
+    // the header scanner reports the 3-component frame
+    val m = ImageCodec.decodeMeta(bytes).get
+    assert(m == ImageCodec.ImageMeta("jpeg", w.toLong, h.toLong, 8L, 3L), m.toString)
+  }
+
+  test("our color decoder reads an ImageIO-WRITTEN RGB JPEG (foreign tables, 4:2:0 interleave)") {
+    val (w, h) = (48, 32)
+    val px = flatTiles(11L, w, h, 16)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", bos), "ImageIO cannot write jpg")
+    val bytes = bos.toByteArray
+    val Some((dw, dh, out)) = JpegCodec.decodeJpegColor(bytes)
+    assert((dw, dh) == (w, h), s"dims ${dw}x$dh")
+    // ground truth: ImageIO's own decode of the same lossy bytes. Tile
+    // INTERIORS are upsampling-independent (flat chroma), so there the
+    // two decoders differ only by IDCT variance + conversion rounding;
+    // the 2-px boundary ring also carries ImageIO's bilinear chroma
+    // upsampling vs our replication — a decoder choice, sanity-bounded.
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxIn = 0; var maxEdge = 0
+    for (y <- 0 until h; x <- 0 until w; shift <- Seq(16, 8, 0)) {
+      val d = math.abs(((out(y * w + x) >> shift) & 0xff) - ((ref.getRGB(x, y) >> shift) & 0xff))
+      val interior = (x % 16) >= 2 && (x % 16) <= 13 && (y % 16) >= 2 && (y % 16) <= 13
+      if (interior) maxIn = math.max(maxIn, d) else maxEdge = math.max(maxEdge, d)
+    }
+    assert(maxIn <= 4, s"our color decode drifts $maxIn from ImageIO's interior pixels")
+    assert(maxEdge <= 48, s"boundary upsampling spread $maxEdge > 48")
+  }
+
+  test("color restart markers: DRI + RSTn MCU scan decodes to the exact formula") {
+    val (w, h) = (80, 48) // 5×3 = 15 MCUs at 4:2:0, interval 4 crosses rows
+    val px = flatTiles(13L, w, h, 16)
+    val bytes = JpegCodec.encodeJpegColor(w, h, px, quant = 1, restartInterval = 4)
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xdd))
+    val Some((dw, dh, out)) = JpegCodec.decodeJpegColor(bytes)
+    assert((dw, dh) == (w, h))
+    val expect = px.map(yccRoundTrip)
+    assert(out.sameElements(expect), "restart-marked color scan mis-decoded")
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+  }
+
+  test("color decoder: gray frames come back channel-replicated; corrupt color payloads are None") {
+    val gray = JpegCodec.encodeJpegGray(16, 16, flatBlocks(3L, 16, 16))
+    val Some((_, _, g)) = JpegCodec.decodeJpegColor(gray)
+    val Some((_, _, g1)) = JpegCodec.decodeJpegGray(gray)
+    assert(g.indices.forall(i => g(i) == ((g1(i) << 16) | (g1(i) << 8) | g1(i))))
+    assert(JpegCodec.decodeJpegColor(Array.emptyByteArray).isEmpty)
+    assert(JpegCodec.decodeJpegColor("junk".getBytes).isEmpty)
+    val good = JpegCodec.encodeJpegColor(16, 16, flatTiles(2L, 16, 16, 16))
+    assert(JpegCodec.decodeJpegColor(good.take(40)).isEmpty)
+    // forged giant dims rejected before allocation
+    val forged = good.clone()
+    var i = 2
+    var done = false
+    while (!done && i + 9 <= forged.length) {
+      if ((forged(i) & 0xff) == 0xff && (forged(i + 1) & 0xff) == 0xc0) {
+        forged(i + 5) = 0x7f.toByte; forged(i + 6) = 0xff.toByte
+        forged(i + 7) = 0x7f.toByte; forged(i + 8) = 0xff.toByte
+        done = true
+      } else i += 1
+    }
+    assert(done && JpegCodec.decodeJpegColor(forged).isEmpty)
+  }
+
   test("adversarial header dims are rejected before allocation") {
     val good = JpegCodec.encodeJpegGray(16, 16, flatBlocks(8L, 16, 16))
     // forge SOF0 dims to 0x7fff × 0x7fff (≫ MaxDecodePixels)
