@@ -361,6 +361,180 @@ object MediaCodec {
     }
   }
 
+  /** Encode a REAL playable-layout ISO-BMFF whose track carries actual
+    * MJPEG sample PAYLOADS: `ftyp` + `mdat` (the JPEG frames,
+    * concatenated) + `moov` with the full sample table — per-sample
+    * `stsz`, run-length `stsc` chunk mapping, ABSOLUTE `stco` chunk
+    * offsets into the mdat, `stts` deltas and `stss` sync marks. mdat
+    * precedes moov (the common layout) so chunk offsets are computed
+    * without a moov-size fixpoint. `nChunks` splits the samples into
+    * consecutive chunks (quotient/remainder sizing) to exercise real
+    * multi-run stsc walks; the sample entry is `jpeg`, the registered
+    * BMFF code for MJPEG tracks. */
+  def encodeMp4Mjpeg(width: Int, height: Int, timescale: Int,
+      sampleDelta: Int, syncEvery: Int, frames: Seq[Array[Byte]],
+      nChunks: Int = 1): Array[Byte] = {
+    require(width > 0 && height > 0 && timescale > 0, "bad dims/timescale")
+    require(frames.nonEmpty && sampleDelta > 0 && syncEvery > 0, "bad sample params")
+    require(nChunks >= 1 && nChunks <= frames.length, s"bad nChunks $nChunks")
+    val n = frames.length
+    val duration = n * sampleDelta
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), beBytes(512),
+      "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"))
+    val mdatPayload = frames.toArray.flatten
+    val mdat = box("mdat", mdatPayload)
+    // consecutive chunk sizing: the first (n % nChunks) chunks carry one
+    // extra sample
+    val base = n / nChunks; val extra = n % nChunks
+    val chunkCounts = Array.tabulate(nChunks)(c => base + (if (c < extra) 1 else 0))
+    // absolute chunk offsets into the file (mdat payload starts after
+    // ftyp + the mdat box header)
+    val mdatStart = ftyp.length + 8
+    val sampleSizes = frames.map(_.length)
+    val chunkOffsets = new Array[Int](nChunks)
+    var si = 0; var off = mdatStart
+    var c = 0
+    while (c < nChunks) {
+      chunkOffsets(c) = off
+      var s = 0
+      while (s < chunkCounts(c)) { off += sampleSizes(si); si += 1; s += 1 }
+      c += 1
+    }
+    // stsc run-length encoding over the chunk sample counts
+    val stscRuns = {
+      val runs = Array.newBuilder[(Int, Int)] // (first_chunk 1-based, samples_per_chunk)
+      var prev = -1
+      var cc = 0
+      while (cc < nChunks) {
+        if (chunkCounts(cc) != prev) { runs += ((cc + 1, chunkCounts(cc))); prev = chunkCounts(cc) }
+        cc += 1
+      }
+      runs.result()
+    }
+    val mvhd = box("mvhd", beBytes(0), beBytes(0), beBytes(0),
+      beBytes(timescale), beBytes(duration), beBytes(0x00010000),
+      beBytes(0x01000000), beBytes(0), beBytes(0),
+      Array.fill(9)(beBytes(0)).flatten.toArray,
+      Array.fill(6)(beBytes(0)).flatten.toArray, beBytes(2))
+    val tkhd = box("tkhd", beBytes(0x00000007), beBytes(0), beBytes(0),
+      beBytes(1), beBytes(0), beBytes(duration), beBytes(0), beBytes(0),
+      beBytes(0), beBytes(0),
+      Array.fill(9)(beBytes(0)).flatten.toArray,
+      beBytes(width << 16), beBytes(height << 16))
+    val mdhd = box("mdhd", beBytes(0), beBytes(0), beBytes(0),
+      beBytes(timescale), beBytes(duration),
+      Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = box("hdlr", beBytes(0), beBytes(0),
+      "vide".getBytes("US-ASCII"), beBytes(0), beBytes(0), beBytes(0),
+      Array[Byte](0))
+    val entry = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(beBytes(86)); b.write("jpeg".getBytes("US-ASCII"))
+      b.write(new Array[Byte](6)); b.write(Array[Byte](0, 1))
+      b.write(new Array[Byte](16))
+      b.write(Array[Byte]((width >> 8).toByte, width.toByte,
+        (height >> 8).toByte, height.toByte))
+      b.write(beBytes(0x00480000)); b.write(beBytes(0x00480000))
+      b.write(beBytes(0)); b.write(Array[Byte](0, 1))
+      b.write(new Array[Byte](32))
+      b.write(Array[Byte](0, 24)); b.write(Array[Byte](0xff.toByte, 0xff.toByte))
+      b.toByteArray
+    }
+    val stsd = box("stsd", beBytes(0), beBytes(1), entry)
+    val stts = box("stts", beBytes(0), beBytes(1), beBytes(n), beBytes(sampleDelta))
+    val syncSamples = (1 to n by syncEvery).toArray
+    val stss = box("stss", beBytes(0), beBytes(syncSamples.length),
+      syncSamples.flatMap(beBytes))
+    val stsz = box("stsz", beBytes(0), beBytes(0), beBytes(n),
+      sampleSizes.toArray.flatMap(beBytes))
+    val stsc = box("stsc", beBytes(0), beBytes(stscRuns.length),
+      stscRuns.flatMap { case (fc, spc) => beBytes(fc) ++ beBytes(spc) ++ beBytes(1) })
+    val stco = box("stco", beBytes(0), beBytes(nChunks), chunkOffsets.flatMap(beBytes))
+    val stbl = box("stbl", stsd, stts, stss, stsz, stsc, stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val moov = box("moov", mvhd, box("trak", tkhd, mdia))
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Resolve every sample's ABSOLUTE byte range — (offset, size), in
+    * sample order — from the first track's `stsz` + `stsc` + `stco`
+    * tables (ISO 14496-12 §8.7.4-5): chunk c's samples-per-chunk comes
+    * from the stsc run covering c, samples lie consecutively inside
+    * each chunk starting at its stco offset. This is the addressing a
+    * real frame extractor seeks with; compose with [[decodeMp4Samples]]
+    * for sync flags and decode times. None for non-BMFF payloads,
+    * absent tables, or any range that leaves the payload (a forged
+    * table cannot trigger an out-of-bounds slice). */
+  def decodeMp4SampleRanges(bytes: Array[Byte]): Option[Seq[(Long, Long)]] = {
+    if (bytes == null || bytes.length < 16) return None
+    val first = tag(bytes, 4)
+    if (first != "ftyp" && first != "styp" && first != "moov") return None
+    var sizes: Seq[Long] = null
+    var stsc: Seq[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    var stco: Seq[Long] = null
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val len = be32(bytes, i)
+        if (len < 8 || i + len > end) return
+        val tp = tag(bytes, i + 4)
+        val p = i + 8
+        tp match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 8 =>
+            walk(p, i + len, depth + 1)
+          case "stsz" if sizes == null && len >= 20 =>
+            val uniform = be32(bytes, p + 4).toLong & 0xffffffffL
+            val cnt = be32(bytes, p + 8)
+            if (cnt < 0 || cnt > (1 << 24)) return
+            if (uniform != 0) sizes = Seq.fill(cnt)(uniform)
+            else {
+              if (p + 12 + 4L * cnt > i + len) return
+              sizes = (0 until cnt).map(k => be32(bytes, p + 12 + 4 * k).toLong & 0xffffffffL)
+            }
+          case "stsc" if stsc == null && len >= 16 =>
+            val cnt = be32(bytes, p + 4)
+            if (cnt < 0 || p + 8 + 12L * cnt > i + len) return
+            stsc = (0 until cnt).map { k =>
+              (be32(bytes, p + 8 + 12 * k).toLong & 0xffffffffL,
+                be32(bytes, p + 12 + 12 * k).toLong & 0xffffffffL)
+            }
+          case "stco" if stco == null && len >= 16 =>
+            val cnt = be32(bytes, p + 4)
+            if (cnt < 0 || p + 8 + 4L * cnt > i + len) return
+            stco = (0 until cnt).map(k => be32(bytes, p + 8 + 4 * k).toLong & 0xffffffffL)
+          case _ => ()
+        }
+        i += len
+      }
+    }
+    walk(0, bytes.length, 0)
+    if (sizes == null || stsc == null || stco == null) return None
+    if (stsc.isEmpty || stco.isEmpty) return None
+    val n = sizes.length
+    val out = new Array[(Long, Long)](n)
+    var si = 0
+    var run = 0
+    var chunk = 1L
+    while (si < n && chunk <= stco.length) {
+      // advance the stsc run when the next run's first_chunk is reached
+      while (run + 1 < stsc.length && stsc(run + 1)._1 <= chunk) run += 1
+      val spc = stsc(run)._2
+      if (spc <= 0) return None
+      var off = stco((chunk - 1).toInt)
+      var s = 0L
+      while (s < spc && si < n) {
+        val sz = sizes(si)
+        if (sz < 0 || off < 0 || off + sz > bytes.length) return None
+        out(si) = (off, sz)
+        off += sz
+        si += 1; s += 1
+      }
+      chunk += 1
+    }
+    if (si < n) None else Some(out.toSeq)
+  }
+
   /** 64-bit energy-envelope fingerprint of a PCM sample stream: the
     * samples split into 64 equal index windows (window w covers
     * [w·n/64, (w+1)·n/64) — pure integer index arithmetic), per-window

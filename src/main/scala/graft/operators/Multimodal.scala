@@ -972,10 +972,94 @@ object Multimodal {
             FROM t ORDER BY doc_id""")
   )
 
+  /** Per-doc keyframe pixel-decode stats. */
+  final case class KeyframeRow(doc_id: Long, n_samples: Long, n_key_total: Long,
+      n_key_dec: Long, key_px_sum: Long, k1_px_sum: Long, px_min: Long, px_max: Long,
+      last_dec_ms: Long)
+
+  /** REAL video keyframe PIXEL decode (MJPEG-in-BMFF): per doc a real
+    * playable-layout MP4 is built — `mdat` carrying actual baseline
+    * JPEG frame payloads (flat-block, quant=1 — the DC-only exact
+    * class), `moov` with the full stsz/stsc/stco/stts/stss addressing,
+    * 1–3 chunks so multi-run stsc walks are exercised — then the
+    * decoder seeks the stss sync samples, resolves their ABSOLUTE byte
+    * ranges through stsc/stco, slices the JPEG payloads out of mdat,
+    * and entropy-decodes the first ≤3 keyframes to pixels
+    * ([[graft.api.JpegCodec.decodeJpegGray]]). This closes the r10
+    * "table walk stops before the payload" gap: the video column is
+    * pixel-level end to end like the other three modalities. The
+    * oracle replays sync-sample numbering, decode-time arithmetic, and
+    * every decoded pixel — a chunk-offset, stsc-run, sample-slicing, or
+    * JPEG bug breaks the hash. Scale shape: one mapPartitions pass of
+    * pure byte math per row. */
+  private val qVideoKeyframeDecode = Q(
+    "q_video_keyframe_decode",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = synthJpegDims(id)
+          val n = ((id % 7) + 3).toInt
+          val delta = (40 + (id % 20)).toInt
+          val syncEvery = ((id % 3) + 2).toInt
+          val nChunks = ((id % 3) + 1).toInt
+          val frames = (0 until n).map { f =>
+            val px = Array.tabulate(w * h) { k =>
+              val bx = (k % w) / 8; val by = (k / w) / 8
+              ((id * 37 + f * 71 + by * 11 + bx * 5) % 256).toInt
+            }
+            graft.api.JpegCodec.encodeJpegGray(w, h, px, quant = 1)
+          }
+          val bytes = graft.api.MediaCodec.encodeMp4Mjpeg(
+            w, h, timescale = 1000, sampleDelta = delta,
+            syncEvery = syncEvery, frames = frames, nChunks = nChunks)
+          val t = graft.api.MediaCodec.decodeMp4Samples(bytes).get
+          val ranges = graft.api.MediaCodec.decodeMp4SampleRanges(bytes).get
+          val keys = t.sync.take(3)
+          val decoded = keys.map { sn =>
+            val (off, sz) = ranges((sn - 1).toInt)
+            val payload = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+            graft.api.JpegCodec.decodeJpegGray(payload).get._3
+          }
+          KeyframeRow(id, t.nSamples, t.sync.length.toLong, keys.length.toLong,
+            decoded.map(_.map(_.toLong).sum).sum,
+            decoded.head.map(_.toLong).sum,
+            decoded.map(_.min).min.toLong,
+            decoded.map(_.max).max.toLong,
+            t.decodeTime(keys.last)) // timescale 1000: ticks are ms
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 25) + 8 AS w, (doc_id % 17) + 8 AS h,
+                   (doc_id % 7) + 3 AS n, 40 + (doc_id % 20) AS delta,
+                   (doc_id % 3) + 2 AS s
+                 FROM documents),
+                 k AS (SELECT doc_id, w, h, n, delta, s,
+                         unnest(generate_series(0, least(2, (n - 1) // s))) AS ki FROM d),
+                 px AS (SELECT doc_id, w, h, n, delta, s, ki, ki * s AS f,
+                         unnest(generate_series(0, w * h - 1)) AS p FROM k),
+                 v AS (SELECT doc_id, n, delta, s, ki,
+                         (doc_id * 37 + f * 71 + ((p // w) // 8) * 11 + ((p % w) // 8) * 5) % 256 AS val
+                       FROM px)
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(max(1 + (n - 1) // s) AS BIGINT) AS n_key_total,
+                   CAST(max(ki) + 1 AS BIGINT) AS n_key_dec,
+                   CAST(sum(val) AS BIGINT) AS key_px_sum,
+                   CAST(sum(CASE WHEN ki = 0 THEN val ELSE 0 END) AS BIGINT) AS k1_px_sum,
+                   CAST(min(val) AS BIGINT) AS px_min,
+                   CAST(max(val) AS BIGINT) AS px_max,
+                   CAST(max(ki * s) * max(delta) AS BIGINT) AS last_dec_ms
+            FROM v GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
     qImageMeta, qImageDecode, qImageDecodeJpeg, qImageDecodeJpegColor,
     qImageDecodePngColor, qImageDecodeGif,
     qImageDecodeBmp, qImagePhashDedup, qImageResize,
-    qAudioDecode, qAudioFpDedup, qVideoMeta, qVideoFrames, qPipelineMultimodal)
+    qAudioDecode, qAudioFpDedup, qVideoMeta, qVideoFrames,
+    qVideoKeyframeDecode, qPipelineMultimodal)
 }

@@ -199,4 +199,81 @@ class MediaCodecSpec extends AnyFunSuite {
     // window energies are counts x |s|, not per-sample means
     assert(MediaCodec.envelopeHash64(Array.fill(128)(5.toShort)) == -1L)
   }
+
+  // -------------------------------------------------- MJPEG-in-BMFF
+
+  private def jpegFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val px = Array.tabulate(w * h) { k =>
+      val bx = (k % w) / 8; val by = (k / w) / 8
+      ((id * 37 + f * 71 + by * 11 + bx * 5) % 256).toInt
+    }
+    JpegCodec.encodeJpegGray(w, h, px, quant = 1)
+  }
+
+  test("encodeMp4Mjpeg: stsc/stco ranges slice the exact frame payloads back (1 and 3 chunks)") {
+    val (w, h) = (24, 16)
+    for (nChunks <- Seq(1, 2, 3)) {
+      val frames = (0 until 7).map(f => jpegFrame(5L, f, w, h))
+      val bytes = MediaCodec.encodeMp4Mjpeg(w, h, 1000, 40, 3, frames, nChunks)
+      val ranges = MediaCodec.decodeMp4SampleRanges(bytes).get
+      assert(ranges.length == 7, s"ranges ${ranges.length} != 7 at nChunks=$nChunks")
+      for ((f, i) <- frames.zipWithIndex) {
+        val (off, sz) = ranges(i)
+        assert(sz == f.length, s"size mismatch sample $i")
+        val sliced = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+        assert(sliced.sameElements(f), s"payload mismatch sample $i at nChunks=$nChunks")
+      }
+      // the sample-table walk still reads the same structure
+      val t = MediaCodec.decodeMp4Samples(bytes).get
+      assert(t.nSamples == 7 && t.sync == Seq(1L, 4L, 7L) && t.timescale == 1000L)
+      assert(t.sizes.map(_.toInt) == frames.map(_.length))
+      // and the header scan agrees on dims
+      val m = MediaCodec.decodeMp4Meta(bytes).get
+      assert(m.width == w && m.height == h)
+    }
+  }
+
+  test("MJPEG keyframes entropy-decode back to the exact source pixels") {
+    val (w, h) = (16, 16)
+    val frames = (0 until 5).map(f => jpegFrame(9L, f, w, h))
+    val bytes = MediaCodec.encodeMp4Mjpeg(w, h, 1000, 50, 2, frames, nChunks = 2)
+    val t = MediaCodec.decodeMp4Samples(bytes).get
+    val ranges = MediaCodec.decodeMp4SampleRanges(bytes).get
+    assert(t.sync == Seq(1L, 3L, 5L))
+    for (sn <- t.sync) {
+      val (off, sz) = ranges((sn - 1).toInt)
+      val payload = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+      val Some((dw, dh, px)) = JpegCodec.decodeJpegGray(payload)
+      assert((dw, dh) == (w, h))
+      val f = (sn - 1).toInt
+      val want = Array.tabulate(w * h) { k =>
+        val bx = (k % w) / 8; val by = (k / w) / 8
+        ((9L * 37 + f * 71 + by * 11 + bx * 5) % 256).toInt
+      }
+      assert(px.sameElements(want), s"keyframe $sn pixels wrong")
+    }
+  }
+
+  test("decodeMp4SampleRanges: forged/absent tables return None, never throw or slice out of bounds") {
+    assert(MediaCodec.decodeMp4SampleRanges(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decodeMp4SampleRanges("junk1234junk".getBytes).isEmpty)
+    // header-only BMFF (no stsc/stco) is a clean None
+    val headerOnly = MediaCodec.encodeMp4WithSamples(320, 240, 1000, Seq(100, 200), 40, 2)
+    assert(MediaCodec.decodeMp4SampleRanges(headerOnly).isEmpty)
+    // forge a chunk offset past the payload end: range check must trip
+    val frames = (0 until 3).map(f => jpegFrame(2L, f, 16, 16))
+    val good = MediaCodec.encodeMp4Mjpeg(16, 16, 1000, 40, 2, frames)
+    val forged = good.clone()
+    var i = 0
+    var patched = false
+    while (!patched && i + 8 <= forged.length) {
+      if (new String(forged, i + 4, 4, "US-ASCII") == "stco") {
+        // first offset -> 0x7fffff00
+        forged(i + 16) = 0x7f.toByte; forged(i + 17) = 0xff.toByte
+        forged(i + 18) = 0xff.toByte; forged(i + 19) = 0x00.toByte
+        patched = true
+      } else i += 1
+    }
+    assert(patched && MediaCodec.decodeMp4SampleRanges(forged).isEmpty)
+  }
 }
