@@ -130,15 +130,17 @@ object Similarity {
           struct(l2Code(sub, bks(s)).getField("code").as("cid"), sub.as("sd"))
         }: _*)).as(Seq("s", "r")))
         .groupBy(col("s"), col("r.cid").as("cid"))
-        .agg(graft.functions.VecSumAgg.fn(col("r.sd")).as("sum"), count(lit(1)).as("cnt"))
+        .agg(graft.functions.VecSumDecAgg.fn(col("r.sd")).as("sum"), count(lit(1)).as("cnt"))
         .collect()
         .map(r => (r.getAs[Int]("s"), r.getAs[Int]("cid")) ->
-          (r.getSeq[Double](2), r.getAs[Long]("cnt"))).toMap
+          (r.getSeq[Long](2), r.getAs[Long]("cnt"))).toMap
       books = (0 until m).map { s =>
         books(s).indices.map { ci =>
           sums.get((s, ci)) match {
             case Some((v, cnt)) =>
-              v.map(x => BigDecimal(x / cnt).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              // DECIMAL-exact mean — see fitIvf; makes the codebook
+              // VALUE partition-order-invariant (SQL-replayable)
+              v.map(x => graft.functions.VecSumDecAgg.mean6(x, cnt))
             case None => books(s)(ci)
           }
         }
@@ -567,14 +569,17 @@ object Similarity {
           col("e"), typedLit(centers), lit(1)), 1).as("cid"),
         col("e").cast("array<double>").as("ed"))
       val sums = assigned.groupBy("cid")
-        .agg(graft.functions.VecSumAgg.fn(col("ed")).as("s"), count(lit(1)).as("cnt"))
+        .agg(graft.functions.VecSumDecAgg.fn(col("ed")).as("s"), count(lit(1)).as("cnt"))
         .collect()
         .map(r => r.getAs[Int]("cid") ->
-          (r.getSeq[Double](1), r.getAs[Long]("cnt"))).toMap
+          (r.getSeq[Long](1), r.getAs[Long]("cnt"))).toMap
       centers = centers.indices.map { ci =>
         sums.get(ci) match {
           case Some((s, cnt)) =>
-            s.map(x => BigDecimal(x / cnt).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            // DECIMAL-exact mean (scaled-long sums + HALF_UP 6dp): the
+            // centroid VALUE is partition-order-invariant, which is what
+            // lets IvfOracleSql replay the Lloyd round in DuckDB
+            s.map(v => graft.functions.VecSumDecAgg.mean6(v, cnt))
           case None => centers(ci) // empty cell keeps its previous center
         }
       }

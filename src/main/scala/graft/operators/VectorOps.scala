@@ -123,7 +123,10 @@ object VectorOps {
     * as q_ann_join; recall property-tested vs the exact pairs (floor
     * 0.6) and MEASURED by graft.tools.AnnRecall: 0.898 at sf0.01,
     * 0.759 at sf0.1 (the nProbe=4-of-16 pruning ceiling — raise nProbe
-    * to buy recall, the published IVF trade). */
+    * to buy recall, the published IVF trade). HASH-MATCHED since r11:
+    * the decimal-exact Lloyd update ([[graft.functions.VecSumDecAgg]])
+    * makes the centroids partition-order-invariant by VALUE, so
+    * [[IvfOracleSql]] replays the whole fit-and-join in DuckDB. */
   private val qAnnIvf = Q(
     "q_ann_ivf",
     (s, dir) =>
@@ -131,7 +134,7 @@ object VectorOps {
           k = 5, nCentroids = 16, nProbe = 4, iterations = 1)
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank"),
-    None
+    Some(IvfOracleSql.ivfSql)
   )
 
   /** IVF-PQ (IVFADC) ANN JOIN — the composition a production-scale
@@ -146,10 +149,13 @@ object VectorOps {
     * approximation can only LOSE neighbors, never misscore one. Both
     * models (16 IVF centers + 8×16 PQ codebooks) fit on the same
     * deterministic 30% id-hash sample — the fit-on-sample split every
-    * graft fit documents for 100 TB. Approximate → no SQL oracle;
-    * pair recall vs the exact baseline, ADC-vs-exact shortlist
-    * consistency, and the codes-only index shape are property-tested
-    * (OperatorPropertiesSpec "ivf-pq"), and MEASURED by
+    * graft fit documents for 100 TB. HASH-MATCHED since r11
+    * (decimal-exact Lloyd → [[IvfOracleSql.ivfpqSql]] replays unit
+    * norms, both sample fits, residual encode, the per-(probe, cell)
+    * LUTs, the ordered adc fold + shortlist cut, and the exact
+    * re-rank); pair recall vs the exact baseline, ADC-vs-exact
+    * shortlist consistency, and the codes-only index shape stay
+    * property-tested (OperatorPropertiesSpec "ivf-pq"), and MEASURED by
     * graft.tools.AnnRecall: 0.864 at sf0.01, 0.696 at sf0.1 at the
     * r10-calibrated (nProbe=6, shortlist=8) — the original (4, 4) read
     * 0.729/0.504, under the 0.6 floor at sf0.1, because the 4-bit
@@ -182,7 +188,7 @@ object VectorOps {
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank")
     },
-    None
+    Some(IvfOracleSql.ivfpqSql)
   )
 
   /** Per-label embedding centroids via the element-wise vector-sum
@@ -292,9 +298,11 @@ object VectorOps {
     * IVF. Fit is model-bounded (hash-seeded + one Lloyd round per
     * subspace, the fitIvf recipe with L2 assignment); encode is pure
     * map-side math against the literal codebook. Output: exact integer
-    * code checksum + 6dp-floored reconstruction error. K-means model →
-    * no SQL oracle; argmin optimality, Lloyd non-increase, determinism
-    * property-tested. */
+    * code checksum + 6dp-floored reconstruction error. HASH-MATCHED
+    * since r11 (decimal-exact Lloyd → [[IvfOracleSql.pqSql]] replays
+    * the sample filter, hash-ordered seeds, per-subspace assignment,
+    * decimal means, and the ordered error fold); argmin optimality,
+    * Lloyd non-increase, determinism stay property-tested. */
   private val qEmbedPq = Q(
     "q_embed_pq",
     (s, dir) => {
@@ -312,7 +320,7 @@ object VectorOps {
           (floor(col("pq_sqerr") * 1000000) / 1000000.0).as("pq_sqerr"))
         .orderBy("vec_id")
     },
-    None
+    Some(IvfOracleSql.pqSql)
   )
 
   /** Int8 scalar quantization (graft.api.Similarity.quantize): per-vector

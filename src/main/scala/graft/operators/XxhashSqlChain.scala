@@ -137,4 +137,27 @@ private[operators] object XxhashSqlChain {
     val ctes = c.stages.map { case (n, b) => s"$n AS ($b)" }.mkString(",\n")
     (ctes, fin, c.stages.last._1)
   }
+
+  /** The <32-byte pipeline collapsed to its n = 8 case: Spark's
+    * `xxhash64(<bigint col>)` — XXH64(seed 42) of the long's 8 LE
+    * bytes (one word round + avalanche; the [[HllOracleSql]] register
+    * hash, factored here for the oracles that hash ID columns). Source
+    * CTE must be named `hvals` and carry a `w` column = the long as
+    * unsigned HUGEINT (`((CAST(id AS HUGEINT) % 2^64) + 2^64) % 2^64`).
+    * Returns (ctes, signedHashCol, lastStageName); the hash column is
+    * the SIGNED BIGINT Spark exposes (the orderBy/pmod input). */
+  def emitLongHash(finalCarry: String): (String, String, String) = {
+    val c = new Chain("hvals")
+    import c._
+    var h = stage(s"(42::HUGEINT + $P5 + 8::HUGEINT)%$M64")
+    h = addm(mul(rotl(xor(h, rnd0("w")), 27), P1), P4)
+    h = mul(xor(h, shr(h, 33)), P2)
+    h = mul(xor(h, shr(h, 29)), P3)
+    h = xor(h, shr(h, 32))
+    val fin = stage(
+      s"(CASE WHEN ($h) >= 9223372036854775808::HUGEINT THEN ($h) - $M64 ELSE ($h) END)::BIGINT",
+      carry = finalCarry)
+    val ctes = c.stages.map { case (n, b) => s"$n AS ($b)" }.mkString(",\n")
+    (ctes, fin, c.stages.last._1)
+  }
 }
