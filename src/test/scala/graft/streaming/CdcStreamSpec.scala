@@ -80,4 +80,95 @@ class CdcStreamSpec extends SparkTestBase {
     assert(streamed(1L) == Upsert(1L, 2.0, "upsert"))
     assert(streamed(2L) == Upsert(2L, 0.0, "delete"))
   }
+
+  test("bounded-state CDC: state trim + snapshot merge + snapshot-only restart keep batch-election parity") {
+    import org.apache.spark.sql.Dataset
+    val snapDir = java.nio.file.Files.createTempDirectory("cdc-snap-").toString
+    implicit val sqlCtx = spark.sqlContext
+    // capture every emission so a stale re-entry is OBSERVABLE (a key
+    // whose state was trimmed/lost re-enters empty and emits the loser)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, SnapRow)]()
+    def start(mem: MemoryStream[Change]) =
+      applyChangesStreamBounded(mem.toDS(), stateTtlMs = 50L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cdc-ckpt-").toString)
+        .foreachBatch { (df: Dataset[SnapRow], id: Long) =>
+          val rows = df.collect()
+          emitted.synchronized { emitted ++= rows.map(r => (id, r)) }
+          mergeSnapshot(spark, rows.toSeq.toDF(), snapDir)
+          ()
+        }
+        .start()
+
+    val phase1 = Seq(
+      Change(1L, 100L, 1L, "update", 10.0),
+      Change(2L, 100L, 1L, "update", 20.0),
+      Change(3L, 100L, 1L, "error", 0.0)) // tombstone winner for key 3
+    val mem1 = MemoryStream[Change]
+    val q1 = start(mem1)
+    try { mem1.addData(phase1); q1.processAllAvailable() } finally q1.stop()
+    // snapshot committed by phase 1; the raw view keeps the tombstone
+    assert(readSnapshotRaw(spark, snapDir).count() == 3)
+
+    // SNAPSHOT-ONLY RESTART: fresh source, fresh checkpoint, EMPTY state
+    // (≡ an all-keys trim) — the disaster-recovery mode the snapshot
+    // design exists for. MemoryStream cannot recover a checkpoint, so
+    // this is also the only restart MemoryStream can drive.
+    val mem2 = MemoryStream[Change]
+    val q2 = start(mem2)
+    try {
+      // FIRST batch after the restart: the watermark is still 0, so an
+      // OLD change for snapshot-held key 1 (seq 50 < the persisted
+      // winner's 100) passes the late filter and meets EMPTY state —
+      // the stale-loser window the snapshot merge exists to veto.
+      // (Once the watermark advances past a trimmed winner's seq, the
+      // late filter itself vetoes sub-watermark arrivals — trim + ttl
+      // + watermark conspire so a RUNNING query only leaks stale
+      // losers when watermarkDelay exceeds stateTtlMs.)
+      mem2.addData(Seq(
+        Change(1L, 50L, 1L, "update", 5.0),
+        Change(9L, 100L, 1L, "update", 90.0)))
+      q2.processAllAvailable() // watermark after this batch: 100
+      // seq 200 → watermark 200: the follow-up timeout batch trims
+      // key 1 (clamped deadline ∈ [100, 150]) and key 9 (deadline 150)
+      mem2.addData(Seq(Change(2L, 200L, 1L, "update", 25.0)))
+      q2.processAllAvailable()
+      // watermark 300 then trims key 2 (deadline 250); key 10 survives
+      mem2.addData(Seq(Change(10L, 300L, 1L, "update", 1.0)))
+      q2.processAllAvailable()
+      val p = q2.lastProgress
+      assert(p.stateOperators(0).numRowsTotal == 1,
+        s"expected keys 1, 9, 2 trimmed and key 10 resident, got ${p.stateOperators(0).numRowsTotal}")
+    } finally q2.stop()
+
+    // the stale re-entry happened: key 1's LAST emission (buffer order —
+    // q2 appends after q1) is the LOSER, which only the merge can veto
+    val late = emitted.synchronized {
+      emitted.toSeq.filter { case (_, r) => r.key == 1L }.last._2
+    }
+    assert(late == SnapRow(1L, 50L, 1L, "update", 5.0),
+      s"expected the state-less key to re-emit the stale loser, got $late")
+
+    // the SNAPSHOT still equals the batch election over every change
+    val all = phase1 ++ Seq(Change(9L, 100L, 1L, "update", 90.0),
+      Change(1L, 50L, 1L, "update", 5.0), Change(2L, 200L, 1L, "update", 25.0),
+      Change(10L, 300L, 1L, "update", 1.0))
+    val expected = batchElection(all)
+    val snap = readSnapshotRaw(spark, snapDir)
+      .select(col("key"), col("value"), col("op")).as[(Long, Double, String)]
+      .collect()
+      .map { case (k, v, op) =>
+        k -> Upsert(k, v, if (op == "error") "delete" else "upsert")
+      }.toMap
+    assert(snap == expected)
+    // the production view filters the tombstone
+    val live = readSnapshot(spark, snapDir, deleteOp = "error")
+      .as[(Long, Double)].collect().toMap
+    assert(live == Map(1L -> 10.0, 2L -> 25.0, 9L -> 90.0, 10L -> 1.0))
+    // and the version GC left at most the previous + current versions
+    val versions = new java.io.File(snapDir).listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+    assert(versions.length <= 2, s"stale snapshot versions not pruned: ${versions.toSeq}")
+  }
 }
