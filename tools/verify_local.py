@@ -3,12 +3,21 @@
 parquet dumps against DuckDB running SparkEntry.oracleSql on the same
 tables. Usage: verify_local.py <sfDir> <verifyOutDir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)."""
-import sys, os, json, glob
+import sys, os, json, glob, time, threading
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# scale-stress knobs (defaults replicate the driver gate exactly):
+#   GRAFT_VERIFY_TIMEOUT_S — interrupt a DuckDB oracle after N seconds
+#     (reported as TIMEOUT, counted as failed — the sf1.0 run uses this
+#     to bound the declared-quadratic exact baselines);
+#   GRAFT_VERIFY_SKIP — comma list of query names to skip entirely;
+#   GRAFT_VERIFY_TIMING=1 — print per-query oracle seconds.
+timeout_s = float(os.environ.get("GRAFT_VERIFY_TIMEOUT_S", "0") or 0)
+skip = set(x for x in os.environ.get("GRAFT_VERIFY_SKIP", "").split(",") if x)
+timing = os.environ.get("GRAFT_VERIFY_TIMING", "") == "1"
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(f)[:-8]
@@ -16,7 +25,12 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = ok = 0
+skipped = []
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        skipped.append(name)
+        print(f"SKIPPED {name} (GRAFT_VERIFY_SKIP)")
+        continue
     spark_dir = f"{out_dir}/{name}"
     files = glob.glob(f"{spark_dir}/*.parquet")
     if not files:
@@ -24,12 +38,26 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     sdf = pq.read_table(files[0]).to_pandas()
+    t0 = time.time()
+    timer = None
+    if timeout_s > 0:
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
     try:
         ddf = con.execute(sql).df()
     except Exception as e:
-        print(f"ORACLE ERROR {name}: {e}")
+        el = time.time() - t0
+        if timeout_s > 0 and el >= timeout_s - 0.5:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s")
+        else:
+            print(f"ORACLE ERROR {name}: {e}")
         fail += 1
         continue
+    finally:
+        if timer is not None:
+            timer.cancel()
+    if timing:
+        print(f"  [{name} oracle {time.time()-t0:.2f}s]")
     sdf = sdf[sorted(sdf.columns)]
     ddf = ddf[sorted(ddf.columns)]
     if list(sdf.columns) != list(ddf.columns):
