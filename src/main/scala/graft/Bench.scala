@@ -78,6 +78,10 @@ object Bench {
             -1.0
         }
       Hygiene.dropLeakedBlocks(spark)
+      // per-query progress on stderr: at new SFs a single wedged query is
+      // otherwise unattributable from outside the JVM (the JSON contract
+      // on stdout is unchanged)
+      System.err.println(f"[bench] $name ${secs}%.2f s")
       name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

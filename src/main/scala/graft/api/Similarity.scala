@@ -633,6 +633,30 @@ object Similarity {
     ivfJoinWith(corpus, idCol, embCol,
       fitIvf(corpus, idCol, embCol, nCentroids, iterations), k, nProbe)
 
+  /** Occupancy-derived IVF cell count: cells = clamp(⌈n / targetCell⌉,
+    * 16, 4096). A FIXED cell count is the IVF scale bug the r11 sf1.0
+    * stress run caught: cells must grow with the corpus or per-cell
+    * occupancy — and with it the candidate volume of every probe
+    * equi-join — grows linearly, sending the join quadratic exactly
+    * like an underivated LSH (the r8 flag annJoinAuto's `planesPerBand`
+    * fixed for the hyperplane family). */
+  def ivfCellsFor(n: Long, targetCell: Int = 128): Int =
+    math.min(4096, math.max(16, math.ceil(n.toDouble / targetCell).toInt))
+
+  /** OCCUPANCY-AWARE [[ivfJoin]]: derive the cell count from the corpus
+    * size ([[ivfCellsFor]] — one scalar count, the annJoinAuto
+    * derivation pattern) so per-cell occupancy stays ≈ targetCell at
+    * any scale. At the gate SFs (≤ 2000 vectors) the derivation lands
+    * exactly on the historical 16, so results are unchanged there;
+    * at sf1.0 (20k vectors) it fits 157 cells instead of letting
+    * 1250-vector cells send the probe join quadratic. */
+  def ivfJoinAuto(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int = 10, nProbe: Int = 4, targetCell: Int = 128,
+      iterations: Int = 1): DataFrame = {
+    val n = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0).count()
+    ivfJoin(corpus, idCol, embCol, k, ivfCellsFor(n, targetCell), nProbe, iterations)
+  }
+
   /** Fit PQ codebooks on RESIDUALS v − center(cell(v)) — the model
     * [[ivfPqJoin]]'s `residual = true` mode expects (Jégou TPAMI'11
     * §IV: the coarse quantizer absorbs the between-cell variance, PQ

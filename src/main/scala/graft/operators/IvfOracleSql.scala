@@ -76,13 +76,19 @@ object IvfOracleSql {
   private val (hashCtes, hashCol, hashLast) = XxhashSqlChain.emitLongHash("vec_id")
 
   /** One IVF Lloyd round over source CTE `$src` (columns vec_id, e,
-    * h — e any float/double 64-list): CTEs `${p}seeds … ${p}cfull`;
+    * h — e any float/double 64-list): CTEs `${p}drv … ${p}cfull`;
     * `${p}cfull` is the fitted (ci, c) center frame (empty cells keep
-    * their seed — `fitIvf`'s contract). */
-  private def ivfFitBlock(src: String, p: String): String =
-    s"""${p}seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS ci,
-            list_transform(e, x -> CAST(x AS DOUBLE)) AS c
-          FROM $src ORDER BY h, vec_id LIMIT 16),
+    * their seed — `fitIvf`'s contract). The cell count replays
+    * `Similarity.ivfCellsFor(count($countSrc), 128)` — the r11
+    * occupancy derivation (a fixed cell count sends the probe join
+    * quadratic at scale; ≡ the historical 16 at every gate SF). */
+  private def ivfFitBlock(src: String, countSrc: String, p: String): String =
+    s"""${p}drv AS (SELECT least(4096, greatest(16,
+            CAST(ceil(count(*) / 128.0) AS INT))) AS nc FROM $countSrc),
+${p}seeds AS MATERIALIZED (SELECT ci, c FROM (
+            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS ci,
+                   list_transform(e, x -> CAST(x AS DOUBLE)) AS c
+            FROM $src) sd CROSS JOIN ${p}drv d WHERE sd.ci < d.nc),
 ${p}a0 AS (SELECT b.vec_id, s.ci, ${score("b.e", "s.c")} AS score
        FROM $src b CROSS JOIN ${p}seeds s),
 ${p}asg AS MATERIALIZED (SELECT vec_id, ci FROM (
@@ -154,7 +160,7 @@ hvals AS (SELECT vec_id, ((CAST(vec_id AS HUGEINT) % $M64) + $M64) % $M64 AS w F
 $hashCtes,
 hh AS MATERIALIZED (SELECT vec_id, $hashCol AS h FROM $hashLast),
 base AS MATERIALIZED (SELECT b.vec_id, b.e, h.h FROM base0 b JOIN hh h USING (vec_id)),
-${ivfFitBlock("base", "f")},
+${ivfFitBlock("base", "base", "f")},
 sc1 AS (SELECT b.vec_id, f.ci, ${score("b.e", "f.c")} AS score
         FROM base b CROSS JOIN fcfull f),
 rnk AS MATERIALIZED (SELECT vec_id, ci,
@@ -222,7 +228,7 @@ $hashCtes,
 hh AS MATERIALIZED (SELECT vec_id, $hashCol AS h FROM $hashLast),
 units AS MATERIALIZED (SELECT u.vec_id, u.e, h.h FROM units0 u JOIN hh h USING (vec_id)),
 samp AS MATERIALIZED (SELECT vec_id, e, h FROM units WHERE ((h % 10) + 10) % 10 < 3),
-${ivfFitBlock("samp", "f")},
+${ivfFitBlock("samp", "units", "f")},
 rsc AS (SELECT b.vec_id, f.ci, ${score("b.e", "f.c")} AS score
         FROM samp b CROSS JOIN fcfull f),
 rasg AS (SELECT vec_id, ci FROM (

@@ -130,8 +130,8 @@ object VectorOps {
   private val qAnnIvf = Q(
     "q_ann_ivf",
     (s, dir) =>
-      Similarity.ivfJoin(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 4, iterations = 1)
+      Similarity.ivfJoinAuto(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, nProbe = 4, targetCell = 128, iterations = 1)
         .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy("vec_id", "rank"),
     Some(IvfOracleSql.ivfSql)
@@ -176,8 +176,11 @@ object VectorOps {
         .filter(col("nrm") > 0)
         .select(col("vec_id"), transform(col("ed"), x => x / col("nrm")).as("unit"))
       val fitSample = base.filter(pmod(xxhash64(col("vec_id")), lit(10)) < 3)
+      // occupancy-derived cell count from the INDEXED corpus size (the
+      // sf1.0 lesson: fixed cells -> linear occupancy -> quadratic probe
+      // join); == the historical 16 at every gate SF
       val centers = Similarity.fitIvf(fitSample, "vec_id", "unit",
-        nCentroids = 16, iterations = 1)
+        nCentroids = Similarity.ivfCellsFor(base.count(), 128), iterations = 1)
       // RESIDUAL codebooks (the full IVFADC): PQ quantizes v − center,
       // so the same 8×16 codebook covers a far tighter ball than raw
       // vectors — better ADC fidelity at identical index bytes
