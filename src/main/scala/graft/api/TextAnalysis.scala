@@ -156,6 +156,69 @@ object TextAnalysis {
       .withColumn("ttr", round(col("ttr"), 4))
       .drop("__toks", "__avg_len")
 
+  /** Readability scoring (Flesch 1948 / Kincaid et al. 1975) — the
+    * classic quality-filter features: syllables approximated as VOWEL
+    * GROUPS (maximal `[aeiouy]+` runs — the standard cheap heuristic;
+    * a zero-vowel token contributes 0), words as whitespace tokens,
+    * and — because this fixture's text carries no sentence punctuation —
+    * sentences by the documented convention ceil(words / `wordsPerSent`)
+    * (on punctuated corpora pass a real sentence count instead).
+    *   reading_ease = 206.835 − 1.015·(W/S) − 84.6·(Syll/W)
+    *   fk_grade     = 0.39·(W/S) + 11.8·(Syll/W) − 15.59
+    * Pure per-row arithmetic (one regexp pass), no shuffle. */
+  def readability(df: DataFrame, idCol: String, textCol: String,
+      wordsPerSent: Int = 15): DataFrame = {
+    require(wordsPerSent > 0, s"wordsPerSent must be positive, got $wordsPerSent")
+    df.filter(col(textCol).isNotNull)
+      .withColumn("n_words", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_syll",
+        size(regexp_extract_all(col(textCol), lit("[aeiouy]+"), lit(0))).cast("long"))
+      .withColumn("n_sent",
+        ceil(col("n_words").cast("double") / wordsPerSent).cast("long"))
+      .withColumn("reading_ease",
+        floor((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words"))) * 1e4
+          + 0.5) / 1e4)
+      .withColumn("fk_grade",
+        floor((lit(0.39) * (col("n_words").cast("double") / col("n_sent"))
+          + lit(11.8) * (col("n_syll").cast("double") / col("n_words"))
+          - lit(15.59)) * 1e4 + 0.5) / 1e4)
+      .select(col(idCol), col("n_words"), col("n_syll"), col("n_sent"),
+        col("reading_ease"), col("fk_grade"))
+  }
+
+  /** Visible-text extraction from HTML — the boilerplate-aware strip a
+    * crawl pipeline runs before any text analysis (the trafilatura /
+    * jusText shape, reduced to its deterministic regex core):
+    *   1. cut non-content BLOCKS (`<head>`, `<nav>`, `<footer>`,
+    *      `<script>`, `<style>` — chrome, not prose);
+    *   2. strip remaining tags to spaces;
+    *   3. collapse whitespace.
+    * Also extracts the `<title>` text and counts `href` links (the
+    * outlink census a crawler feeds back into its frontier). Returns
+    * (idCol, title, n_links, n_words_visible, text_ratio) where
+    * text_ratio = len(visible)/len(html) — the classic content-vs-chrome
+    * quality signal. Pure per-row regexp passes, no shuffle, no UDF. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noBlocks = regexp_replace(col(htmlCol),
+      lit("<(head|nav|footer|script|style)>.*?</(head|nav|footer|script|style)>"), lit(" "))
+    val visible = trim(regexp_replace(
+      regexp_replace(noBlocks, lit("<[^>]*>"), lit(" ")), lit(" +"), lit(" ")))
+    df.filter(col(htmlCol).isNotNull)
+      .withColumn("title", regexp_extract(col(htmlCol), "<title>([^<]*)</title>", 1))
+      .withColumn("n_links",
+        size(regexp_extract_all(col(htmlCol), lit("href=\"([^\"]*)\""), lit(1))).cast("long"))
+      .withColumn("visible", visible)
+      .withColumn("n_words_visible",
+        when(col("visible") === "", lit(0L))
+          .otherwise(size(split(col("visible"), " ")).cast("long")))
+      .withColumn("text_ratio",
+        round(length(col("visible")).cast("double") / length(col(htmlCol)), 4))
+      .select(col(idCol), col("title"), col("n_links"), col("n_words_visible"),
+        col("text_ratio"))
+  }
+
   /** Sequence PACKING: group whole documents into ≈`seqTok`-token
     * training bins, per stratum — the step that turns a cleaned corpus
     * into fixed-budget training sequences without splitting documents

@@ -77,6 +77,52 @@ object TextDedup {
   def fingerprint(textCol: Column): Column =
     md5(lower(regexp_replace(textCol, "\\s+", " ")))
 
+  /** URL canonicalization — the dedup key a web-crawl pipeline computes
+    * BEFORE content dedup (the same page is fetched as `HTTP://WWW.x/a/`,
+    * `http://x/a?utm_source=feed`, `http://x:80/a#frag`, ...). Rules
+    * (the common subset of the crawler folklore — RFC 3986 §6 syntax
+    * normalization + the utm-strip convention):
+    *   1. drop the fragment;
+    *   2. lowercase scheme and host;
+    *   3. strip a leading `www.` label;
+    *   4. strip the scheme's default port (http:80, https:443);
+    *   5. strip trailing slashes from the path (empty path → `/`);
+    *   6. drop `utm_*` tracking params, SORT the survivors (param order
+    *      never changes the resource).
+    * Pure per-row Column arithmetic — no shuffle, no UDF; the canonical
+    * string then feeds the standard groupBy census / exact-dedup
+    * machinery. The `?`-append-then-strip at the end keeps the computed
+    * param HOF referenced exactly once (repo invariant #5). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = split_part(url, lit("#"), lit(1))
+    val scheme = lower(split_part(noFrag, lit("://"), lit(1)))
+    val rest = split_part(noFrag, lit("://"), lit(2))
+    val hostport = split_part(rest, lit("/"), lit(1))
+    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val host = regexp_replace(lower(split_part(hostport, lit(":"), lit(1))),
+      lit("^www\\."), lit(""))
+    val port = split_part(hostport, lit(":"), lit(2))
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val path0 = regexp_replace(split_part(pathq, lit("?"), lit(1)), lit("/+$"), lit(""))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qs = array_join(
+      array_sort(filter(split(split_part(pathq, lit("?"), lit(2)), "&"),
+        p => p =!= "" && !startswith(p, lit("utm_")))), "&")
+    regexp_replace(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path, lit("?"), qs),
+      lit("\\?$"), lit(""))
+  }
+
+  /** Host (registrable domain string, port stripped) of a
+    * [[canonicalUrl]]-normalized URL — the grouping key for per-domain
+    * curation censuses. */
+  def urlHost(canon: Column): Column =
+    split_part(split_part(split_part(canon, lit("://"), lit(2)),
+      lit("/"), lit(1)), lit(":"), lit(1))
+
   /** Exact n-gram Jaccard near-dup pairs via a single-shuffle inverted
     * index. Returns (id_a, id_b, jaccard) for pairs ≥ threshold,
     * id_a < id_b. `maxShingleDf` drops shingles occurring in more than
@@ -848,6 +894,55 @@ object TextDedup {
       .select(col("id").as(idCol), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** C4-style BOILERPLATE strip (Raffel et al., JMLR 2020 §2.2 — the
+    * "three-sentence" rule): a span occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate (navigation chrome, license
+    * footers, cookie banners) and is removed from EVERY document —
+    * including its first occurrence, which is what distinguishes this
+    * from [[spanDedup]]'s keep-first election. Spanization is identical
+    * to spanDedup (non-overlapping `spanTokens`-token windows, final
+    * partial span included). Returns (idCol, n_spans, n_boiler,
+    * text_clean) — a fully-boilerplate doc keeps its row with empty
+    * text.
+    *
+    * Scale shape: the census is groupBy(span).agg(count_distinct(id)) —
+    * Catalyst expands exact count-distinct into a two-phase aggregate
+    * over (span, id) pairs, so a viral footer combines map-side instead
+    * of routing its full occurrence list through one reducer; the
+    * boilerplate frame is DISTINCT-SPAN-sized (further filtered to the
+    * ≥ minDocs tail, typically tiny), spans anti-join it, and one id
+    * shuffle rebuilds text. Spans key by STRING for cross-engine
+    * exactness; at 100 TB key by xxhash64(span) (8-byte shuffle keys)
+    * and swap the exact census for approx_count_distinct — the ≥ minDocs
+    * cut tolerates HLL error at any realistic threshold. */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10, minDocs: Int = 3): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
+    val w = spanTokens
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val spans = toks.select(col("id"),
+      posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(t) / ${w}.0) AS INT) - 1),
+            i -> array_join(slice(t, i * $w + 1, $w), ' '))""")).as(Seq("pos", "span")))
+    val boiler = spans.groupBy("span")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("span")
+    val kept = spans.join(boiler, Seq("span"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), " ").as("text_clean"))
+    val totals = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_boiler"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Exact-SUBSTRING dedup (Lee et al., ACL 2022 — ExactSubstr): remove

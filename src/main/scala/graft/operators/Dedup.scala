@@ -418,6 +418,162 @@ object Dedup {
             ORDER BY t.doc_id""")
   )
 
+  /** C4-style boilerplate strip: spans occurring in ≥ 3 DISTINCT docs
+    * (nav chrome, license footers) removed from EVERY doc — including
+    * the first occurrence, the difference from [[qDedupSpans]]'s
+    * keep-first election. Census is a partial-aggregatable exact
+    * count-distinct over (span, id); the boilerplate frame is the tiny
+    * ≥ minDocs tail of the distinct-span frame. */
+  private val qBoilerplateStrip = Q(
+    "q_boilerplate_strip",
+    (s, dir) =>
+      TextDedup.boilerplateStrip(Tables.documents(s, dir), "doc_id", "text",
+        spanTokens = 10, minDocs = 3)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE text IS NOT NULL),
+                 spans AS (SELECT doc_id,
+                             unnest(list_transform(
+                               generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+                               i -> struct_pack(pos := i,
+                                 span := array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))))
+                             AS s
+                           FROM toks),
+                 sp AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM spans),
+                 boiler AS (SELECT span FROM (
+                              SELECT span, count(DISTINCT doc_id) AS nd
+                              FROM sp GROUP BY span) WHERE nd >= 3),
+                 kept AS (SELECT doc_id, pos, span FROM sp
+                          WHERE span NOT IN (SELECT span FROM boiler)),
+                 reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                                string_agg(span, ' ' ORDER BY pos) AS text_clean
+                         FROM kept GROUP BY doc_id),
+                 tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+                         FROM sp GROUP BY doc_id)
+            SELECT t.doc_id, t.n_spans,
+                   t.n_spans - COALESCE(r.n_kept, 0) AS n_boiler,
+                   COALESCE(r.text_clean, '') AS text_clean
+            FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+            ORDER BY t.doc_id""")
+  )
+
+  /** URL canonicalization dedup census — the key a crawl pipeline
+    * computes BEFORE content dedup. Messy URL variants are constructed
+    * DETERMINISTICALLY from fixture rows (the multimodal-family
+    * convention: payloads derived from fixture values, never RNG):
+    * scheme/host case, `www.`, default vs explicit ports, trailing
+    * slash, `utm_*` params, param order, fragments. The kernel
+    * ([[graft.api.TextDedup.canonicalUrl]]) is pure per-row Column
+    * arithmetic — no shuffle; the census is one groupBy on the
+    * canonical string. */
+  /** Deterministic messy-URL fixture shared by the URL-keyed queries
+    * (the multimodal-family convention: synthetic payloads derived from
+    * fixture values, never RNG): scheme/host case, `www.`, default vs
+    * explicit ports, trailing slash, `utm_*` params, param order,
+    * fragments — every variant [[graft.api.TextDedup.canonicalUrl]]
+    * normalizes. */
+  private def messyUrls(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      expr("""concat(
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END, '://',
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END, source, '.Example.COM',
+          CASE WHEN doc_id % 10 = 7 THEN ':8080'
+               WHEN doc_id % 10 = 0 THEN ':80' ELSE '' END,
+          '/docs/', cast(doc_id % 3 AS STRING),
+          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+          CASE WHEN doc_id % 3 = 1
+            THEN concat('?z=1&ref=', cast(doc_id % 2 AS STRING), '&utm_source=feed')
+            ELSE concat('?ref=', cast(doc_id % 2 AS STRING), '&z=1') END,
+          CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END)""").as("url"))
+
+  private val qUrlCanon = Q(
+    "q_url_canon",
+    (s, dir) => {
+      messyUrls(s, dir)
+        .select(col("doc_id"), col("url"),
+          TextDedup.canonicalUrl(col("url")).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_raw"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("canon_url")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+              (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+              (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.COM' ||
+              (CASE WHEN doc_id % 10 = 7 THEN ':8080'
+                    WHEN doc_id % 10 = 0 THEN ':80' ELSE '' END) ||
+              '/docs/' || CAST(doc_id % 3 AS VARCHAR) ||
+              (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+              (CASE WHEN doc_id % 3 = 1
+                THEN '?z=1&ref=' || CAST(doc_id % 2 AS VARCHAR) || '&utm_source=feed'
+                ELSE '?ref=' || CAST(doc_id % 2 AS VARCHAR) || '&z=1' END) ||
+              (CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END) AS url
+            FROM documents),
+           p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nf FROM u),
+           p2 AS (SELECT doc_id, url,
+                    lower(split_part(nf, '://', 1)) AS scheme,
+                    split_part(nf, '://', 2) AS rest FROM p1),
+           p3 AS (SELECT *, split_part(rest, '/', 1) AS hostport FROM p2),
+           p4 AS (SELECT doc_id, url, scheme,
+                    regexp_replace(lower(split_part(hostport, ':', 1)), '^www\.', '') AS host,
+                    split_part(hostport, ':', 2) AS port,
+                    substr(rest, length(hostport) + 1) AS pathq FROM p3),
+           p5 AS (SELECT doc_id, url, scheme, host, port,
+                    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path0,
+                    split_part(pathq, '?', 2) AS q FROM p4),
+           p6 AS (SELECT doc_id, url, scheme, host, port,
+                    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                    array_to_string(list_sort(list_filter(string_split(q, '&'),
+                      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS qs FROM p5),
+           c AS (SELECT doc_id, url,
+                   regexp_replace(scheme || '://' || host ||
+                     (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                           OR (scheme = 'https' AND port = '443'))
+                       THEN ':' || port ELSE '' END) || path || '?' || qs, '\?$', '') AS canon_url
+                 FROM p6)
+        SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+               min(doc_id) AS first_doc
+        FROM c GROUP BY canon_url ORDER BY canon_url""")
+  )
+
+  /** Per-domain curation census — the input to the domain-level
+    * quality/blocklist decisions a crawl pipeline makes (RefinedWeb §3
+    * shape): canonical host via the URL kernel, then per domain the doc
+    * count, UNIQUE-content count (md5 fingerprint — n_docs − n_unique
+    * is the domain's exact-dup burden), word sum, and mean words. The
+    * oracle derives the host directly from the construction (source →
+    * `source.example.com`) — the semantic spec, not the plan — while
+    * the Spark side exercises the full messy-URL → canonicalize →
+    * host-extract kernel. */
+  private val qDomainStats = Q(
+    "q_domain_stats",
+    (s, dir) =>
+      messyUrls(s, dir)
+        .select(
+          TextDedup.urlHost(TextDedup.canonicalUrl(col("url"))).as("host"),
+          TextDedup.fingerprint(col("text")).as("fp"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("w")).as("words"))
+        .select(col("host"), col("n_docs"), col("n_unique"), col("words"),
+          (floor((col("words").cast("double") / col("n_docs")) * 1e4 + 0.5) / 1e4)
+            .as("mean_words"))
+        .orderBy("host"),
+    Some("""WITH d AS (SELECT source || '.example.com' AS host,
+              md5(lower(regexp_replace(text, '\s+', ' '))) AS fp,
+              len(string_split(text, ' ')) AS w
+            FROM documents)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+               CAST(sum(w) AS BIGINT) AS words,
+               floor((CAST(sum(w) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS mean_words
+        FROM d GROUP BY host ORDER BY host""")
+  )
+
   /** Exact-SUBSTRING dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL 2022 — ExactSubstr): remove
     * every duplicated token run of length ≥ L at ARBITRARY alignment,
@@ -1187,7 +1343,7 @@ object Dedup {
   val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
-    qKmvOverlap, qDedupSpans, qDedupSubstrings, qContamination, qPagerank,
+    qKmvOverlap, qDedupSpans, qBoilerplateStrip, qUrlCanon, qDomainStats, qDedupSubstrings, qContamination, qPagerank,
     qLabelProp, qBfsHops, qModularity, qTriangles, qCorpusDiff, qFuzzyJoin,
     qDegrees, qAdamicAdar, qDedupCurve, qDedupSources)
 }

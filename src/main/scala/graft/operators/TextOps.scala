@@ -2137,6 +2137,122 @@ object TextOps {
             ORDER BY rank_n DESC, token LIMIT 25""")
   )
 
+  /** Readability scoring (Flesch ease + FK grade) — syllables as vowel
+    * groups, sentences by the documented ceil(words/15) convention on
+    * this unpunctuated fixture. Pure per-row arithmetic; the oracle
+    * replays the exact left-associated double expression, and the 4dp
+    * cut is floor(x·1e4 + 0.5)/1e4 on BOTH sides — engine round() on
+    * doubles diverges at representation ties (Spark rounds the decimal
+    * string "4.42625" up, DuckDB rounds the binary 4.42624999… down;
+    * hit at sf0.01 doc 0). */
+  private val qReadability = Q(
+    "q_readability",
+    (s, dir) =>
+      graft.api.TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH m AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll
+            FROM documents WHERE text IS NOT NULL),
+           s AS (SELECT doc_id, n_words, n_syll,
+                   CAST(ceil(n_words / 15.0) AS BIGINT) AS n_sent FROM m)
+        SELECT doc_id, n_words, n_syll, n_sent,
+          floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                         - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 1e4 + 0.5) / 1e4
+            AS reading_ease,
+          floor((0.39 * (CAST(n_words AS DOUBLE) / n_sent)
+                 + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59) * 1e4 + 0.5) / 1e4
+            AS fk_grade
+        FROM s ORDER BY doc_id""")
+  )
+
+  /** Visible-text extraction from HTML — the crawl-pipeline strip step.
+    * HTML is constructed DETERMINISTICALLY from fixture rows (the
+    * multimodal-family convention): head/title/style, nav + footer
+    * chrome, and body text with inline <b>/<a> markup around two vocab
+    * words. The kernel ([[graft.api.TextAnalysis.htmlExtract]]) cuts
+    * chrome blocks, strips tags, collapses whitespace, extracts the
+    * title, and counts outlinks. */
+  private val qHtmlExtract = Q(
+    "q_html_extract",
+    (s, dir) => {
+      val marked = regexp_replace(
+        regexp_replace(col("text"), lit("\\bspark\\b"), lit("<b>spark</b>")),
+        lit("\\bdata\\b"), lit("""<a href="/t/data">data</a>"""))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" - "), col("source"),
+        lit("</title><style>body{margin:0}</style></head><body>"),
+        lit("""<nav><a href="/">home</a> <a href="/about">about</a></nav><h1>"""),
+        col("lang"), lit("</h1><p>"), marked,
+        lit("</p><footer>(c) "), col("source"), lit("</footer></body></html>"))
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), html.as("html"))
+      graft.api.TextAnalysis.htmlExtract(docs, "doc_id", "html").orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+              '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source ||
+              '</title><style>body{margin:0}</style></head><body>' ||
+              '<nav><a href="/">home</a> <a href="/about">about</a></nav><h1>' ||
+              lang || '</h1><p>' ||
+              regexp_replace(regexp_replace(text,
+                '\bspark\b', '<b>spark</b>', 'g'),
+                '\bdata\b', '<a href="/t/data">data</a>', 'g') ||
+              '</p><footer>(c) ' || source || '</footer></body></html>' AS html
+            FROM documents WHERE text IS NOT NULL),
+           v AS (SELECT doc_id, html,
+                   trim(regexp_replace(regexp_replace(
+                     regexp_replace(html,
+                       '<(head|nav|footer|script|style)>.*?</(head|nav|footer|script|style)>',
+                       ' ', 'g'),
+                     '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS visible
+                 FROM h)
+        SELECT doc_id,
+          regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+          CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT) AS n_links,
+          CAST(CASE WHEN visible = '' THEN 0
+                    ELSE len(string_split(visible, ' ')) END AS BIGINT) AS n_words_visible,
+          round(CAST(length(visible) AS DOUBLE) / length(html), 4) AS text_ratio
+        FROM v ORDER BY doc_id""")
+  )
+
+  /** Tokenizer fertility per language — the diagnostic a tokenizer team
+    * reads before committing a vocab (Rust et al., ACL'21: fertility =
+    * subword tokens per word; high-fertility languages pay more compute
+    * per byte of content): per lang, total whitespace words vs
+    * regex-lexer tokens (the same BPE-ish lexer as `q_token_count`) and
+    * chars-per-token. Long sums are exact across engines; the two
+    * derived ratios are single divisions of exact longs, 4dp-cut with
+    * the floor convention. */
+  private val qTokFertility = Q(
+    "q_tok_fertility",
+    (s, dir) =>
+      graft.api.TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("words"),
+          sum(col("re_tokens")).as("tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("words"), col("tokens"), col("n_chars"),
+          (floor((col("tokens").cast("double") / col("words")) * 1e4 + 0.5) / 1e4)
+            .as("fertility"),
+          (floor((col("n_chars").cast("double") / col("tokens")) * 1e4 + 0.5) / 1e4)
+            .as("chars_per_token"))
+        .orderBy("lang"),
+    Some("""WITH t AS (SELECT lang,
+              len(string_split(text, ' ')) AS ws,
+              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re,
+              length(text) AS nc
+            FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS words,
+               CAST(sum(re) AS BIGINT) AS tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               floor((CAST(sum(re) AS DOUBLE) / sum(ws)) * 1e4 + 0.5) / 1e4 AS fertility,
+               floor((CAST(sum(nc) AS DOUBLE) / sum(re)) * 1e4 + 0.5) / 1e4 AS chars_per_token
+        FROM t GROUP BY lang ORDER BY lang""")
+  )
+
   val all: Seq[Q] = Seq(qTextStats, qLangId, qLangIdNgram, qQualityScore, qTokenCount, qZipfFit,
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
     qCoverage, qBurstiness, qIqrOutliers,
@@ -2149,5 +2265,5 @@ object TextOps {
     qHistogram, qBinQuantile, qWinsorize, qMadOutliers,
     qUnicodeProfile, qLexiconHits, qTextrank, qNovelty,
     qLangidConfusion, qCurriculum, qGopherAblation, qPiiCensus,
-    qDistinctiveTerms)
+    qDistinctiveTerms, qReadability, qHtmlExtract, qTokFertility)
 }
