@@ -116,6 +116,78 @@ object Drift {
         max("na").as("n_a"), max("nb").as("n_b"))
   }
 
+  /** 1-D earth-mover's distance (Wasserstein-1) between the `labelA`
+    * and `labelB` value distributions — the MAGNITUDE companion to
+    * [[ks]]'s max-gap test: KS says the distributions differ, W₁ says
+    * by HOW MUCH in value units (the cost of moving one empirical
+    * distribution onto the other). Closed form in 1-D:
+    * `W₁ = ∫ |F_A(x) − F_B(x)| dx = Σᵢ |F_A(xᵢ) − F_B(xᵢ)| · (xᵢ₊₁ − xᵢ)`
+    * over the sorted distinct values. Returns one row
+    * `(emd floor-4dp, n_a, n_b)`.
+    *
+    * The prefix scan rides the [[ks]] machinery verbatim (distinct-value
+    * frame, approx-percentile bucket cuts — partition-only, they cannot
+    * move the integral — per-bucket windows, bucket-totals offset
+    * broadcast); the one extension is the NEXT-VALUE gap: within-bucket
+    * `lead(x)`, stitched across bucket boundaries with each bucket's
+    * min(x) carried in the same broadcast (bt is bucket-count-sized and
+    * sorted, so the first entry above the current bucket IS the next
+    * gap endpoint; the global max value contributes no term — both
+    * ECDFs are 1 there). The many-term double sum accumulates in
+    * DECIMAL(30,10) (invariant 1: float agg order + engine round
+    * divergence), floored to 4dp. */
+  def emd(df: DataFrame, valueCol: String, labelCol: String,
+      labelA: String, labelB: String, buckets: Int = 0): DataFrame = {
+    require(buckets == 0 || buckets >= 2,
+      s"buckets must be ≥2 (or 0 = occupancy-derived), got $buckets")
+    val counts = df
+      .filter(col(labelCol).isin(labelA, labelB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("x"))
+      .agg(
+        sum(when(col(labelCol) === labelA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(labelCol) === labelB, 1L).otherwise(0L)).as("cb"))
+      .transform(Ckpt.apply)
+    val b = if (buckets > 0) buckets else scanBuckets(counts.count())
+    val fracs = (1 until b).map(i => i.toDouble / b)
+    val cuts = counts.agg(
+      expr(s"approx_percentile(x, array(${fracs.mkString(", ")}), 1000)").as("cuts"))
+    val bucketed = counts.crossJoin(broadcast(cuts))
+      .select(col("x"), col("ca"), col("cb"),
+        (expr("aggregate(cuts, 0, (a, c) -> a + CASE WHEN x > c THEN 1 ELSE 0 END)")
+          + 1).cast("long").as("bucket"))
+      .transform(Ckpt.apply)
+    val w = Window.partitionBy("bucket").orderBy("x")
+    val within = bucketed.select(col("bucket"), col("x"),
+      sum("ca").over(w).as("wa"), sum("cb").over(w).as("wb"),
+      lead("x", 1).over(w).as("nx_in"))
+    val bt = bucketed.groupBy("bucket")
+      .agg(sum("ca").as("sa"), sum("cb").as("sb"), min("x").as("mnx"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("sa"), col("sb"),
+        col("mnx")))).as("bt"))
+    within.crossJoin(broadcast(bt))
+      .select(col("x"),
+        (col("wa") + expr(
+          "aggregate(filter(bt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.sa)"))
+          .as("cum_a"),
+        (col("wb") + expr(
+          "aggregate(filter(bt, e -> e.bucket < bucket), 0L, (a, e) -> a + e.sb)"))
+          .as("cum_b"),
+        // bt is sorted by bucket: the first entry past this bucket holds
+        // the next value across the boundary; null at the global max
+        coalesce(col("nx_in"),
+          expr("try_element_at(filter(bt, e -> e.bucket > bucket), 1).mnx")).as("nx"),
+        expr("aggregate(bt, 0L, (a, e) -> a + e.sa)").as("na"),
+        expr("aggregate(bt, 0L, (a, e) -> a + e.sb)").as("nb"))
+      .filter(col("nx").isNotNull)
+      .select(
+        (abs(col("cum_a") / col("na") - col("cum_b") / col("nb"))
+          * (col("nx") - col("x"))).cast("decimal(30,10)").as("term"),
+        col("na"), col("nb"))
+      .agg(
+        (floor(sum(col("term")).cast("double") * 1e4) / 1e4).as("emd"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test between the
     * `labelA` and `labelB` value distributions — the NONPARAMETRIC
     * location-shift companion to [[ks]]'s shape test: KS asks "are the

@@ -657,6 +657,54 @@ object Similarity {
     ivfJoin(corpus, idCol, embCol, k, ivfCellsFor(n, targetCell), nProbe, iterations)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * k-means cluster the embedding space, then inside each cluster mark
+    * as SEMANTIC DUPLICATES the vectors whose cosine to a cluster-mate
+    * exceeds `simThreshold`. The paper keeps a random member per
+    * duplicate neighborhood; this engine's deterministic variant keeps
+    * the SMALLEST id — a vector is a duplicate iff some smaller-id
+    * cluster-mate sits above the threshold, so the minimum id of every
+    * neighborhood provably survives and the output is a pure function
+    * of the data (the keep-min election every graft dedup uses).
+    *
+    * Returns one row per vector: (id, cell, keep 1/0, dup_sim = the
+    * strongest smaller-id in-cell similarity, null for keepers).
+    *
+    * Scale shape: the clustering IS the blocking — candidate pairs are
+    * the within-cell self equi-join, cost Σ|cell|², and the cell count
+    * is occupancy-derived ([[ivfCellsFor]] — ⌈n/targetCell⌉ keeps
+    * per-cell occupancy ≈ targetCell at any corpus size, the r11 sf1.0
+    * lesson), so candidate volume stays ≈ n · targetCell. The fit is
+    * [[fitIvf]] (model-sized collect, documented exemption); the count
+    * here is the same ONE-scalar occupancy derivation as
+    * [[annJoinAuto]]/[[ivfJoinAuto]]. At 100 TB fit on a deterministic
+    * sample and raise `targetCell` to taste — recall of the blocking is
+    * the standard IVF trade the recall properties measure. */
+  def semDedup(corpus: DataFrame, idCol: String, embCol: String,
+      simThreshold: Double = 0.4, targetCell: Int = 128,
+      iterations: Int = 1): DataFrame = {
+    reg(corpus)
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+    val n = em.count()
+    val centers = fitIvf(corpus, idCol, embCol, ivfCellsFor(n, targetCell), iterations)
+    val asg = em.select(col("id"), col("e"),
+      element_at(call_function("graft_nearest_centroids",
+        col("e"), typedLit(centers), lit(1)), 1).as("cell"))
+    val pairs = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"), cosine(col("a.e"), col("b.e")).as("sim"))
+      .filter(col("sim") >= simThreshold)
+    // round commutes with max (monotone), so the 4dp cut happens once,
+    // after the aggregate — identical to the oracle's round(max(sim))
+    val dup = pairs.groupBy("id").agg(round(max(col("sim")), 4).as("dup_sim"))
+    asg.join(dup, Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        when(col("dup_sim").isNull, 1L).otherwise(0L).as("keep"),
+        col("dup_sim"))
+  }
+
   /** Fit PQ codebooks on RESIDUALS v − center(cell(v)) — the model
     * [[ivfPqJoin]]'s `residual = true` mode expects (Jégou TPAMI'11
     * §IV: the coarse quantizer absorbs the between-cell variance, PQ

@@ -722,6 +722,59 @@ object TimeSeries {
         .otherwise(lit(0.0)).as("acf"))
   }
 
+  /** Lead-lag CROSS-correlation between two keys' resampled series —
+    * "do purchases follow clicks, and by how many hours?" (the
+    * observability/attribution staple; the argmax lag is the lead
+    * time). Pearson r of series A at bucket t against series B at
+    * t + lag, for lag ∈ [−maxLag, maxLag] (negative = B leads A;
+    * lag 0 = contemporaneous). Pairs exist where BOTH buckets exist —
+    * the [[autocorr]] alignment join, B as the build side.
+    *
+    * Exactness is the [[autocorr]] pipeline verbatim: DECIMAL(30,10)
+    * bucket sums quantized to ints (`floor(sum·1e4)`), five
+    * DECIMAL(38,0) moment sums — every number exact until the single
+    * final double expression, floor-truncated 4dp. Degenerate overlaps
+    * (constant series) score 0. Scale: one map-side-combined shuffle to
+    * the bucket frame, then a bucket equi-join whose build side is one
+    * key's series. */
+  def crossCorr(df: DataFrame, keyCol: String, tsMsCol: String,
+      valueCol: String, keyA: String, keyB: String,
+      widthMs: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be ≥1, got $maxLag")
+    val series = df
+      .filter(col(valueCol).isNotNull &&
+        (col(keyCol) === keyA || col(keyCol) === keyB))
+      .groupBy(col(keyCol).as("g"),
+        expr(floorDivSql(tsMsCol, widthMs)).as("bucket"))
+      .agg(sum(col(valueCol).cast("decimal(30,10)")).as("sd"))
+      .select(col("g"), col("bucket"),
+        floor(col("sd").cast("double") * 10000).cast("decimal(38,0)").as("x"))
+      .transform(Ckpt.apply) // two consumers: the A probe and B build side
+    val probes = series.filter(col("g") === keyA)
+      .select(col("x"),
+        explode(array((-maxLag to maxLag).map(lit): _*)).as("lag"),
+        col("bucket"))
+      .withColumn("probe_bucket", col("bucket") + col("lag"))
+    val build = series.filter(col("g") === keyB)
+      .select(col("bucket").as("bucket2"), col("x").as("y"))
+    val pairs = probes.join(build, col("probe_bucket") === col("bucket2"))
+    val moments = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n_pairs").cast("decimal(38,0)")
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    moments.select(col("lag").cast("bigint").as("lag"),
+      col("n_pairs"),
+      when(dx > 0 && dy > 0,
+        floor(num / sqrt(dx * dy) * 10000) / 10000)
+        .otherwise(lit(0.0)).as("xcf"))
+  }
+
   /** Per-key OLS trend fit of the resampled value-sum series against its
     * bucket index — "is traffic growing, and how fast?" (slope per
     * bucket), plus fit quality (r²). The regressor is the bucket index

@@ -39,6 +39,39 @@ object Governance {
             FROM cum, t""")
   )
 
+  /** 1-D earth-mover's distance (Wasserstein-1) between the click and
+    * purchase value distributions — KS's magnitude companion: how much
+    * probability mass must move, in value units. The Spark side rides
+    * the bucketed ECDF scan (no global window) with the next-value gap
+    * stitched across bucket boundaries via the bucket-minima broadcast;
+    * the oracle states the same integral with one global window. The
+    * many-term double sum accumulates in DECIMAL(30,10), floored 4dp
+    * (invariant 1). */
+  private val qDriftEmd = Q(
+    "q_drift_emd",
+    (s, dir) =>
+      Drift.emd(Tables.events(s, dir), "value", "event_type",
+        labelA = "click", labelB = "purchase"),
+    Some("""WITH c AS (SELECT value AS x,
+                         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+                       FROM events WHERE event_type IN ('click', 'purchase')
+                       GROUP BY value),
+                 cum AS (SELECT x,
+                           sum(ca) OVER (ORDER BY x) AS cum_a,
+                           sum(cb) OVER (ORDER BY x) AS cum_b,
+                           lead(x) OVER (ORDER BY x) AS nx FROM c),
+                 t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+                 tm AS (SELECT CAST(abs(cum_a * 1.0 / t.na - cum_b * 1.0 / t.nb)
+                                    * (nx - x) AS DECIMAL(30,10)) AS term,
+                               t.na, t.nb
+                        FROM cum, t WHERE nx IS NOT NULL)
+            SELECT floor(CAST(sum(term) AS DOUBLE) * 1e4) / 1e4 AS emd,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b
+            FROM tm""")
+  )
+
   /** PSI of every event_type's value distribution against the 'view'
     * reference slice, over 10 exact reference-decile bins with α = 0.5
     * smoothing (formula mirrored verbatim in the oracle; cut parity
@@ -645,7 +678,7 @@ object Governance {
             FROM m""")
   )
 
-  val all: Seq[Q] = Seq(qDriftKs, qDriftPsi, qDriftChi2, qCdcApply,
+  val all: Seq[Q] = Seq(qDriftKs, qDriftEmd, qDriftPsi, qDriftChi2, qCdcApply,
     qScd2, qKAnonymity, qLDiversity, qTCloseness, qDpCounts, qMutualInfo,
     qBenford, qGini, qUserGini, qDriftMw, qLorenz, qDriftJs)
 }

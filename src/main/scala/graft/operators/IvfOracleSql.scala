@@ -179,6 +179,38 @@ rk AS (SELECT pid, id, sim,
 SELECT pid AS vec_id, id AS neighbor_id, sim, rank::BIGINT AS rank
 FROM rk WHERE rank <= 5 ORDER BY vec_id, rank"""
 
+  /** q_embed_semdedup: semDedup(threshold=0.4, targetCell=128, one
+    * Lloyd round) — the SemDeDup replay: same fit as [[ivfSql]]
+    * (occupancy-derived cell count, decimal-exact Lloyd), top-1
+    * assignment against the fitted centers, within-cell smaller-id
+    * pair cosines, keep-min election (round AFTER max — round is
+    * monotone, so the 4dp cut commutes with the aggregate exactly as
+    * the Spark side computes it). */
+  lazy val semdedupSql: String =
+    s"""WITH
+base0 AS (SELECT vec_id, embedding AS e FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+hvals AS (SELECT vec_id, ((CAST(vec_id AS HUGEINT) % $M64) + $M64) % $M64 AS w FROM base0),
+$hashCtes,
+hh AS MATERIALIZED (SELECT vec_id, $hashCol AS h FROM $hashLast),
+base AS MATERIALIZED (SELECT b.vec_id, b.e, h.h FROM base0 b JOIN hh h USING (vec_id)),
+${ivfFitBlock("base", "base", "f")},
+sc1 AS (SELECT b.vec_id, f.ci, ${score("b.e", "f.c")} AS score
+        FROM base b CROSS JOIN fcfull f),
+sasg AS MATERIALIZED (SELECT vec_id, ci AS cell FROM (
+         SELECT vec_id, ci,
+                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, ci) AS rn
+         FROM sc1) WHERE rn = 1),
+av AS MATERIALIZED (SELECT b.vec_id, b.e, a.cell FROM base b JOIN sasg a USING (vec_id)),
+pr AS (SELECT b.vec_id AS id, ${cos("a.e", "b.e")} AS sim
+       FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+dup AS (SELECT id, round(max(sim), 4) AS dup_sim FROM pr WHERE sim >= 0.4 GROUP BY id)
+SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.dup_sim IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       d.dup_sim
+FROM av v LEFT JOIN dup d ON d.id = v.vec_id
+ORDER BY v.vec_id"""
+
   /** q_embed_pq: pqFit(30% id-hash sample, m=8, k=16, dim=64, one
     * Lloyd round) + pqEncode(full corpus) → per-vector code checksum +
     * 6dp-floored reconstruction error. The per-vector error is an

@@ -294,6 +294,25 @@ object VectorOps {
     Some(AnnOracleSql.clustersSql)
   )
 
+  /** SemDeDup (graft.api.Similarity.semDedup — Abbas et al. 2023,
+    * arXiv:2303.09540): k-means clusters ARE the dedup blocking — within
+    * each fitted cell, vectors whose cosine to a smaller-id cluster-mate
+    * exceeds 0.4 are semantic duplicates; the smallest id of every
+    * neighborhood survives (the deterministic keep-min variant of the
+    * paper's random keeper). One row per vector: cell, keep flag, and
+    * the strongest duplicating similarity. Fit + cell count replay the
+    * q_ann_ivf machinery (decimal-exact Lloyd, occupancy-derived cells);
+    * candidate volume is Σ|cell|² ≈ n·targetCell, never n². */
+  private val qEmbedSemdedup = Q(
+    "q_embed_semdedup",
+    (s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          simThreshold = 0.4, targetCell = 128, iterations = 1)
+        .select(col("id").as("vec_id"), col("cell"), col("keep"), col("dup_sim"))
+        .orderBy("vec_id"),
+    Some(IvfOracleSql.semdedupSql)
+  )
+
   /** PRODUCT quantization (graft.api.Similarity.pqFit/pqEncode — Jégou
     * et al., TPAMI 2011): 8 subspaces × 16 L2 codewords over the 64-dim
     * embeddings → 8 nibbles per vector (8× smaller than int8 scalar
@@ -522,6 +541,6 @@ object VectorOps {
 
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
-    qEmbedQuantize, qEmbedPq, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn,
+    qEmbedQuantize, qEmbedPq, qEmbedSemdedup, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn,
     qEmbedNorms)
 }

@@ -646,6 +646,48 @@ object Windows {
             ORDER BY g NULLS FIRST, lag NULLS FIRST""")
   )
 
+  /** Lead-lag cross-correlation of the hourly click-value series
+    * against the purchase-value series, lags −3..3 — "do purchases
+    * follow clicks, and by how many hours?" The integer-moment
+    * Pearson pipeline of [[qAutocorr]] verbatim (quantized bucket
+    * sums, DECIMAL(38,0) moments, one final double expression). */
+  private val qXcorr = Q(
+    "q_xcorr",
+    (s, dir) =>
+      graft.api.TimeSeries.crossCorr(Tables.events(s, dir),
+          keyCol = "event_type", tsMsCol = "ts_ms", valueCol = "value",
+          keyA = "click", keyB = "purchase", widthMs = 3600000L, maxLag = 3)
+        .select(col("lag"), col("n_pairs"), col("xcf"))
+        .orderBy("lag"),
+    Some("""WITH series AS (
+              SELECT event_type AS g,
+                     (epoch_ms(ts) // 3600000
+                      - CASE WHEN epoch_ms(ts) % 3600000 < 0 THEN 1 ELSE 0 END) AS bucket,
+                     CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) * 10000) AS HUGEINT) AS x
+              FROM events
+              WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+              GROUP BY 1, 2),
+            lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+            pairs AS (SELECT l.lag, s1.x AS x, s2.x AS y
+                      FROM series s1
+                      CROSS JOIN lags l
+                      JOIN series s2
+                        ON s2.g = 'purchase' AND s1.bucket + l.lag = s2.bucket
+                      WHERE s1.g = 'click'),
+            m AS (SELECT lag, count(*) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM pairs GROUP BY 1)
+            SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE)) * 10000) / 10000
+                        ELSE 0.0 END AS xcf
+            FROM m
+            ORDER BY lag""")
+  )
+
   /** Last-touch attribution: each purchase attributed to the same
     * user's most recent prior click within a 7-day lookback (the
     * marketing-analytics staple; NULL when no qualifying click). One
@@ -1545,7 +1587,7 @@ object Windows {
     qWindowRangeFrame, qWindowTumbling, qWindowSliding, qSessionWindow,
     qIntervalCount, qIntervalAgg, qWindowFirstLast, qResample, qResampleAgg,
     qRetention, qFunnel, qAnomaly, qEwma, qSessionStats, qSessionPaths,
-    qAutocorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
+    qAutocorr, qXcorr, qAttribution, qRollingMedian, qTransitions, qLinearFit,
     qSeasonalNaive, qHourlyProfile, qChurn, qConversionLag, qChangepoint,
     qAssocRules, qAbTest, qSurvival, qBootstrapCi, qCohortMatrix,
     qRfm, qWilsonRank, qHolt, qSax, qSeasonalDecompose, qSessionEntropy)

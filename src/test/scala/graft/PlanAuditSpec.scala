@@ -154,6 +154,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_drift_ks" -> "1-row bucket-prefix-totals broadcast (buckets-sized, corpus-size-independent)",
       "q_pack_split" -> "1-row bucket-prefix-totals broadcast (the q_drift_ks scan over doc-id token offsets)",
       "q_drift_mw" -> "1-row bucket-prefix-totals broadcast (the q_drift_ks scan)",
+      "q_drift_emd" -> "1-row bucket-prefix-totals + cuts broadcasts (the q_drift_ks scan + boundary-gap stitch)",
       "q_spearman" -> "1-row bucket-prefix-totals + n broadcasts (the q_drift_ks scan x2 columns)",
       "q_drift_chi2" -> "margin-cardinality contingency spine cross (R×C cells, corpus-size-independent)",
       "q_t_closeness" -> "margin-cardinality contingency spine cross (class×sensitive cells, corpus-size-independent)",

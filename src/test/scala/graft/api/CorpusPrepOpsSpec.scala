@@ -74,6 +74,70 @@ class CorpusPrepOpsSpec extends SparkTestBase {
       .select("n_syll").as[Long].collect().head == 0L)
   }
 
+  test("semDedup: keep-min election verified pairwise against the fixture, cell-min always survives") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val got = Similarity.semDedup(emb, "vec_id", "embedding",
+      simThreshold = 0.4, targetCell = 128, iterations = 1)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got.length == vecs.size, "one row per vector")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = got.groupBy(_._2)
+    byCell.foreach { case (_, rows) =>
+      // the smallest id of every cell has no smaller-id mate: must keep
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.head._3 == 1L && sorted.head._4.isEmpty)
+      sorted.foreach { case (id, _, keep, dupSim) =>
+        val sims = sorted.takeWhile(_._1 < id)
+          .map(r => cos(vecs(r._1), vecs(id))).filter(_ >= 0.4)
+        if (sims.isEmpty) assert(keep == 1L && dupSim.isEmpty, s"vec $id should keep")
+        else {
+          // Spark's round(double) goes through BigDecimal.valueOf (the
+          // decimal string), not the exact binary expansion — match it
+          val expect = java.math.BigDecimal.valueOf(sims.max)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          assert(keep == 0L && dupSim.contains(expect), s"vec $id should dup at $expect")
+        }
+      }
+    }
+    // the election is non-trivial on this fixture: some duplicate exists
+    assert(got.exists(_._3 == 0L), "fixture yields at least one semantic dup")
+  }
+
+  test("emd: hand integral — A={0,1} vs B={1,2} costs exactly 1; identical distributions cost 0") {
+    val df = Seq(("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("l", "v")
+    val r = Drift.emd(df, "v", "l", "a", "b")
+      .as[(Double, Long, Long)].collect().head
+    // F_A steps {.5 at 0, 1 at 1}, F_B {0, .5}: |gap|=.5 over two unit
+    // intervals -> W1 = 1.0 (a unit shift moves W1 by the shift)
+    assert(r == ((1.0, 2L, 2L)))
+    val same = Seq(("a", 0.0), ("a", 5.0), ("b", 0.0), ("b", 5.0)).toDF("l", "v")
+    assert(Drift.emd(same, "v", "l", "a", "b")
+      .select("emd").as[Double].collect().head == 0.0)
+  }
+
+  test("crossCorr: a one-bucket shift peaks at lag 1 with full overlap") {
+    // B is A delayed by one hour: pairs at lag 1 are (v, v) -> r ~ 1
+    val hour = 3600000L
+    val a = Seq(1.0, 5.0, 2.0, 9.0).zipWithIndex.map { case (v, i) => ("a", i * hour, v) }
+    val b = Seq(1.0, 5.0, 2.0, 9.0).zipWithIndex.map { case (v, i) => ("b", (i + 1) * hour, v) }
+    val df = (a ++ b).toDF("k", "ts_ms", "v")
+    val got = TimeSeries.crossCorr(df, "k", "ts_ms", "v", "a", "b",
+      widthMs = hour, maxLag = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (n1, x1) = got(1L)
+    assert(n1 == 4L, "full overlap at the true lag")
+    // exact-int moments, one double expression: 1.0 up to the final sqrt ulp
+    assert(x1 >= 0.9999, s"peak at lag 1, got $x1")
+    assert(got.forall { case (l, (_, x)) => l == 1L || x <= x1 },
+      "no other lag outranks the true shift")
+  }
+
   test("htmlExtract: chrome blocks cut, tags stripped, title and links counted") {
     val html = "<html><head><title>T1</title></head><body>" +
       "<nav><a href=\"/\">h</a></nav><p>hello <b>world</b></p>" +
