@@ -21,12 +21,22 @@ object Extras {
       Tables.orders(s, dir)
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(round(sum("o_totalprice"), 4))
+        // scaled-long money sums (floor(x·1e4+0.5) is pure double
+        // arithmetic, bit-identical cross-engine): the r11 sf1.0 gate
+        // caught the raw double sum drifting in the 4th decimal at 10x
+        // group sizes — and cast-to-DECIMAL is NOT the fix, because
+        // Spark casts via the double's shortest-string repr while DuckDB
+        // rounds the binary value (a ~1e-10/row bias that sums visible)
+        .agg(sum(floor(col("o_totalprice") * 1e4 + 0.5).cast("long"))
+          .cast("double") / 1e4)
         .orderBy("yr"),
     Some("""SELECT year(o_orderdate) AS yr,
-              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
-              round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
-              round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+              CAST(sum(CAST(floor(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS F,
+              CAST(sum(CAST(floor(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END
+                * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS O,
+              CAST(sum(CAST(floor(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END
+                * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS P
             FROM orders GROUP BY yr ORDER BY yr""")
   )
 
@@ -537,17 +547,23 @@ object Extras {
     (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_price"),
-          round(sum("l_discount"), 4).as("sum_disc"))
+        // scaled-long sums (the q_pivot r11 fix): raw double sums drift
+        // in the 4th decimal at sf1.0 group sizes, and DECIMAL casts
+        // diverge cross-engine (shortest-string vs binary rounding)
+        .agg((sum(floor(col("l_quantity") * 1e4 + 0.5).cast("long"))
+            .cast("double") / 1e4).as("sum_qty"),
+          (sum(floor(col("l_extendedprice") * 1e4 + 0.5).cast("long"))
+            .cast("double") / 1e4).as("sum_price"),
+          (sum(floor(col("l_discount") * 1e4 + 0.5).cast("long"))
+            .cast("double") / 1e4).as("sum_disc"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
           "metric", "value")
         .orderBy("l_returnflag", "metric"),
     Some("""WITH w AS (SELECT l_returnflag,
-              round(sum(l_quantity), 4) AS sum_qty,
-              round(sum(l_extendedprice), 4) AS sum_price,
-              round(sum(l_discount), 4) AS sum_disc
+              CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_qty,
+              CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_price,
+              CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc
             FROM lineitem GROUP BY l_returnflag)
             SELECT l_returnflag, metric, value FROM (
               SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w

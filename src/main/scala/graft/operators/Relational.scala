@@ -23,9 +23,13 @@ object Relational {
     (s, dir) =>
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // ORDER BY must be total over ALL output columns: the r11 sf1.0
+        // gate caught duplicate (l_orderkey, l_linenumber) pairs whose
+        // payload columns then compared in engine-dependent order
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-            FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")
   )
 
   /** The reference's candidate-file predicate (R2,
@@ -1114,19 +1118,23 @@ object Relational {
   /** TPC-H Q9 (product type profit) adapted to the fixture: supply cost
     * (partsupp.ps_supplycost) becomes a retail-price-derived proxy
     * (10% of p_retailprice per unit), keeping the 5-table star join +
-    * per-(nation, year) profit aggregation intact. The profit expression
-    * is per-row double arithmetic (identical cross-engine) cast to
-    * DECIMAL(30,10) BEFORE the sum, so accumulation order can't drift
-    * the total. */
+    * per-(nation, year) profit aggregation intact. The per-row profit
+    * quantizes to a scaled long (floor(x·1e4+0.5) — pure double
+    * arithmetic, bit-identical cross-engine) BEFORE the sum: the r11
+    * sf1.0 gate proved CAST-to-DECIMAL is NOT order-proofing — Spark
+    * casts via the double's shortest-string repr, DuckDB rounds the
+    * binary value, a ~1e-10/row bias that summed visible at 3M-row
+    * groups. Integer sums are exact at any order. */
   private val qSqlTpchQ9 = sqlQ(
     "q_sql_tpch_q9",
     Seq("part", "lineitem", "supplier", "orders", "nation"),
     """SELECT nation, o_year,
-              floor(CAST(sum(amount) AS DOUBLE) * 10000) / 10000 AS sum_profit
+              CAST(sum(amount) AS DOUBLE) / 10000 AS sum_profit
        FROM (SELECT n_name AS nation,
                     CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-                    CAST(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * 0.1 * l_quantity AS DECIMAL(30,10)) AS amount
+                    CAST(floor((l_extendedprice * (1 - l_discount)
+                         - p_retailprice * 0.1 * l_quantity) * 10000 + 0.5)
+                      AS BIGINT) AS amount
              FROM part
              JOIN lineitem ON p_partkey = l_partkey
              JOIN supplier ON s_suppkey = l_suppkey

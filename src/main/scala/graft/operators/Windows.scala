@@ -1275,7 +1275,9 @@ object Windows {
     * (both interpolations return the element bit-exactly; strict-> puts
     * it below) or sits a data-gap away from every value, so a last-ulp
     * interpolation difference cannot flip a score. Segment means divide
-    * the exact DECIMAL spend sum once, floor-4dp.
+    * the exact scaled-long spend sum once, floor-4dp (r11: the DECIMAL
+    * form drifted at sf1.0 — cross-engine double→DECIMAL cast rounding
+    * differs; floor(x·1e4+0.5) longs are bit-identical both sides).
     *
     * Scale: one customer-keyed aggregate, one 1-row cut broadcast (swap
     * `approx_percentile` at 100 TB), one 125-ary hash aggregate. */
@@ -1288,8 +1290,11 @@ object Windows {
         .agg(max(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"))
             .as("r_day"),
           count(lit(1)).as("freq"),
-          sum(col("o_totalprice").cast("decimal(30,10)")).as("money_d"))
-        .withColumn("money", col("money_d").cast("double"))
+          // scaled-long spend (r11 sf1.0 fix): DECIMAL casts of doubles
+          // diverge cross-engine (shortest-string vs binary rounding);
+          // floor(x·1e4+0.5) longs sum exactly in any order
+          sum(floor(col("o_totalprice") * 1e4 + 0.5).cast("long")).as("money_s"))
+        .withColumn("money", col("money_s").cast("double") / 1e4)
       val cuts = per.agg(
         expr("percentile(CAST(r_day AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("rc"),
         expr("percentile(CAST(freq AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))").as("fc"),
@@ -1299,28 +1304,28 @@ object Windows {
         (0 to 3).map(i => when(v > cut.getItem(i), 1L).otherwise(0L))
           .reduce(_ + _) + lit(1L)
       per.crossJoin(broadcast(cuts))
-        .select(col("money_d"),
+        .select(col("money_s"),
           score(col("r_day").cast("double"), col("rc")).as("r_score"),
           score(col("freq").cast("double"), col("fc")).as("f_score"),
           score(col("money"), col("mc")).as("m_score"))
         .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"),
-          (floor(sum(col("money_d")).cast("double") / count(lit(1)) * 10000)
+          (floor(sum(col("money_s")).cast("double") / count(lit(1)))
             / 10000).as("avg_money"))
         .orderBy("r_score", "f_score", "m_score")
     },
     Some("""WITH per AS (SELECT o_custkey AS custkey,
                            max(epoch_ms(o_orderdate) // 86400000) AS r_day,
                            count(*) AS freq,
-                           sum(CAST(o_totalprice AS DECIMAL(30,10))) AS money_d
+                           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS money_s
                          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
-                 perm AS (SELECT custkey, r_day, freq, money_d,
-                            CAST(money_d AS DOUBLE) AS money FROM per),
+                 perm AS (SELECT custkey, r_day, freq, money_s,
+                            CAST(money_s AS DOUBLE) / 10000 AS money FROM per),
                  cuts AS (SELECT quantile_cont(CAST(r_day AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
                                  quantile_cont(CAST(freq AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
                                  quantile_cont(money, [0.2, 0.4, 0.6, 0.8]) AS mc
                           FROM perm),
-                 sc AS (SELECT money_d,
+                 sc AS (SELECT money_s,
                           1 + (CASE WHEN CAST(r_day AS DOUBLE) > rc[1] THEN 1 ELSE 0 END)
                             + (CASE WHEN CAST(r_day AS DOUBLE) > rc[2] THEN 1 ELSE 0 END)
                             + (CASE WHEN CAST(r_day AS DOUBLE) > rc[3] THEN 1 ELSE 0 END)
@@ -1338,7 +1343,7 @@ object Windows {
                    CAST(f_score AS BIGINT) AS f_score,
                    CAST(m_score AS BIGINT) AS m_score,
                    CAST(count(*) AS BIGINT) AS n_customers,
-                   floor(CAST(sum(money_d) AS DOUBLE) / count(*) * 10000) / 10000
+                   floor(CAST(sum(money_s) AS DOUBLE) / count(*)) / 10000
                      AS avg_money
             FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
   )

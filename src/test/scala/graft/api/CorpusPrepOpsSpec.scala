@@ -60,6 +60,48 @@ class CorpusPrepOpsSpec extends SparkTestBase {
     assert(got == Seq("site.org", "x.io", "a.b.c"))
   }
 
+  test("streaming URL dedup at ingest ≡ batch canonical census (election survives the batch boundary)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      (1L, "HTTP://WWW.X.com:80/a/?utm_s=1&r=1"),
+      (2L, "http://x.com/a?r=1"),
+      (3L, "https://y.org/b"))
+    val batch2 = Seq(
+      (4L, "http://X.COM/a/?r=1#f"),
+      (5L, "https://www.y.org:443/b/"))
+    val all = batch1 ++ batch2
+    val expected = all.toDF("id", "url")
+      .select(col("id"), TextDedup.canonicalUrl(col("url")).as("fp"))
+      .groupBy("fp").agg(min("id").as("first"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(expected.size == 2, "the 5 messy variants collapse to 2 canonical URLs")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("id", "url")
+      .select(TextDedup.canonicalUrl(col("url")).as("fp"), col("id"),
+        lit(0L).as("tsMs"))
+      .as[StatefulOps.FpDoc]
+    val q = StatefulOps.streamingDedup(docs)
+      .writeStream.format("memory").queryName("s_urldedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      // the LAST update per fp carries the final census; the canonical
+      // id elected in batch 1 must survive batch 2's re-encounters
+      val fin = spark.table("s_urldedup")
+        .as[(String, Long, Boolean, Long, Long)].collect()
+        .groupBy(_._1).map { case (fp, us) => fp -> us.maxBy(_._5) }
+      expected.foreach { case (fp, (first, n)) =>
+        val u = fin(fp)
+        assert(u._2 == first, s"$fp canonical id")
+        assert(u._5 == n, s"$fp total")
+      }
+    } finally q.stop()
+  }
+
   test("readability: hand-computed Flesch ease and FK grade, floor-half-up 4dp") {
     // "the cat sat": 3 words, vowel groups e/a/a = 3 syllables, 1 sentence
     val docs = Seq((7L, "the cat sat")).toDF("doc_id", "text")
