@@ -77,6 +77,61 @@ object Writer {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Z-ORDER (Morton-curve) MULTI-column clustering — the layout that
+    * makes file/row-group skipping work on SEVERAL filter columns at
+    * once. [[writeClustered]]'s range layout gives its first column
+    * disjoint per-file spans but leaves every OTHER column's span
+    * full-range per file; interleaving the bits of per-column quantile
+    * ranks (bucket via `bitsPerCol`-bit approx-quantile cuts, then the
+    * Morton shuffle bit j of column i → position j·k+i) produces a key
+    * whose ranges are small HYPERCUBES: each file covers a narrow slice
+    * of EVERY z column, so parquet min/max stats prune on whichever
+    * column the query filters (the Delta/Iceberg OPTIMIZE ZORDER
+    * semantics, expressed as plain Columns).
+    *
+    * Rank-bucketing (not raw bit-twiddling of values) makes the curve
+    * distribution-proof: skewed or arbitrary-magnitude doubles cost one
+    * approx-quantile pass (cuts are a 1-row broadcast, the scalar-join
+    * pattern) and every bucket carries ≈1/2^bitsPerCol of the rows.
+    * Nulls bucket to 0. The z key is synthetic and dropped before
+    * write; the write itself is the same repartitionByRange +
+    * sortWithinPartitions as writeClustered — fully distributed. */
+  def writeZOrdered(df: DataFrame, outPath: String, zCols: Seq[String],
+      nFiles: Int, bitsPerCol: Int = 8): Unit = {
+    require(zCols.size >= 2,
+      "z-ordering needs >=2 columns (use writeClustered for one)")
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    require(bitsPerCol >= 1 && bitsPerCol <= 15,
+      s"bitsPerCol must be in [1, 15], got $bitsPerCol")
+    val k = zCols.size
+    val nb = 1 << bitsPerCol
+    val fracs = (1 until nb).map(i => i.toDouble / nb)
+    val cuts = df.agg(
+      expr(s"approx_percentile(CAST(`${zCols.head}` AS DOUBLE), " +
+        s"array(${fracs.mkString(", ")}), 10000)").as("__cuts0"),
+      zCols.tail.zipWithIndex.map { case (c, i) =>
+        expr(s"approx_percentile(CAST(`$c` AS DOUBLE), " +
+          s"array(${fracs.mkString(", ")}), 10000)").as(s"__cuts${i + 1}")
+      }: _*)
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      coalesce(
+        expr(s"""aggregate(__cuts$i, 0,
+                 (a, x) -> a + CASE WHEN CAST(`$c` AS DOUBLE) > x THEN 1 ELSE 0 END)"""),
+        lit(0))
+    }
+    val morton = (for {
+      j <- 0 until bitsPerCol
+      (b, i) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1)), j * k + i))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(cuts))
+      .withColumn("__z", morton)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z" +: zCols.indices.map(i => s"__cuts$i"): _*)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Write `df` as a BUCKETED parquet table: rows hash-partitioned into
     * `nBuckets` files by `bucketCols` and sorted by `sortCols` within
     * each, registered as `table` in the session catalog (bucketing

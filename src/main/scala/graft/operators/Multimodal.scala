@@ -1055,11 +1055,109 @@ object Multimodal {
             FROM v GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Per-doc COLOR keyframe pixel-decode stats (RGB channel sums). */
+  final case class ColorKeyframeRow(doc_id: Long, n_samples: Long, n_key_total: Long,
+      n_key_dec: Long, r_sum: Long, g_sum: Long, b_sum: Long, last_dec_ms: Long)
+
+  /** COLOR video keyframe pixel decode — [[qVideoKeyframeDecode]]'s
+    * composition with the color JPEG codec: the MP4's `mdat` carries
+    * baseline YCbCr JPEG frames (constant-per-MCU tiles, quant=1 — the
+    * DC-only exact class of [[qImageDecodeJpegColor]], 4:2:0 for two
+    * thirds of docs), the decoder walks stss/stsc/stco to the first ≤2
+    * sync samples and entropy-decodes them to RGB. A real crawl's video
+    * column is color; this closes the "keyframes are gray" gap. The
+    * oracle replays the per-frame tile colors and BOTH JFIF conversions
+    * term-for-term, so a sampling-factor, chunk-offset, or
+    * conversion-rounding bug breaks the hash. */
+  private def synthColorFrameTiles(id: Long, f: Int, w: Int, h: Int,
+      tile: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val tx = (k % w) / tile; val ty = (k / w) / tile
+      val r = ((id * 7 + f * 31 + ty * 13 + tx * 29) % 256).toInt
+      val g = ((id * 11 + f * 41 + ty * 17 + tx * 5) % 256).toInt
+      val b = ((id * 13 + f * 59 + ty * 3 + tx * 23) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  private val qVideoKeyframeColor = Q(
+    "q_video_keyframe_color",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (w, h) = synthColorDims(id)
+          val sub = id % 3 != 0
+          val tile = if (sub) 16 else 8
+          val n = ((id % 5) + 3).toInt
+          val delta = (40 + (id % 20)).toInt
+          val syncEvery = ((id % 3) + 2).toInt
+          val nChunks = ((id % 3) + 1).toInt
+          val frames = (0 until n).map { f =>
+            graft.api.JpegCodec.encodeJpegColor(w, h,
+              synthColorFrameTiles(id, f, w, h, tile), quant = 1,
+              chromaSubsample = sub)
+          }
+          val bytes = graft.api.MediaCodec.encodeMp4Mjpeg(
+            w, h, timescale = 1000, sampleDelta = delta,
+            syncEvery = syncEvery, frames = frames, nChunks = nChunks)
+          val t = graft.api.MediaCodec.decodeMp4Samples(bytes).get
+          val ranges = graft.api.MediaCodec.decodeMp4SampleRanges(bytes).get
+          val keys = t.sync.take(2)
+          val decoded = keys.map { sn =>
+            val (off, sz) = ranges((sn - 1).toInt)
+            val payload = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+            graft.api.JpegCodec.decodeJpegColor(payload).get._3
+          }
+          ColorKeyframeRow(id, t.nSamples, t.sync.length.toLong, keys.length.toLong,
+            decoded.map(_.map(p => ((p >> 16) & 0xff).toLong).sum).sum,
+            decoded.map(_.map(p => ((p >> 8) & 0xff).toLong).sum).sum,
+            decoded.map(_.map(p => (p & 0xff).toLong).sum).sum,
+            t.decodeTime(keys.last)) // timescale 1000: ticks are ms
+        })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, (doc_id % 29) + 8 AS w, (doc_id % 19) + 8 AS h,
+                   CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS tile,
+                   (doc_id % 5) + 3 AS n, 40 + (doc_id % 20) AS delta,
+                   (doc_id % 3) + 2 AS s
+                 FROM documents),
+                 k AS (SELECT doc_id, w, h, tile, n, delta, s,
+                         unnest(generate_series(0, least(1, (n - 1) // s))) AS ki FROM d),
+                 g AS (SELECT doc_id, w, h, tile, n, delta, s, ki, ki * s AS f,
+                         unnest(generate_series(0, w * h - 1)) AS p FROM k),
+                 c AS (SELECT doc_id, n, delta, s, ki,
+                         (doc_id * 7 + f * 31 + ((p // w) // tile) * 13 + ((p % w) // tile) * 29) % 256 AS r0,
+                         (doc_id * 11 + f * 41 + ((p // w) // tile) * 17 + ((p % w) // tile) * 5) % 256 AS g0,
+                         (doc_id * 13 + f * 59 + ((p // w) // tile) * 3 + ((p % w) // tile) * 23) % 256 AS b0
+                       FROM g),
+                 ycc AS (SELECT doc_id, n, delta, s, ki,
+                           least(255, greatest(0, floor(0.299::DOUBLE * r0 + 0.587::DOUBLE * g0 + 0.114::DOUBLE * b0 + 0.5::DOUBLE))) AS yq,
+                           least(255, greatest(0, floor(128.0::DOUBLE - 0.168736::DOUBLE * r0 - 0.331264::DOUBLE * g0 + 0.5::DOUBLE * b0 + 0.5::DOUBLE))) AS cb,
+                           least(255, greatest(0, floor(128.0::DOUBLE + 0.5::DOUBLE * r0 - 0.418688::DOUBLE * g0 - 0.081312::DOUBLE * b0 + 0.5::DOUBLE))) AS cr
+                         FROM c),
+                 o AS (SELECT doc_id, n, delta, s, ki,
+                         least(255, greatest(0, floor(yq + 1.402::DOUBLE * (cr - 128) + 0.5::DOUBLE))) AS r,
+                         least(255, greatest(0, floor(yq - 0.344136::DOUBLE * (cb - 128) - 0.714136::DOUBLE * (cr - 128) + 0.5::DOUBLE))) AS g,
+                         least(255, greatest(0, floor(yq + 1.772::DOUBLE * (cb - 128) + 0.5::DOUBLE))) AS b
+                       FROM ycc)
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(max(1 + (n - 1) // s) AS BIGINT) AS n_key_total,
+                   CAST(max(ki) + 1 AS BIGINT) AS n_key_dec,
+                   CAST(sum(r) AS BIGINT) AS r_sum,
+                   CAST(sum(g) AS BIGINT) AS g_sum,
+                   CAST(sum(b) AS BIGINT) AS b_sum,
+                   CAST(max(ki * s) * max(delta) AS BIGINT) AS last_dec_ms
+            FROM o GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames,
     qMultimodalFeatures, qMultimodalResize,
     qImageMeta, qImageDecode, qImageDecodeJpeg, qImageDecodeJpegColor,
     qImageDecodePngColor, qImageDecodeGif,
     qImageDecodeBmp, qImagePhashDedup, qImageResize,
     qAudioDecode, qAudioFpDedup, qVideoMeta, qVideoFrames,
-    qVideoKeyframeDecode, qPipelineMultimodal)
+    qVideoKeyframeDecode, qVideoKeyframeColor, qPipelineMultimodal)
 }

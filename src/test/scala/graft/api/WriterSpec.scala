@@ -73,6 +73,41 @@ class WriterSpec extends SparkTestBase {
     assert(scan.contains("PushedFilters: [IsNotNull(ts_ms), GreaterThanOrEqual(ts_ms"), scan)
   }
 
+  test("writeZOrdered: every z column gets narrow per-file spans; single-column clustering doesn't") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts_ms", "user_id")
+    def meanSpan(dir: String, c: String): Double = {
+      val g = spark.read.parquet(dir).agg(min(c), max(c)).head()
+      val span = (g.getLong(1) - g.getLong(0)).max(1L).toDouble
+      val fs = spark.read.parquet(dir).inputFiles.map { f =>
+        val r = spark.read.parquet(f).agg(min(c), max(c)).head()
+        (r.getLong(1) - r.getLong(0)).toDouble / span
+      }
+      fs.sum / fs.length
+    }
+    val zout = tmp("zorder")
+    Writer.writeZOrdered(ev, zout, Seq("user_id", "ts_ms"), nFiles = 16, bitsPerCol = 4)
+    assert(spark.read.parquet(zout).count() == ev.count())
+    val uSpanZ = meanSpan(zout, "user_id")
+    val tSpanZ = meanSpan(zout, "ts_ms")
+    // the hypercube property: BOTH dimensions narrow per file — this is
+    // exactly what parquet min/max skipping prunes on, whichever column
+    // the query filters
+    assert(uSpanZ < 0.6, s"z-order user_id mean span $uSpanZ")
+    assert(tSpanZ < 0.6, s"z-order ts_ms mean span $tSpanZ")
+    // contrast: single-column range clustering leaves the OTHER column
+    // full-range in every file
+    val cout = tmp("zorder_vs_clustered")
+    Writer.writeClustered(ev, cout, Seq("ts_ms"), nFiles = 16)
+    val uSpanC = meanSpan(cout, "user_id")
+    assert(uSpanC > 0.7, s"clustered-by-ts user_id mean span $uSpanC")
+    // and both filter columns reach the scan as pushed filters
+    val plan = spark.read.parquet(zout)
+      .filter(col("user_id") <= 10L && col("ts_ms") <= 1704067200000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(user_id") &&
+      plan.contains("LessThanOrEqual(ts_ms"), plan)
+  }
+
   test("writeBucketed: same-bucket join plans ZERO shuffle Exchange; round-trip exact") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
     val stats = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
