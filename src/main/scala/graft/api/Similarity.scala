@@ -683,16 +683,28 @@ object Similarity {
     * the standard IVF trade the recall properties measure. */
   def semDedup(corpus: DataFrame, idCol: String, embCol: String,
       simThreshold: Double = 0.4, targetCell: Int = 128,
-      iterations: Int = 1): DataFrame = {
+      iterations: Int = 1, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be ≥1, got $nProbe")
     reg(corpus)
     val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
       .select(col(idCol).as("id"), col(embCol).as("e"))
     val n = em.count()
     val centers = fitIvf(corpus, idCol, embCol, ivfCellsFor(n, targetCell), iterations)
+    val cc = typedLit(centers)
     val asg = em.select(col("id"), col("e"),
-      element_at(call_function("graft_nearest_centroids",
-        col("e"), typedLit(centers), lit(1)), 1).as("cell"))
-    val pairs = asg.as("a").join(asg.as("b"),
+      element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1)
+        .as("cell"))
+    // MULTI-PROBE candidate generation (the measured IVF lesson: top-1
+    // blocking caught only 0.32 of exact θ=0.4 pairs on the fixture —
+    // boundary pairs usually hold each other's cell as their SECOND
+    // nearest, so symmetric top-nProbe probing recovers them at
+    // nProbe²× candidate cost): a pair is a candidate iff the two
+    // vectors share ANY probed cell. A pair meeting in two shared cells
+    // duplicates its (id, sim) row — max() absorbs the multiplicity.
+    val probes = em.select(col("id"), col("e"),
+      explode(call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)))
+        .as("cell"))
+    val pairs = probes.as("a").join(probes.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("b.id").as("id"), cosine(col("a.e"), col("b.e")).as("sim"))
       .filter(col("sim") >= simThreshold)

@@ -197,13 +197,17 @@ base AS MATERIALIZED (SELECT b.vec_id, b.e, h.h FROM base0 b JOIN hh h USING (ve
 ${ivfFitBlock("base", "base", "f")},
 sc1 AS (SELECT b.vec_id, f.ci, ${score("b.e", "f.c")} AS score
         FROM base b CROSS JOIN fcfull f),
-sasg AS MATERIALIZED (SELECT vec_id, ci AS cell FROM (
-         SELECT vec_id, ci,
-                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, ci) AS rn
-         FROM sc1) WHERE rn = 1),
+srnk AS MATERIALIZED (SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, ci) AS rn
+       FROM sc1),
+sasg AS (SELECT vec_id, ci AS cell FROM srnk WHERE rn = 1),
+sprb AS MATERIALIZED (SELECT p.vec_id, p.ci AS cell, b.e
+        FROM srnk p JOIN base b USING (vec_id) WHERE p.rn <= 2),
 av AS MATERIALIZED (SELECT b.vec_id, b.e, a.cell FROM base b JOIN sasg a USING (vec_id)),
+-- multi-probe pair gen: a pair meeting in two shared cells duplicates
+-- its (id, sim) row; max() absorbs the multiplicity (same sim)
 pr AS (SELECT b.vec_id AS id, ${cos("a.e", "b.e")} AS sim
-       FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       FROM sprb a JOIN sprb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
 dup AS (SELECT id, round(max(sim), 4) AS dup_sim FROM pr WHERE sim >= 0.4 GROUP BY id)
 SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell,
        CAST(CASE WHEN d.dup_sim IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,

@@ -118,8 +118,11 @@ class CorpusPrepOpsSpec extends SparkTestBase {
 
   test("semDedup: keep-min election verified pairwise against the fixture, cell-min always survives") {
     val emb = graft.Tables.embeddings(spark, sfDir)
+    // nProbe=1 so the hand model below (dup iff a smaller-id TOP-1
+    // cell-mate clears the threshold) is exact; the multi-probe default
+    // is pinned by the removal-recall test's zero-false-removals check
     val got = Similarity.semDedup(emb, "vec_id", "embedding",
-      simThreshold = 0.4, targetCell = 128, iterations = 1)
+      simThreshold = 0.4, targetCell = 128, iterations = 1, nProbe = 1)
       .as[(Long, Long, Long, Option[Double])].collect()
     val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().toMap
@@ -149,6 +152,38 @@ class CorpusPrepOpsSpec extends SparkTestBase {
     }
     // the election is non-trivial on this fixture: some duplicate exists
     assert(got.exists(_._3 == 0L), "fixture yields at least one semantic dup")
+  }
+
+  test("semDedup removal recall: measured against the exact pairwise ground truth, zero false removals") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val marked = Similarity.semDedup(emb, "vec_id", "embedding",
+      simThreshold = 0.4, targetCell = 128, iterations = 1)
+      .select(col("id"), col("keep")).as[(Long, Long)].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // ground truth: every vector with ANY smaller-id exact partner at
+    // the threshold SHOULD be removed; recall = the share the blocked
+    // operator actually marks keep=0 (the removal-decision recall —
+    // what a user of SemDeDup experiences)
+    val shouldRemove = (for {
+      j <- vecs.indices
+      if (0 until j).exists(i => cos(vecs(i)._2, vecs(j)._2) >= 0.4)
+    } yield vecs(j)._1).toSet
+    assert(shouldRemove.nonEmpty, "fixture yields exact near-dups at 0.4")
+    val caught = shouldRemove.count(id => marked(id) == 0L)
+    val recall = caught.toDouble / shouldRemove.size
+    info(f"semDedup removal recall at sf0.001: $recall%.3f ($caught/${shouldRemove.size})")
+    // measured floor (committed in SURVEY): nProbe=2 multi-probe over
+    // one coarse k-means round must catch most true removals
+    assert(recall >= 0.5, f"removal recall $recall%.3f below floor")
+    // and zero FALSE removals: keep=0 always has a real smaller-id partner
+    val removed = marked.collect { case (id, 0L) => id }.toSet
+    assert(removed.subsetOf(shouldRemove), "no false removals")
   }
 
   test("emd: hand integral — A={0,1} vs B={1,2} costs exactly 1; identical distributions cost 0") {
