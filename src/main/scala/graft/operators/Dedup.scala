@@ -61,6 +61,57 @@ object Dedup {
             ORDER BY doc_a, doc_b""")
   )
 
+  /** LSH-vs-exact recall census — the dedup-evaluation harness as a
+    * first-class operator (the question every LSH deployment must
+    * answer: what share of TRUE near-dup pairs does the banding
+    * actually catch at these parameters?). Ground truth is the
+    * UNGUARDED exact ≥ 0.5 pair frame over the same shingle sets
+    * minhash's own verify uses, so the verified minhash pairs are a
+    * subset by construction and the census is pure recall; the mean
+    * caught/missed Jaccard diagnostics show the missed mass
+    * concentrates near the threshold (the banding-curve prediction).
+    * One pair-keyed equi-join + one scalar aggregate over the two
+    * constituent frames.
+    *
+    * SCALE DECLARATION: the UNGUARDED exact ground-truth side is a
+    * DECLARED fixed-small evaluation baseline (the q_embed_neardup /
+    * q_knn_eval class) — on a dup-heavy corpus its pair frame grows
+    * with Σdf² (measured: wedges at the 10×-copy sf1.0 fixture, by
+    * construction). Production recall evaluation runs this harness on
+    * a bounded corpus sample, exactly as tools/AnnRecall does for the
+    * vector ANN family; the LSH side itself stays the capped scale
+    * path. */
+  private val qDedupEval = Q(
+    "q_dedup_eval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ex = TextDedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxShingleDf = 0L)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
+      val mh = TextDedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, bands = 8)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val caught = col("hit").isNotNull
+      ex.join(mh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(caught, 1L).otherwise(0L)).as("n_caught"),
+          sum(when(caught, 0L).otherwise(1L)).as("n_missed"),
+          sum(when(caught, col("j")).otherwise(lit(0.0)).cast("decimal(30,10)")).as("sc"),
+          sum(when(caught, lit(0.0)).otherwise(col("j")).cast("decimal(30,10)")).as("sm"))
+        .select(col("n_exact"), col("n_caught"), col("n_missed"),
+          when(col("n_exact") > 0,
+            floor(col("n_caught").cast("double") / col("n_exact") * 1e4) / 1e4)
+            .otherwise(lit(0.0)).as("recall"),
+          when(col("n_caught") > 0,
+            floor(col("sc").cast("double") / col("n_caught") * 1e4) / 1e4)
+            .otherwise(lit(0.0)).as("jacc_caught_mean"),
+          when(col("n_missed") > 0,
+            floor(col("sm").cast("double") / col("n_missed") * 1e4) / 1e4)
+            .otherwise(lit(0.0)).as("jacc_missed_mean"))
+    },
+    Some(MinhashOracleSql.evalSql)
+  )
+
   /** Directional n-gram CONTAINMENT pairs
     * ([[graft.api.TextDedup.containmentPairs]]): |A∩B|/|A| and |A∩B|/|B|
     * over the same single-shuffle inverted index as q_dedup_ngram_jaccard
@@ -1340,7 +1391,7 @@ object Dedup {
             GROUP BY 1, 2 ORDER BY source_a, source_b""")
   )
 
-  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
+  val all: Seq[Q] = Seq(qDedupExact, qNgramJaccard, qDedupEval, qDedupContainment, qDedupMinhash, qDedupIncremental, qDedupSimhash,
     qDedupClusters, qDecontaminate, qDecontaminateBloom, qDecontaminateNgram,
     qDecontaminateNgramBloom, qDedupSurvivors, qDupProfile, qSourceOverlap,
     qKmvOverlap, qDedupSpans, qBoilerplateStrip, qUrlCanon, qDomainStats, qDedupSubstrings, qContamination, qPagerank,

@@ -89,6 +89,54 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                    AND a.doc_id < b.doc_id),
 $verify"""
 
+  /** `q_dedup_eval`: the LSH-vs-exact recall census — the minhash pair
+    * chain (capped buckets, exact-Jaccard verify ≥ 0.5) LEFT-joined
+    * into the UNGUARDED exact ≥ 0.5 pair frame (same dsh shingle sets
+    * and sizes as minhash's own verify, so mh ⊆ exact by construction
+    * and the census is pure recall), with mean caught/missed Jaccard
+    * diagnostics (DECIMAL sums of the 4dp-rounded values). */
+  lazy val evalSql: String =
+    s"""$prefix,
+kept AS (SELECT band_id, key FROM bk GROUP BY band_id, key
+         HAVING count(*) BETWEEN 2 AND 256),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN kept USING (band_id, key)
+         JOIN bk b ON a.band_id = b.band_id AND a.key = b.key
+                   AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS nsh FROM dsh GROUP BY doc_id),
+minter AS (SELECT c.id_a, c.id_b, count(*) AS i
+           FROM cand c JOIN dsh a ON a.doc_id = c.id_a
+           JOIN dsh b ON b.doc_id = c.id_b AND b.tok = a.tok
+           GROUP BY c.id_a, c.id_b),
+mh AS (SELECT id_a, id_b FROM minter
+       JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       WHERE i * 1.0 / (x.nsh + y.nsh - i) >= 0.5),
+einter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM dsh a JOIN dsh b ON b.tok = a.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+ex AS (SELECT id_a, id_b, round(i * 1.0 / (x.nsh + y.nsh - i), 4) AS j
+       FROM einter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       WHERE i * 1.0 / (x.nsh + y.nsh - i) >= 0.5),
+jn AS (SELECT e.j, (m.id_a IS NOT NULL) AS hit
+       FROM ex e LEFT JOIN mh m ON m.id_a = e.id_a AND m.id_b = e.id_b),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+              CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+              CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_missed,
+              sum(CASE WHEN hit THEN CAST(j AS DECIMAL(30,10)) ELSE 0 END) AS sc,
+              sum(CASE WHEN hit THEN 0 ELSE CAST(j AS DECIMAL(30,10)) END) AS sm
+       FROM jn)
+SELECT n_exact, n_caught, n_missed,
+       CASE WHEN n_exact > 0
+            THEN floor(CAST(n_caught AS DOUBLE) / n_exact * 10000) / 10000
+            ELSE 0.0 END AS recall,
+       CASE WHEN n_caught > 0
+            THEN floor(CAST(sc AS DOUBLE) / n_caught * 10000) / 10000
+            ELSE 0.0 END AS jacc_caught_mean,
+       CASE WHEN n_missed > 0
+            THEN floor(CAST(sm AS DOUBLE) / n_missed * 10000) / 10000
+            ELSE 0.0 END AS jacc_missed_mean
+FROM ag"""
+
   /** Incremental `q_dedup_incremental`: uncapped index joins, pairs
     * restricted to those touching a new doc (doc_id % 7 = 0). */
   lazy val incrementalSql: String =
