@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout for bare JSON lines; sbt's
+// default LoggedOutput wraps forked-run stdout in "[info] " prefixes,
+// which defeated that parse for four rounds (BENCH_r08-r11 all read
+// "parsed": null). StdoutOutput passes the forked JVM's stdout through
+// verbatim, so the one-line JSON contract survives to the driver.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
