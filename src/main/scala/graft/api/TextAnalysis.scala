@@ -201,8 +201,16 @@ object TextAnalysis {
     * text_ratio = len(visible)/len(html) — the classic content-vs-chrome
     * quality signal. Pure per-row regexp passes, no shuffle, no UDF. */
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
-    val noBlocks = regexp_replace(col(htmlCol),
-      lit("<(head|nav|footer|script|style)>.*?</(head|nav|footer|script|style)>"), lit(" "))
+    // Per-tag alternation, attribute-tolerant: real-world chrome opens
+    // with attributes (`<script src=…>`, `<nav class=…>`) that a bare
+    // `<tag>` literal never matches, and a grouped `<(a|b)>.*?</(a|b)>`
+    // spelling accepts MISMATCHED open/close pairs (cutting from `<nav>`
+    // to the first `</footer>`). One branch per tag keeps open/close
+    // names paired without backrefs (Java-regex/RE2 parity for the
+    // oracle mirror).
+    val chrome = Seq("head", "nav", "footer", "script", "style")
+      .map(t => s"<$t[^>]*>.*?</$t>").mkString("|")
+    val noBlocks = regexp_replace(col(htmlCol), lit(chrome), lit(" "))
     val visible = trim(regexp_replace(
       regexp_replace(noBlocks, lit("<[^>]*>"), lit(" ")), lit(" +"), lit(" ")))
     df.filter(col(htmlCol).isNotNull)

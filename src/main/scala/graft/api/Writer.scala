@@ -104,6 +104,12 @@ object Writer {
     require(bitsPerCol >= 1 && bitsPerCol <= 15,
       s"bitsPerCol must be in [1, 15], got $bitsPerCol")
     val k = zCols.size
+    // the z key lives in one signed long: bit j of column i lands at
+    // position j*k+i, so the highest used position must stay below 63
+    // (past it, shiftleft on BIGINT silently wraps mod 64 and distinct
+    // hypercubes collide onto one key — clustering corrupted, no error)
+    require(k * bitsPerCol <= 63,
+      s"z key overflows a long: $k columns x $bitsPerCol bits/col > 63 bits")
     val nb = 1 << bitsPerCol
     val fracs = (1 until nb).map(i => i.toDouble / nb)
     val cuts = df.agg(
@@ -113,22 +119,34 @@ object Writer {
         expr(s"approx_percentile(CAST(`$c` AS DOUBLE), " +
           s"array(${fracs.mkString(", ")}), 10000)").as(s"__cuts${i + 1}")
       }: _*)
-    val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      coalesce(
-        expr(s"""aggregate(__cuts$i, 0,
-                 (a, x) -> a + CASE WHEN CAST(`$c` AS DOUBLE) > x THEN 1 ELSE 0 END)"""),
-        lit(0))
-    }
-    val morton = (for {
-      j <- 0 until bitsPerCol
-      (b, i) <- buckets.zipWithIndex
-    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1)), j * k + i))
-      .reduce(_ + _)
-    df.crossJoin(broadcast(cuts))
+    // Each column's quantile rank is one linear scan of its cuts array
+    // (an interpreted HOF, 2^bitsPerCol element steps) — accumulated in
+    // BIGINT so the later shifts operate on a long, and aliased to a
+    // NAMED column so the morton interleave references an attribute,
+    // never re-embedding the scan per extracted bit (bitsPerCol
+    // embeddings = bitsPerCol re-evaluations per row).
+    val bucketed = df.crossJoin(broadcast(cuts)).select(
+      col("*") +: zCols.zipWithIndex.map { case (c, i) =>
+        coalesce(
+          expr(s"""aggregate(__cuts$i, CAST(0 AS BIGINT),
+                   (a, x) -> a + CASE WHEN CAST(`$c` AS DOUBLE) > x
+                                 THEN CAST(1 AS BIGINT)
+                                 ELSE CAST(0 AS BIGINT) END)"""),
+          lit(0L)).as(s"__b$i")
+      }: _*)
+    // bit-interleave: each column's bits spread in ONE pass over the
+    // (constant-folded) bit positions, referencing __b$i exactly once
+    val morton = zCols.indices.map { i =>
+      expr(s"""aggregate(sequence(0, ${bitsPerCol - 1}), CAST(0 AS BIGINT),
+               (a, j) -> a + shiftleft(shiftright(__b$i, j) & CAST(1 AS BIGINT),
+                                       j * $k + $i))""")
+    }.reduce(_ + _)
+    bucketed
       .withColumn("__z", morton)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z" +: zCols.indices.map(i => s"__cuts$i"): _*)
+      .drop("__z" +: (zCols.indices.map(i => s"__cuts$i") ++
+        zCols.indices.map(i => s"__b$i")): _*)
       .write.mode("overwrite").parquet(outPath)
   }
 

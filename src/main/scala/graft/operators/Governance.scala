@@ -29,6 +29,7 @@ object Governance {
                          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
                          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
                        FROM events WHERE event_type IN ('click', 'purchase')
+                         AND value IS NOT NULL
                        GROUP BY value),
                  cum AS (SELECT sum(ca) OVER (ORDER BY x) AS cum_a,
                                 sum(cb) OVER (ORDER BY x) AS cum_b FROM c),
@@ -56,6 +57,7 @@ object Governance {
                          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
                          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
                        FROM events WHERE event_type IN ('click', 'purchase')
+                         AND value IS NOT NULL
                        GROUP BY value),
                  cum AS (SELECT x,
                            sum(ca) OVER (ORDER BY x) AS cum_a,

@@ -2203,7 +2203,7 @@ object TextOps {
            v AS (SELECT doc_id, html,
                    trim(regexp_replace(regexp_replace(
                      regexp_replace(html,
-                       '<(head|nav|footer|script|style)>.*?</(head|nav|footer|script|style)>',
+                       '<head[^>]*>.*?</head>|<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
                        ' ', 'g'),
                      '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS visible
                  FROM h)

@@ -233,4 +233,27 @@ class CorpusPrepOpsSpec extends SparkTestBase {
       .as[(Long, String, Long, Long, Double)].collect().head
     assert(empty == ((2L, "x", 0L, 0L, 0.0)))
   }
+
+  test("htmlExtract: attributed chrome tags are cut; mismatched pairs don't over-cut") {
+    // real-world chrome opens with attributes — `<script src=…>` and
+    // `<nav class=…>` bodies must NOT leak into the visible text
+    val html = "<html><head profile=\"x\"><title>T2</title></head><body>" +
+      "<nav class=\"top\"><a href=\"/\">h</a></nav>" +
+      "<script src=\"a.js\">tracker()</script><p>real words</p>" +
+      "<style type=\"text/css\">p{color:red}</style>" +
+      "<footer id=\"f\">(c)</footer></body></html>"
+    val row = TextAnalysis.htmlExtract(Seq((3L, html)).toDF("doc_id", "html"),
+      "doc_id", "html")
+      .as[(Long, String, Long, Long, Double)].collect().head
+    assert(row._2 == "T2" && row._4 == 2L,
+      s"attributed chrome leaked into visible text: $row")
+    // per-tag alternation pairs open/close names: a grouped
+    // `<(a|b)>.*?</(a|b)>` would cut from <nav> to the FIRST </footer>,
+    // swallowing the prose between them
+    val crossed = "<body><nav>n</nav><p>keep these words</p><footer>f</footer></body>"
+    val kept = TextAnalysis.htmlExtract(Seq((4L, crossed)).toDF("doc_id", "html"),
+      "doc_id", "html")
+      .as[(Long, String, Long, Long, Double)].collect().head
+    assert(kept._4 == 3L, s"mismatched-pair cut swallowed the prose: $kept")
+  }
 }

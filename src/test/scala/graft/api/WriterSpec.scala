@@ -108,6 +108,44 @@ class WriterSpec extends SparkTestBase {
       plan.contains("LessThanOrEqual(ts_ms"), plan)
   }
 
+  test("writeZOrdered: 4 cols x 8 bits (z bits 0..31) still clusters — the long-key regime") {
+    // bit positions reach j*k+i = 7*4+3 = 31: with a 32-bit morton
+    // accumulator this exact configuration wrapped into the sign bit
+    // and collided distinct hypercubes; the BIGINT key must keep every
+    // dimension's per-file span narrow
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        (col("event_id") * 37 % 1000).as("salt"))
+    val zout = tmp("zorder32")
+    Writer.writeZOrdered(ev, zout, Seq("user_id", "ts_ms", "event_id", "salt"),
+      nFiles = 16, bitsPerCol = 8)
+    assert(spark.read.parquet(zout).count() == ev.count())
+    def meanSpan(c: String): Double = {
+      val g = spark.read.parquet(zout).agg(min(c), max(c)).head()
+      val span = (g.getLong(1) - g.getLong(0)).max(1L).toDouble
+      val fs = spark.read.parquet(zout).inputFiles.map { f =>
+        val r = spark.read.parquet(f).agg(min(c), max(c)).head()
+        (r.getLong(1) - r.getLong(0)).toDouble / span
+      }
+      fs.sum / fs.length
+    }
+    // 16 files over 4 interleaved dims = 1 split/dim: each file should
+    // cover ~half of every dimension, strictly better than full-range
+    Seq("user_id", "ts_ms", "event_id", "salt").foreach { c =>
+      val s = meanSpan(c)
+      assert(s < 0.85, s"z-order(4x8) $c mean span $s — key corrupted?")
+    }
+  }
+
+  test("writeZOrdered: configurations past 63 key bits are rejected, not silently wrapped") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts_ms", "user_id")
+    intercept[IllegalArgumentException] {
+      Writer.writeZOrdered(ev, tmp("zoverflow"),
+        Seq("event_id", "ts_ms", "user_id", "event_id", "ts_ms"),
+        nFiles = 4, bitsPerCol = 13) // 5 x 13 = 65 bits
+    }
+  }
+
   test("writeBucketed: same-bucket join plans ZERO shuffle Exchange; round-trip exact") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "n_chars")
     val stats = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
