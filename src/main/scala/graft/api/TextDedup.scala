@@ -831,26 +831,44 @@ object TextDedup {
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 64/blocks − 1 for the
     * pigeonhole completeness guarantee; default 4 blocks → complete for
-    * distance ≤ 3). Returns (id_a, id_b, hamming). */
+    * distance ≤ 3). Returns (id_a, id_b, hamming).
+    *
+    * Candidate generation is the same single-shuffle bucket-grouped
+    * form as [[minhashPairs]] ([[bandBucketCandidates]] over
+    * (id, block_index, block_value) keys) with the same `maxBucketDocs`
+    * hot-bucket guard: a boilerplate page whose signature block is
+    * shared by millions of documents costs one capped reducer buffer and
+    * is dropped, never Σ|bucket|² pair fan-out (0 disables the cap —
+    * exact pigeonhole completeness, the pre-r12 behavior). Kept buckets
+    * are provably untruncated, so within them the pigeonhole guarantee
+    * is intact; a dropped bucket can lose a pair only if EVERY block the
+    * pair agrees on is boilerplate-hot (the minhash-family recall
+    * argument). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, blocks: Int = 4,
+      maxBucketDocs: Int = 256): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     val w = 64 / blocks
     val mask = (1L << w) - 1
     val spark = df.sparkSession
     graft.functions.VectorExprs.register(spark)
+    // (id, simhash) feeds the block keys AND the two hamming-verify
+    // joins — localCheckpoint so the tokenize+hash subtree runs once
+    // (the minhashPairs docSh pattern); the frame is 16 bytes/doc
     val sig = df.select(col(idCol).as("id"),
       expr(s"graft_simhash(array_distinct(split($textCol, ' ')))").as("simhash"))
-    val blk = sig
-      .select(col("id"), col("simhash"), explode(expr(s"sequence(0, ${blocks - 1})")).as("k"))
-      .select(col("id"), col("simhash"), col("k"),
-        expr(s"shiftright(simhash, k*$w) & $mask").as("blk"))
-    blk.as("a")
-      .join(blk.as("b"),
-        col("a.k") === col("b.k") && col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      .transform(Ckpt.apply)
+    val bandKeys = sig
+      .select(col("id"), explode(expr(s"sequence(0, ${blocks - 1})")).as("band_id"),
+        col("simhash"))
+      .select(col("id"), col("band_id"),
+        expr(s"shiftright(simhash, band_id*$w) & $mask").as("bh"))
+    val cand = bandBucketCandidates(bandKeys, maxBucketDocs)
+    cand
+      .join(sig.select(col("id").as("id_a"), col("simhash").as("ha")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("simhash").as("hb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

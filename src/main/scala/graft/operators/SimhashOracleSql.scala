@@ -53,9 +53,16 @@ blk AS (SELECT doc_id, u, s, k.k,
           (u // (CASE k.k WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
                  WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END)) % 65536 AS b
         FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+-- hot-bucket guard mirror: the Spark side drops any (block, value)
+-- bucket holding more than maxBucketDocs=256 documents (TextDedup
+-- .simhashPairs via bandBucketCandidates) — kept buckets untruncated
+hot AS (SELECT k, b FROM blk GROUP BY k, b HAVING count(*) > 256),
+blkk AS (SELECT blk.* FROM blk
+         WHERE NOT EXISTS (SELECT 1 FROM hot
+                           WHERE hot.k = blk.k AND hot.b = blk.b)),
 pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             bit_count(xor(a.s, b.s)) AS hamming
-          FROM blk a JOIN blk b ON a.k = b.k AND a.b = b.b AND a.doc_id < b.doc_id)
+          FROM blkk a JOIN blkk b ON a.k = b.k AND a.b = b.b AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
 FROM pairs WHERE hamming <= 3
 ORDER BY doc_a, doc_b"""
