@@ -464,11 +464,18 @@ object Similarity {
       targetRecall: Double = 0.8, multiProbe: Boolean = true,
       maxBucketVecs: Int = -1): DataFrame = {
     val n = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0).count()
-    val w = planesPerBand(n, targetBucket)
-    val bands = bandsForRecall(w, threshold, targetRecall)
+    // The pair form keeps its declared LSH semantics even when the
+    // band clamp binds (there is no same-shape IVF twin: the
+    // cell-blocked pair family is [[semDedup]], whose output is the
+    // keep/dup election, not the raw pair list) — but the degraded
+    // contract is VISIBLE: [[deriveBanding]] with these exact arguments
+    // returns `clamped` and the predicted post-clamp recall, and the
+    // 100 TB guidance is to switch to [[semDedup]] / [[ivfJoinAuto]]
+    // blocking in that regime.
+    val d = deriveBanding(n, targetBucket, threshold, targetRecall)
     val cap = if (maxBucketVecs < 0) 8 * targetBucket else maxBucketVecs
-    annPairs(corpus, idCol, embCol, threshold, nPlanes = w * bands,
-      bands = bands, dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
+    annPairs(corpus, idCol, embCol, threshold, nPlanes = d.w * d.bands,
+      bands = d.bands, dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
   }
 
   /** Occupancy-derived sign bits per band: with n indexed vectors and
@@ -506,6 +513,40 @@ object Similarity {
     math.min(maxBands, math.max(1, b))
   }
 
+  /** The full banding derivation as a VALUE — what [[annJoinAuto]] /
+    * [[annPairsAuto]] decide from one corpus count, including what the
+    * `maxBands` clamp costs. `demandedBands` is the UNCLAMPED
+    * banding-curve requirement; `clamped` means the curve demands more
+    * tables than the budget allows, i.e. LSH at this (w, threshold)
+    * operating point CANNOT meet `targetRecall` — the regime the r11
+    * sf1.0 stress run hit (20k vectors, θ=0.4: demanded 160 vs
+    * maxBands 64). `predictedRecall` = 1 − (1−p)^bands at the CLAMPED
+    * band count — the analytic contract actually shipped (the curve is
+    * conservative on uniform fixtures, so measured recall sits above
+    * it; the point is that in the clamped regime even the optimistic
+    * analytic bound falls below target, which is why [[annJoinAuto]]
+    * routes to the IVF family there). */
+  final case class BandingDerivation(n: Long, w: Int, demandedBands: Int,
+      bands: Int, clamped: Boolean, predictedRecall: Double)
+
+  /** Derive (w, bands) from one corpus count — [[planesPerBand]] +
+    * the [[bandsForRecall]] curve — returning the whole
+    * [[BandingDerivation]] so callers can see whether the `maxBands`
+    * clamp bound and what recall the clamped configuration predicts. */
+  def deriveBanding(n: Long, targetBucket: Int = 32,
+      simThreshold: Double = 0.5, targetRecall: Double = 0.8,
+      maxBands: Int = 64): BandingDerivation = {
+    require(simThreshold > 0 && simThreshold < 1 && targetRecall > 0 && targetRecall < 1)
+    val w = planesPerBand(n, targetBucket)
+    val pBit = 1.0 - math.acos(simThreshold) / math.Pi
+    val p = math.pow(pBit, w)
+    val demanded =
+      math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt)
+    val bands = math.min(maxBands, demanded)
+    BandingDerivation(n, w, demanded, bands, demanded > maxBands,
+      1.0 - math.pow(1.0 - p, bands))
+  }
+
   /** OCCUPANCY-AWARE [[annJoin]] — the scale entry point: one scalar
     * count of the corpus (a 1-row stat read, like every graft model
     * fit) derives sign-bits-per-band from the target bucket occupancy
@@ -523,13 +564,29 @@ object Similarity {
   def annJoinAuto(corpus: DataFrame, idCol: String, embCol: String,
       k: Int = 10, dim: Int = 64, targetBucket: Int = 32,
       simThreshold: Double = 0.5, targetRecall: Double = 0.8,
-      multiProbe: Boolean = true, maxBucketVecs: Int = -1): DataFrame = {
+      multiProbe: Boolean = true, maxBucketVecs: Int = -1,
+      maxBands: Int = 64): DataFrame = {
     val n = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0).count()
-    val w = planesPerBand(n, targetBucket)
-    val bands = bandsForRecall(w, simThreshold, targetRecall)
-    val cap = if (maxBucketVecs < 0) 8 * targetBucket else maxBucketVecs
-    annJoin(corpus, idCol, embCol, k, nPlanes = w * bands, bands = bands,
-      dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
+    val d = deriveBanding(n, targetBucket, simThreshold, targetRecall, maxBands)
+    // CLAMP ROUTING (the r11 sf1.0 lesson): when the banding curve
+    // demands more bands than the budget, LSH can no longer meet the
+    // recall contract — it silently trades recall away while its
+    // dup-heavy bucket depth ALSO sends cost superlinear (measured:
+    // 185 s at 20k vectors/θ=0.4 for an unverified recall, vs 24.6 s
+    // at measured ≥0.69 recall on the IVF path over the same corpus).
+    // So the clamped regime routes to [[ivfJoinAuto]] at exactly the
+    // q_ann_ivf parameterization (nProbe=4, targetCell=128, one Lloyd
+    // round) — the oracle replays the same decision from the same
+    // corpus count, so the routed query stays hash-matched at every
+    // scale. Callers who want the degraded-LSH behavior anyway can
+    // raise `maxBands` to pay the banding-curve price explicitly.
+    if (d.clamped)
+      ivfJoinAuto(corpus, idCol, embCol, k)
+    else {
+      val cap = if (maxBucketVecs < 0) 8 * targetBucket else maxBucketVecs
+      annJoin(corpus, idCol, embCol, k, nPlanes = d.w * d.bands, bands = d.bands,
+        dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
+    }
   }
 
   /** Fit the IVF coarse quantizer: deterministic hash-sampled seed

@@ -79,56 +79,80 @@ FROM cand ORDER BY sim DESC, id LIMIT 10"""
 
   /** The shared annJoinAuto/annPairsAuto CTE chain up to the scored
     * candidate frame: derivation, packed keys, cap, multi-probe,
-    * distinct candidates, exact cosine. */
-  private def chain(pairs: Boolean, simT: String, extraFilter: String, k: Int): String = {
+    * distinct candidates, exact cosine. CTE names carry prefix `p` so
+    * the routed queries can co-host this chain with [[IvfOracleSql]]'s
+    * (whose names it would otherwise collide with). `drv2` exposes the
+    * UNCLAMPED banding-curve demand (`demanded`); with `routed = true`
+    * the effective band count drops to ZERO when demanded > 64 — the
+    * exact regime annJoinAuto routes to the IVF family — so the
+    * untaken LSH branch costs nothing instead of replaying hundreds of
+    * plane dots per vector. */
+  private def chain(pairs: Boolean, simT: String, extraFilter: String, k: Int,
+      p: String = "", routed: Boolean = false): String = {
     val dotP = "list_sum(list_transform(range(0, 64), i -> " +
       s"CAST(s.e[i + 1] AS DOUBLE) * ${sign("(b.b * d.w + r)", "i")}))"
     val candFilter = if (pairs) "p.pid < i.id" else "p.pid <> i.id"
     val labelSel = if (extraFilter.nonEmpty) ", label" else ""
-    s"""base AS (SELECT vec_id, embedding AS e$labelSel FROM embeddings
+    val bandsExpr =
+      if (routed) "CASE WHEN demanded > 64 THEN 0 ELSE least(64, demanded) END"
+      else "least(64, demanded)"
+    s"""${p}base AS (SELECT vec_id, embedding AS e$labelSel FROM embeddings
          WHERE embedding IS NOT NULL AND len(embedding) > 0$extraFilter),
-drv AS (SELECT least(16, greatest(2,
+${p}drv AS (SELECT least(16, greatest(2,
             CAST(ceil(ln(greatest(1.0, count(*) / 32.0)) / ln(2.0)) AS INT))) AS w,
-          count(*) AS n FROM base),
-drv2 AS (SELECT w, n,
-           least(64, greatest(1, CAST(ceil($Log1pNeg08 /
-             ln(1.0 - power(1.0 - acos($simT) / pi(), w))) AS INT))) AS bands,
-           256 AS cap
-         FROM drv),
-keys AS (SELECT s.vec_id AS id, s.e, d.w, d.bands, d.cap,
+          count(*) AS n FROM ${p}base),
+${p}drv2 AS (SELECT w, n, demanded, $bandsExpr AS bands, 256 AS cap
+         FROM (SELECT w, n, greatest(1, CAST(ceil($Log1pNeg08 /
+                 ln(1.0 - power(1.0 - acos($simT) / pi(), w))) AS INT)) AS demanded
+               FROM ${p}drv) dvx),
+${p}keys AS (SELECT s.vec_id AS id, s.e, d.w, d.bands, d.cap,
            b.b AS band_id,
            (b.b::BIGINT << d.w) + list_sum(list_transform(range(0, d.w), r ->
              CASE WHEN $dotP >= 0 THEN (1::BIGINT << r) ELSE 0 END))::BIGINT AS key
-         FROM base s CROSS JOIN drv2 d
+         FROM ${p}base s CROSS JOIN ${p}drv2 d
          CROSS JOIN LATERAL (SELECT unnest(range(0, d.bands)) AS b) b),
-kept AS (SELECT key FROM keys GROUP BY key HAVING count(*) <= any_value(cap)),
-idx AS (SELECT k.id, k.key FROM keys k JOIN kept USING (key)),
-probes AS (SELECT k.id AS pid, k.key AS key FROM keys k
+${p}kept AS (SELECT key FROM ${p}keys GROUP BY key HAVING count(*) <= any_value(cap)),
+${p}idx AS (SELECT k.id, k.key FROM ${p}keys k JOIN ${p}kept USING (key)),
+${p}probes AS (SELECT k.id AS pid, k.key AS key FROM ${p}keys k
            UNION
            SELECT k.id AS pid, xor(k.key, (1::BIGINT << f.r)) AS key
-           FROM keys k CROSS JOIN LATERAL (SELECT unnest(range(0, k.w)) AS r) f),
-cand AS (SELECT DISTINCT p.pid, i.id
-         FROM probes p JOIN idx i USING (key)
+           FROM ${p}keys k CROSS JOIN LATERAL (SELECT unnest(range(0, k.w)) AS r) f),
+${p}cand AS (SELECT DISTINCT p.pid, i.id
+         FROM ${p}probes p JOIN ${p}idx i USING (key)
          WHERE $candFilter),
-em AS (SELECT vec_id AS id, e FROM base),
-scored AS (SELECT c.pid, c.id,
+${p}em AS (SELECT vec_id AS id, e FROM ${p}base),
+${p}scored AS (SELECT c.pid, c.id,
              round(${cos("a.e", "b.e")}, 4) AS sim
-           FROM cand c JOIN em a ON a.id = c.pid JOIN em b ON b.id = c.id)"""
+           FROM ${p}cand c JOIN ${p}em a ON a.id = c.pid JOIN ${p}em b ON b.id = c.id)"""
   }
 
-  private def rkCte(k: Int): String =
-    s"""rk AS (SELECT pid, id, sim,
+  private def rkCte(k: Int, p: String = ""): String =
+    s"""${p}rk AS (SELECT pid, id, sim,
          row_number() OVER (PARTITION BY pid ORDER BY sim DESC, id ASC) AS rank
-       FROM scored)"""
+       FROM ${p}scored)"""
 
-  /** q_ann_join: annJoinAuto(k=5, simThreshold=0.4, targetRecall=0.8). */
+  /** q_ann_join: annJoinAuto(k=5, simThreshold=0.4, targetRecall=0.8),
+    * INCLUDING the clamp routing: when the banding curve's unclamped
+    * demand exceeds maxBands=64 (drv2.demanded), the Spark side runs
+    * ivfJoinAuto(k=5) instead — so this oracle hosts BOTH chains,
+    * each gated by the routing flag (the untaken branch is empty and
+    * near-free: the LSH chain gets 0 bands, the IVF chain an empty
+    * base0), and unions the survivors. At the gate SFs the demand is
+    * 10/25 bands → pure LSH, byte-identical to the pre-routing oracle;
+    * at sf1.0 (demand 160) it replays the IVF election. */
   lazy val joinSql: String =
     s"""WITH
-${chain(pairs = false, simT = "0.4", extraFilter = "", k = 5)},
-${rkCte(5)}
+${chain(pairs = false, simT = "0.4", extraFilter = "", k = 5, p = "l", routed = true)},
+${rkCte(5, "l")},
+${IvfOracleSql.ivfChain(" AND (SELECT demanded > 64 FROM ldrv2)")}
 SELECT CAST(pid AS BIGINT) AS vec_id, CAST(id AS BIGINT) AS neighbor_id, sim,
        CAST(rank AS BIGINT) AS rank
-FROM rk WHERE rank <= 5 ORDER BY vec_id, rank"""
+FROM lrk WHERE rank <= 5
+UNION ALL
+SELECT CAST(pid AS BIGINT) AS vec_id, CAST(id AS BIGINT) AS neighbor_id, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+ORDER BY vec_id, rank"""
 
   /** q_ann_pairs: annPairsAuto(threshold=0.4). */
   lazy val pairsSql: String =
@@ -152,13 +176,22 @@ FROM embeddings d LEFT JOIN comp c USING (vec_id)
 ORDER BY vec_id"""
 
   /** q_knn_eval_ann: annJoinAuto defaults (simThreshold 0.5, k=5) over
-    * label-non-null vectors, majority vote, confusion matrix. */
+    * label-non-null vectors, majority vote, confusion matrix — with the
+    * same clamp routing as [[joinSql]] (at θ=0.5 the unclamped demand
+    * passes 64 bands near n≈16k, so the sf1.0 fixture routes to the
+    * IVF neighbors fitted on the SAME label-filtered slice the Spark
+    * side fits on). */
   lazy val knnSql: String =
     s"""WITH
-${chain(pairs = false, simT = "0.5", extraFilter = " AND label IS NOT NULL", k = 5)},
-${rkCte(5)},
-lab AS (SELECT vec_id AS id, label FROM base),
+${chain(pairs = false, simT = "0.5", extraFilter = " AND label IS NOT NULL", k = 5, p = "l", routed = true)},
+${rkCte(5, "l")},
+${IvfOracleSql.ivfChain(" AND label IS NOT NULL AND (SELECT demanded > 64 FROM ldrv2)")},
+lab AS (SELECT vec_id AS id, label FROM lbase),
 nb AS (SELECT r.pid AS ia, la.label AS la, lb.label AS lb
+       FROM lrk r JOIN lab la ON la.id = r.pid JOIN lab lb ON lb.id = r.id
+       WHERE r.rank <= 5
+       UNION ALL
+       SELECT r.pid AS ia, la.label AS la, lb.label AS lb
        FROM rk r JOIN lab la ON la.id = r.pid JOIN lab lb ON lb.id = r.id
        WHERE r.rank <= 5),
 votes AS (SELECT ia, la, lb, count(*) AS c FROM nb GROUP BY ia, la, lb),

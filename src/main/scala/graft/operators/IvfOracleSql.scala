@@ -149,13 +149,19 @@ ${p}ebest AS MATERIALIZED (SELECT vec_id, s, ci, dist FROM (
                    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, ci) AS rn
             FROM ${p}ed) WHERE rn = 1)"""
 
-  /** q_ann_ivf: ivfJoin(embeddings, k=5, nCentroids=16, nProbe=4,
-    * iterations=1) — fit on the full corpus, one Lloyd round, 4-probe
-    * cells, exact-cosine re-rank, rank ≤ 5. */
-  lazy val ivfSql: String =
-    s"""WITH
-base0 AS (SELECT vec_id, embedding AS e FROM embeddings
-          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+  /** The full q_ann_ivf WITH-body — ivfJoin(embeddings, k=5,
+    * nCentroids=ivfCellsFor(n,128), nProbe=4, iterations=1): fit on
+    * the full corpus, one Lloyd round, 4-probe cells, exact-cosine
+    * re-rank — ending in CTE `rk` (pid, id, sim, rank). Reused
+    * verbatim by [[AnnOracleSql]]'s clamp-ROUTED q_ann_join /
+    * q_knn_eval_ann oracles (annJoinAuto falls back to exactly this
+    * parameterization when the banding curve demands more than
+    * maxBands tables). `extraFilter` narrows the corpus the same way
+    * the Spark caller's pre-filter does (knnAnnConfusion fits on the
+    * label-non-null slice). */
+  def ivfChain(extraFilter: String = ""): String =
+    s"""base0 AS (SELECT vec_id, embedding AS e FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0$extraFilter),
 hvals AS (SELECT vec_id, ((CAST(vec_id AS HUGEINT) % $M64) + $M64) % $M64 AS w FROM base0),
 $hashCtes,
 hh AS MATERIALIZED (SELECT vec_id, $hashCol AS h FROM $hashLast),
@@ -175,7 +181,12 @@ scored AS (SELECT c.pid, c.id, round(${cos("a.e", "b.e")}, 4) AS sim
                        JOIN base b ON b.vec_id = c.id),
 rk AS (SELECT pid, id, sim,
          row_number() OVER (PARTITION BY pid ORDER BY sim DESC, id) AS rank
-       FROM scored)
+       FROM scored)"""
+
+  /** q_ann_ivf: [[ivfChain]] + the rank-≤5 projection. */
+  lazy val ivfSql: String =
+    s"""WITH
+${ivfChain()}
 SELECT pid AS vec_id, id AS neighbor_id, sim, rank::BIGINT AS rank
 FROM rk WHERE rank <= 5 ORDER BY vec_id, rank"""
 
