@@ -83,7 +83,12 @@ object HllOracleSql {
 
   private def dbl(d: Double): String = java.lang.Double.toString(d)
 
-  lazy val sql: String = {
+  /** The full estimator pipeline over a caller-supplied `vals` CTE body
+    * (columns g, w — group key + the value as a non-negative HUGEINT)
+    * and final projection: shared by the q_approx_distinct oracle and
+    * the q_hll_rollup register-rollup oracle (same p=12 geometry, same
+    * register transcription, same bias-corrected query). */
+  private def emitFor(valsBody: String, finalSel: String): String = {
     val (p, alphaM2, k, threshold, raw, bias) = helperTables
     val m = 1 << p
     val c = new Chain
@@ -106,10 +111,7 @@ object HllOracleSql {
     val nRaw = raw.length
 
     s"""WITH
-vals AS (SELECT event_type AS g,
-           ((CAST(user_id AS HUGEINT) % $M64) + $M64) % $M64 AS w
-         FROM (SELECT DISTINCT event_type, user_id FROM events
-               WHERE user_id IS NOT NULL)),
+vals AS ($valsBody),
 $ctes,
 reg AS (SELECT g,
           ($fin) // ${BigInt(1) << (64 - p)}::HUGEINT AS idx,
@@ -148,7 +150,38 @@ res AS (SELECT g,
                THEN $m::DOUBLE * ln($m::DOUBLE / v)
                ELSE ebias END AS x
         FROM eb)
-SELECT g AS event_type, CAST(floor(x + 0.5) AS BIGINT) AS approx_users
-FROM res ORDER BY event_type"""
+$finalSel"""
   }
+
+  /** q_approx_distinct: per-event_type approx_count_distinct(user_id,
+    * 0.02). */
+  lazy val sql: String = emitFor(
+    s"""SELECT event_type AS g,
+           ((CAST(user_id AS HUGEINT) % $M64) + $M64) % $M64 AS w
+         FROM (SELECT DISTINCT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL)""",
+    """SELECT g AS event_type, CAST(floor(x + 0.5) AS BIGINT) AS approx_users
+FROM res ORDER BY event_type""")
+
+  /** q_hll_rollup: per-day register sketches
+    * ([[graft.functions.HllSketchAgg]] — Spark's own HLL++ registers)
+    * plus the union-merged total. The merged row's registers are the
+    * element-wise max over the day sketches — which equals running the
+    * same register pass over every (user) row — so the oracle computes
+    * it as one extra sentinel group (g = −1 → day_idx NULL) through the
+    * IDENTICAL estimator chain. Day key: the floorDiv epoch-day the
+    * Spark side computes from ts_ms. */
+  lazy val rollupSql: String = emitFor(
+    s"""SELECT g, ((CAST(user_id AS HUGEINT) % $M64) + $M64) % $M64 AS w
+         FROM (SELECT DISTINCT
+                 epoch_ms(ts) // 86400000
+                   - CASE WHEN epoch_ms(ts) % 86400000 < 0 THEN 1 ELSE 0 END AS g,
+                 user_id
+               FROM events WHERE user_id IS NOT NULL
+               UNION ALL
+               SELECT DISTINCT -1 AS g, user_id
+               FROM events WHERE user_id IS NOT NULL)""",
+    """SELECT CAST(CASE WHEN g = -1 THEN NULL ELSE g END AS BIGINT) AS day_idx,
+       CAST(floor(x + 0.5) AS BIGINT) AS est_users
+FROM res ORDER BY day_idx NULLS FIRST""")
 }

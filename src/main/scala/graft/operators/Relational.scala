@@ -368,32 +368,43 @@ object Relational {
   )
 
   /** MERGEABLE HLL sketch rollup — the incremental-distinct pattern at
-    * scale: per-day user sketches (`hll_sketch_agg`) roll up to a
-    * corpus total via `hll_union_agg` WITHOUT rescanning the raw data.
-    * At 100 TB this is how daily distinct-user counts become weekly/
-    * monthly ones: persist the (day, sketch) table — kilobytes per day
-    * — and union-merge any date range on demand; q_approx_distinct's
-    * one-shot estimate can't compose that way. Approximate → no SQL
-    * oracle; merge-consistency and accuracy vs exact are
-    * property-tested (OperatorPropertiesSpec "hll rollup"). Output: one
-    * row per day plus the merged total under day_idx NULL (explicit
-    * NULLS FIRST contract). Sketches are hash-deterministic — the
-    * determinism gate runs this twice like every query. */
+    * scale: per-day user sketches roll up to a corpus total by
+    * register-max merge WITHOUT rescanning the raw data. At 100 TB this
+    * is how daily distinct-user counts become weekly/monthly ones:
+    * persist the (day, sketch) table — ~3.3 KB per day — and
+    * union-merge any date range on demand; q_approx_distinct's one-shot
+    * estimate can't compose that way. The sketch is Spark's OWN HLL++
+    * state ([[graft.functions.HllSketchAgg]] drives
+    * `HyperLogLogPlusPlusHelper` — identical registers and
+    * bias-corrected estimator to `approx_count_distinct(., 0.02)`),
+    * which is what makes the rollup HASH-MATCHED: [[HllOracleSql
+    * .rollupSql]] replays registers + estimator per day AND for the
+    * merged sentinel group in DuckDB (register max over days ≡ one
+    * register pass over all rows — merge is idempotent max, so the
+    * identity is exact, not approximate). The r10/r11 no-oracle
+    * obstruction was the DataSketches library's HIP estimator — a
+    * foreign library's internals — not sketch rollups per se; swapping
+    * the sketch for Spark's own retires it. Merge-consistency and
+    * accuracy vs exact remain property-tested (OperatorPropertiesSpec
+    * "hll rollup"). Output: one row per day plus the merged total under
+    * day_idx NULL (explicit NULLS FIRST contract). */
   private val qHllRollup = Q(
     "q_hll_rollup",
     (s, dir) => {
       val daily = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
         .select(expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day_idx"),
           col("user_id"))
         .groupBy("day_idx")
-        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
-      daily.select(col("day_idx"), hll_sketch_estimate(col("sk")).as("est_users"))
+        .agg(graft.functions.HllSketchAgg.fn(col("user_id")).as("sk"))
+      daily.groupBy("day_idx")
+        .agg(graft.functions.HllMergeEstAgg.fn(col("sk")).as("est_users"))
         .unionByName(daily.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+          graft.functions.HllMergeEstAgg.fn(col("sk")).as("est_users"))
           .select(lit(null).cast("long").as("day_idx"), col("est_users")))
         .orderBy(asc_nulls_first("day_idx"))
     },
-    None
+    Some(HllOracleSql.rollupSql)
   )
 
   /** MERGEABLE QUANTILE sketch rollup — q_hll_rollup's persisted-sketch

@@ -1096,21 +1096,29 @@ class OperatorPropertiesSpec extends SparkTestBase {
       .select(expr(graft.api.TimeSeries.floorDivSql("ts_ms", 86400000L)).as("day"),
         col("user_id"))
     // merge-consistency: union of per-day sketches = one corpus sketch
-    // (same lgConfigK) — the property that makes persisted daily
-    // sketches rollup-able without rescanning
-    val merged = ev.groupBy("day").agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e")).as[Long].head()
-    val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("e"))
-      .as[Long].head()
+    // (same p=12 register geometry) — the property that makes persisted
+    // daily sketches rollup-able without rescanning. Register-max merge
+    // is idempotent, so this holds EXACTLY, not approximately.
+    val hs = graft.functions.HllSketchAgg.fn
+    val hm = graft.functions.HllMergeEstAgg.fn
+    val merged = ev.groupBy("day").agg(hs(col("user_id")).as("sk"))
+      .agg(hm(col("sk")).as("e")).as[Long].head()
+    val whole = ev.agg(hs(col("user_id")).as("sk"))
+      .agg(hm(col("sk")).as("e")).as[Long].head()
     assert(merged == whole, s"merged $merged != whole-corpus $whole")
-    // accuracy: lgConfigK=12 → rse ≈ 1.04/√4096 ≈ 1.6%; assert 5%
+    // the sketch IS approx_count_distinct's state: estimates agree with
+    // the built-in exactly (same helper, same registers, same query)
+    val builtin = ev.agg(approx_count_distinct(col("user_id"), 0.02).as("e"))
+      .as[Long].head()
+    assert(merged == builtin, s"register rollup $merged != approx_count_distinct $builtin")
+    // accuracy: p=12 → rse ≈ 1.04/√4096 ≈ 1.6%; assert 5%
     val exact = ev.select("user_id").distinct().count()
     assert(math.abs(merged - exact).toDouble / exact <= 0.05, s"est $merged vs exact $exact")
     // per-day estimates each within 5% of their exact distinct
     val perDay = ev.groupBy("day")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"),
-        count_distinct(col("user_id")).as("ex"))
-      .as[(Long, Long, Long)].collect()
+      .agg(hs(col("user_id")).as("sk"), count_distinct(col("user_id")).as("ex"))
+      .groupBy("day", "ex").agg(hm(col("sk")).as("est"))
+      .select("day", "est", "ex").as[(Long, Long, Long)].collect()
     perDay.foreach { case (d, est, ex) =>
       assert(math.abs(est - ex).toDouble / ex <= 0.05, s"day $d: est $est vs exact $ex")
     }
@@ -2139,6 +2147,34 @@ class OperatorPropertiesSpec extends SparkTestBase {
     // candidates at all (the documented trade: identical vectors are
     // exact dedup's job, not ANN's)
     assert(out.count() == 0L, "hot-bucket guard failed to drop the degenerate buckets")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
+  test("annJoinAuto clamp routing: derivation flags the regime; routed result ≡ ivfJoinAuto") {
+    import graft.api.Similarity
+    // the r11 sf1.0 operating point: 20k vectors at θ=0.4 demand 160
+    // bands — past the 64-band budget LSH cannot meet the 0.8 recall
+    // contract (predicted post-clamp recall collapses; MEASURED 0.346
+    // at sf1.0 by graft.tools.AnnRecall before routing)
+    val d = Similarity.deriveBanding(20000, 32, 0.4, 0.8)
+    assert(d.w == 10 && d.clamped && d.demandedBands > 100,
+      s"sf1.0 derivation should clamp: $d")
+    assert(d.predictedRecall < 0.8,
+      s"clamped analytic recall must sit below contract: $d")
+    // both gate SFs stay comfortably unclamped — routing cannot change
+    // any gate result
+    assert(!Similarity.deriveBanding(500, 32, 0.4, 0.8).clamped)
+    assert(!Similarity.deriveBanding(2000, 32, 0.4, 0.8).clamped)
+    assert(!Similarity.deriveBanding(2000, 32, 0.5, 0.8).clamped)
+    // routed parity: shrink the band budget so THIS corpus clamps —
+    // annJoinAuto must then return exactly ivfJoinAuto's rows (the
+    // q_ann_ivf parameterization the oracle replays)
+    val em = graft.Tables.embeddings(spark, sfDir)
+    val routed = Similarity.annJoinAuto(em, "vec_id", "embedding",
+      k = 5, simThreshold = 0.4, maxBands = 1)
+    val ivf = Similarity.ivfJoinAuto(em, "vec_id", "embedding", k = 5)
+    assert(routed.exceptAll(ivf).isEmpty && ivf.exceptAll(routed).isEmpty,
+      "clamped annJoinAuto must route to the ivfJoinAuto election")
     graft.Hygiene.dropLeakedBlocks(spark)
   }
 
