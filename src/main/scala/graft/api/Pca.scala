@@ -76,6 +76,124 @@ object Pca {
     PcaModel(dim, n, mean, order.map(evals).toArray, comps, trace)
   }
 
+  /** ORACLE-REPLAYABLE PCA fit: decimal-exact moments + fixed-budget
+    * power iteration with deflation.
+    *
+    * [[fit]]'s float moment sums are partition-order-dependent (ulp
+    * drift) and its Jacobi runs a data-dependent number of rotations —
+    * fine as a pure function, but unreplayable in a SQL oracle at
+    * tolerable cost (~20k recursive rotations over an 8k-element
+    * state). This variant is value-deterministic end to end and cheap
+    * to replay:
+    *
+    *  - moments via [[graft.functions.MomentDecAgg]]: every per-row
+    *    term fixed to 10dp scaled longs, summed exactly — the moment
+    *    frame is partition-order-invariant by VALUE (the r11
+    *    VecSumDecAgg discipline that unlocked IvfOracleSql);
+    *  - covariance from the exact moments with a PINNED op order
+    *    (`(S/1e10)/n`, then `e2 − mean·mean`), every step an
+    *    exactly-rounded IEEE op DuckDB reproduces bit-for-bit;
+    *  - eigenpairs by POWER ITERATION: v₀ = 1/√d (exact 0.125 at
+    *    d=64), `iters` rounds of v ← (C·v)/‖C·v‖ (matvec rows fold
+    *    ascending-j from 0.0; the norm folds ascending), λ = vᵀ(C·v),
+    *    then deflate C ← C − λ·vvᵀ and repeat for the next component —
+    *    only +,−,×,÷,√ with a fixed schedule, so the whole solve is a
+    *    closed-form chain of exactly-rounded ops ([[graft.operators
+    *    .PcaOracleSql]] replays it as one recursive CTE);
+    *  - sign pinned as in [[fit]]: largest-|coordinate| entry positive
+    *    (ties → lowest index).
+    *
+    * Fidelity: with a near-isotropic spectrum power iteration at a
+    * fixed budget mixes adjacent close eigenvectors more than Jacobi —
+    * the spec pins fitPower against [[fit]] (eigenvalues within
+    * tolerance, components aligned up to the expected mixing). Use
+    * [[fit]] when you want the tightest eigenbasis; use this when the
+    * answer must be value-reproducible across engines. */
+  def fitPower(df: DataFrame, vecCol: String, dim: Int, k: Int,
+      iters: Int = 300): PcaModel = {
+    require(dim >= 2, s"dim must be ≥2, got $dim")
+    require(k >= 1 && k <= dim, s"k must be in [1,$dim], got $k")
+    require(iters >= 1, s"iters must be ≥1, got $iters")
+    val row = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .agg(graft.functions.MomentDecAgg.fn(col("v")).as("m"))
+      .head() // MODEL-sized: 1 row of d²+d+1 longs (the ML-fit exemption)
+    val m = row.getSeq[Long](0).toArray
+    require(m.nonEmpty, s"no vectors of dim $dim to fit PCA on")
+    val n = m(0)
+    require(n >= 2, s"need ≥2 vectors of dim $dim to fit PCA, got $n")
+    val nd = n.toDouble
+    val mean = Array.tabulate(dim)(i => (m(1 + i).toDouble / 1e10) / nd)
+    // cov in a flat row-major array — the exact layout the oracle's
+    // list state uses
+    val a = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        a(i * dim + j) =
+          (m(1 + dim + i * dim + j).toDouble / 1e10) / nd - mean(i) * mean(j)
+        j += 1
+      }
+      i += 1
+    }
+    var trace = 0.0
+    i = 0
+    while (i < dim) { trace += a(i * dim + i); i += 1 }
+    val evals = new Array[Double](k)
+    val comps = new Array[Array[Double]](k)
+    var c = 0
+    while (c < k) {
+      val v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var it = 0
+      while (it < iters) {
+        val w = matvec(a, v, dim)
+        var nrm = 0.0
+        var x = 0
+        while (x < dim) { nrm += w(x) * w(x); x += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 0) {
+          var y = 0
+          while (y < dim) { v(y) = w(y) / nrm; y += 1 }
+        }
+        it += 1
+      }
+      val w = matvec(a, v, dim)
+      var lam = 0.0
+      var x = 0
+      while (x < dim) { lam += v(x) * w(x); x += 1 }
+      // deflate BEFORE the sign flip (vvᵀ is sign-invariant, but the
+      // oracle replays this exact order)
+      var p = 0
+      while (p < dim) {
+        var q = 0
+        while (q < dim) { a(p * dim + q) -= lam * v(p) * v(q); q += 1 }
+        p += 1
+      }
+      val pivot = v.indices.maxBy(z => (math.abs(v(z)), -z))
+      evals(c) = lam
+      comps(c) = if (v(pivot) < 0) v.map(z => -z) else v.clone()
+      c += 1
+    }
+    PcaModel(dim, n, mean, evals, comps, trace)
+  }
+
+  /** Row-major matvec, each row folded ascending-j from 0.0 — the op
+    * order [[fitPower]]'s oracle replays. */
+  private def matvec(a: Array[Double], v: Array[Double], dim: Int): Array[Double] = {
+    val w = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += a(i * dim + j) * v(j); j += 1 }
+      w(i) = s
+      i += 1
+    }
+    w
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS).
     * Fixed sweep order (upper triangle row-major), fixed sweep budget,

@@ -391,37 +391,45 @@ object VectorOps {
   )
 
   /** PCA projection of every embedding onto the top-4 principal
-    * components ([[graft.api.Pca]]): one second-moment aggregation pass
-    * (map-side partial, 1-row d²+d+1 result — the ML-fit exemption),
-    * driver-side Jacobi on the 64×64 covariance, then a pure map-side
-    * projection over LITERAL component vectors (mean folded into a
-    * scalar offset so only the raw vector column is referenced — no
-    * HOF re-evaluation). No SQL oracle (the eigenbasis is the model);
-    * covered by the two-run self-check and the plain-Scala parity
+    * components ([[graft.api.Pca.fitPower]]): one DECIMAL-exact
+    * second-moment aggregation pass (map-side partial, 1-row d²+d+1
+    * scaled-long result — the ML-fit exemption), a fixed-budget
+    * driver-side power-iteration eigensolve on the 64×64 covariance,
+    * then a pure map-side projection over LITERAL component vectors
+    * (mean folded into a scalar offset so only the raw vector column
+    * is referenced — no HOF re-evaluation). HASH-MATCHED since r12:
+    * the exact moments + fixed iteration schedule make the whole fit a
+    * closed chain of exactly-rounded IEEE ops, and
+    * [[PcaOracleSql.projectSql]] replays moments, recursion,
+    * deflation, sign pinning and projections in one recursive CTE
+    * (the former Jacobi obstruction was the data-dependent rotation
+    * schedule, not PCA itself); eigen-fidelity vs the Jacobi baseline
     * property in PcaSpec. */
   private val qEmbedPca = Q(
     "q_embed_pca",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.api.Pca.fit(emb, "embedding", dim = 64, k = 4)
+      val model = graft.api.Pca.fitPower(emb, "embedding", dim = 64, k = 4,
+        iters = PcaOracleSql.Iters)
       graft.api.Pca.project(emb, "vec_id", "embedding", model)
         .orderBy("vec_id")
     },
-    None
+    Some(PcaOracleSql.projectSql)
   )
 
   /** PCA spectrum summary: top-8 eigenvalues of the embedding
     * covariance with per-component and cumulative variance-explained —
     * the "how many dimensions actually matter" report that sizes OPQ /
     * dimension-pruning decisions. Model-sized output (8 rows) from the
-    * same single corpus pass as [[qEmbedPca]]. */
+    * same single corpus pass as [[qEmbedPca]]; hash-matched via
+    * [[PcaOracleSql.varianceSql]] (the same recursive replay, k=8). */
   private val qPcaVariance = Q(
     "q_pca_variance",
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      val model = graft.api.Pca.fit(Tables.embeddings(s, dir), "embedding",
-        dim = 64, k = 8)
+      val model = graft.api.Pca.fitPower(Tables.embeddings(s, dir), "embedding",
+        dim = 64, k = 8, iters = PcaOracleSql.Iters)
       val ve = model.varianceExplained
       val cum = ve.scanLeft(0.0)(_ + _).drop(1)
       model.eigenvalues.indices.map { i =>
@@ -431,7 +439,7 @@ object VectorOps {
       }.toSeq.toDF("component", "eigenvalue", "var_explained", "cum_var_explained")
         .orderBy("component")
     },
-    None
+    Some(PcaOracleSql.varianceSql)
   )
 
   /** Leave-one-out 5-NN label evaluation

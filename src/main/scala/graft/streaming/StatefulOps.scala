@@ -887,4 +887,141 @@ object StatefulOps {
       .filter(col("sim") >= threshold)
       .select(col("id"), col("matched_id"), col("sim"))
   }
+
+  // ───────────────────────── streaming SemDeDup ─────────────────────────
+
+  /** One (vector, probed cell) row for [[streamingSemDedup]]: the
+    * vector's full embedding rides into the cell bucket so the scorer
+    * is EXACT cosine at ingest (no estimate/reconcile split — SemDeDup
+    * state is cell-bounded, so carrying the vector is the batch
+    * operator's own memory shape). `home` marks the rank-1 cell — the
+    * batch assignment column. */
+  final case class SemCell(id: Long, tsMs: Long, cell: Int, home: Boolean,
+      e: Seq[Double])
+
+  /** A vector retained in a cell bucket's state. */
+  final case class SemVecInState(id: Long, e: Seq[Double])
+
+  /** Per-cell state: the first `maxCellVecs` arrivals + TTL anchor. */
+  final case class SemCellState(vecs: Seq[SemVecInState], maxTsMs: Long)
+
+  /** One emitted SemDeDup candidate: `id` is an EXACT-cosine semantic
+    * duplicate of the earlier, smaller-id cluster-mate `matched_id`
+    * (`sim` unrounded; [[semDedupVerdicts]] rounds after the max). */
+  final case class SemMatch(cell: Int, id: Long, matched_id: Long, sim: Double)
+
+  /** Prepare [[SemCell]] rows from an (id, embedding, tsMs) stream
+    * against a FITTED centroid model (`Similarity.fitIvf` — the 100 TB
+    * fit-once / apply-at-ingest pattern, like `DriftStream`'s fitted
+    * references): per row the native `graft_nearest_centroids` top-
+    * `nProbe` cells (identical assignment arithmetic to batch
+    * `Similarity.semDedup`), exploded to one row per probed cell with
+    * the rank-1 cell marked `home`. Map-side only. */
+  def semCellRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, tsMsCol: String, centers: Seq[Seq[Double]],
+      nProbe: Int = 2): Dataset[SemCell] = {
+    require(nProbe >= 1, s"nProbe must be ≥1, got $nProbe")
+    graft.functions.VectorExprs.register(df.sparkSession)
+    import org.apache.spark.sql.functions._
+    val cc = typedLit(centers)
+    df.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        col(tsMsCol).cast("long").as("tsMs"),
+        col(embCol).cast("array<double>").as("e"),
+        posexplode(call_function("graft_nearest_centroids", col(embCol), cc,
+          lit(nProbe))).as(Seq("__rank", "cell")))
+      .select(col("id"), col("tsMs"), col("cell").cast("int").as("cell"),
+        (col("__rank") === 0).as("home"), col("e"))
+      .as[SemCell](Encoders.product[SemCell])
+  }
+
+  /** Streaming SemDeDup — the at-ingest mirror of batch
+    * `Similarity.semDedup`: embeddings arrive continuously, and each
+    * vector learns whether a SMALLER-ID cluster-mate in any shared
+    * probed cell sits above `simThreshold` — by EXACT cosine, computed
+    * against the cell's retained vectors (the same ascending
+    * float-fold as the native `vec_dot`, so sims are bit-equal to the
+    * batch operator's).
+    *
+    * The smaller-id guard IS the batch keep-min election: a vector is
+    * a duplicate iff some smaller-id mate exceeds the threshold, so on
+    * an id-ordered replay (and for any arrival order of the pairs that
+    * meet in state) the verdicts equal `Similarity.semDedup`'s row for
+    * row — [[semDedupVerdicts]] assembles the identical
+    * (id, cell, keep, dup_sim) frame, and the spec pins MemoryStream
+    * parity. State per cell: at most `maxCellVecs` earliest vectors
+    * (full embeddings — dim doubles each; per-cell occupancy is what
+    * the occupancy-derived cell count bounds at ≈ targetCell, so state
+    * ≈ corpus size × dim doubles sharded across cells, the batch
+    * index's own footprint). `ttlMs > 0` expires idle cells by event
+    * time — the bounded-state mode for unbounded streams (trimmed
+    * history narrows the dup census exactly like any dedup TTL).
+    * Emits ALL above-threshold matches (not just the best) so the
+    * downstream max-aggregation reproduces batch `dup_sim` exactly. */
+  def streamingSemDedup(rows: Dataset[SemCell], simThreshold: Double = 0.4,
+      maxCellVecs: Int = 1024, ttlMs: Long = 0L): Dataset[SemMatch] = {
+    implicit val stateEnc = Encoders.product[SemCellState]
+    implicit val outEnc = Encoders.product[SemMatch]
+    implicit val keyEnc = Encoders.scalaInt
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (cell: Int, it: Iterator[SemCell], state: GroupState[SemCellState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toVector.sortBy(r => (r.tsMs, r.id))
+            val prev = state.getOption
+            var vecs = prev.map(_.vecs.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[SemMatch]
+            batch.foreach { r =>
+              val b = r.e.toArray
+              var db = 0.0
+              var i = 0
+              while (i < b.length) { db += b(i) * b(i); i += 1 }
+              vecs.foreach { vs =>
+                // score ONLY smaller ids — the batch keep-min election
+                if (vs.id < r.id && vs.e.length == b.length) {
+                  val a = vs.e.toArray
+                  var dot = 0.0; var da = 0.0
+                  var j = 0
+                  while (j < a.length) {
+                    dot += a(j) * b(j); da += a(j) * a(j); j += 1
+                  }
+                  val sim = dot / (math.sqrt(da) * math.sqrt(db))
+                  if (sim >= simThreshold) out += SemMatch(cell, r.id, vs.id, sim)
+                }
+              }
+              if (vecs.size < maxCellVecs && !vecs.exists(_.id == r.id))
+                vecs :+= SemVecInState(r.id, r.e)
+            }
+            val maxTs = math.max(prev.map(_.maxTsMs).getOrElse(Long.MinValue),
+              batch.map(_.tsMs).max)
+            state.update(SemCellState(vecs, maxTs))
+            if (ttlMs > 0) state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Assemble batch-shaped SemDeDup verdicts from an accumulated
+    * [[SemMatch]] frame + the home-cell assignments: one row per
+    * vector — (id, cell, keep 1/0, dup_sim = round(max sim, 4), null
+    * for keepers) — the EXACT `Similarity.semDedup` output schema
+    * (pairs meeting in several shared cells collapse through the max,
+    * exactly like the batch multi-probe multiplicity). */
+  def semDedupVerdicts(cellRows: org.apache.spark.sql.DataFrame,
+      matches: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val assign = cellRows.filter(col("home"))
+      .select(col("id"), col("cell").cast("long").as("cell")).distinct()
+    val dup = matches.groupBy("id").agg(round(max(col("sim")), 4).as("dup_sim"))
+    assign.join(dup, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        when(col("dup_sim").isNull, 1L).otherwise(0L).as("keep"),
+        col("dup_sim"))
+  }
 }

@@ -1461,4 +1461,55 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(spark.table("s_veccap").collect()
       .forall(_.getAs[Double]("est_cos") >= 0.99))
   }
+
+  test("streaming SemDeDup ≡ batch Similarity.semDedup on an id-ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+    // the batch election this stream must reproduce row for row
+    val batch = graft.api.Similarity.semDedup(emb, "vec_id", "embedding",
+        simThreshold = 0.4, targetCell = 128, iterations = 1, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("keep"),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(batch.nonEmpty && batch.values.exists(_._2 == 0L),
+      "fixture should contain at least one semantic duplicate")
+    // the SAME fitted model (fit-once / apply-at-ingest): identical call
+    // path and decimal-exact Lloyd update ⇒ identical centers
+    val n = emb.count()
+    val centers = graft.api.Similarity.fitIvf(emb, "vec_id", "embedding",
+      graft.api.Similarity.ivfCellsFor(n, 128), 1)
+    val rows = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble), 1000L + r.getAs[Long]("vec_id")))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Double], Long)]
+    val cellRows = StatefulOps.semCellRows(
+      mem.toDF().toDF("vid", "emb", "tsMs"), "vid", "emb", "tsMs",
+      centers, nProbe = 2)
+    val q = StatefulOps.streamingSemDedup(cellRows, simThreshold = 0.4)
+      .writeStream.format("memory").queryName("s_semdd").outputMode("append")
+      .start()
+    try {
+      // two micro-batches, id-ordered: cross-batch AND within-batch dups
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // assemble batch-shaped verdicts from the static assignment frame +
+    // the accumulated matches
+    val staticCells = StatefulOps.semCellRows(
+      emb.select(col("vec_id").as("vid"), col("embedding").as("emb"),
+        (col("vec_id") + 1000L).as("tsMs")),
+      "vid", "emb", "tsMs", centers, nProbe = 2).toDF()
+    val got = StatefulOps.semDedupVerdicts(staticCells, spark.table("s_semdd"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("keep"),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got == batch,
+      s"stream-batch mismatch: " +
+        s"extra=${got.filterNot { case (k, v) => batch.get(k).contains(v) }.take(5)} " +
+        s"missing=${batch.filterNot { case (k, v) => got.get(k).contains(v) }.take(5)}")
+  }
 }
