@@ -509,7 +509,14 @@ object Similarity {
     require(simThreshold > 0 && simThreshold < 1 && targetRecall > 0 && targetRecall < 1)
     val pBit = 1.0 - math.acos(simThreshold) / math.Pi
     val p = math.pow(pBit, w)
-    val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt
+    // denominator spelled log(1 − p), NOT log1p(−p): the DuckDB oracle
+    // replays ln(1.0 − p) (no log1p there), and after the ceil an
+    // ulp-level spelling difference near an integer boundary could flip
+    // the band count — and, worse, the CLAMP ROUTING flag. Pinning both
+    // sides to the identical float chain makes the derivation
+    // bit-reproducible cross-engine. (The numerator stays log1p: the
+    // oracle emits Java's math.log1p(−targetRecall) as a literal.)
+    val b = math.ceil(math.log1p(-targetRecall) / math.log(1.0 - p)).toInt
     math.min(maxBands, math.max(1, b))
   }
 
@@ -540,8 +547,11 @@ object Similarity {
     val w = planesPerBand(n, targetBucket)
     val pBit = 1.0 - math.acos(simThreshold) / math.Pi
     val p = math.pow(pBit, w)
+    // log(1 − p) to match the oracle's ln(1.0 − p) exactly — see
+    // [[bandsForRecall]]; an ulp flip here would diverge the ROUTING
+    // flag, not just one band
     val demanded =
-      math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt)
+      math.max(1, math.ceil(math.log1p(-targetRecall) / math.log(1.0 - p)).toInt)
     val bands = math.min(maxBands, demanded)
     BandingDerivation(n, w, demanded, bands, demanded > maxBands,
       1.0 - math.pow(1.0 - p, bands))

@@ -207,9 +207,13 @@ object TextAnalysis {
     // spelling accepts MISMATCHED open/close pairs (cutting from `<nav>`
     // to the first `</footer>`). One branch per tag keeps open/close
     // names paired without backrefs (Java-regex/RE2 parity for the
-    // oracle mirror).
+    // oracle mirror). The tag NAME is anchored — after it only
+    // whitespace+attributes or the closing `>` may follow — so
+    // prefix-extended names (`<header …>` vs `<head>`, `<navigation>`
+    // vs `<nav>`) are NOT chrome and can't trigger an over-cut to a
+    // later stray close tag.
     val chrome = Seq("head", "nav", "footer", "script", "style")
-      .map(t => s"<$t[^>]*>.*?</$t>").mkString("|")
+      .map(t => s"<$t(\\s[^>]*)?>.*?</$t>").mkString("|")
     val noBlocks = regexp_replace(col(htmlCol), lit(chrome), lit(" "))
     val visible = trim(regexp_replace(
       regexp_replace(noBlocks, lit("<[^>]*>"), lit(" ")), lit(" +"), lit(" ")))

@@ -838,15 +838,18 @@ object TextDedup {
     * (id, block_index, block_value) keys) with the same `maxBucketDocs`
     * hot-bucket guard: a boilerplate page whose signature block is
     * shared by millions of documents costs one capped reducer buffer and
-    * is dropped, never Σ|bucket|² pair fan-out (0 disables the cap —
-    * exact pigeonhole completeness, the pre-r12 behavior). Kept buckets
-    * are provably untruncated, so within them the pigeonhole guarantee
-    * is intact; a dropped bucket can lose a pair only if EVERY block the
-    * pair agrees on is boilerplate-hot (the minhash-family recall
-    * argument). */
+    * is dropped, never Σ|bucket|² pair fan-out. The LIBRARY default is
+    * 0 — the cap OFF, exact pigeonhole completeness (the documented
+    * contract of this operator since r5): losing pairs is an opt-in
+    * scale trade the caller makes explicitly (q_dedup_simhash passes
+    * 256 — the 8× occupancy guard that took sf1.0 from 47.9 to 4.5 s),
+    * never a silent default flip. With a cap, kept buckets are provably
+    * untruncated, so within them the pigeonhole guarantee is intact; a
+    * dropped bucket can lose a pair only if EVERY block the pair agrees
+    * on is boilerplate-hot (the minhash-family recall argument). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, blocks: Int = 4,
-      maxBucketDocs: Int = 256): DataFrame = {
+      maxBucketDocs: Int = 0): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     val w = 64 / blocks
     val mask = (1L << w) - 1

@@ -240,8 +240,11 @@ object Dedup {
   private val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) =>
+      // maxBucketDocs = 256 EXPLICITLY (the library default keeps the
+      // exact pigeonhole contract; the capped form is this query's
+      // declared scale trade, mirrored in SimhashOracleSql)
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 3, blocks = 4)
+          maxHamming = 3, blocks = 4, maxBucketDocs = 256)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b"),
     Some(SimhashOracleSql.sql)

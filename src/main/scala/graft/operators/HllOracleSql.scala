@@ -168,9 +168,12 @@ FROM res ORDER BY event_type""")
     * plus the union-merged total. The merged row's registers are the
     * element-wise max over the day sketches — which equals running the
     * same register pass over every (user) row — so the oracle computes
-    * it as one extra sentinel group (g = −1 → day_idx NULL) through the
-    * IDENTICAL estimator chain. Day key: the floorDiv epoch-day the
-    * Spark side computes from ts_ms. */
+    * it as one extra sentinel group through the IDENTICAL estimator
+    * chain. The sentinel sits OUTSIDE the representable day range:
+    * floorDiv(any bigint epoch-ms, 86400000) is within ±2⁶³/86400000 ≈
+    * ±1.07e14, so −2⁶² can never collide with a legitimate day_idx
+    * (g = −1 would — events in the day before the epoch). Day key: the
+    * floorDiv epoch-day the Spark side computes from ts_ms. */
   lazy val rollupSql: String = emitFor(
     s"""SELECT g, ((CAST(user_id AS HUGEINT) % $M64) + $M64) % $M64 AS w
          FROM (SELECT DISTINCT
@@ -179,9 +182,9 @@ FROM res ORDER BY event_type""")
                  user_id
                FROM events WHERE user_id IS NOT NULL
                UNION ALL
-               SELECT DISTINCT -1 AS g, user_id
+               SELECT DISTINCT -4611686018427387904 AS g, user_id
                FROM events WHERE user_id IS NOT NULL)""",
-    """SELECT CAST(CASE WHEN g = -1 THEN NULL ELSE g END AS BIGINT) AS day_idx,
+    """SELECT CAST(CASE WHEN g = -4611686018427387904 THEN NULL ELSE g END AS BIGINT) AS day_idx,
        CAST(floor(x + 0.5) AS BIGINT) AS est_users
 FROM res ORDER BY day_idx NULLS FIRST""")
 }

@@ -2203,7 +2203,7 @@ object TextOps {
            v AS (SELECT doc_id, html,
                    trim(regexp_replace(regexp_replace(
                      regexp_replace(html,
-                       '<head[^>]*>.*?</head>|<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                       '<head(\s[^>]*)?>.*?</head>|<nav(\s[^>]*)?>.*?</nav>|<footer(\s[^>]*)?>.*?</footer>|<script(\s[^>]*)?>.*?</script>|<style(\s[^>]*)?>.*?</style>',
                        ' ', 'g'),
                      '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS visible
                  FROM h)

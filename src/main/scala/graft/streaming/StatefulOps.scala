@@ -983,8 +983,14 @@ object StatefulOps {
               var i = 0
               while (i < b.length) { db += b(i) * b(i); i += 1 }
               vecs.foreach { vs =>
-                // score ONLY smaller ids — the batch keep-min election
-                if (vs.id < r.id && vs.e.length == b.length) {
+                // score BOTH directions and attribute the match to the
+                // LARGER id — the batch keep-min election as a pure
+                // function of the unordered pair, so parity holds for
+                // ANY arrival order of the pairs that meet in state
+                // (the one-directional vs.id < r.id guard silently
+                // dropped a duplicate whose smaller-id cluster-mate
+                // arrived second)
+                if (vs.id != r.id && vs.e.length == b.length) {
                   val a = vs.e.toArray
                   var dot = 0.0; var da = 0.0
                   var j = 0
@@ -992,7 +998,9 @@ object StatefulOps {
                     dot += a(j) * b(j); da += a(j) * a(j); j += 1
                   }
                   val sim = dot / (math.sqrt(da) * math.sqrt(db))
-                  if (sim >= simThreshold) out += SemMatch(cell, r.id, vs.id, sim)
+                  if (sim >= simThreshold)
+                    out += SemMatch(cell, math.max(r.id, vs.id),
+                      math.min(r.id, vs.id), sim)
                 }
               }
               if (vecs.size < maxCellVecs && !vecs.exists(_.id == r.id))

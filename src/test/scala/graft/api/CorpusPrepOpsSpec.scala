@@ -255,5 +255,15 @@ class CorpusPrepOpsSpec extends SparkTestBase {
       "doc_id", "html")
       .as[(Long, String, Long, Long, Double)].collect().head
     assert(kept._4 == 3L, s"mismatched-pair cut swallowed the prose: $kept")
+    // tag names are ANCHORED: `<header …>` is not `<head>` and
+    // `<navigation>` is not `<nav>` — a malformed doc with a stray
+    // `</head>` after a `<header>` must not over-cut the prose between
+    val prefixed = "<body><header class=\"h\">visible header words</header>" +
+      "<p>and prose</p><navigation>menu items here</navigation></head></body>"
+    val anch = TextAnalysis.htmlExtract(Seq((5L, prefixed)).toDF("doc_id", "html"),
+      "doc_id", "html")
+      .as[(Long, String, Long, Long, Double)].collect().head
+    assert(anch._4 == 8L,
+      s"prefix-extended tag name matched a chrome pattern and over-cut: $anch")
   }
 }

@@ -1512,4 +1512,55 @@ class StreamingSemanticsSpec extends SparkTestBase {
         s"extra=${got.filterNot { case (k, v) => batch.get(k).contains(v) }.take(5)} " +
         s"missing=${batch.filterNot { case (k, v) => got.get(k).contains(v) }.take(5)}")
   }
+
+  test("streaming SemDeDup ≡ batch on a REVERSED (larger-ids-first) replay") {
+    // the r12 regression surface: a pair whose LARGER id arrives first
+    // meets in state when the smaller id arrives — the one-directional
+    // (vs.id < r.id) guard suppressed that match and wrongly emitted
+    // the larger id as a keeper; bidirectional scoring restores batch
+    // parity for any arrival order of the pairs that meet in state
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+    val batch = graft.api.Similarity.semDedup(emb, "vec_id", "embedding",
+        simThreshold = 0.4, targetCell = 128, iterations = 1, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("keep"),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val n = emb.count()
+    val centers = graft.api.Similarity.fitIvf(emb, "vec_id", "embedding",
+      graft.api.Similarity.ivfCellsFor(n, 128), 1)
+    val rows = emb.collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble), 1000L + r.getAs[Long]("vec_id")))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Double], Long)]
+    val cellRows = StatefulOps.semCellRows(
+      mem.toDF().toDF("vid", "emb", "tsMs"), "vid", "emb", "tsMs",
+      centers, nProbe = 2)
+    val q = StatefulOps.streamingSemDedup(cellRows, simThreshold = 0.4)
+      .writeStream.format("memory").queryName("s_semdd_rev").outputMode("append")
+      .start()
+    try {
+      // the HIGH-id half arrives a micro-batch BEFORE the low-id half:
+      // every cross-half pair meets in state in the order the old guard
+      // dropped
+      val (lo, hi) = rows.splitAt(rows.length / 2)
+      mem.addData(hi); q.processAllAvailable()
+      mem.addData(lo); q.processAllAvailable()
+    } finally q.stop()
+    val staticCells = StatefulOps.semCellRows(
+      emb.select(col("vec_id").as("vid"), col("embedding").as("emb"),
+        (col("vec_id") + 1000L).as("tsMs")),
+      "vid", "emb", "tsMs", centers, nProbe = 2).toDF()
+    val got = StatefulOps.semDedupVerdicts(staticCells, spark.table("s_semdd_rev"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("keep"),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got == batch,
+      s"reversed-order stream-batch mismatch: " +
+        s"extra=${got.filterNot { case (k, v) => batch.get(k).contains(v) }.take(5)} " +
+        s"missing=${batch.filterNot { case (k, v) => got.get(k).contains(v) }.take(5)}")
+  }
 }
