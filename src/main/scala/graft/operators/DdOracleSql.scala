@@ -75,4 +75,48 @@ mrow AS (SELECT NULL::BIGINT AS day_idx, q,
          FROM mhit WHERE rn = 1)
 SELECT day_idx, q, est FROM (SELECT * FROM perday UNION ALL SELECT * FROM mrow)
 ORDER BY day_idx NULLS FIRST, q ASC"""
+
+  /** q_approx_percentile: the SAME DDSketch replay grouped by
+    * `l_returnflag` over `l_extendedprice` (median + p90, wide shape).
+    * Re-registered here in r13 from Spark's `percentile_approx` —
+    * whose GK summaries are insertion-order-dependent (the engine's
+    * last genuine no-oracle obstruction) — onto the engine's own
+    * deterministic quantile sketch: identical declared semantics
+    * (approximate percentiles, one pass, fixed memory, mergeable),
+    * but a pure function of the input multiset, so the gate
+    * hash-matches it like every other sketch. Boundary audit: prices
+    * are positive with 2dp-ish magnitudes ≥ 900; ln(v)/ln(γ) flips a
+    * bucket only within ~1e−16 relative of a boundary (the
+    * [[sql]] argument), and the gate fails loudly on a pathological
+    * regen, never silently. */
+  lazy val percentileSql: String =
+    s"""WITH
+vals AS (SELECT l_returnflag AS g, l_extendedprice AS v
+         FROM lineitem WHERE l_extendedprice IS NOT NULL),
+buck0 AS (SELECT g,
+            CASE WHEN v > 0 THEN 2 WHEN v = 0 THEN 1 ELSE 0 END AS sgn,
+            CASE WHEN v = 0 THEN 0
+                 ELSE CAST(ceil(ln(abs(v)) / $LnGamma) AS INT) END AS i,
+            count(*) AS c
+          FROM vals GROUP BY ALL),
+buck AS (SELECT g, sgn, i, c,
+           CASE WHEN sgn = 0 THEN -i ELSE i END AS wk
+         FROM buck0),
+tot AS (SELECT g, sum(c) AS cnt FROM buck GROUP BY g),
+qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE)),
+walk AS (SELECT b.g, b.sgn, b.i, b.wk,
+           sum(b.c) OVER (PARTITION BY b.g ORDER BY b.sgn, b.wk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM buck b),
+hit AS (SELECT w.g, q.q, w.sgn, w.i,
+          row_number() OVER (PARTITION BY w.g, q.q
+                             ORDER BY w.sgn, w.wk) AS rn
+        FROM walk w JOIN tot t USING (g) CROSS JOIN qs q
+        WHERE w.cum > floor(q.q * (t.cnt - 1))),
+est AS (SELECT g, q, floor((${mid("sgn", "i")}) * 10000) / 10000.0 AS est
+        FROM hit WHERE rn = 1)
+SELECT g AS l_returnflag,
+       max(CASE WHEN q = 0.5 THEN est END) AS median_approx,
+       max(CASE WHEN q = 0.9 THEN est END) AS p90_approx
+FROM est GROUP BY g ORDER BY l_returnflag"""
 }

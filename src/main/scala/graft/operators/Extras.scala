@@ -390,19 +390,37 @@ object Extras {
             FROM p2 ORDER BY event_id""")
   )
 
-  /** Sketch percentiles (t-digest-style approx, one pass, fixed memory) —
-    * the 100 TB path where exact `percentile` shuffles every value.
-    * Approximate → no SQL oracle; accuracy property-tested vs exact. */
+  /** Sketch percentiles (one pass, fixed memory, MERGEABLE) — the
+    * 100 TB path where exact `percentile` shuffles every value. Runs on
+    * the engine's own DDSketch ([[graft.api.Sketches.ddSketch]], Masson
+    * et al. VLDB'19 — the q_quantile_rollup machinery): per-group
+    * log-bucket counters, α = 1% relative-error guarantee, and the
+    * sketch is a pure function of the input MULTISET (bucket counters
+    * sum commutatively), unlike Spark's `percentile_approx` whose GK
+    * summaries are insertion-order-dependent — which is exactly why
+    * this query was the gate's last no-oracle entry through r12.
+    * Approximate ESTIMATOR, deterministic FUNCTION:
+    * [[DdOracleSql.percentileSql]] replays the bucket indexing and the
+    * grouped quantile walk in DuckDB — hash-matched; the α·|x| error
+    * contract stays property-tested (OperatorPropertiesSpec
+    * "ddsketch"). */
   private val qApproxPercentile = Q(
     "q_approx_percentile",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.SketchExprs.register(s)
+      val alpha = 0.01
       Tables.lineitem(s, dir)
+        .filter(col("l_extendedprice").isNotNull)
         .groupBy("l_returnflag")
-        .agg(
-          expr("percentile_approx(l_extendedprice, 0.5, 2000)").as("median_approx"),
-          expr("percentile_approx(l_extendedprice, 0.9, 2000)").as("p90_approx"))
-        .orderBy("l_returnflag"),
-    None
+        .agg(graft.api.Sketches.ddSketch(alpha)(col("l_extendedprice")).as("sk"))
+        .select(col("l_returnflag"),
+          graft.api.Sketches.ddQuantiles(alpha, Seq(0.5, 0.9))(col("sk")).as("qa"))
+        .select(col("l_returnflag"),
+          (floor(element_at(col("qa"), 1) * 10000) / 10000.0).as("median_approx"),
+          (floor(element_at(col("qa"), 2) * 10000) / 10000.0).as("p90_approx"))
+        .orderBy("l_returnflag")
+    },
+    Some(DdOracleSql.percentileSql)
   )
 
   /** grouping_id(): distinguish aggregation levels inside grouping sets. */
