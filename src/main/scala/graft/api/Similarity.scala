@@ -453,29 +453,90 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** IVF-cell-blocked UNDIRECTED pair generation against a PRE-FIT
+    * centroid model — the RAW-pair-set twin of [[semDedup]]'s candidate
+    * space: every vector probes its `nProbe` nearest cells
+    * SYMMETRICALLY, a pair is a candidate iff the two vectors share ANY
+    * probed cell (the boundary-pair recovery argument [[semDedup]]
+    * measures), candidates dedup on (id_a, id_b) while still two longs
+    * wide (a pair can meet in up to `nProbe` shared cells — the
+    * [[annJoin]] skinny-dedup lesson: dedup BEFORE the embeddings join
+    * back), and every surviving pair is exact-cosine verified ≥
+    * `threshold` — precision 1.0, recall = the blocking's (the ANN
+    * family contract). Returns (id_a, id_b, sim), id_a < id_b.
+    *
+    * Scale shape: candidate volume is Σ over cells of the probe-set
+    * self-join ≈ n · nProbe² · targetCell (cell occupancy is what
+    * [[ivfCellsFor]] holds constant), never n²; the fit is the
+    * model-sized [[fitIvf]]. This is the pair family's escape from the
+    * LSH band-clamp regime — see [[annPairsAuto]]. */
+  def ivfPairsWith(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, centers: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be ≥1, got $nProbe")
+    reg(corpus)
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+    val cc = typedLit(centers)
+    val probes = em.select(col("id"),
+      explode(call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)))
+        .as("cell"))
+    val cand = probes.as("a").join(probes.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(em.select(col("id").as("id_a"), col("e").as("ea")), "id_a")
+      .join(em.select(col("id").as("id_b"), col("e").as("eb")), "id_b")
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Fit-and-pair in one call: [[fitIvf]] at the occupancy-derived cell
+    * count ([[ivfCellsFor]] — one scalar corpus count, the family's
+    * standard derivation), then [[ivfPairsWith]]. At 100 TB fit on a
+    * deterministic sample like every graft fit. */
+  def ivfPairsAuto(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, targetCell: Int = 128, iterations: Int = 1,
+      nProbe: Int = 3): DataFrame = {
+    val n = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0).count()
+    val centers = fitIvf(corpus, idCol, embCol, ivfCellsFor(n, targetCell), iterations)
+    ivfPairsWith(corpus, idCol, embCol, threshold, centers, nProbe)
+  }
+
   /** [[annPairs]] with the [[annJoinAuto]] occupancy/banding-curve
     * derivation (one scalar corpus count; hard bucket cap at 8× the
     * target occupancy). `simThreshold` is BOTH the edge threshold and
     * the banding-curve operating point — for pair generation they are
     * the same quantity, which is the calibration [[annJoinAuto]]'s
-    * separate contract threshold had to be told about. */
+    * separate contract threshold had to be told about.
+    *
+    * CLAMP ROUTING (r13 — the [[annJoinAuto]] rule, pair-shaped): when
+    * the banding curve demands more than `maxBands` tables, LSH cannot
+    * meet the recall contract and its dup-heavy bucket depth sends cost
+    * superlinear (measured at sf1.0/θ=0.4: demanded 160 bands, 82-185 s
+    * at pair recall ~0.35) — so the clamped regime routes to
+    * [[ivfPairsAuto]] at the [[semDedup]] candidate-space
+    * parameterization widened to symmetric top-3 probing (targetCell=128,
+    * one Lloyd round; measured at sf1.0/θ=0.4: recall 0.703 → 0.777 for
+    * 8.8 → 15.1 s — the closest the IVF blocking gets to the 0.8 LSH
+    * contract inside the ≤30 s class, vs the clamped-LSH 0.346 at
+    * 82-185 s). The oracle replays the same decision from the
+    * same corpus count, so routed queries stay hash-matched at every
+    * scale; callers who want the degraded-LSH behavior can raise
+    * `maxBands` to pay the banding-curve price explicitly. */
   def annPairsAuto(corpus: DataFrame, idCol: String, embCol: String,
       threshold: Double, dim: Int = 64, targetBucket: Int = 32,
       targetRecall: Double = 0.8, multiProbe: Boolean = true,
-      maxBucketVecs: Int = -1): DataFrame = {
+      maxBucketVecs: Int = -1, maxBands: Int = 64): DataFrame = {
     val n = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0).count()
-    // The pair form keeps its declared LSH semantics even when the
-    // band clamp binds (there is no same-shape IVF twin: the
-    // cell-blocked pair family is [[semDedup]], whose output is the
-    // keep/dup election, not the raw pair list) — but the degraded
-    // contract is VISIBLE: [[deriveBanding]] with these exact arguments
-    // returns `clamped` and the predicted post-clamp recall, and the
-    // 100 TB guidance is to switch to [[semDedup]] / [[ivfJoinAuto]]
-    // blocking in that regime.
-    val d = deriveBanding(n, targetBucket, threshold, targetRecall)
-    val cap = if (maxBucketVecs < 0) 8 * targetBucket else maxBucketVecs
-    annPairs(corpus, idCol, embCol, threshold, nPlanes = d.w * d.bands,
-      bands = d.bands, dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
+    val d = deriveBanding(n, targetBucket, threshold, targetRecall, maxBands)
+    if (d.clamped)
+      ivfPairsAuto(corpus, idCol, embCol, threshold)
+    else {
+      val cap = if (maxBucketVecs < 0) 8 * targetBucket else maxBucketVecs
+      annPairs(corpus, idCol, embCol, threshold, nPlanes = d.w * d.bands,
+        bands = d.bands, dim = dim, multiProbe = multiProbe, maxBucketVecs = cap)
+    }
   }
 
   /** Occupancy-derived sign bits per band: with n indexed vectors and

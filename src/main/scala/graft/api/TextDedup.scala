@@ -304,6 +304,56 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** LSH-vs-exact recall census over a BOUNDED deterministic sample —
+    * the dedup-evaluation harness behind q_dedup_eval: what share of
+    * TRUE near-dup pairs does the minhash banding catch at these
+    * parameters? Ground truth is the exact Jaccard ≥ `threshold` pair
+    * frame over the same shingle sets the minhash verify uses (so the
+    * verified minhash pairs are a subset by construction and the census
+    * is pure recall); output is one row — (n_exact, n_caught, n_missed,
+    * recall, jacc_caught_mean, jacc_missed_mean), the missed-mass
+    * diagnostics showing the banding-curve prediction (misses
+    * concentrate near the threshold).
+    *
+    * SCALE: the exact ground-truth side is inherently quadratic in
+    * duplication (Σdf² pair fan-out — the r12 sf1.0 wedge, an opaque
+    * AQE broadcast error on the 10×-copy fixture), so the census runs
+    * on the `maxDocs` smallest-xxhash64(id) documents — the fitIvf
+    * seed idiom: a deterministic, engine-replayable sample, a NO-OP
+    * whenever the corpus is within the bound (the gate fixtures:
+    * 500 docs), and a bounded evaluation everywhere else — evaluation
+    * harnesses sample; they never scan 100 TB (the tools/AnnRecall
+    * pattern, now enforced by construction instead of declared in a
+    * comment). `maxDocs <= 0` disables the bound explicitly. */
+  def lshRecallCensus(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, bands: Int = 8,
+      maxDocs: Int = 2000): DataFrame = {
+    val docs =
+      if (maxDocs <= 0) df
+      else df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxDocs)
+    val ex = jaccardPairs(docs, idCol, textCol, n, threshold, maxShingleDf = 0L)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
+    val mh = minhashPairs(docs, idCol, textCol, n, threshold, bands)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    val caught = col("hit").isNotNull
+    ex.join(mh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(caught, 1L).otherwise(0L)).as("n_caught"),
+        sum(when(caught, 0L).otherwise(1L)).as("n_missed"),
+        sum(when(caught, col("j")).otherwise(lit(0.0)).cast("decimal(30,10)")).as("sc"),
+        sum(when(caught, lit(0.0)).otherwise(col("j")).cast("decimal(30,10)")).as("sm"))
+      .select(col("n_exact"), col("n_caught"), col("n_missed"),
+        when(col("n_exact") > 0,
+          floor(col("n_caught").cast("double") / col("n_exact") * 1e4) / 1e4)
+          .otherwise(lit(0.0)).as("recall"),
+        when(col("n_caught") > 0,
+          floor(col("sc").cast("double") / col("n_caught") * 1e4) / 1e4)
+          .otherwise(lit(0.0)).as("jacc_caught_mean"),
+        when(col("n_missed") > 0,
+          floor(col("sm").cast("double") / col("n_missed") * 1e4) / 1e4)
+          .otherwise(lit(0.0)).as("jacc_missed_mean"))
+  }
+
   /** The persistable MinHash band INDEX of a corpus: (id, band_id, bh),
     * `bands` rows per document, 24 bytes each — write it out once and
     * incremental ingests bucket-join against it instead of re-pairing

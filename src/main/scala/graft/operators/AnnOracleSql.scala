@@ -154,19 +154,37 @@ SELECT CAST(pid AS BIGINT) AS vec_id, CAST(id AS BIGINT) AS neighbor_id, sim,
 FROM rk WHERE rank <= 5
 ORDER BY vec_id, rank"""
 
-  /** q_ann_pairs: annPairsAuto(threshold=0.4). */
+  /** q_ann_pairs: annPairsAuto(threshold=0.4), INCLUDING the r13 clamp
+    * routing: when the banding curve's unclamped demand exceeds
+    * maxBands=64 (ldrv2.demanded), the Spark side runs
+    * ivfPairsAuto(0.4) instead — so this oracle hosts BOTH chains, each
+    * gated by the routing flag (the untaken branch is empty and
+    * near-free: the LSH chain gets 0 bands, the IVF chain an empty
+    * base0), and unions the survivors — the [[joinSql]] pattern,
+    * pair-shaped. At the gate SFs the demand is ≤ 64 → pure LSH,
+    * value-identical to the pre-routing oracle; at sf1.0 (demand 160)
+    * it replays the IVF-cell pair election. */
   lazy val pairsSql: String =
     s"""WITH
-${chain(pairs = true, simT = "0.4", extraFilter = "", k = 5)}
+${chain(pairs = true, simT = "0.4", extraFilter = "", k = 5, p = "l", routed = true)},
+${IvfOracleSql.ivfPairsChain(" AND (SELECT demanded > 64 FROM ldrv2)")}
 SELECT CAST(pid AS BIGINT) AS vec_a, CAST(id AS BIGINT) AS vec_b, sim
-FROM scored WHERE sim >= 0.4 ORDER BY vec_a, vec_b"""
+FROM lscored WHERE sim >= 0.4
+UNION ALL
+SELECT CAST(pid AS BIGINT) AS vec_a, CAST(id AS BIGINT) AS vec_b, sim
+FROM vscored WHERE sim >= 0.4
+ORDER BY vec_a, vec_b"""
 
-  /** q_embed_clusters_ann: annPairsAuto(0.4) edges + recursive
-    * min-label reachability over the full vec universe. */
+  /** q_embed_clusters_ann: annPairsAuto(0.4) edges (both routed chains,
+    * as [[pairsSql]]) + recursive min-label reachability over the full
+    * vec universe. */
   lazy val clustersSql: String =
     s"""WITH RECURSIVE
-${chain(pairs = true, simT = "0.4", extraFilter = "", k = 5)},
-prs AS (SELECT pid AS a, id AS b FROM scored WHERE sim >= 0.4),
+${chain(pairs = true, simT = "0.4", extraFilter = "", k = 5, p = "l", routed = true)},
+${IvfOracleSql.ivfPairsChain(" AND (SELECT demanded > 64 FROM ldrv2)")},
+prs AS (SELECT pid AS a, id AS b FROM lscored WHERE sim >= 0.4
+        UNION ALL
+        SELECT pid AS a, id AS b FROM vscored WHERE sim >= 0.4),
 edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b, a FROM prs),
 reach AS (SELECT u, v FROM edges
           UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),

@@ -73,42 +73,20 @@ object Dedup {
     * One pair-keyed equi-join + one scalar aggregate over the two
     * constituent frames.
     *
-    * SCALE DECLARATION: the UNGUARDED exact ground-truth side is a
-    * DECLARED fixed-small evaluation baseline (the q_embed_neardup /
-    * q_knn_eval class) — on a dup-heavy corpus its pair frame grows
-    * with Σdf² (measured: wedges at the 10×-copy sf1.0 fixture, by
-    * construction). Production recall evaluation runs this harness on
-    * a bounded corpus sample, exactly as tools/AnnRecall does for the
-    * vector ANN family; the LSH side itself stays the capped scale
-    * path. */
+    * SCALE (r13 — enforceable by construction, not declaration): the
+    * exact ground-truth side is inherently Σdf²-quadratic in
+    * duplication, so [[graft.api.TextDedup.lshRecallCensus]] bounds the
+    * census to the maxDocs=2000 smallest-xxhash64(doc_id) documents — a
+    * NO-OP at the gate fixtures (500 docs; results byte-identical to
+    * the unbounded census) and a bounded deterministic sample at sf1.0
+    * (5000 docs — the 10×-copy fixture the unbounded frame wedged on
+    * via an opaque AQE broadcast error). The oracle replays the sample
+    * election (hash-ordered LIMIT) before the same chains. */
   private val qDedupEval = Q(
     "q_dedup_eval",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ex = TextDedup.jaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5, maxShingleDf = 0L)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("j"))
-      val mh = TextDedup.minhashPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5, bands = 8)
-        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
-      val caught = col("hit").isNotNull
-      ex.join(mh, Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(when(caught, 1L).otherwise(0L)).as("n_caught"),
-          sum(when(caught, 0L).otherwise(1L)).as("n_missed"),
-          sum(when(caught, col("j")).otherwise(lit(0.0)).cast("decimal(30,10)")).as("sc"),
-          sum(when(caught, lit(0.0)).otherwise(col("j")).cast("decimal(30,10)")).as("sm"))
-        .select(col("n_exact"), col("n_caught"), col("n_missed"),
-          when(col("n_exact") > 0,
-            floor(col("n_caught").cast("double") / col("n_exact") * 1e4) / 1e4)
-            .otherwise(lit(0.0)).as("recall"),
-          when(col("n_caught") > 0,
-            floor(col("sc").cast("double") / col("n_caught") * 1e4) / 1e4)
-            .otherwise(lit(0.0)).as("jacc_caught_mean"),
-          when(col("n_missed") > 0,
-            floor(col("sm").cast("double") / col("n_missed") * 1e4) / 1e4)
-            .otherwise(lit(0.0)).as("jacc_missed_mean"))
-    },
+    (s, dir) =>
+      TextDedup.lshRecallCensus(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 8, maxDocs = 2000),
     Some(MinhashOracleSql.evalSql)
   )
 

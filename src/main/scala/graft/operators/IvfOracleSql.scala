@@ -183,6 +183,39 @@ rk AS (SELECT pid, id, sim,
          row_number() OVER (PARTITION BY pid ORDER BY sim DESC, id) AS rank
        FROM scored)"""
 
+  /** The PAIR-form routed chain — `Similarity.ivfPairsAuto(threshold,
+    * targetCell=128, one Lloyd round, nProbe=3)`: the [[ivfChain]] fit
+    * (occupancy-derived cell count, decimal-exact Lloyd), SYMMETRIC
+    * top-3 cell probing (the semDedup candidate space widened one cell —
+    * measured at sf1.0/θ=0.4: pair recall 0.703 → 0.777 for 8.8 → 15.1 s,
+    * the closest the IVF blocking gets to the 0.8 LSH contract within
+    * the ≤30 s class), DISTINCT
+    * undirected candidates (a pair can meet in up to nProbe shared
+    * cells), exact-cosine verify — ending in CTE `vscored`
+    * (pid, id, sim; pid < id, unfiltered by threshold — the consumer
+    * applies it). Used by [[AnnOracleSql.pairsSql]] /
+    * [[AnnOracleSql.clustersSql]] behind the replayed band-clamp
+    * routing flag, exactly as [[ivfChain]] serves the join form. */
+  def ivfPairsChain(extraFilter: String = ""): String =
+    s"""base0 AS (SELECT vec_id, embedding AS e FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0$extraFilter),
+hvals AS (SELECT vec_id, ((CAST(vec_id AS HUGEINT) % $M64) + $M64) % $M64 AS w FROM base0),
+$hashCtes,
+hh AS MATERIALIZED (SELECT vec_id, $hashCol AS h FROM $hashLast),
+base AS MATERIALIZED (SELECT b.vec_id, b.e, h.h FROM base0 b JOIN hh h USING (vec_id)),
+${ivfFitBlock("base", "base", "f")},
+psc AS (SELECT b.vec_id, f.ci, ${score("b.e", "f.c")} AS score
+        FROM base b CROSS JOIN fcfull f),
+prnk AS MATERIALIZED (SELECT vec_id, ci,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, ci) AS rn
+        FROM psc),
+pprb AS MATERIALIZED (SELECT p.vec_id, p.ci AS cell FROM prnk p WHERE p.rn <= 3),
+vcand AS (SELECT DISTINCT a.vec_id AS pid, b.vec_id AS id
+          FROM pprb a JOIN pprb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+vscored AS (SELECT c.pid, c.id, round(${cos("a.e", "b.e")}, 4) AS sim
+            FROM vcand c JOIN base a ON a.vec_id = c.pid
+                         JOIN base b ON b.vec_id = c.id)"""
+
   /** q_ann_ivf: [[ivfChain]] + the rank-≤5 projection. */
   lazy val ivfSql: String =
     s"""WITH

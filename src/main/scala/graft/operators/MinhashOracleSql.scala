@@ -32,15 +32,16 @@ package graft.operators
 object MinhashOracleSql {
   import XxhashSqlChain.{M64, word64}
 
-  /** Shared prefix: distinct per-doc shingles, the hashed (shingle ×
-    * seed) frame, signed minima, signatures, and band keys. */
-  private lazy val prefix: String = {
+  /** Shared prefix body: distinct per-doc shingles, the hashed
+    * (shingle × seed) frame, signed minima, signatures, and band keys —
+    * over `docsRel` (the documents table, or the eval census's bounded
+    * hash-sample CTE). */
+  private def prefixBody(docsRel: String): String = {
     val (ctes, fin, last) = XxhashSqlChain.emit("sd::HUGEINT", "tok, sd")
-    s"""WITH
-dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+    s"""dsh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
         FROM (SELECT doc_id, string_split(text, ' ') AS t
-              FROM documents WHERE text IS NOT NULL)
+              FROM $docsRel WHERE text IS NOT NULL)
         WHERE len(t) >= 3),
 tok0 AS (SELECT DISTINCT tok FROM dsh),
 tokb AS (SELECT tok, sd, octet_length(encode(tok)) AS n,
@@ -63,6 +64,9 @@ bk AS (SELECT doc_id, b.b AS band_id,
            || ',' || sig[4*b.b+3]::VARCHAR || ',' || sig[4*b.b+4]::VARCHAR AS key
        FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b)"""
   }
+
+  /** The unbounded prefix (batch + incremental queries). */
+  private lazy val prefix: String = s"WITH\n${prefixBody("documents")}"
 
   /** Shared suffix: exact-Jaccard verify of the `cand` pair frame
     * against the distinct shingle sets, threshold 0.5, round 4. */
@@ -94,9 +98,26 @@ $verify"""
     * into the UNGUARDED exact ≥ 0.5 pair frame (same dsh shingle sets
     * and sizes as minhash's own verify, so mh ⊆ exact by construction
     * and the census is pure recall), with mean caught/missed Jaccard
-    * diagnostics (DECIMAL sums of the 4dp-rounded values). */
-  lazy val evalSql: String =
-    s"""$prefix,
+    * diagnostics (DECIMAL sums of the 4dp-rounded values).
+    *
+    * r13: the census runs over the BOUNDED deterministic sample
+    * `TextDedup.lshRecallCensus` elects — the maxDocs=2000
+    * smallest-xxhash64(doc_id) documents (hash-ordered LIMIT, the
+    * fitIvf seed replay via [[XxhashSqlChain.emitLongHash]] with
+    * e-prefixed CTE names so the doc-sample chain coexists with the
+    * shingle chain) — a NO-OP at the ≤2000-doc gate fixtures, the
+    * wedge-proof bound at sf1.0. */
+  lazy val evalSql: String = {
+    val (dctes, dfin, dlast) =
+      XxhashSqlChain.emitLongHash("doc_id", src = "edocn", namePrefix = "e")
+    s"""WITH
+edocn AS (SELECT doc_id,
+            ((CAST(doc_id AS HUGEINT) % $M64) + $M64) % $M64 AS w
+          FROM documents),
+$dctes,
+esamp AS (SELECT doc_id FROM $dlast ORDER BY $dfin, doc_id LIMIT 2000),
+edocs AS (SELECT d.* FROM documents d JOIN esamp USING (doc_id)),
+${prefixBody("edocs")},
 kept AS (SELECT band_id, key FROM bk GROUP BY band_id, key
          HAVING count(*) BETWEEN 2 AND 256),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -136,6 +157,7 @@ SELECT n_exact, n_caught, n_missed,
             THEN floor(CAST(sm AS DOUBLE) / n_missed * 10000) / 10000
             ELSE 0.0 END AS jacc_missed_mean
 FROM ag"""
+  }
 
   /** Incremental `q_dedup_incremental`: uncapped index joins, pairs
     * restricted to those touching a new doc (doc_id % 7 = 0). */

@@ -52,15 +52,18 @@ private[operators] object XxhashSqlChain {
              i -> ((strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i-1, 1))-1)*16
                  + (strpos('0123456789ABCDEF', substr(hex(encode(tok)), 2*i, 1))-1))::HUGEINT)"""
 
-  final class Chain(firstPrev: String) {
+  final class Chain(firstPrev: String, namePrefix: String = "") {
     val stages = scala.collection.mutable.ArrayBuffer[(String, String)]()
     private var counter = 0
 
     /** One CTE computing `expr` AS x{i} over the previous stage
-      * (star-carry so every earlier intermediate stays addressable). */
+      * (star-carry so every earlier intermediate stays addressable).
+      * `namePrefix` disambiguates CTE names when TWO chains share one
+      * statement (e.g. the eval census's doc-sample hash next to the
+      * shingle chain). */
     def stage(expr: String, carry: String = "*"): String = {
       counter += 1
-      val name = s"s$counter"
+      val name = s"$namePrefix" + s"s$counter"
       val prev = if (stages.isEmpty) firstPrev else stages.last._1
       val col = s"x$counter"
       stages += ((name, s"SELECT $carry, $expr AS $col FROM $prev"))
@@ -146,8 +149,9 @@ private[operators] object XxhashSqlChain {
     * unsigned HUGEINT (`((CAST(id AS HUGEINT) % 2^64) + 2^64) % 2^64`).
     * Returns (ctes, signedHashCol, lastStageName); the hash column is
     * the SIGNED BIGINT Spark exposes (the orderBy/pmod input). */
-  def emitLongHash(finalCarry: String): (String, String, String) = {
-    val c = new Chain("hvals")
+  def emitLongHash(finalCarry: String, src: String = "hvals",
+      namePrefix: String = ""): (String, String, String) = {
+    val c = new Chain(src, namePrefix)
     import c._
     var h = stage(s"(42::HUGEINT + $P5 + 8::HUGEINT)%$M64")
     h = addm(mul(rotl(xor(h, rnd0("w")), 27), P1), P4)

@@ -266,4 +266,28 @@ class CorpusPrepOpsSpec extends SparkTestBase {
     assert(anch._4 == 8L,
       s"prefix-extended tag name matched a chrome pattern and over-cut: $anch")
   }
+
+  test("lshRecallCensus: maxDocs bound is a no-op within it and elects the hash sample past it") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    // within the bound (gate fixture: 500 docs < 2000) the bounded
+    // census is byte-identical to the unbounded one — the q_dedup_eval
+    // gate results cannot move
+    val full = TextDedup.lshRecallCensus(docs, "doc_id", "text").collect().head.toSeq
+    val unb = TextDedup.lshRecallCensus(docs, "doc_id", "text", maxDocs = 0)
+      .collect().head.toSeq
+    assert(full == unb, s"bound must be a no-op within it: $full vs $unb")
+    // past the bound the census runs over EXACTLY the smallest-
+    // xxhash64(id) sample (the deterministic election the oracle
+    // replays) — pin by computing the same census over an
+    // independently-elected sample
+    val sample = docs.orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(50)
+    val bounded = TextDedup.lshRecallCensus(docs, "doc_id", "text", maxDocs = 50)
+      .collect().head.toSeq
+    val manual = TextDedup.lshRecallCensus(sample, "doc_id", "text", maxDocs = 0)
+      .collect().head.toSeq
+    assert(bounded == manual,
+      s"bounded census must equal the census over the hash sample: $bounded vs $manual")
+    assert(bounded.head.asInstanceOf[Long] <= full.head.asInstanceOf[Long],
+      "a 50-doc census cannot have more exact pairs than the full corpus")
+  }
 }

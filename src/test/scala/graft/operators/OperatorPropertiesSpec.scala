@@ -2178,6 +2178,30 @@ class OperatorPropertiesSpec extends SparkTestBase {
     graft.Hygiene.dropLeakedBlocks(spark)
   }
 
+  test("annPairsAuto clamp routing: routed result ≡ ivfPairsAuto; pairs exact-verified") {
+    import graft.api.Similarity
+    val em = graft.Tables.embeddings(spark, sfDir)
+    // shrink the band budget so THIS corpus clamps — annPairsAuto must
+    // then return exactly ivfPairsAuto's pair set (the parameterization
+    // IvfOracleSql.ivfPairsChain replays: targetCell=128, one Lloyd
+    // round, symmetric top-3 probing)
+    val routed = Similarity.annPairsAuto(em, "vec_id", "embedding",
+      threshold = 0.4, maxBands = 1)
+    val ivf = Similarity.ivfPairsAuto(em, "vec_id", "embedding", threshold = 0.4)
+    assert(routed.exceptAll(ivf).isEmpty && ivf.exceptAll(routed).isEmpty,
+      "clamped annPairsAuto must route to the ivfPairsAuto election")
+    // precision 1.0: every routed pair is exact-cosine ≥ θ and id_a < id_b
+    val exact = graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val got = routed.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(got.forall { case (a, b) => a < b }, "pairs must be ordered id_a < id_b")
+    assert(got.forall(exact.contains),
+      "IVF-routed pairs must be a subset of the exact >= theta pair set")
+    assert(got.nonEmpty, "fixture should produce routed pairs")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
   test("q_dedup_incremental persists and reuses the standing-corpus band index") {
     // first run builds the bucketed index on disk; the cache key is a
     // corpus content fingerprint, so this asserts the persisted loop is
