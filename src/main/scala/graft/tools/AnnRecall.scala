@@ -30,8 +30,16 @@ import org.apache.spark.sql.SparkSession
 object AnnRecall {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val annQuery = args.drop(1).headOption.getOrElse("q_ann_join")
-    val atK = args.drop(2).headOption.contains("atk")
+    // comma-separated query list; "all" = the four approximate joins.
+    // Third arg: "atk", "pair", or "both" (default) — "both" emits one
+    // JSON row per applicable (query, metric): pair recall for every
+    // query, recall@5 additionally for the directed top-k joins (the
+    // rank-free pair query has no @k semantics).
+    val queriesArg = args.drop(1).headOption.getOrElse("q_ann_join")
+    val queries =
+      if (queriesArg == "all") Seq("q_ann_join", "q_ann_pairs", "q_ann_ivf", "q_ann_ivfpq")
+      else queriesArg.split(",").toSeq
+    val mode = args.drop(2).headOption.getOrElse("both")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,41 +48,57 @@ object AnnRecall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val exact: Set[(Long, Long)] =
-      if (atK) {
-        // exact DIRECTED top-5 per vector via the quadratic baseline
-        // (the q_knn_eval exemption class — evidence tooling, not a
-        // registered operator)
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions._
-        val em = graft.Tables.embeddings(spark, sfDir)
-          .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("e"))
-        val pr = em.as("a").join(em.as("b"), col("a.id") =!= col("b.id"))
-          .select(col("a.id").as("ia"), col("b.id").as("ib"),
-            aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x)
-              .divide(sqrt(aggregate(col("a.e"), lit(0.0), (acc, x) => acc + x * x))
-                * sqrt(aggregate(col("b.e"), lit(0.0), (acc, x) => acc + x * x)))
-              .as("sim"))
-        pr.withColumn("rn", row_number().over(
-            Window.partitionBy("ia").orderBy(col("sim").desc, col("ib").asc)))
-          .filter(col("rn") <= 5)
-          .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
-      } else
-        graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
-          .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
-    val ann = graft.SparkEntry.queries(annQuery)(spark, sfDir).collect()
-      .map { r =>
-        val (a, b) =
-          if (annQuery == "q_ann_pairs")
-            (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
-          else (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))
-        if (atK) (a, b) else (math.min(a, b), math.max(a, b))
-      }.toSet
-    val hit = exact.count(ann.contains)
-    println(s"""{"sf":"$sfDir","query":"$annQuery","metric":"${if (atK) "recall@5" else "pair_recall"}","exact_pairs":${exact.size},"ann_pairs":${ann.size},"hit":$hit,"recall":${
-      if (exact.isEmpty) 1.0 else hit.toDouble / exact.size}}""")
+    // exact DIRECTED top-5 per vector via the quadratic baseline
+    // (the q_knn_eval exemption class — evidence tooling, not a
+    // registered operator); computed ONCE per run for all queries
+    lazy val exactTopK: Set[(Long, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExprs.register(spark)
+      // native vec_dot (codegen'd), NOT the aggregate/zip_with HOF
+      // spelling (CodegenFallback — interpreted per ELEMENT, the
+      // CLAUDE.md nested-HOF trap: 400M pairs × 64 dims interpreted is
+      // hours), and the probe side repartitioned so the 20k-row
+      // broadcast-NLJ baseline runs one task per core instead of one
+      // task per input FILE (the sf1.0 fixture is a single parquet)
+      val em = graft.Tables.embeddings(spark, sfDir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("e"))
+      val probes = em.repartition(cpus.toInt * 4)
+        .select(col("id").as("ia"), col("e").as("ea"),
+          sqrt(call_function("vec_dot", col("e"), col("e"))).as("na"))
+      val idx = em.select(col("id").as("ib"), col("e").as("eb"),
+        sqrt(call_function("vec_dot", col("e"), col("e"))).as("nb"))
+      val pr = probes.join(broadcast(idx), col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          (call_function("vec_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("sim"))
+      pr.withColumn("rn", row_number().over(
+          Window.partitionBy("ia").orderBy(col("sim").desc, col("ib").asc)))
+        .filter(col("rn") <= 5)
+        .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    }
+    lazy val exactPairs: Set[(Long, Long)] =
+      graft.SparkEntry.queries("q_embed_neardup")(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    def run(annQuery: String, atK: Boolean): Unit = {
+      val exact = if (atK) exactTopK else exactPairs
+      val ann = graft.SparkEntry.queries(annQuery)(spark, sfDir).collect()
+        .map { r =>
+          val (a, b) =
+            if (annQuery == "q_ann_pairs")
+              (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+            else (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))
+          if (atK) (a, b) else (math.min(a, b), math.max(a, b))
+        }.toSet
+      val hit = exact.count(ann.contains)
+      println(s"""{"sf":"$sfDir","query":"$annQuery","metric":"${if (atK) "recall@5" else "pair_recall"}","exact_pairs":${exact.size},"ann_pairs":${ann.size},"hit":$hit,"recall":${
+        if (exact.isEmpty) 1.0 else hit.toDouble / exact.size}}""")
+    }
+    queries.foreach { q =>
+      if (mode == "pair" || mode == "both") run(q, atK = false)
+      if ((mode == "atk" || mode == "both") && q != "q_ann_pairs") run(q, atK = true)
+    }
     spark.stop()
   }
 }
