@@ -832,29 +832,29 @@ object Dedup {
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
                         FROM toks),
                  hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
-                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
                  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                            GROUP BY 1, 2),
-                 pairs AS (SELECT doc_a, doc_b
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b
                            FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
                            WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
-                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
                        UNION ALL SELECT doc_b, doc_a FROM pairs),
                  deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
-                 ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+                 ed AS MATERIALIZED (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
                  nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-                 r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                 r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / nn.n AS rank
                         FROM documents, nn),
                  c1 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
                         FROM ed JOIN r0 r ON r.id = ed.u GROUP BY ed.v),
-                 r1 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                 r1 AS MATERIALIZED (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
                           + CAST(0.85 AS DOUBLE) * coalesce(CAST(c1.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
                         FROM r0 r CROSS JOIN nn LEFT JOIN c1 ON c1.id = r.id),
                  c2 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
                         FROM ed JOIN r1 r ON r.id = ed.u GROUP BY ed.v),
-                 r2 AS (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                 r2 AS MATERIALIZED (SELECT r.id, (1 - CAST(0.85 AS DOUBLE)) / nn.n
                           + CAST(0.85 AS DOUBLE) * coalesce(CAST(c2.cs AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
                         FROM r1 r CROSS JOIN nn LEFT JOIN c2 ON c2.id = r.id),
                  c3 AS (SELECT ed.v AS id, sum(CAST(r.rank / ed.deg AS DECIMAL(30,10))) AS cs
@@ -896,29 +896,34 @@ object Dedup {
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
                         FROM toks),
                  hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
-                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
                  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                            GROUP BY 1, 2),
-                 pairs AS (SELECT doc_a, doc_b
+                 -- MATERIALIZED is load-bearing (the IvfOracleSql lesson):
+                 -- un-materialized, DuckDB re-inlines pairs/e/l1-l3 per
+                 -- reference, and the 3-round LPA chain compounds the
+                 -- shingle self-join EXPONENTIALLY (measured: >78 GB of
+                 -- spill at a 2x fixture; materialized, sf0.3 passes)
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b
                            FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
                            WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
-                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
                        UNION ALL SELECT doc_b, doc_a FROM pairs),
                  l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
                  n1 AS (SELECT e.u AS id, l.lab, count(*) AS c
                         FROM e JOIN l0 l ON l.id = e.v GROUP BY 1, 2),
                  t1 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lab) AS rn FROM n1),
-                 l1 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                 l1 AS MATERIALIZED (SELECT l.id, coalesce(t.lab, l.lab) AS lab
                         FROM l0 l LEFT JOIN (SELECT id, lab FROM t1 WHERE rn = 1) t
                           ON t.id = l.id),
                  n2 AS (SELECT e.u AS id, l.lab, count(*) AS c
                         FROM e JOIN l1 l ON l.id = e.v GROUP BY 1, 2),
                  t2 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lab) AS rn FROM n2),
-                 l2 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                 l2 AS MATERIALIZED (SELECT l.id, coalesce(t.lab, l.lab) AS lab
                         FROM l1 l LEFT JOIN (SELECT id, lab FROM t2 WHERE rn = 1) t
                           ON t.id = l.id),
                  n3 AS (SELECT e.u AS id, l.lab, count(*) AS c
@@ -959,26 +964,26 @@ object Dedup {
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
                         FROM toks),
                  hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
-                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
                  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                            GROUP BY 1, 2),
-                 pairs AS (SELECT doc_a, doc_b
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b
                            FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
                            WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
-                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
                        UNION ALL SELECT doc_b, doc_a FROM pairs),
                  dup AS (SELECT text FROM documents GROUP BY text HAVING count(*) > 1),
                  s0 AS (SELECT DISTINCT d.doc_id AS id FROM documents d
                         JOIN dup ON d.text = dup.text),
-                 v0 AS (SELECT id, 0 AS hop FROM s0),
-                 f1 AS (SELECT DISTINCT e.v AS id FROM e JOIN s0 ON e.u = s0.id
+                 v0 AS MATERIALIZED (SELECT id, 0 AS hop FROM s0),
+                 f1 AS MATERIALIZED (SELECT DISTINCT e.v AS id FROM e JOIN s0 ON e.u = s0.id
                         WHERE e.v NOT IN (SELECT id FROM v0)),
-                 v1 AS (SELECT * FROM v0 UNION ALL SELECT id, 1 FROM f1),
-                 f2 AS (SELECT DISTINCT e.v AS id FROM e JOIN f1 ON e.u = f1.id
+                 v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT id, 1 FROM f1),
+                 f2 AS MATERIALIZED (SELECT DISTINCT e.v AS id FROM e JOIN f1 ON e.u = f1.id
                         WHERE e.v NOT IN (SELECT id FROM v1)),
-                 v2 AS (SELECT * FROM v1 UNION ALL SELECT id, 2 FROM f2),
+                 v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT id, 2 FROM f2),
                  f3 AS (SELECT DISTINCT e.v AS id FROM e JOIN f2 ON e.u = f2.id
                         WHERE e.v NOT IN (SELECT id FROM v2)),
                  v3 AS (SELECT * FROM v2 UNION ALL SELECT id, 3 FROM f3)
@@ -1010,36 +1015,41 @@ object Dedup {
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
                         FROM toks),
                  hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
-                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
                  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                            GROUP BY 1, 2),
-                 pairs AS (SELECT doc_a, doc_b
+                 -- MATERIALIZED is load-bearing (the IvfOracleSql lesson):
+                 -- un-materialized, DuckDB re-inlines pairs/e/l1-l3 per
+                 -- reference, and the 3-round LPA chain compounds the
+                 -- shingle self-join EXPONENTIALLY (measured: >78 GB of
+                 -- spill at a 2x fixture; materialized, sf0.3 passes)
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b
                            FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
                            WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
-                 e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
                        UNION ALL SELECT doc_b, doc_a FROM pairs),
                  l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
                  n1 AS (SELECT e.u AS id, l.lab, count(*) AS c
                         FROM e JOIN l0 l ON l.id = e.v GROUP BY 1, 2),
                  t1 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lab) AS rn FROM n1),
-                 l1 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                 l1 AS MATERIALIZED (SELECT l.id, coalesce(t.lab, l.lab) AS lab
                         FROM l0 l LEFT JOIN (SELECT id, lab FROM t1 WHERE rn = 1) t
                           ON t.id = l.id),
                  n2 AS (SELECT e.u AS id, l.lab, count(*) AS c
                         FROM e JOIN l1 l ON l.id = e.v GROUP BY 1, 2),
                  t2 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lab) AS rn FROM n2),
-                 l2 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                 l2 AS MATERIALIZED (SELECT l.id, coalesce(t.lab, l.lab) AS lab
                         FROM l1 l LEFT JOIN (SELECT id, lab FROM t2 WHERE rn = 1) t
                           ON t.id = l.id),
                  n3 AS (SELECT e.u AS id, l.lab, count(*) AS c
                         FROM e JOIN l2 l ON l.id = e.v GROUP BY 1, 2),
                  t3 AS (SELECT id, lab, row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lab) AS rn FROM n3),
-                 l3 AS (SELECT l.id, coalesce(t.lab, l.lab) AS lab
+                 l3 AS MATERIALIZED (SELECT l.id, coalesce(t.lab, l.lab) AS lab
                         FROM l2 l LEFT JOIN (SELECT id, lab FROM t3 WHERE rn = 1) t
                           ON t.id = l.id),
                  ein AS (SELECT la.lab AS c, count(*) AS ec
@@ -1084,18 +1094,18 @@ object Dedup {
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
                         FROM toks),
                  hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10),
-                 sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+                 sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
                  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                            GROUP BY 1, 2),
-                 pairs AS (SELECT doc_a, doc_b
+                 pairs AS MATERIALIZED (SELECT doc_a, doc_b
                            FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
                            WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
-                 deg AS (SELECT u, count(*) AS deg FROM
+                 deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM
                            (SELECT doc_a AS u FROM pairs
                             UNION ALL SELECT doc_b FROM pairs) GROUP BY u),
-                 o AS (SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+                 o AS MATERIALIZED (SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
                                    THEN p.doc_a ELSE p.doc_b END AS a,
                               CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
                                    THEN p.doc_b ELSE p.doc_a END AS b
