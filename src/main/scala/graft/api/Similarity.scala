@@ -660,6 +660,99 @@ object Similarity {
     }
   }
 
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the LASER/CCMatrix miner): given two embedding sides A
+    * (source) and B (target), score every candidate pair with the
+    * RATIO margin  cos(x,y) / ((mₖ(x) + mₖ(y)) / 2)  where mₖ(x) is the
+    * mean of x's k best cosines into the OTHER side — the normalization
+    * that kills cosine's hubness problem (a generically-central vector
+    * scores high against everything; dividing by its own neighborhood
+    * average cancels that) — and keep, per source vector, the
+    * argmax-margin target iff its margin clears `threshold` (forward
+    * mining; ties → smallest target id).
+    *
+    * `candidates` carries the pair pool: (a_id, b_id, both embeddings).
+    * The EXACT baseline passes the full A×B cross (the q_knn_eval
+    * quadratic-evidence class); the scale path passes an IVF-cell
+    * blocked pool ([[bitextMineBlocked]]) — the kNN means are then
+    * computed over the same pool, which is the standard blocked-mining
+    * approximation (the pool IS the retrieval universe).
+    *
+    * Determinism/cross-engine: cosines are sequential vec_dot folds;
+    * each mₖ is the k-column pivot sum (coalesce(cᵢ, 0), left-assoc +,
+    * divide by the constant k) in (cos DESC, id ASC) rank order, so
+    * every float is bit-reproducible and the margin ranking replays in
+    * SQL. Returns (a_id, b_id, cos_sim 4dp, margin 4dp). */
+  def bitextMineFrom(candidates: DataFrame, k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val pr = candidates.select(col("a_id"), col("b_id"),
+      (dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb")))).as("c"))
+      .transform(Ckpt.apply) // the pair frame feeds 3 consumers (2 windows + the margin join); Ckpt registers the pinned block for bench hygiene
+    def sideMean(part: String, tie: String, out: String): DataFrame = {
+      val rn = row_number().over(
+        Window.partitionBy(part).orderBy(col("c").desc, col(tie).asc))
+      val ranked = pr.withColumn("rn", rn).filter(col("rn") <= k)
+      // pinned left-associative k-term sum of the rank-ordered cosines
+      val terms = (1 to k).map(i => coalesce(max(when(col("rn") === i, col("c"))), lit(0.0)))
+      ranked.groupBy(part).agg((terms.reduceLeft(_ + _) / k).as(out))
+    }
+    val ma = sideMean("a_id", "b_id", "m_a")
+    val mb = sideMean("b_id", "a_id", "m_b")
+    val mg = pr.join(ma, "a_id").join(mb, "b_id")
+      .withColumn("margin", col("c") / ((col("m_a") + col("m_b")) / 2))
+    val best = row_number().over(
+      Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id").asc))
+    mg.withColumn("brn", best)
+      .filter(col("brn") === 1 && col("margin") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        (floor(col("c") * 10000) / 10000.0).as("cos_sim"),
+        (floor(col("margin") * 10000) / 10000.0).as("margin"))
+  }
+
+  /** EXACT bitext mining over the full A×B cross — the correctness
+    * baseline (quadratic; the [[knnLooConfusion]] evidence class). */
+  def bitextMine(a: DataFrame, b: DataFrame, idCol: String, embCol: String,
+      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    reg(a)
+    val av = a.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("a_id"), col(embCol).as("ea"))
+    val bv = b.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("b_id"), col(embCol).as("eb"))
+    bitextMineFrom(av.crossJoin(bv), k, threshold)
+  }
+
+  /** IVF-cell BLOCKED bitext mining — the scale path: fit the coarse
+    * quantizer on A∪B (occupancy-derived cells, [[ivfCellsFor]]), probe
+    * each vector's top-`nProbe` cells symmetrically, and mine over the
+    * cross-side pairs that share ANY probed cell (distinct, skinny
+    * two-long rows through the dedup — the [[ivfPairsWith]] shape).
+    * Candidate volume ≈ n · nProbe² · targetCell, never |A|·|B|; the
+    * kNN means run over the same blocked pool (the standard
+    * blocked-mining approximation). */
+  def bitextMineBlocked(corpus: DataFrame, idCol: String, embCol: String,
+      sideCol: Column, k: Int = 4, threshold: Double = 1.0,
+      targetCell: Int = 128, iterations: Int = 1, nProbe: Int = 3): DataFrame = {
+    reg(corpus)
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"), sideCol.as("side"))
+    val n = em.count()
+    val centers = fitIvf(em, "id", "e", ivfCellsFor(n, targetCell), iterations)
+    val cc = typedLit(centers)
+    val probes = em.select(col("id"), col("side"),
+      explode(call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)))
+        .as("cell"))
+    val cand = probes.filter(!col("side")).as("a")
+      .join(probes.filter(col("side")).as("b"), col("a.cell") === col("b.cell"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    val pool = cand
+      .join(em.select(col("id").as("a_id"), col("e").as("ea")), "a_id")
+      .join(em.select(col("id").as("b_id"), col("e").as("eb")), "b_id")
+    bitextMineFrom(pool, k, threshold)
+  }
+
   /** Fit the IVF coarse quantizer: deterministic hash-sampled seed
     * centers + `iterations` Lloyd rounds, returning the centroid MODEL
     * (nCentroids × dim doubles). Split out from [[ivfJoin]] because the

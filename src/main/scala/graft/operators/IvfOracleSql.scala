@@ -197,6 +197,19 @@ rk AS (SELECT pid, id, sim,
     * [[AnnOracleSql.clustersSql]] behind the replayed band-clamp
     * routing flag, exactly as [[ivfChain]] serves the join form. */
   def ivfPairsChain(extraFilter: String = ""): String =
+    s"""${ivfProbeChain(extraFilter, nProbe = 3)},
+vcand AS (SELECT DISTINCT a.vec_id AS pid, b.vec_id AS id
+          FROM pprb a JOIN pprb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+vscored AS (SELECT c.pid, c.id, round(${cos("a.e", "b.e")}, 4) AS sim
+            FROM vcand c JOIN base a ON a.vec_id = c.pid
+                         JOIN base b ON b.vec_id = c.id)"""
+
+  /** The shared IVF fit-and-probe head: decimal-exact fit over the
+    * (filtered) embeddings, per-vector probe ranks, and the top-`nProbe`
+    * probe frame — ending in CTEs `base` (vec_id, e, h), `prnk`
+    * (vec_id, ci, rn), `pprb` (vec_id, cell). [[ivfPairsChain]] and
+    * [[BitextOracleSql]] build their candidate joins on top. */
+  def ivfProbeChain(extraFilter: String = "", nProbe: Int): String =
     s"""base0 AS (SELECT vec_id, embedding AS e FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) > 0$extraFilter),
 hvals AS (SELECT vec_id, ((CAST(vec_id AS HUGEINT) % $M64) + $M64) % $M64 AS w FROM base0),
@@ -209,12 +222,10 @@ psc AS (SELECT b.vec_id, f.ci, ${score("b.e", "f.c")} AS score
 prnk AS MATERIALIZED (SELECT vec_id, ci,
           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, ci) AS rn
         FROM psc),
-pprb AS MATERIALIZED (SELECT p.vec_id, p.ci AS cell FROM prnk p WHERE p.rn <= 3),
-vcand AS (SELECT DISTINCT a.vec_id AS pid, b.vec_id AS id
-          FROM pprb a JOIN pprb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-vscored AS (SELECT c.pid, c.id, round(${cos("a.e", "b.e")}, 4) AS sim
-            FROM vcand c JOIN base a ON a.vec_id = c.pid
-                         JOIN base b ON b.vec_id = c.id)"""
+pprb AS MATERIALIZED (SELECT p.vec_id, p.ci AS cell FROM prnk p WHERE p.rn <= $nProbe)"""
+
+  /** Exact cosine for chain consumers outside this object. */
+  def cosSql(a: String, b: String): String = cos(a, b)
 
   /** q_ann_ivf: [[ivfChain]] + the rank-≤5 projection. */
   lazy val ivfSql: String =

@@ -547,8 +547,58 @@ object VectorOps {
             FROM v GROUP BY label ORDER BY label NULLS FIRST""")
   )
 
+  /** Margin-based BITEXT MINING, exact baseline
+    * ([[graft.api.Similarity.bitextMine]] — Artetxe & Schwenk,
+    * ACL 2019, the LASER/CCMatrix parallel-corpus miner): the
+    * even-label embeddings play the source language, the odd-label the
+    * target; every source vector elects its argmax-RATIO-MARGIN target
+    * — cos(x,y) / ((m₄(x)+m₄(y))/2), the kNN-average normalization
+    * that kills cosine hubness — kept iff the margin clears 1.02.
+    * Full A×B cross = the fixed-small exact-evidence class
+    * (q_knn_eval); the registered scale path is q_bitext_mine_ann.
+    * Deterministic throughout (sequential cosine folds, pinned
+    * left-assoc k-term sums, id tiebreaks) → hash-matched via
+    * [[BitextOracleSql.exactSql]]. */
+  private val qBitextMine = Q(
+    "q_bitext_mine",
+    (s, dir) => {
+      val em = Tables.embeddings(s, dir).filter(col("label").isNotNull)
+      Similarity.bitextMine(
+          em.filter(pmod(col("label"), lit(2)) === 0),
+          em.filter(pmod(col("label"), lit(2)) === 1),
+          "vec_id", "embedding",
+          k = BitextOracleSql.K, threshold = BitextOracleSql.Threshold)
+        .orderBy("a_id")
+    },
+    Some(BitextOracleSql.exactSql)
+  )
+
+  /** Bitext mining AT SCALE ([[graft.api.Similarity.bitextMineBlocked]]):
+    * the same margin election over an IVF-CELL BLOCKED candidate pool —
+    * fit on A∪B at the occupancy-derived cell count, symmetric top-3
+    * probes, candidates = cross-side pairs sharing any probed cell
+    * (distinct skinny rows, the ivfPairsWith shape) — candidate volume
+    * ≈ n·nProbe²·targetCell, never |A|·|B|. The kNN means run over the
+    * same blocked pool (the standard blocked-mining approximation), so
+    * the result is a deterministic function of the pool and
+    * [[BitextOracleSql.blockedSql]] replays fit, probes, pool, and
+    * election — hash-matched; mined-pair agreement vs the exact
+    * baseline is property-tested. */
+  private val qBitextMineAnn = Q(
+    "q_bitext_mine_ann",
+    (s, dir) =>
+      Similarity.bitextMineBlocked(
+          Tables.embeddings(s, dir).filter(col("label").isNotNull),
+          "vec_id", "embedding",
+          sideCol = pmod(col("label"), lit(2)) === 1,
+          k = BitextOracleSql.K, threshold = BitextOracleSql.Threshold,
+          targetCell = 128, iterations = 1, nProbe = 3)
+        .orderBy("a_id"),
+    Some(BitextOracleSql.blockedSql)
+  )
+
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
     qEmbedQuantize, qEmbedPq, qEmbedSemdedup, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn,
-    qEmbedNorms)
+    qEmbedNorms, qBitextMine, qBitextMineAnn)
 }

@@ -167,6 +167,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q_assoc_rules" -> "1-row corpus-constant broadcast (basket count)",
       "q_naive_bayes" -> "margin-cardinality vocab×class likelihood spine + 1-row vocab/prior-total broadcasts",
       "q_knn_eval" -> "pairwise exact LOO baseline over the fixed-small embedding corpus (the q_embed_neardup class; scale path = annJoin)",
+      // NOTE q_bitext_mine needs no entry: its exact A×B cross (the
+      // q_knn_eval evidence class; scale path = q_bitext_mine_ann's
+      // IVF-cell blocked pool) executes EAGERLY inside bitextMineFrom's
+      // pair-frame Ckpt, so the returned plan starts from the
+      // checkpointed LogicalRDD (the q_embed_clusters precedent)
       "q_survival" -> "bucket-prefix-totals broadcasts (the q_drift_ks scan, x2 stages)",
       "q_mutual_info" -> "1-row corpus-total broadcast + 1-row stat-frame combination (the q_triangles class)",
       "q_modularity" -> "1-row edge-count broadcast + 1-row stat-frame combination (the q_triangles class)",
