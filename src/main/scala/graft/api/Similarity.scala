@@ -347,29 +347,52 @@ object Similarity {
       k: Int = 10, nPlanes: Int = 16, bands: Int = 8,
       dim: Int = 64, multiProbe: Boolean = true,
       maxBucketVecs: Int = 0): DataFrame = {
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
+    lshScored(corpus, idCol, embCol, nPlanes, bands, dim, multiProbe,
+        maxBucketVecs, undirected = false)
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("pid").as("id"), col("id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
+  /** The shared LSH candidate core behind [[annJoin]], [[annPairs]],
+    * and [[hardNegatives]]: packed band keys, optional hot-bucket cap,
+    * hamming-1 multi-probe, skinny distinct candidates, exact-cosine
+    * scoring — ending at the SCORED frame (pid, id, sim 4dp) with no
+    * rank or threshold applied (each consumer's election differs).
+    * `undirected = true` keeps pid < id (the pair form — XOR probing is
+    * symmetric, so the undirected candidate set is identical while the
+    * verify work halves); otherwise pid ≠ id (the join form).
+    *
+    * Per-band keys pack into ONE BIGINT: high bits = band id, low w
+    * bits = sign bits — computed by the NATIVE graft_hyperplane_keys
+    * expression (one tight loop per row; a typedLit(planes) +
+    * transform + per-plane vec_dot chain generated enormous Java whose
+    * janino compile dominated cold runs). Hamming-1 probe variants are
+    * a single XOR on the packed key; the HOF-computed probe column is
+    * referenced exactly once per projection (CLAUDE.md invariant 5).
+    *
+    * maxBucketVecs > 0 = the HOT-BUCKET guard (the TextDedup
+    * bandBucketCandidates pattern): index-side buckets aggregate under
+    * a capped-set buffer (≤ cap + 1 longs per bucket, never the full
+    * membership) and buckets past the cap are dropped whole — kept
+    * buckets are provably untruncated, so per-bucket candidate fan-out
+    * is bounded by cap × probes. A pair is lost only if EVERY band
+    * bucket it shares is hot; buckets that hot are mass-duplication
+    * that exact dedup upstream owns. Requires long-ish ids (the
+    * capped-set aggregate is typed over Long). */
+  private def lshScored(corpus: DataFrame, idCol: String, embCol: String,
+      nPlanes: Int, bands: Int, dim: Int, multiProbe: Boolean,
+      maxBucketVecs: Int, undirected: Boolean): DataFrame = {
     reg(corpus)
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
-    // per-band keys packed into ONE BIGINT: high bits = band id, low w
-    // bits = sign bits — computed by the NATIVE graft_hyperplane_keys
-    // expression (one tight loop per row; the earlier typedLit(planes) +
-    // transform + per-plane vec_dot chain generated enormous Java whose
-    // janino compile dominated cold runs). Hamming-1 probe variants are
-    // a single XOR on the packed key; the HOF-computed probe column is
-    // referenced exactly once per projection (CLAUDE.md invariant 5).
     val sigd = corpus
       .withColumn("ks", expr(s"graft_hyperplane_keys($embCol, $nPlanes, $bands, $dim)"))
       .select(col(idCol).as("id"), col(embCol).as("e"), col("ks"))
     val rawIndexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
-    // maxBucketVecs > 0 = the HOT-BUCKET guard (the TextDedup
-    // bandBucketCandidates pattern): index-side buckets aggregate under
-    // a capped-set buffer (≤ cap + 1 longs per bucket, never the full
-    // membership) and buckets past the cap are dropped whole — kept
-    // buckets are provably untruncated, so per-bucket candidate fan-out
-    // is bounded by cap × probes. A pair is lost only if EVERY band
-    // bucket it shares is hot; buckets that hot are mass-duplication
-    // that exact dedup upstream owns. Requires long-ish ids (the
-    // capped-set aggregate is typed over Long).
     val indexKeys =
       if (maxBucketVecs <= 0) rawIndexKeys
       else rawIndexKeys
@@ -385,21 +408,18 @@ object Similarity {
                 r -> cast(k0 ^ shiftleft(1L, r) AS BIGINT)))))""")
       else col("ks")
     val probeKeys = sigd.select(col("id").as("pid"), explode(probeExpr).as("band"))
+    val candFilter =
+      if (undirected) col("pid") < col("id") else col("pid") =!= col("id")
     val cand = probeKeys
       .join(indexKeys, "band")
-      .filter(col("pid") =!= col("id"))
+      .filter(candFilter)
       .select("pid", "id").distinct()
     val em = sigd.select(col("id"), col("e"))
-    val rw = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
     cand
       .join(em.select(col("id").as("pid"), col("e").as("pe")), "pid")
       .join(em, "id")
-      .withColumn("sim", round(cosine(col("e"), col("pe")), 4))
-      .withColumn("rank", row_number().over(rw).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("pid").as("id"), col("id").as("neighbor_id"),
-        col("sim"), col("rank"))
+      .select(col("pid"), col("id"),
+        round(cosine(col("e"), col("pe")), 4).as("sim"))
   }
 
   /** UNDIRECTED ANN pair generation — the clustering form of
@@ -417,41 +437,11 @@ object Similarity {
   def annPairs(corpus: DataFrame, idCol: String, embCol: String,
       threshold: Double, nPlanes: Int = 16, bands: Int = 8,
       dim: Int = 64, multiProbe: Boolean = true,
-      maxBucketVecs: Int = 0): DataFrame = {
-    reg(corpus)
-    require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val w = nPlanes / bands
-    val sigd = corpus
-      .withColumn("ks", expr(s"graft_hyperplane_keys($embCol, $nPlanes, $bands, $dim)"))
-      .select(col(idCol).as("id"), col(embCol).as("e"), col("ks"))
-    val rawIndexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
-    val indexKeys =
-      if (maxBucketVecs <= 0) rawIndexKeys
-      else rawIndexKeys
-        .select(col("id").cast("long").as("id"), col("band"))
-        .groupBy("band")
-        .agg(graft.functions.CappedSetAgg.fn(maxBucketVecs + 1)(col("id")).as("ids"))
-        .filter(size(col("ids")) <= maxBucketVecs)
-        .select(col("band"), explode(col("ids")).as("id"))
-    val probeExpr =
-      if (multiProbe) expr(
-        s"""flatten(transform(ks, k0 ->
-              concat(array(k0), transform(sequence(0, ${w - 1}),
-                r -> cast(k0 ^ shiftleft(1L, r) AS BIGINT)))))""")
-      else col("ks")
-    val probeKeys = sigd.select(col("id").as("pid"), explode(probeExpr).as("band"))
-    val cand = probeKeys
-      .join(indexKeys, "band")
-      .filter(col("pid") < col("id"))
-      .select(col("pid").as("id_a"), col("id").as("id_b")).distinct()
-    val em = sigd.select(col("id"), col("e"))
-    cand
-      .join(em.select(col("id").as("id_a"), col("e").as("ea")), "id_a")
-      .join(em.select(col("id").as("id_b"), col("e").as("eb")), "id_b")
-      .withColumn("sim", round(cosine(col("ea"), col("eb")), 4))
+      maxBucketVecs: Int = 0): DataFrame =
+    lshScored(corpus, idCol, embCol, nPlanes, bands, dim, multiProbe,
+        maxBucketVecs, undirected = true)
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
-  }
+      .select(col("pid").as("id_a"), col("id").as("id_b"), col("sim"))
 
   /** IVF-cell-blocked UNDIRECTED pair generation against a PRE-FIT
     * centroid model — the RAW-pair-set twin of [[semDedup]]'s candidate
@@ -821,6 +811,23 @@ object Similarity {
     * Returns (id, neighbor_id, sim, rank ≤ k) like [[annJoin]]. */
   def ivfJoinWith(corpus: DataFrame, idCol: String, embCol: String,
       centers: Seq[Seq[Double]], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
+    ivfScored(corpus, idCol, embCol, centers, nProbe)
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("pid").as("id"), col("id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
+  /** The IVF probe-vs-top-1-index candidate core behind [[ivfJoinWith]]
+    * and the routed [[hardNegatives]]: each vector probes its `nProbe`
+    * nearest cells, each is indexed under its single nearest cell, a
+    * candidate is a (probe, indexed) pair sharing a cell — at most one
+    * meeting per pair (the index side is top-1), so no dedup is needed.
+    * Ends at the SCORED frame (pid, id, sim 4dp), no rank applied. */
+  private def ivfScored(corpus: DataFrame, idCol: String, embCol: String,
+      centers: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     reg(corpus)
     val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
       .select(col(idCol).as("id"), col(embCol).as("e"))
@@ -831,17 +838,62 @@ object Similarity {
     val probes = em.select(col("id").as("pid"), col("e").as("pe"),
       explode(call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)))
         .as("cid"))
-    val rw = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
     probes
       .join(index, "cid")
       .filter(col("pid") =!= col("id"))
       .select(col("pid"), col("id"),
         round(cosine(col("e"), col("pe")), 4).as("sim"))
+  }
+
+  /** HARD-NEGATIVE mining for contrastive training (the dense-retrieval
+    * / embedding-finetune data op — e.g. DPR, Karpukhin et al. 2020:
+    * negatives that score HIGH under the current encoder train the
+    * margin; random negatives are too easy to carry gradient): for
+    * every labeled anchor, the top-`k` cosine-nearest vectors whose
+    * label DIFFERS, windowed to `simThreshold ≤ sim < posCutoff` — the
+    * floor keeps the negatives hard, the ceiling drops near-duplicates
+    * (a different-label vector at ≥ 0.95 cosine is far more likely a
+    * mislabel or un-deduped copy than a legitimate negative — the
+    * false-negative trap the ceiling is standard practice against).
+    *
+    * Candidates ride the SAME routed ANN machinery as [[annJoinAuto]]:
+    * the occupancy/banding derivation from one scalar corpus count,
+    * LSH band buckets below the `maxBands` clamp, the IVF cell index
+    * past it ([[fitIvf]] at the [[ivfCellsFor]] occupancy, nProbe=4 —
+    * the exact parameterization the oracle replays). The label filter
+    * and the rank election happen AFTER exact-cosine verify, so
+    * precision is exact given the candidate pool; only which
+    * candidates are FOUND is approximate (the ANN family contract).
+    *
+    * Returns (vec_id, label, neg_id, neg_label, sim, rank ≤ k). */
+  def hardNegatives(corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int = 3, posCutoff: Double = 0.95,
+      simThreshold: Double = 0.4, dim: Int = 64, targetBucket: Int = 32,
+      targetRecall: Double = 0.8, maxBands: Int = 64): DataFrame = {
+    val filtered = corpus.filter(col(embCol).isNotNull &&
+      size(col(embCol)) > 0 && col(labelCol).isNotNull)
+    val n = filtered.count()
+    val d = deriveBanding(n, targetBucket, simThreshold, targetRecall, maxBands)
+    val scored =
+      if (d.clamped) {
+        val centers = fitIvf(filtered, idCol, embCol, ivfCellsFor(n, 128), 1)
+        ivfScored(filtered, idCol, embCol, centers, nProbe = 4)
+      } else
+        lshScored(filtered, idCol, embCol, nPlanes = d.w * d.bands,
+          bands = d.bands, dim = dim, multiProbe = true,
+          maxBucketVecs = 8 * targetBucket, undirected = false)
+    val lab = filtered.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("sim"), asc("id"))
+    scored
+      .join(lab.select(col("id").as("pid"), col("lbl").as("label")), "pid")
+      .join(lab.select(col("id"), col("lbl").as("neg_label")), "id")
+      .filter(col("label") =!= col("neg_label") &&
+        col("sim") < posCutoff && col("sim") >= simThreshold)
       .withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("pid").as("id"), col("id").as("neighbor_id"),
-        col("sim"), col("rank"))
+      .select(col("pid").as("vec_id"), col("label"),
+        col("id").as("neg_id"), col("neg_label"), col("sim"), col("rank"))
   }
 
   /** Fit-and-join in one call: [[fitIvf]] on the full corpus, then

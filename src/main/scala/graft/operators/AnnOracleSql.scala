@@ -193,6 +193,34 @@ SELECT d.vec_id, CAST(coalesce(least(c.mn, d.vec_id), d.vec_id) AS BIGINT) AS cl
 FROM embeddings d LEFT JOIN comp c USING (vec_id)
 ORDER BY vec_id"""
 
+  /** q_hard_negatives: Similarity.hardNegatives(k=3, posCutoff=0.95,
+    * simThreshold=0.4) over the label-non-null vectors — the routed
+    * scored-candidate frame ([[chain]] below the 64-band clamp,
+    * [[IvfOracleSql.ivfChain]] past it, exactly as [[joinSql]]), then
+    * the label-mismatch filter, the 0.4 ≤ sim < 0.95 hardness window,
+    * and the per-anchor top-3 election. At the gate SFs the demand is
+    * ≤ 64 bands → pure LSH; at sf1.0 (demand 160) the IVF chain takes
+    * over, both behind the replayed routing flag. */
+  lazy val hardNegSql: String =
+    s"""WITH
+${chain(pairs = false, simT = "0.4", extraFilter = " AND label IS NOT NULL", k = 3, p = "l", routed = true)},
+${IvfOracleSql.ivfChain(" AND label IS NOT NULL AND (SELECT demanded > 64 FROM ldrv2)")},
+hlab AS (SELECT vec_id AS id, label FROM lbase),
+hsc AS (SELECT pid, id, sim FROM lscored
+        UNION ALL
+        SELECT pid, id, sim FROM scored),
+hneg AS (SELECT s.pid, a.label AS la, s.id, b.label AS lb, s.sim
+         FROM hsc s JOIN hlab a ON a.id = s.pid JOIN hlab b ON b.id = s.id
+         WHERE a.label <> b.label AND s.sim < 0.95 AND s.sim >= 0.4),
+hrk AS (SELECT pid, la, id, lb, sim,
+          row_number() OVER (PARTITION BY pid ORDER BY sim DESC, id) AS rank
+        FROM hneg)
+SELECT CAST(pid AS BIGINT) AS vec_id, CAST(la AS BIGINT) AS label,
+       CAST(id AS BIGINT) AS neg_id, CAST(lb AS BIGINT) AS neg_label,
+       sim, CAST(rank AS BIGINT) AS rank
+FROM hrk WHERE rank <= 3
+ORDER BY vec_id NULLS FIRST, rank NULLS FIRST"""
+
   /** q_knn_eval_ann: annJoinAuto defaults (simThreshold 0.5, k=5) over
     * label-non-null vectors, majority vote, confusion matrix — with the
     * same clamp routing as [[joinSql]] (at θ=0.5 the unclamped demand

@@ -509,6 +509,30 @@ object VectorOps {
     Some(AnnOracleSql.knnSql)
   )
 
+  /** HARD-NEGATIVE mining for contrastive training
+    * ([[graft.api.Similarity.hardNegatives]]): for every labeled
+    * vector, the top-3 cosine-nearest DIFFERENT-label vectors inside
+    * the 0.4 ≤ sim < 0.95 hardness window — the floor keeps negatives
+    * informative, the ceiling drops near-duplicates (a ≥0.95-cosine
+    * cross-label pair is more likely a mislabel/un-deduped copy than a
+    * legitimate negative). Candidates ride the routed ANN machinery
+    * (LSH bands below the clamp, IVF cells past it); exact-cosine
+    * verify before the election makes precision exact given the pool.
+    * Approximate in RECALL, deterministic as a FUNCTION —
+    * [[AnnOracleSql.hardNegSql]] replays both routed chains plus the
+    * label/hardness election. */
+  private val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", k = 3)
+        .select(col("vec_id"), col("label").cast("bigint").as("label"),
+          col("neg_id"), col("neg_label").cast("bigint").as("neg_label"),
+          col("sim"), col("rank"))
+        .orderBy(asc_nulls_first("vec_id"), asc_nulls_first("rank")),
+    Some(AnnOracleSql.hardNegSql)
+  )
+
   /** Embedding L2-norm census per label — the vector-health audit run
     * before any cosine/ANN stage (un-normalized or zero vectors break
     * cosine semantics silently; a label whose norm band differs from
@@ -600,5 +624,5 @@ object VectorOps {
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
     qEmbedQuantize, qEmbedPq, qEmbedSemdedup, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn,
-    qEmbedNorms, qBitextMine, qBitextMineAnn)
+    qEmbedNorms, qBitextMine, qBitextMineAnn, qHardNegatives)
 }

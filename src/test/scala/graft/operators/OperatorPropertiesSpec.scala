@@ -2200,6 +2200,66 @@ class OperatorPropertiesSpec extends SparkTestBase {
     graft.Hygiene.dropLeakedBlocks(spark)
   }
 
+  test("hard negatives: label-mismatch window holds; sims exact; recall vs brute force") {
+    import graft.api.Similarity
+    val rows = graft.SparkEntry.queries("q_hard_negatives")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture should mine hard negatives")
+    // structural contract: label ≠ neg_label, 0.4 ≤ sim < 0.95, rank
+    // contiguous from 1 per anchor, ordered by (sim desc, neg_id)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq,
+        "ranks must be contiguous from 1")
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "per-anchor sims must be non-increasing in rank")
+    }
+    assert(rows.forall(r => r.getAs[Long]("label") != r.getAs[Long]("neg_label")),
+      "a hard negative must carry a different label")
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("sim"); s >= 0.4 && s < 0.95
+    }, "sims must sit inside the hardness window")
+    // brute-force ground truth on the collected fixture (test-side only):
+    // per anchor, the top-3 different-label sims in [0.4, 0.95) — emitted
+    // sims must be EXACT cosines (4dp) and candidate recall ≥ 0.7 (the
+    // ANN family contract; LSH regime at the gate SFs)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Number]("label").longValue()))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    // emitted sims are exact 4dp cosines of the cited pair
+    rows.foreach { r =>
+      val a = byId(r.getAs[Long]("vec_id")); val b = byId(r.getAs[Long]("neg_id"))
+      val expect = math.rint(cosine(a._2, b._2) * 10000) / 10000
+      assert(math.abs(r.getAs[Double]("sim") - expect) < 5e-5,
+        s"emitted sim must be the exact cosine: got ${r.getAs[Double]("sim")} want $expect")
+    }
+    val truth = vecs.flatMap { case (ia, ea, la) =>
+      vecs.iterator.filter(v => v._1 != ia && v._3 != la)
+        .map { case (ib, eb, _) => (ib, math.rint(cosine(ea, eb) * 10000) / 10000) }
+        .filter { case (_, s) => s >= 0.4 && s < 0.95 }
+        .toSeq.sortBy { case (ib, s) => (-s, ib) }.take(3)
+        .map { case (ib, _) => (ia, ib) }
+    }.toSet
+    assert(truth.nonEmpty, "fixture must contain true hard negatives")
+    val got = rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neg_id"))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.7, s"hard-negative recall $recall below floor (${truth.size} true)")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
   test("annPairsAuto clamp routing: routed result ≡ ivfPairsAuto; pairs exact-verified") {
     import graft.api.Similarity
     val em = graft.Tables.embeddings(spark, sfDir)
