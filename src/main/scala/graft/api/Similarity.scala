@@ -32,6 +32,224 @@ object Similarity {
       .limit(k)
   }
 
+  /** LABEL-NOISE audit over the embedding space (the confident-learning
+    * signal — Northcutt et al. 2021: examples far from their own class
+    * and close to another are the mislabel candidates): per label, a
+    * DECIMAL-EXACT centroid ([[graft.functions.VecSumDecAgg]] scaled-
+    * long sums + HALF_UP 6dp means — partition-order-invariant by
+    * VALUE, the fitIvf discipline), then every vector scores its
+    * cosine to its OWN centroid and to its best OTHER centroid, and
+    * the `kWorst` least-typical members per label are reported with
+    * the suggested relabel (`flipped` = the other centroid actually
+    * scores higher).
+    *
+    * Scale shape: one hash aggregate for the centroids (model-sized
+    * collect: |labels| × dim doubles), one label-cardinality broadcast
+    * cross (|labels| centroid rows × corpus — the q_naive_bayes spine
+    * class), label-partitioned bottom-k windows.
+    *
+    * Returns (label, rank ≤ kWorst, vec_id, self_sim, best_other_label,
+    * best_other_sim, flipped). */
+  def labelNoise(corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, kWorst: Int = 3): DataFrame = {
+    require(kWorst >= 1, s"kWorst must be ≥1, got $kWorst")
+    reg(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0 &&
+        col(labelCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).cast("long").as("label"),
+        col(embCol).as("e"))
+    val cents: Seq[(Long, Seq[Double])] = em
+      .withColumn("ed", expr("transform(e, x -> cast(x as double))"))
+      .groupBy("label")
+      .agg(graft.functions.VecSumDecAgg.fn(col("ed")).as("s"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map { r =>
+        val cnt = r.getAs[Long]("cnt")
+        r.getAs[Long]("label") ->
+          r.getSeq[Long](1).map(v => graft.functions.VecSumDecAgg.mean6(v, cnt))
+      }.toSeq
+    val centDf = cents.toDF("clabel", "c")
+    val scored = em.crossJoin(broadcast(centDf))
+      .select(col("id"), col("label"), col("clabel"),
+        round(cosine(col("e"), col("c")), 4).as("sim"))
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("sim"), asc("clabel"))
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("id"), col("label"), col("sim").as("self_sim"))
+    val other = scored.filter(col("label") =!= col("clabel"))
+      .withColumn("r", row_number().over(ow))
+      .filter(col("r") === 1)
+      .select(col("id"), col("clabel").as("best_other_label"),
+        col("sim").as("best_other_sim"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(asc("self_sim"), asc("id"))
+    own.join(other, "id")
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= kWorst)
+      .select(col("label"), col("rank"), col("id").as("vec_id"),
+        col("self_sim"), col("best_other_label"), col("best_other_sim"),
+        (col("best_other_sim") > col("self_sim")).as("flipped"))
+  }
+
+  /** GREEDY k-CENTER CORESET selection (farthest-point traversal —
+    * Gonzalez 1985; the geometric heart of data-pruning selections
+    * like Sener & Savarese 2018's core-set active learning): seed with
+    * the smallest id, then repeatedly add the vector LEAST similar to
+    * everything already selected — argmin over unselected of
+    * max_{s∈selected} cos(v, s), ties to the smaller id. The selected
+    * set is a diversity-maximal sketch of the embedding space; the
+    * per-step `far_sim` values (each pick's similarity to the prior
+    * set, non-decreasing) are the coverage-radius curve a pruning run
+    * reads to choose its budget.
+    *
+    * Each step is ONE distributed corpus pass (the selected set rides
+    * along as ≤ k literal vectors — model-sized, the fitIvf pattern)
+    * ending in a 1-row argmin collect (k-bounded, the
+    * pageRankConverged class); k passes total, exactly what greedy
+    * k-center costs at any scale. Returns (rank 1..k, vec_id,
+    * far_sim — null for the seed). */
+  def kcenterCoreset(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be ≥1, got $k")
+    reg(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+    val seed = em.orderBy(asc("id")).limit(1).collect().head
+    var selected = Vector[(Long, Seq[Float], Option[Double])](
+      (seed.getLong(0), seed.getSeq[Float](1), None))
+    for (_ <- 2 to k) {
+      val simCols = selected.map { case (_, se, _) =>
+        round(cosine(col("e"), typedLit(se)), 4)
+      }
+      val maxSim = if (simCols.size == 1) simCols.head else greatest(simCols: _*)
+      val next = em.filter(!col("id").isin(selected.map(_._1): _*))
+        .select(col("id"), col("e"), maxSim.as("ms"))
+        .orderBy(asc("ms"), asc("id")).limit(1)
+        .collect().head
+      selected :+= ((next.getLong(0), next.getSeq[Float](1),
+        Some(next.getDouble(2))))
+    }
+    selected.zipWithIndex
+      .map { case ((i, _, ms), ix) => (ix + 1L, i, ms) }
+      .toDF("rank", "vec_id", "far_sim")
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein,
+    * SIGIR'98 — the diversity reranker RAG stacks run on a retrieved
+    * page): greedily select `k` of the probe's cosine top-`kCand`
+    * shortlist, each step taking the argmax of
+    * `λ·sim(q, d) − μ·max_{s∈selected} sim(d, s)` — relevance traded
+    * against redundancy with what is already selected. λ and μ are
+    * SEPARATE literals (never μ = 1−λ, whose float value is
+    * 0.30000000000000004) so the score chain is bit-reproducible in
+    * the DuckDB replay ([[graft.operators.MmrOracleSql]]).
+    *
+    * The corpus-sized work (exact top-`kCand` retrieval, pair cosines
+    * among the shortlist) runs distributed and EAGERLY; the greedy
+    * election then folds over the collected shortlist — kCand + kCand²
+    * rows, k-bounded and corpus-size-INDEPENDENT (the rerank page IS
+    * the model: MMR reranks a retrieved page, never the corpus — the
+    * fitIvf/bpeLearn collect-exemption class). Ties pin to the
+    * smaller id at every step.
+    *
+    * Returns (rank 1..k, doc_id, rel_sim, mmr_score floor-6dp); the
+    * per-step scores are provably non-increasing (the penalty is
+    * monotone in the growing selected set). */
+  def mmrRerank(corpus: DataFrame, idCol: String, embCol: String,
+      probeId: Long, kCand: Int = 20, k: Int = 8,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need kCand ≥ k ≥ 1, got kCand=$kCand k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val shortlist = cosineTopK(corpus, idCol, embCol, probeId, kCand)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("sim")))
+    val ids = shortlist.map(_._1)
+    val ce = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+      .filter(col("id").isin(ids: _*))
+    val pairSim = ce.as("a").join(ce.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        round(cosine(col("a.e"), col("b.e")), 4).as("s"))
+      .collect()
+      .map(r => ((r.getAs[Long]("ia"), r.getAs[Long]("ib")), r.getAs[Double]("s")))
+      .toMap
+    var picked = Vector.empty[Long]
+    val simq = shortlist.toMap
+    val out = Vector.newBuilder[(Long, Long, Double, Double)]
+    for (step <- 1 to math.min(k, shortlist.length)) {
+      val (pick, scv) =
+        if (picked.isEmpty) {
+          val (i, s) = shortlist.head // already (sim desc, id asc) ordered
+          (i, lambda * s)
+        } else {
+          shortlist.filterNot(c => picked.contains(c._1))
+            .map { case (i, s) =>
+              (i, lambda * s - mu * picked.map(j => pairSim((i, j))).max)
+            }
+            .sortBy { case (i, sc) => (-sc, i) }.head
+        }
+      picked :+= pick
+      out += ((step.toLong, pick, simq(pick), math.floor(scv * 1e6) / 1e6))
+    }
+    out.result().toDF("rank", "doc_id", "rel_sim", "mmr_score")
+  }
+
+  /** MATRYOSHKA truncation evaluation (Kusupati et al. 2022, MRL —
+    * "Matryoshka Representation Learning"): how much retrieval quality
+    * survives keeping only the first `d` of the embedding's dimensions?
+    * For each probe, the exact full-dim cosine top-`k` is the gold set;
+    * each truncated dim re-ranks by prefix-`d` cosine and reports
+    * overlap@k — the table read before committing to a cheaper index
+    * width (a 4× dim cut is a 4× scan/memory cut at 100 TB if recall
+    * holds). Truncated-rank rows LEFT-join the gold membership so a
+    * zero-overlap (probe, dim) still reports 0, not absence.
+    *
+    * Scale shape: one probe-set-cardinality broadcast cross (|probes|
+    * rows × corpus — the cosineTopK class), all sims computed in the
+    * same pass; windows partition by (probe, dim) over shortlists.
+    *
+    * Returns (probe_id, dim, n_overlap, recall = overlap/k, 4dp). */
+  def matryoshkaEval(corpus: DataFrame, idCol: String, embCol: String,
+      probeIds: Seq[Long], dims: Seq[Int], k: Int = 10): DataFrame = {
+    require(probeIds.nonEmpty && dims.nonEmpty && k >= 1)
+    reg(corpus)
+    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+    val probes = em.filter(col("id").isin(probeIds: _*))
+      .select(col("id").as("pid"), col("e").as("pe"))
+    val scored = em.crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"),
+        round(cosine(col("e"), col("pe")), 4).as("sim_full"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          round(cosine(slice(col("e"), 1, d), slice(col("pe"), 1, d)), 4)
+            .as("sim_d"))): _*)).as("t"))
+      .select(col("pid"), col("id"), col("sim_full"),
+        col("t.dim").as("dim"), col("t.sim_d").as("sim_d"))
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid", "dim").orderBy(desc("sim_full"), asc("id"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid", "dim").orderBy(desc("sim_d"), asc("id"))
+    val ranked = scored
+      .withColumn("grank", row_number().over(gw))
+      .withColumn("trank", row_number().over(tw))
+    val gold = ranked.filter(col("grank") <= k)
+      .select(col("pid"), col("dim"), col("id"), lit(1L).as("hit"))
+    ranked.filter(col("trank") <= k)
+      .select(col("pid"), col("dim"), col("id"))
+      .join(gold, Seq("pid", "dim", "id"), "left")
+      .groupBy(col("pid").as("probe_id"), col("dim"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("probe_id"), col("dim").cast("bigint").as("dim"),
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 4).as("recall"))
+  }
+
   /** Scalar quantization of an embedding column: per-vector min/max
     * range mapped to integer codes in [0, levels−1] — the int8 (levels
     * = 256) storage-compression step a 100 TB embedding pipeline runs

@@ -422,6 +422,69 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** HYBRID retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher SIGIR'09 — the fusion every hybrid RAG stack runs):
+    * each query retrieves a lexical shortlist ([[bm25Search]], top
+    * `kLex`) and a dense shortlist (exact cosine against the query's
+    * probe embedding, top `kDense`), and the union is re-ranked by
+    * RRF(d) = Σ_r 1/(rrfK + rank_r(d)) — rank fusion needs no score
+    * calibration between BM25's unbounded sums and cosine's [−1, 1],
+    * which is exactly why it is the standard hybrid combiner.
+    *
+    * `queries`: (qid, lexical terms, probe vector id) — the probe
+    * vector plays the query's embedding (the fixture aligns doc_id ↔
+    * vec_id 1:1). The probe row itself is excluded from the dense
+    * shortlist; fusion arithmetic is two exact IEEE divisions and one
+    * add (bit-reproducible cross-engine), cut with floor(x·1e6)/1e6.
+    *
+    * Scale shape: the lexical side is [[bm25Search]]'s broadcast
+    * query-term equi-join (one corpus scan for any query count); the
+    * dense side is a probe-set-cardinality broadcast cross (|queries|
+    * rows × corpus — the cosineTopK class; at real scale swap in
+    * [[Similarity.annTopK]] per probe); the fusion join and final
+    * window run over shortlist-sized frames only.
+    *
+    * Returns (qid, rank ≤ k, doc_id, rrf, lex_rank?, dense_rank?). */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, embCol: String,
+      queries: Seq[(String, Seq[String], Long)],
+      kLex: Int = 20, kDense: Int = 20, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = bm25Search(docs, idCol, textCol,
+        queries.map(q => q._1 -> q._2).toMap, kLex)
+      .select(col("qid"), col("id").as("doc_id"),
+        col("rank").as("lex_rank"))
+    val pv = queries.map(q => (q._1, q._3)).toDF("qid", "pid")
+    val probes = embeddings.join(broadcast(pv), col(vecIdCol) === col("pid"))
+      .select(col("qid"), col("pid"), col(embCol).as("pe"))
+    val dw = Window.partitionBy("qid").orderBy(desc("sim"), asc("doc_id"))
+    val dense = embeddings
+      .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(vecIdCol).as("doc_id"), col(embCol).as("e"))
+      .crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("pid"))
+      .select(col("qid"), col("doc_id"),
+        round(Similarity.cosine(col("e"), col("pe")), 4).as("sim"))
+      .withColumn("dense_rank", row_number().over(dw).cast("long"))
+      .filter(col("dense_rank") <= kDense)
+      .select(col("qid"), col("doc_id"), col("dense_rank"))
+    val fw = Window.partitionBy("qid").orderBy(desc("rrf"), asc("doc_id"))
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(fw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        (floor(col("rrf") * 1e6) / 1e6).as("rrf"),
+        col("lex_rank"), col("dense_rank"))
+  }
+
   /** Default PII patterns, applied in order: email addresses, dashed
     * phone numbers, then bare numeric identifiers (≥6 digits). Kept to
     * syntax with identical semantics in Java regex and RE2 (no

@@ -522,6 +522,84 @@ object TextOps {
             ORDER BY qid NULLS FIRST, rank NULLS FIRST""")
   )
 
+  /** HYBRID retrieval via reciprocal-rank fusion
+    * ([[graft.api.TextAnalysis.hybridSearch]]): the q_bm25_search
+    * queries retrieve BOTH a lexical top-20 (BM25) and a dense top-20
+    * (exact cosine against the query's probe embedding — the fixture
+    * aligns doc_id ↔ vec_id), fused by RRF(d) = Σ 1/(60 + rank) — the
+    * calibration-free rank combiner every hybrid RAG stack ships.
+    * Fusion arithmetic is two exact IEEE divisions + one add
+    * (bit-reproducible), cut with floor(x·1e6)/1e6. */
+  private val qRrfFusion = Q(
+    "q_rrf_fusion",
+    (s, dir) =>
+      graft.api.TextAnalysis.hybridSearch(
+          Tables.documents(s, dir), Tables.embeddings(s, dir),
+          "doc_id", "text", "vec_id", "embedding",
+          queries = Seq(
+            ("spark_join", Seq("spark", "join"), 0L),
+            ("window_agg", Seq("window", "agg"), 1L),
+            ("stream_data", Seq("stream", "data"), 2L)),
+          kLex = 20, kDense = 20, k = 10)
+        .orderBy(asc_nulls_first("qid"), asc_nulls_first("rank")),
+    Some("""WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+                 stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM lens),
+                 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                 qterms(qid, term) AS (VALUES
+                   ('spark_join', 'spark'), ('spark_join', 'join'),
+                   ('window_agg', 'window'), ('window_agg', 'agg'),
+                   ('stream_data', 'stream'), ('stream_data', 'data')),
+                 qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                        WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+                 dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+                 w AS (SELECT q.qid, qt.doc_id,
+                         ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (qt.tf * 2.2)
+                           / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS w
+                       FROM qt JOIN dfq USING (term)
+                         JOIN qterms q USING (term)
+                         JOIN lens ON lens.doc_id = qt.doc_id
+                         CROSS JOIN stats),
+                 sl AS (SELECT qid, doc_id, sum(w) AS score FROM w GROUP BY 1, 2),
+                 lexr AS (SELECT qid, doc_id,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id) AS lex_rank
+                          FROM sl QUALIFY lex_rank <= 20),
+                 pv(qid, pid) AS (VALUES
+                   ('spark_join', 0), ('window_agg', 1), ('stream_data', 2)),
+                 pe AS (SELECT pv.qid, pv.pid, e.embedding AS pemb
+                        FROM pv JOIN embeddings e ON e.vec_id = pv.pid),
+                 dsc AS (SELECT p.qid, v.vec_id AS doc_id,
+                           round(list_sum(list_transform(list_zip(v.embedding, p.pemb),
+                               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(v.embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                * sqrt(list_sum(list_transform(p.pemb,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+                         FROM embeddings v CROSS JOIN pe p
+                         WHERE v.vec_id <> p.pid
+                           AND v.embedding IS NOT NULL AND len(v.embedding) > 0),
+                 denser AS (SELECT qid, doc_id,
+                              row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, doc_id) AS dense_rank
+                            FROM dsc QUALIFY dense_rank <= 20),
+                 fused AS (SELECT qid, doc_id,
+                             coalesce(1.0 / (60 + l.lex_rank), 0)
+                               + coalesce(1.0 / (60 + d.dense_rank), 0) AS rrf,
+                             l.lex_rank, d.dense_rank
+                           FROM lexr l FULL OUTER JOIN denser d USING (qid, doc_id)),
+                 fr AS (SELECT qid, doc_id, rrf, lex_rank, dense_rank,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc_id) AS rank
+                        FROM fused)
+            SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+                   floor(rrf * 1e6) / 1e6 AS rrf,
+                   CAST(lex_rank AS BIGINT) AS lex_rank,
+                   CAST(dense_rank AS BIGINT) AS dense_rank
+            FROM fr WHERE rank <= 10
+            ORDER BY qid NULLS FIRST, rank NULLS FIRST""")
+  )
+
   /** Gopher-style repetition filters: duplicate-token fraction and
     * top-bigram fraction per document — the repetition signals a
     * pretraining quality pass thresholds on. */
@@ -2257,7 +2335,7 @@ object TextOps {
     qFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusFilter, qChunk, qSplit,
     qCoverage, qBurstiness, qIqrOutliers,
     qSampleHash, qSampleStratified, qSampleTokenBudget, qSampleKStratum,
-    qSampleWeighted, qMixTemperature, qPack, qPackSplit, qTfidf, qBm25, qBm25Search, qRepStats,
+    qSampleWeighted, qMixTemperature, qPack, qPackSplit, qTfidf, qBm25, qBm25Search, qRrfFusion, qRepStats,
     qGopherRules, qDsirWeights, qLogisticFit, qLogisticAuc, qNaiveBayes, qHeapsFit,
     qPerplexity, qPerplexityBigram, qPerplexityKn, qBpePairs, qBpeLearn, qBpeEncode,
     qCollocations, qPiiScrub, qPipelineE2e,

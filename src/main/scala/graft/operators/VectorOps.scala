@@ -509,6 +509,146 @@ object VectorOps {
     Some(AnnOracleSql.knnSql)
   )
 
+  /** Label-noise audit ([[graft.api.Similarity.labelNoise]], the
+    * confident-learning signal): per label, the 3 members least similar
+    * to their own decimal-exact centroid, each with its best OTHER
+    * centroid and the `flipped` relabel suggestion. Centroids are
+    * VecSumDecAgg scaled-long sums + HALF_UP 6dp means (partition-order-
+    * invariant by value — the fitIvf discipline), so the whole audit
+    * replays in DuckDB. */
+  private val qLabelNoise = Q(
+    "q_label_noise",
+    (s, dir) =>
+      Similarity.labelNoise(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", kWorst = 3)
+        .orderBy(asc_nulls_first("label"), asc_nulls_first("rank")),
+    Some("""WITH em AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label, embedding AS e
+                        FROM embeddings
+                        WHERE embedding IS NOT NULL AND len(embedding) > 0
+                          AND label IS NOT NULL),
+                 cnts AS (SELECT label, count(*) AS cnt FROM em GROUP BY label),
+                 el AS (SELECT label, q.i AS pos,
+                          CAST(floor(CAST(e[q.i+1] AS DOUBLE) * 1e10 + 0.5) AS HUGEINT) AS sv
+                        FROM em CROSS JOIN (SELECT unnest(range(0, 64)) AS i) q),
+                 csum AS (SELECT label, pos, sum(sv) AS s FROM el GROUP BY label, pos),
+                 cm AS (SELECT c.label, c.pos,
+                          (CASE WHEN c.s >= 0 THEN ((c.s)*2 + 10000*(n.cnt)) // (2*10000*(n.cnt))
+                           ELSE -(((-(c.s))*2 + 10000*(n.cnt)) // (2*10000*(n.cnt))) END)::DOUBLE
+                            / 1000000.0 AS cval
+                        FROM csum c JOIN cnts n USING (label)),
+                 cent AS MATERIALIZED (SELECT label AS clabel, list(cval ORDER BY pos) AS c
+                        FROM cm GROUP BY label),
+                 sc AS (SELECT v.id, v.label, t.clabel,
+                          round(list_sum(list_transform(list_zip(v.e, t.c),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(v.e,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(t.c,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+                        FROM em v CROSS JOIN cent t),
+                 own AS (SELECT id, label, sim AS self_sim FROM sc WHERE label = clabel),
+                 oth AS (SELECT id, clabel AS best_other_label, sim AS best_other_sim FROM (
+                           SELECT id, clabel, sim,
+                                  row_number() OVER (PARTITION BY id
+                                    ORDER BY sim DESC, clabel) AS r
+                           FROM sc WHERE label <> clabel) WHERE r = 1),
+                 rk AS (SELECT o.label, o.id, o.self_sim, t.best_other_label, t.best_other_sim,
+                          row_number() OVER (PARTITION BY o.label
+                            ORDER BY o.self_sim ASC, o.id) AS rank
+                        FROM own o JOIN oth t USING (id))
+            SELECT label, CAST(rank AS BIGINT) AS rank, id AS vec_id, self_sim,
+                   best_other_label, best_other_sim,
+                   (best_other_sim > self_sim) AS flipped
+            FROM rk WHERE rank <= 3
+            ORDER BY label NULLS FIRST, rank NULLS FIRST""")
+  )
+
+  /** Greedy k-center coreset ([[graft.api.Similarity.kcenterCoreset]],
+    * Gonzalez 1985 farthest-point traversal — the geometric heart of
+    * core-set data pruning): seed at the smallest id, then 7× add the
+    * vector least similar to everything selected. Each step is one
+    * distributed corpus pass (selected set = ≤8 literal vectors)
+    * ending in a 1-row argmin collect; the emitted far_sim curve is
+    * the coverage radius a pruning run reads to pick its budget.
+    * Oracle: [[KcenterOracleSql.coresetSql]] unrolls the 8 steps. */
+  private val qCoresetKcenter = Q(
+    "q_coreset_kcenter",
+    (s, dir) =>
+      Similarity.kcenterCoreset(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8)
+        .orderBy(asc_nulls_first("rank")),
+    Some(KcenterOracleSql.coresetSql)
+  )
+
+  /** MMR diversity rerank ([[graft.api.Similarity.mmrRerank]],
+    * Carbonell & Goldstein SIGIR'98): greedy λ=0.7/μ=0.3 selection of
+    * 8 from probe-0's cosine top-20 — relevance traded against
+    * redundancy with the already-selected set, the rerank RAG stacks
+    * run on every retrieved page. Corpus-sized work (retrieval, pair
+    * cosines) is distributed; the greedy fold runs over the
+    * kCand+kCand² collected shortlist (corpus-size-independent — the
+    * page IS the model). Oracle: [[MmrOracleSql.rerankSql]] unrolls
+    * the 8 steps as MATERIALIZED CTE pairs (the BPE precedent). */
+  private val qMmrRerank = Q(
+    "q_mmr_rerank",
+    (s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+          probeId = 0L, kCand = 20, k = 8)
+        .orderBy(asc_nulls_first("rank")),
+    Some(MmrOracleSql.rerankSql)
+  )
+
+  /** MATRYOSHKA truncation evaluation
+    * ([[graft.api.Similarity.matryoshkaEval]], Kusupati et al. 2022):
+    * per probe (vec 0-9), the overlap@10 between the full-64-dim exact
+    * cosine top-10 and the prefix-16/32-dim re-rank — the table read
+    * before committing to a truncated index width (a 4× dim cut is a
+    * 4× scan/memory cut at 100 TB if recall holds). One probe-set
+    * broadcast cross computes every sim in a single corpus pass. */
+  private val qMatryoshkaEval = Q(
+    "q_matryoshka_eval",
+    (s, dir) =>
+      Similarity.matryoshkaEval(Tables.embeddings(s, dir), "vec_id", "embedding",
+          probeIds = (0L to 9L).toSeq, dims = Seq(16, 32), k = 10)
+        .orderBy(asc_nulls_first("probe_id"), asc_nulls_first("dim")),
+    Some("""WITH em AS (SELECT vec_id AS id, embedding AS e FROM embeddings
+                        WHERE embedding IS NOT NULL AND len(embedding) > 0),
+                 pr AS (SELECT id AS pid, e AS pe FROM em
+                        WHERE id IN (0,1,2,3,4,5,6,7,8,9)),
+                 dd(dim) AS (VALUES (16), (32)),
+                 sc AS (SELECT p.pid, v.id, d.dim,
+                          round(list_sum(list_transform(list_zip(v.e, p.pe),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(v.e,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(p.pe,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim_full,
+                          round(list_sum(list_transform(list_zip(
+                                list_slice(v.e, 1, d.dim), list_slice(p.pe, 1, d.dim)),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(list_slice(v.e, 1, d.dim),
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(list_slice(p.pe, 1, d.dim),
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim_d
+                        FROM em v CROSS JOIN pr p CROSS JOIN dd d
+                        WHERE v.id <> p.pid),
+                 g AS (SELECT pid, dim, id, row_number() OVER (PARTITION BY pid, dim
+                         ORDER BY sim_full DESC, id) AS grank FROM sc),
+                 t AS (SELECT pid, dim, id, row_number() OVER (PARTITION BY pid, dim
+                         ORDER BY sim_d DESC, id) AS trank FROM sc),
+                 gold AS (SELECT pid, dim, id FROM g WHERE grank <= 10),
+                 tr AS (SELECT pid, dim, id FROM t WHERE trank <= 10),
+                 ov AS (SELECT tr.pid, tr.dim,
+                          sum(CASE WHEN gold.id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+                        FROM tr LEFT JOIN gold USING (pid, dim, id)
+                        GROUP BY 1, 2)
+            SELECT CAST(pid AS BIGINT) AS probe_id, CAST(dim AS BIGINT) AS dim,
+                   CAST(n_overlap AS BIGINT) AS n_overlap,
+                   round(n_overlap / 10.0, 4) AS recall
+            FROM ov
+            ORDER BY probe_id NULLS FIRST, dim NULLS FIRST""")
+  )
+
   /** HARD-NEGATIVE mining for contrastive training
     * ([[graft.api.Similarity.hardNegatives]]): for every labeled
     * vector, the top-3 cosine-nearest DIFFERENT-label vectors inside
@@ -624,5 +764,6 @@ object VectorOps {
   val all: Seq[Q] = Seq(qSimilarityTopK, qEmbedNearDup, qAnnLsh, qAnnJoin, qAnnPairs,
     qAnnIvf, qAnnIvfPq, qEmbedCentroids, qEmbedClusters, qEmbedClustersAnn,
     qEmbedQuantize, qEmbedPq, qEmbedSemdedup, qEmbedPca, qPcaVariance, qKnnEval, qKnnEvalAnn,
-    qEmbedNorms, qBitextMine, qBitextMineAnn, qHardNegatives)
+    qEmbedNorms, qBitextMine, qBitextMineAnn, qHardNegatives, qMatryoshkaEval,
+    qMmrRerank, qCoresetKcenter, qLabelNoise)
 }

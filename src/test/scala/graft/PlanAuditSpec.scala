@@ -179,7 +179,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q_textrank" -> "1-row corpus-constant broadcast (vocabulary size N, the q_pagerank pattern)",
       "q_curriculum" -> "1-row corpus-constant broadcasts (the q_perplexity token total + the difficulty cut array)",
       "q_drift_js" -> "1-row corpus-constant broadcast (train/eval token totals, the q_mutual_info class)",
-      "q_distinctive_terms" -> "1-row corpus-constant broadcast (source count for the idf)")
+      "q_distinctive_terms" -> "1-row corpus-constant broadcast (source count for the idf)",
+      "q_rrf_fusion" -> "probe-set-cardinality broadcast cross (|queries| probe rows × corpus, the q_similarity_topk class) + the q_bm25_search 1-row stats broadcast",
+      "q_matryoshka_eval" -> "probe-set-cardinality broadcast cross (10 probe rows × corpus × |dims|, the q_similarity_topk class)",
+      "q_label_noise" -> "label-cardinality centroid-spine broadcast cross (|labels| model rows × corpus, the q_naive_bayes class)")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       // planning the iterative dedup queries eagerly localCheckpoints —

