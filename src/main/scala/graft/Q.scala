@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One declared engine query: name, Spark implementation, and (when the
@@ -39,6 +39,30 @@ final case class Q(
 object Hygiene {
   def dropLeakedBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+}
+
+/** Scan-parallelism guard (optimization guide §2.5 "input skew — one
+  * huge unsplittable file"): the fixture parquet files are single
+  * row-group, so every scan is ONE input partition and all map-side
+  * work before the first exchange — per-row codec loops, theta-join
+  * scoring, LSH/IVF candidate fan-out against a broadcast side — runs
+  * on one core while the rest of the cluster idles.
+  *
+  * [[Par.spread]] repartitions such a frame up to the cluster's default
+  * parallelism, hash-keyed when a key is given (deterministic, no
+  * sort-before-repartition cost). It is CONDITIONAL — a no-op whenever
+  * the source already carries ≥ default parallelism — so at real scale
+  * (many-row-group scans, post-shuffle frames) it inserts nothing;
+  * it only widens genuinely serialized inputs. Never a constant tuned
+  * for local mode: the width is the session's own defaultParallelism.
+  */
+object Par {
+  def spread(df: DataFrame, by: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else if (by.isEmpty) df.repartition(p)
+    else df.repartition(p, by: _*)
+  }
 }
 
 object Tables {

@@ -43,6 +43,28 @@ private[graft] object Ckpt {
     out
   }
 
+  /** LAZY localCheckpoint (r13 optimization, guide §1.2 "per-task
+    * work"): marks the frame for local checkpointing but lets the NEXT
+    * action materialize and pin it — fusing the eager variant's
+    * dedicated materialization job into a job the caller was about to
+    * run anyway (an iterative round's convergence aggregate, the next
+    * round's join). One scheduled job saved per checkpoint site; the
+    * per-round savings compound across the CC/LPA/BFS loops.
+    *
+    * ONLY safe where the first consumer is a single sequential action:
+    * with two consumers inside ONE downstream job (the posting-list /
+    * docSh multi-consumer frames), independent stages may race the
+    * cache fill and re-execute the subtree — exactly the re-execution
+    * the eager form exists to prevent. Keep [[apply]] there. Callers in
+    * drop-per-round loops must also drop the PREVIOUS round's blocks
+    * only AFTER the action that materializes the new round (lineage is
+    * truncated — an early unpersist is unrecoverable). */
+  def lzy(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = false)
+    scope.value.foreach(set => rddId(out).foreach(set += _))
+    out
+  }
+
   /** Run `body` with a fresh tracking scope; returns (result, the RDD
     * ids of every checkpoint `body` created). Already-unpersisted ids
     * (operators drop their dead rounds inline) are included — sweeping

@@ -54,9 +54,15 @@ object Experiment {
       .foldRight(lit(6): Column) { case ((cut, k), rest) =>
         when(col("__u") < cut, lit(k)).otherwise(rest)
       }
-    val means = df
-      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
-      .select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v"),
+    // spread (guide §2.5): the B× explode and the per-replicate md5
+    // draws are the map side of the replicate aggregate — on a
+    // single-row-group scan that is B·n md5 evaluations on ONE task
+    // (no-op when the scan is already parallel)
+    val means = graft.Par.spread(
+      df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+        .select(col(idCol).as("__id"), col(valueCol).cast("double").as("__v")),
+      col("__id"))
+      .select(col("__id"), col("__v"),
         explode(expr(s"sequence(1, $b)")).as("__b"))
       .withColumn("__h", md5(concat_ws(":",
         col("__id").cast("string"), col("__b").cast("string"), lit(seed))

@@ -209,7 +209,10 @@ object Graph {
     // checkpointed: each round's join/distinct/anti-join would otherwise
     // re-run the pair-generation subtree (measured 8.3 s → ~2.5 s on
     // the trigram-Jaccard graph at sf0.1)
-    val und = Ckpt(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // LAZY (r13, Ckpt.lzy): the per-round eager `visited` checkpoint
+    // job is the action that materializes und + next — the eager form
+    // paid a dedicated job for each
+    val und = Ckpt.lzy(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v"))))
     // frontier and visited both checkpoint per round: the un-pinned
     // frontier's lineage chains through every previous round, so each
@@ -220,7 +223,10 @@ object Graph {
       .withColumn("hop", lit(0L)))
     var frontier = visited.select("id")
     for (r <- 1 to maxHops) {
-      val next = Ckpt(und.join(frontier.select(col("id").as("u")), "u")
+      // next is lazily marked; the eager Ckpt(merged) job below (or the
+      // caller's action on the final round) computes and pins it, so
+      // the later frontier read hits pinned blocks
+      val next = Ckpt.lzy(und.join(frontier.select(col("id").as("u")), "u")
         .select(col("v").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("hop", lit(r.toLong)))

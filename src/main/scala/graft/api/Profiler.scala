@@ -377,8 +377,13 @@ object Profiler {
       buckets: Int = 0): DataFrame = {
     require(buckets == 0 || buckets >= 2,
       s"buckets must be ≥2 (or 0 = occupancy-derived), got $buckets")
-    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    // spread (guide §2.5) so the checkpoint materialization and every
+    // downstream map side run at cluster parallelism, not the
+    // single-row-group scan's one task
+    val rows = graft.Par.spread(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y")),
+      col("x"), col("y"))
       .transform(Ckpt.apply) // consumed by both rank builds and the join
     def rankFrame(c: String): DataFrame = {
       val counts = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))

@@ -406,7 +406,13 @@ object Similarity {
     reg(corpus)
     val em = corpus.select(col(idCol).as("id"), col(embCol).as("e"),
       norm(col(embCol)).as("nrm"))
-    val a = em.select(col("id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    // the theta-join streams side a against a broadcast b: a's partition
+    // count IS the task count for the whole n² scoring loop, and the
+    // single-row-group fixture scan serializes it (guide §2.5) — spread
+    // the streamed side (no-op when the scan is already parallel)
+    val a = graft.Par.spread(
+      em.select(col("id").as("id_a"), col("e").as("ea"), col("nrm").as("na")),
+      col("id_a"))
     val b = em.select(col("id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
@@ -440,8 +446,12 @@ object Similarity {
         col(labelCol).isNotNull)
       .select(col(idCol).as("id"), col(embCol).as("e"),
         col(labelCol).as("lab"), norm(col(embCol)).as("nrm"))
-    val a = em.select(col("id").as("ia"), col("e").as("ea"),
-      col("lab").as("la"), col("nrm").as("na"))
+    // spread the streamed side of the all-pairs theta-join: the n²
+    // scoring loop's task count is a's partition count (guide §2.5)
+    val a = graft.Par.spread(
+      em.select(col("id").as("ia"), col("e").as("ea"),
+        col("lab").as("la"), col("nrm").as("na")),
+      col("ia"))
     val b = em.select(col("id").as("ib"), col("e").as("eb"),
       col("lab").as("lb"), col("nrm").as("nb"))
     val top = a.join(b, col("ia") =!= col("ib"))
@@ -607,9 +617,14 @@ object Similarity {
     reg(corpus)
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
-    val sigd = corpus
-      .withColumn("ks", expr(s"graft_hyperplane_keys($embCol, $nPlanes, $bands, $dim)"))
-      .select(col(idCol).as("id"), col(embCol).as("e"), col("ks"))
+    // spread the corpus projection BEFORE the key fold: the signature
+    // computation, both explode streams, and — when the index side is
+    // small enough to broadcast — the entire collision fan-out run at
+    // the scan's partition count, which the single-row-group fixture
+    // pins to 1 (guide §2.5; no-op on an already-parallel scan)
+    val sigd = graft.Par
+      .spread(corpus.select(col(idCol).as("id"), col(embCol).as("e")), col("id"))
+      .withColumn("ks", expr(s"graft_hyperplane_keys(e, $nPlanes, $bands, $dim)"))
     val rawIndexKeys = sigd.select(col("id"), explode(col("ks")).as("band"))
     val indexKeys =
       if (maxBucketVecs <= 0) rawIndexKeys
@@ -682,8 +697,13 @@ object Similarity {
       threshold: Double, centers: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
     require(nProbe >= 1, s"nProbe must be ≥1, got $nProbe")
     reg(corpus)
-    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(col(idCol).as("id"), col(embCol).as("e"))
+    // spread (guide §2.5): the probe self-join's map sides and — when a
+    // side is broadcast — the in-cell pair fan-out run at the scan's
+    // partition count (1 on the single-row-group fixture)
+    val em = graft.Par.spread(
+      corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        .select(col(idCol).as("id"), col(embCol).as("e")),
+      col("id"))
     val cc = typedLit(centers)
     val probes = em.select(col("id"),
       explode(call_function("graft_nearest_centroids", col("e"), cc, lit(nProbe)))
@@ -925,8 +945,12 @@ object Similarity {
   def bitextMine(a: DataFrame, b: DataFrame, idCol: String, embCol: String,
       k: Int = 4, threshold: Double = 1.0): DataFrame = {
     reg(a)
-    val av = a.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(col(idCol).as("a_id"), col(embCol).as("ea"))
+    // spread the streamed cross side: the |A|·|B| cosine loop's task
+    // count is av's partition count (guide §2.5)
+    val av = graft.Par.spread(
+      a.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        .select(col(idCol).as("a_id"), col(embCol).as("ea")),
+      col("a_id"))
     val bv = b.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
       .select(col(idCol).as("b_id"), col(embCol).as("eb"))
     bitextMineFrom(av.crossJoin(bv), k, threshold)
@@ -944,8 +968,12 @@ object Similarity {
       sideCol: Column, k: Int = 4, threshold: Double = 1.0,
       targetCell: Int = 128, iterations: Int = 1, nProbe: Int = 3): DataFrame = {
     reg(corpus)
-    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(col(idCol).as("id"), col(embCol).as("e"), sideCol.as("side"))
+    // spread (guide §2.5): probe streams and candidate fan-out otherwise
+    // run at the scan's partition count (1 on the fixture)
+    val em = graft.Par.spread(
+      corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        .select(col(idCol).as("id"), col(embCol).as("e"), sideCol.as("side")),
+      col("id"))
     val n = em.count()
     val centers = fitIvf(em, "id", "e", ivfCellsFor(n, targetCell), iterations)
     val cc = typedLit(centers)
@@ -1047,8 +1075,13 @@ object Similarity {
   private def ivfScored(corpus: DataFrame, idCol: String, embCol: String,
       centers: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     reg(corpus)
-    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(col(idCol).as("id"), col(embCol).as("e"))
+    // spread (guide §2.5): with the index side broadcast, the probe
+    // stream's partition count is the task count for the whole
+    // cell-collision scoring loop — 1 on the single-row-group fixture
+    val em = graft.Par.spread(
+      corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        .select(col(idCol).as("id"), col(embCol).as("e")),
+      col("id"))
     val cc = typedLit(centers)
     val index = em.select(col("id"), col("e"),
       element_at(call_function("graft_nearest_centroids", col("e"), cc, lit(1)), 1)
@@ -1177,8 +1210,12 @@ object Similarity {
       iterations: Int = 1, nProbe: Int = 2): DataFrame = {
     require(nProbe >= 1, s"nProbe must be ≥1, got $nProbe")
     reg(corpus)
-    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(col(idCol).as("id"), col(embCol).as("e"))
+    // spread (guide §2.5): the within-cell pair fan-out otherwise runs
+    // at the scan's partition count (1 on the single-row-group fixture)
+    val em = graft.Par.spread(
+      corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        .select(col(idCol).as("id"), col(embCol).as("e")),
+      col("id"))
     val n = em.count()
     val centers = fitIvf(corpus, idCol, embCol, ivfCellsFor(n, targetCell), iterations)
     val cc = typedLit(centers)
@@ -1277,8 +1314,13 @@ object Similarity {
     reg(corpus)
     require(codebooks.nonEmpty && dim % codebooks.size == 0,
       s"codebook count ${codebooks.size} must divide dim $dim")
-    val em = corpus.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
-      .select(col(idCol).as("id"), col(embCol).as("e"))
+    // spread (guide §2.5): the LUT builds, the ADC scoring of every
+    // cell collision, and the PQ encode otherwise run at the scan's
+    // partition count (1 on the single-row-group fixture)
+    val em = graft.Par.spread(
+      corpus.filter(col(embCol).isNotNull && size(col(embCol)) === dim)
+        .select(col(idCol).as("id"), col(embCol).as("e")),
+      col("id"))
     val cc = typedLit(centers)
     def minus(v: Column, cid: Column): Column =
       zip_with(v, element_at(cc, cid + 1), (x, c) => x - c)

@@ -26,6 +26,9 @@ object TextDedup {
   /** Word n-gram shingles per document, WITH within-doc repeats:
     * (id, shingle). */
   def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    // spread (guide §2.5): tokenize + shingle explode is the map side of
+    // every dedup family's first shuffle; on a single-row-group fixture
+    // scan it runs as ONE task (no-op when the scan is already parallel)
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
       .select(col("id"), explode(expr(shingleArraySql("t", n))).as("shingle"))
 
@@ -442,16 +445,19 @@ object TextDedup {
     * rounds with the same per-round join shape. */
   def connectedComponents(pairs: DataFrame, allIds: DataFrame,
       idCol: String, maxRounds: Int = 50): DataFrame = {
+    // LAZY checkpoints (r13, Ckpt.lzy): the label-sum convergence
+    // aggregate below is the action that materializes each round — the
+    // eager form paid a dedicated job per checkpoint per round
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .transform(Ckpt.apply)
+      .transform(Ckpt.lzy)
     // propagate only over nodes that HAVE edges (near-dup graphs are
     // sparse — most documents are singletons); the full id set joins
     // back once at the end, so per-round work scales with the graph,
     // not the corpus
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .transform(Ckpt.apply)
+      .transform(Ckpt.lzy)
     // coalesce: sum over ZERO rows is NULL — an empty pair graph (clean
     // corpus) must yield all-singleton clusters, not a crash
     def labelSum(): Long =
@@ -471,10 +477,11 @@ object TextDedup {
         .join(neighborMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .transform(Ckpt.apply)
-      dropCheckpoint(labels) // next is materialized; memory ∝ one round
+        .transform(Ckpt.lzy)
+      val prevLabels = labels
       labels = next
-      val s = labelSum()
+      val s = labelSum() // materializes next (reads prevLabels' blocks)
+      dropCheckpoint(prevLabels) // only AFTER next is materialized
       converged = s == prevSum
       prevSum = s
       round += 1
@@ -807,11 +814,16 @@ object TextDedup {
     * once. */
   private[api] def starLabels(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     // big→small orientation makes the checksum canonical across rounds
+    // LAZY checkpoints throughout this loop (r13, Ckpt.lzy): each
+    // round's checksum aggregate is the action that materializes the
+    // round — the eager form paid a dedicated job per checkpoint, twice
+    // per round; drops are ordered AFTER the checksum that consumes the
+    // previous round's blocks
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .transform(Ckpt.apply)
+      .transform(Ckpt.lzy)
     // hash-sum in decimal(38,0): a long sum of xxhash64 values overflows
     // (ANSI mode throws); decimal headroom covers any edge count
     def checksum(e: DataFrame): (Long, BigDecimal) = {
@@ -830,12 +842,12 @@ object TextDedup {
     // costs one extra all-no-op iteration, hence the + 1 (same contract
     // as connectedComponents above).
     while (!converged && round < maxRounds + 1) {
-      val ls = largeStarStep(edges).transform(Ckpt.apply)
+      val ls = largeStarStep(edges).transform(Ckpt.lzy)
+      val cls = checksum(ls) // materializes ls (reads edges' blocks)
       dropCheckpoint(edges) // ls is materialized; last round's blocks are dead
-      val cls = checksum(ls)
-      val ss = smallStarStep(ls).transform(Ckpt.apply)
+      val ss = smallStarStep(ls).transform(Ckpt.lzy)
+      val css = checksum(ss) // materializes ss (reads ls's blocks)
       dropCheckpoint(ls)
-      val css = checksum(ss)
       converged = cls == prev && css == cls
       edges = ss
       prev = css
@@ -908,8 +920,13 @@ object TextDedup {
     // (id, simhash) feeds the block keys AND the two hamming-verify
     // joins — localCheckpoint so the tokenize+hash subtree runs once
     // (the minhashPairs docSh pattern); the frame is 16 bytes/doc
-    val sig = df.select(col(idCol).as("id"),
-      expr(s"graft_simhash(array_distinct(split($textCol, ' ')))").as("simhash"))
+    val sig = graft.Par
+      .spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+      // spread BEFORE the hash fold (guide §2.5): tokenize + 64-bit
+      // simhash over every token is the expensive map side, serialized
+      // to one task by the single-row-group fixture scan
+      .select(col("id"),
+        expr(s"graft_simhash(array_distinct(split(__txt, ' ')))").as("simhash"))
       .transform(Ckpt.apply)
     val bandKeys = sig
       .select(col("id"), explode(expr(s"sequence(0, ${blocks - 1})")).as("band_id"),
@@ -944,8 +961,12 @@ object TextDedup {
       spanTokens: Int = 10): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
     val w = spanTokens
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    // spread (guide §2.5): the span/gram explode is the heavy map side,
+    // serialized to one task by the single-row-group fixture scan
+    val toks = graft.Par.spread(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), split(col(textCol), " ").as("t")),
+      col("id"))
     val spans = toks.select(col("id"),
       posexplode(expr(
         s"""transform(sequence(0, cast(ceil(size(t) / ${w}.0) AS INT) - 1),
@@ -993,8 +1014,12 @@ object TextDedup {
     require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
     require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
     val w = spanTokens
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    // spread (guide §2.5): the span/gram explode is the heavy map side,
+    // serialized to one task by the single-row-group fixture scan
+    val toks = graft.Par.spread(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), split(col(textCol), " ").as("t")),
+      col("id"))
     val spans = toks.select(col("id"),
       posexplode(expr(
         s"""transform(sequence(0, cast(ceil(size(t) / ${w}.0) AS INT) - 1),
@@ -1031,8 +1056,12 @@ object TextDedup {
       minRun: Int = 8): DataFrame = {
     require(minRun > 1, s"minRun must be > 1, got $minRun")
     val L = minRun
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    // spread (guide §2.5): the span/gram explode is the heavy map side,
+    // serialized to one task by the single-row-group fixture scan
+    val toks = graft.Par.spread(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), split(col(textCol), " ").as("t")),
+      col("id"))
     val tokens = toks.select(col("id"), posexplode(col("t")).as(Seq("idx", "tok")))
     val grams = toks
       .filter(size(col("t")) >= L)

@@ -1002,8 +1002,12 @@ object Dedup {
     "q_modularity",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      // the pair frame feeds TWO consumers (the LPA rounds and the
+      // modularity score) — localCheckpoint so the posting-list pair
+      // generation runs once, not once per consumer (guide §2.4 /
+      // the r2 re-execution lesson; r13 measured 4.1 → ~2.8 s)
+      val pairs = graft.api.Ckpt(TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L))
       val comm = graft.api.Graph.labelPropagation(pairs, "id_a", "id_b",
         docs, "doc_id", rounds = 3)
       graft.api.Graph.modularity(pairs, "id_a", "id_b",

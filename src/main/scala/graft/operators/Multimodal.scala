@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** doc_id scan spread to the session's default parallelism
+    * (optimization guide §2.5 — unsplittable input): the per-row
+    * encode/decode codec loops ARE the cost of this family, and the
+    * single-row-group fixture scan would otherwise run every one of
+    * them on a single task. [[graft.Par.spread]] is a no-op whenever
+    * the scan is already parallel (real-scale inputs). */
+  private def docIds(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    graft.Par.spread(Tables.documents(s, dir).select(col("doc_id")),
+      col("doc_id")).as[Long]
+  }
+
   /** Decoded media metadata (what a real decoder would return). */
   final case class MediaMeta(doc_id: Long, width: Long, height: Long, n_frames: Long)
 
@@ -187,8 +200,7 @@ object Multimodal {
     "q_image_meta",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthDims(id)
           val bytes = graft.api.ImageCodec.encodePngGray(w, h, synthPixels(id, w, h))
@@ -217,8 +229,7 @@ object Multimodal {
     "q_image_decode",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthDims(id)
           val bytes = graft.api.ImageCodec.encodePngGray(w, h, synthPixels(id, w, h))
@@ -268,8 +279,7 @@ object Multimodal {
     "q_image_decode_jpeg",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthJpegDims(id)
           val ri = if (id % 3 == 0) 2 else 0 // a third of the corpus restarts
@@ -328,8 +338,7 @@ object Multimodal {
     "q_image_decode_jpeg_color",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthColorDims(id)
           val sub = id % 3 != 0
@@ -397,8 +406,7 @@ object Multimodal {
     "q_image_decode_png_color",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = (((id % 23) + 2).toInt, ((id % 13) + 2).toInt)
           val bytes =
@@ -469,8 +477,7 @@ object Multimodal {
     "q_image_decode_gif",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthDims(id)
           val px = Array.tabulate(w * h) { k =>
@@ -510,8 +517,7 @@ object Multimodal {
     "q_image_decode_bmp",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthDims(id)
           val px = Array.tabulate(w * h) { k =>
@@ -565,8 +571,7 @@ object Multimodal {
     "q_image_phash_dedup",
     (s, dir) => {
       import s.implicits._
-      val hashed = Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      val hashed = docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthDims(id)
           val g = id % 41
@@ -664,8 +669,7 @@ object Multimodal {
     "q_image_resize",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthDims(id)
           val bytes = graft.api.ImageCodec.encodePngGray(w, h, synthPixels(id, w, h))
@@ -704,8 +708,7 @@ object Multimodal {
     "q_audio_decode",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val nFrames = ((id % 441) + 20).toInt
           val rate = (8000 + (id % 5) * 4000).toInt
@@ -757,8 +760,7 @@ object Multimodal {
     "q_audio_fp_dedup",
     (s, dir) => {
       import s.implicits._
-      val hashed = Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      val hashed = docIds(s, dir)
         .mapPartitions(_.map { id =>
           val n = ((id % 441) + 100).toInt
           val g = id % 37
@@ -854,8 +856,7 @@ object Multimodal {
     "q_video_meta",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val w = ((id % 624) + 16).toInt
           val h = ((id % 344) + 16).toInt
@@ -934,8 +935,7 @@ object Multimodal {
     "q_video_frames",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val n = ((id % 13) + 3).toInt
           val delta = (100 + (id % 50)).toInt
@@ -996,8 +996,7 @@ object Multimodal {
     "q_video_keyframe_decode",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthJpegDims(id)
           val n = ((id % 7) + 3).toInt
@@ -1083,8 +1082,7 @@ object Multimodal {
     "q_video_keyframe_color",
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id")).as[Long]
+      docIds(s, dir)
         .mapPartitions(_.map { id =>
           val (w, h) = synthColorDims(id)
           val sub = id % 3 != 0

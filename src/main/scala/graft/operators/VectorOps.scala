@@ -169,12 +169,21 @@ object VectorOps {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.functions.VectorExprs.register(s)
-      val base = emb
-        .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
-        .withColumn("nrm", sqrt(call_function("vec_dot", col("ed"), col("ed"))))
-        .filter(col("nrm") > 0)
-        .select(col("vec_id"), transform(col("ed"), x => x / col("nrm")).as("unit"))
+      // spread + localCheckpoint the unit-normalized projection ONCE:
+      // nine consumers read it (the cell-count scalar, both sample
+      // fits' seed/Lloyd passes, the index encode, the probe stream,
+      // and two exact-re-rank join-backs) — without the checkpoint each
+      // re-runs the scan + normalize subtree (guide §2.4/§5: materialize
+      // a many-consumer intermediate; §2.5: the single-row-group scan
+      // would also serialize every one of those map sides)
+      val base = graft.api.Ckpt(graft.Par.spread(
+        emb
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"))
+          .withColumn("nrm", sqrt(call_function("vec_dot", col("ed"), col("ed"))))
+          .filter(col("nrm") > 0)
+          .select(col("vec_id"), transform(col("ed"), x => x / col("nrm")).as("unit")),
+        col("vec_id")))
       val fitSample = base.filter(pmod(xxhash64(col("vec_id")), lit(10)) < 3)
       // occupancy-derived cell count from the INDEXED corpus size (the
       // sf1.0 lesson: fixed cells -> linear occupancy -> quadratic probe
