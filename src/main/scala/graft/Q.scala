@@ -63,6 +63,22 @@ object Par {
     else if (by.isEmpty) df.repartition(p)
     else df.repartition(p, by: _*)
   }
+
+  /** Scale-ADAPTIVE shuffle width for an iterative operator's per-round
+    * frames (guide §2.1/§2.2: size partitions toward the 100 MB-1 GB
+    * band, derived from the input, never a constant): `rows` is a row
+    * count the operator already holds (its convergence checksum), and
+    * the result targets ~64 MB per partition at `bytesPerRow`. A
+    * test-scale pair graph (thousands of edges) runs its O(log n)
+    * contraction rounds on 1 task instead of spark.sql.shuffle.partitions
+    * tasks — the per-round scheduling overhead, not the data, dominates
+    * there — while a 100 TB pair graph derives proportionally many
+    * partitions with no local-mode constant anywhere. */
+  def adaptiveParts(rows: Long, bytesPerRow: Long = 16L): Int = {
+    val target = 64L << 20
+    math.max(1L, math.min((rows * bytesPerRow + target - 1) / target,
+      1L << 20)).toInt
+  }
 }
 
 object Tables {

@@ -150,6 +150,10 @@ object Classifier {
   def naiveBayesConfusion(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT spread (r14): toks feeds two separately-scheduled consumers
+    // (the eager classTerm checkpoint and the tf aggregate), so a spread
+    // exchange would re-execute once per job, shuffling the full text
+    // twice — measured slower than the serialized explode it replaces
     val toks = df
       .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
       .select(col(idCol).as("id"), col(labelCol).as("actual"),

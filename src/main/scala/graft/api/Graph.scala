@@ -208,12 +208,15 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be ≥1, got $maxHops")
     // checkpointed: each round's join/distinct/anti-join would otherwise
     // re-run the pair-generation subtree (measured 8.3 s → ~2.5 s on
-    // the trigram-Jaccard graph at sf0.1)
-    // LAZY (r13, Ckpt.lzy): the per-round eager `visited` checkpoint
-    // job is the action that materializes und + next — the eager form
-    // paid a dedicated job for each
-    val und = Ckpt.lzy(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v"))))
+    // the trigram-Jaccard graph at sf0.1).
+    // EAGER on the PAIR projection (r14, VERDICT r13 #1): the
+    // union-of-swap references the pair subtree twice — lazily marked,
+    // its two branches can race the cache fill in the first consuming
+    // job and re-execute pair generation concurrently. Materialize the
+    // projection once; the union is then two cheap cache reads per
+    // round and needs no checkpoint of its own.
+    val p = Ckpt(pairs.select(col(srcCol).as("u"), col(dstCol).as("v")))
+    val und = p.union(p.select(col("v").as("u"), col("u").as("v")))
     // frontier and visited both checkpoint per round: the un-pinned
     // frontier's lineage chains through every previous round, so each
     // later round would replay the seed subtree and all prior joins
@@ -320,21 +323,30 @@ object Graph {
     * corpus-constant shape). Input edges are canonicalized first
     * (nulls/self-loops dropped, direction + duplicates collapsed). */
   def triangleStats(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = pairs.select(least(col(srcCol), col(dstCol)).as("u"),
+    // EAGER checkpoint (r14, guide §2.4): the canonical edge frame is
+    // consumed FOUR times (degree build ×2 via the union, orientation,
+    // edge count) and carries the full pair-generation subtree — without
+    // it each consumer re-executes that subtree (modulo exchange reuse,
+    // which the broadcast stat subqueries defeat). Pair-frame-sized.
+    val e = Ckpt(pairs.select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // orient low → high in (deg, id) order — a TOTAL order, so exactly
     // one direction survives per edge and the orientation is acyclic
-    val o = e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+    // EAGER checkpoint (r14, guide §2.4): the oriented list feeds the
+    // triangle join THREE times (e1/e2/e3) — materialized once, the
+    // wedge build and closing-edge probe read pinned blocks instead of
+    // re-running the two degree joins per reference.
+    val o = Ckpt(e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("u")).otherwise(col("v")).as("a"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("v")).otherwise(col("u")).as("b"))
+          col("v")).otherwise(col("u")).as("b")))
     // wedges a→b→c close iff oriented edge (a, c) exists; o is distinct,
     // so the semi-join counts each triangle exactly once
     val tri = o.as("e1")
@@ -422,7 +434,10 @@ object Graph {
       .select(col(leftCol).as("c"), col(rightCol).as("r"))
       .distinct())
     val deg = e.groupBy("c").agg(count(lit(1)).as("deg"))
-    val kept = if (maxCenterDeg > 0) deg.filter(col("deg") <= maxCenterDeg) else deg
+    // center-cardinality frame consumed by BOTH wedge sides —
+    // materialized so the degree aggregate over e runs once (guide §2.4)
+    val kept = Ckpt(
+      if (maxCenterDeg > 0) deg.filter(col("deg") <= maxCenterDeg) else deg)
     val ek = e.join(kept, "c")
     val wedges = ek.select(col("c"), col("deg"), col("r").as("a"))
       .join(ek.select(col("c"), col("r").as("b")), Seq("c"))

@@ -82,6 +82,11 @@ object Pipeline {
       // be unrecoverable (lineage truncated).
       val sc = df.sparkSession.sparkContext
       val (out, created) = Ckpt.tracking {
+        // EAGER deliberately (r14 measured the lazy form at 3.7 → 5.4 s
+        // with rep times RISING within the run): snap's consumers span
+        // several separately-scheduled jobs (posting build, contraction
+        // rounds, anti-join, final sample), and fusing the corpus-sized
+        // materialization into the first of them slowed every rep
         val snap = Ckpt(survivors)
         val near = TextDedup.nearDupSurvivors(snap, idCol, textCol,
           n = shingleN, threshold = jaccardThreshold, maxShingleDf = maxShingleDf)

@@ -386,8 +386,12 @@ object Profiler {
       col("x"), col("y"))
       .transform(Ckpt.apply) // consumed by both rank builds and the join
     def rankFrame(c: String): DataFrame = {
+      // LAZY (r14, guide §1.2): the first consumer is a single
+      // sequential action — the bucket-derivation count below (or the
+      // approx-percentile broadcast build when buckets is fixed) — so
+      // the lazy mark fuses the eager form's dedicated job into it
       val counts = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
-        .transform(Ckpt.apply)
+        .transform(Ckpt.lzy)
       // 0 = bound per-window rows at any scale (Drift.scanBuckets);
       // bucket boundaries cannot move ranks or the statistic
       val b = if (buckets > 0) buckets else Drift.scanBuckets(counts.count())

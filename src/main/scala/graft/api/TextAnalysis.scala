@@ -745,7 +745,15 @@ object TextAnalysis {
         case _ => ()
       }
     // THE one corpus scan: word frequencies, then words become symbol
-    // arrays (chars + the end-of-word marker)
+    // arrays (chars + the end-of-word marker).
+    // LAZY checkpoints throughout (r14, guide §1.2): each round's
+    // top-pair aggregate is the single sequential FIRST consumer of the
+    // current vocab frame — it materializes the lazy mark fused into a
+    // job the loop runs anyway, saving one dedicated scheduled job per
+    // round (13 jobs at the q_bpe_learn parameterization). The previous
+    // round's blocks are dropped only AFTER that aggregate runs (the
+    // connectedComponents drop discipline — an early unpersist of a
+    // lineage-truncated frame is unrecoverable).
     var vocab = df.select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -753,7 +761,8 @@ object TextAnalysis {
       .select(concat(
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
         array(lit("</w>"))).as("syms"), col("cnt"))
-      .transform(Ckpt.apply)
+      .transform(Ckpt.lzy)
+    var prevVocab: DataFrame = null
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
     var r = 1
@@ -770,6 +779,9 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(desc("c"), asc("a"), asc("b"))
         .limit(1).collect()
+      // the collect above materialized the current vocab (it was the
+      // lazy mark's first action) — last round's blocks are now dead
+      if (prevVocab != null) { dropCheckpoint(prevVocab); prevVocab = null }
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -783,13 +795,14 @@ object TextAnalysis {
             size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(s)))).as("syms"), col("cnt"))
-          .transform(Ckpt.apply)
-        dropCheckpoint(vocab)
-        vocab = applied
+          .transform(Ckpt.lzy)
+        prevVocab = vocab // still pinned: `applied` reads it when the
+        vocab = applied   // next round's aggregate materializes
       }
       r += 1
     }
     dropCheckpoint(vocab)
+    if (prevVocab != null) dropCheckpoint(prevVocab)
     import spark.implicits._
     merges.result().toDF("round", "left", "right", "merged", "cnt")
   }

@@ -28,8 +28,12 @@ object TextDedup {
   def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     // spread (guide §2.5): tokenize + shingle explode is the map side of
     // every dedup family's first shuffle; on a single-row-group fixture
-    // scan it runs as ONE task (no-op when the scan is already parallel)
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    // scan it runs as ONE task (no-op when the scan is already parallel).
+    // The spread moves compact (id, text) rows BEFORE the explode, so
+    // the extra exchange carries documents, never the shingle fan-out.
+    graft.Par.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+      .select(col("id"), split(col("__txt"), " ").as("t"))
       .select(col("id"), explode(expr(shingleArraySql("t", n))).as("shingle"))
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
@@ -445,17 +449,33 @@ object TextDedup {
     * rounds with the same per-round join shape. */
   def connectedComponents(pairs: DataFrame, allIds: DataFrame,
       idCol: String, maxRounds: Int = 50): DataFrame = {
-    // LAZY checkpoints (r13, Ckpt.lzy): the label-sum convergence
-    // aggregate below is the action that materializes each round — the
-    // eager form paid a dedicated job per checkpoint per round
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .transform(Ckpt.lzy)
+    // EAGER checkpoint of the PAIR frame (r14, VERDICT r13 #1): the
+    // union-of-swap needs the pair-generation subtree twice — lazily
+    // marked, its two branches are independent stages of the first
+    // consuming job and can re-execute that (possibly expensive)
+    // subtree concurrently before any block pins. Materializing the
+    // pair projection ONCE makes the union two cheap cache reads; the
+    // union itself needs no checkpoint of its own. Per-round frames
+    // below stay LAZY — their first consumer is the single sequential
+    // labelSum aggregate, which materializes them fused into a job the
+    // loop runs anyway.
+    val p = Ckpt(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+    // ONE scale-adaptive shuffle width for every per-round exchange
+    // (guide §2.1/§2.2): derived from the pair-graph size (a cache-read
+    // count of the just-materialized p), never the conf constant — the
+    // propagation rounds of a test-scale graph run on single-task
+    // stages, a 100 TB pair graph derives proportionally many
+    // partitions. A single shared width keeps the two per-round joins
+    // co-partitioned (no extra exchange from mismatched widths).
+    val n = graft.Par.adaptiveParts(p.count() * 2)
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .repartition(n, col("v")) // pre-keyed for the per-round join
     // propagate only over nodes that HAVE edges (near-dup graphs are
     // sparse — most documents are singletons); the full id set joins
     // back once at the end, so per-round work scales with the graph,
     // not the corpus
-    var labels = edges.select(col("u").as("id")).distinct()
+    var labels = edges.select(col("v").as("id")).repartition(n, col("id"))
+      .distinct()
       .select(col("id"), col("id").as("label"))
       .transform(Ckpt.lzy)
     // coalesce: sum over ZERO rows is NULL — an empty pair graph (clean
@@ -471,9 +491,11 @@ object TextDedup {
     // diameter + 1
     while (!converged && round < maxRounds + 1) {
       val neighborMin = edges
-        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .join(labels.repartition(n, col("id"))
+          .select(col("id").as("v"), col("label")), "v")
+        .repartition(n, col("u"))
         .groupBy("u").agg(min("label").as("nl"))
-      val next = labels
+      val next = labels.repartition(n, col("id"))
         .join(neighborMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
@@ -769,31 +791,43 @@ object TextDedup {
     * connects its LARGER neighbors to its minimum neighbor (or itself).
     * Exposed at package level so PlanAuditSpec can pin the per-round
     * physical plan — this is the scale-critical inner loop. */
-  private[graft] def largeStarStep(e: DataFrame): DataFrame = {
+  private[graft] def largeStarStep(e: DataFrame, nParts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u")
-    val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    nbr.withColumn("m", least(min(col("v")).over(w), col("u")))
+    // nParts > 0 pins BOTH per-step exchanges to a scale-adaptive width
+    // (guide §2.1 — the caller derives it from the live edge count via
+    // Par.adaptiveParts): the explicit repartitions SATISFY the window's
+    // and the dedup aggregate's required distributions, so the plan
+    // still carries exactly 2 hash exchanges (PlanAuditSpec's pin),
+    // just at the derived width instead of spark.sql.shuffle.partitions.
+    val nbr0 = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val nbr = if (nParts > 0) nbr0.repartition(nParts, col("u")) else nbr0
+    val out = nbr.withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
+    (if (nParts > 0) out.repartition(nParts, col("u"), col("v")) else out)
       .distinct()
   }
 
   /** One small-star step (see [[connectedComponentsStar]]): with edges
     * oriented big→small, every node connects its smaller neighbors (and
     * itself) to their minimum. */
-  private[graft] def smallStarStep(e: DataFrame): DataFrame = {
+  private[graft] def smallStarStep(e: DataFrame, nParts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u")
-    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+    // nParts: same scale-adaptive exchange-width pinning as
+    // [[largeStarStep]] — 2 hash exchanges either way
+    val oriented0 = e.select(greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
-    oriented.withColumn("m", min(col("v")).over(w))
+    val oriented = if (nParts > 0) oriented0.repartition(nParts, col("u")) else oriented0
+    val out = oriented.withColumn("m", min(col("v")).over(w))
       .select(explode(array(
         struct(col("v").as("u"), col("m").as("v")),
         struct(col("u").as("u"), col("m").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .filter(col("u") =!= col("v"))
+    (if (nParts > 0) out.repartition(nParts, col("u"), col("v")) else out)
       .distinct()
   }
 
@@ -813,17 +847,21 @@ object TextDedup {
     * ([[nearDupSurvivors]]) use this directly, consuming `pairs` exactly
     * once. */
   private[api] def starLabels(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
-    // big→small orientation makes the checksum canonical across rounds
-    // LAZY checkpoints throughout this loop (r13, Ckpt.lzy): each
-    // round's checksum aggregate is the action that materializes the
-    // round — the eager form paid a dedicated job per checkpoint, twice
-    // per round; drops are ordered AFTER the checksum that consumes the
-    // previous round's blocks
+    // big→small orientation makes the checksum canonical across rounds.
+    // The INITIAL edge frame is an EAGER checkpoint (r14, VERDICT r13
+    // #1): round 1's largeStarStep references it twice in one job
+    // (`e.union(e.swap)`) — under a lazy mark those two branches can
+    // race the cache fill and re-execute the pair-generation subtree
+    // (for q_embed_clusters that subtree is the full n² theta-join).
+    // Per-round ls/ss stay LAZY: each round's checksum aggregate is the
+    // single sequential first consumer that materializes them, fusing
+    // the eager form's dedicated job; drops are ordered AFTER the
+    // checksum that consumes the previous round's blocks.
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .transform(Ckpt.lzy)
+      .transform(Ckpt.apply)
     // hash-sum in decimal(38,0): a long sum of xxhash64 values overflows
     // (ANSI mode throws); decimal headroom covers any edge count
     def checksum(e: DataFrame): (Long, BigDecimal) = {
@@ -842,10 +880,16 @@ object TextDedup {
     // costs one extra all-no-op iteration, hence the + 1 (same contract
     // as connectedComponents above).
     while (!converged && round < maxRounds + 1) {
-      val ls = largeStarStep(edges).transform(Ckpt.lzy)
+      // per-round shuffle width derived from the LIVE edge count (the
+      // checksum already carries it — guide §2.1 scale-adaptive sizing,
+      // never the conf constant): a test-scale graph contracts on one
+      // task per stage, a 100 TB pair graph on proportionally many
+      val n = graft.Par.adaptiveParts(prev._1)
+      val ls = largeStarStep(edges, n).transform(Ckpt.lzy)
       val cls = checksum(ls) // materializes ls (reads edges' blocks)
       dropCheckpoint(edges) // ls is materialized; last round's blocks are dead
-      val ss = smallStarStep(ls).transform(Ckpt.lzy)
+      val ss = smallStarStep(ls, graft.Par.adaptiveParts(cls._1))
+        .transform(Ckpt.lzy)
       val css = checksum(ss) // materializes ss (reads ls's blocks)
       dropCheckpoint(ls)
       converged = cls == prev && css == cls
@@ -860,7 +904,8 @@ object TextDedup {
     // at the fixpoint each non-root node carries exactly one edge to its
     // component min (groupBy-min is belt and braces, not a second pass
     // semantic); roots and singletons never appear as u
-    edges.groupBy("u").agg(min(col("v")).as("cluster_id"))
+    edges.repartition(graft.Par.adaptiveParts(prev._1), col("u"))
+      .groupBy("u").agg(min(col("v")).as("cluster_id"))
       .withColumnRenamed("u", "id")
   }
 

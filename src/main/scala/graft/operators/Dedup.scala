@@ -379,8 +379,13 @@ object Dedup {
   private val qSourceOverlap = Q(
     "q_source_overlap",
     (s, dir) => {
-      val grams = Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
+      // spread (guide §2.5): parallelize the trigram explode off the
+      // single-row-group fixture scan (no-op on a parallel scan)
+      val grams = graft.Par.spread(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull)
+            .select(col("source"), col("text")),
+          col("source"), col("text"))
         .select(col("source"), split(col("text"), " ").as("t"))
         .select(col("source"), explode(expr(TextDedup.shingleArraySql("t", 3))).as("g"))
       TextDedup.groupOverlap(grams, "g", "source")
@@ -1211,8 +1216,11 @@ object Dedup {
     "q_degrees",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDf = 10L)
+      // the pair frame feeds BOTH union branches of the endpoint stream
+      // — localCheckpoint so the posting-list pair generation runs once,
+      // not once per branch (guide §2.4, the q_modularity treatment)
+      val pairs = graft.api.Ckpt(TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 10L))
       val ends = pairs.select(col("id_a").as("id"))
         .unionAll(pairs.select(col("id_b").as("id")))
       docs.select(col("doc_id").as("id"))
