@@ -43,9 +43,19 @@ object Drift {
     * count of the already-built distinct frame — the
     * stat-read class CLAUDE.md invariant 3 documents. */
   private[graft] def scanBuckets(nDistinct: Long,
-      targetRowsPerBucket: Long = 262144L): Int =
-    math.min(4096L, math.max(64L,
-      (nDistinct + targetRowsPerBucket - 1) / targetRowsPerBucket)).toInt
+      targetRowsPerBucket: Long = 262144L): Int = {
+    // size-driven bucket count for large frames (the per-window row
+    // bound), PARALLELISM-driven for mid-size ones — but never the old
+    // constant 64 floor (guide §2.1: derive widths from the input): a
+    // 50-distinct-value column gets 2 buckets, not 64 near-empty ones
+    // with their full cut-array machinery. The statistic is invariant
+    // to the bucket count by construction (boundaries only partition
+    // the prefix scan), so only cost changes. Floor of 2 keeps the
+    // approx-percentile cut array non-empty on every path.
+    val forSize = (nDistinct + targetRowsPerBucket - 1) / targetRowsPerBucket
+    val forParallelism = math.min(64L, (nDistinct + 4095) / 4096)
+    math.min(4096L, math.max(2L, math.max(forSize, forParallelism))).toInt
+  }
 
   /** Exact two-sample Kolmogorov–Smirnov distance between the
     * `valueCol` distributions of `labelA` and `labelB` rows:

@@ -1765,8 +1765,13 @@ class OperatorPropertiesSpec extends SparkTestBase {
 
   test("ECDF scan buckets: occupancy-derived count bounded; KS statistic invariant to bucketing") {
     import graft.api.Drift
-    // derivation: floor 64, ceil 4096, ∝ distinct count between
-    assert(Drift.scanBuckets(0) == 64)
+    // derivation: floor 2, ceil 4096, parallelism-driven (≤64, ≥4096
+    // rows per bucket) for mid-size frames, size-driven (262144 rows
+    // per bucket) beyond — no constant floor (r14: a 50-distinct-value
+    // column must not pay 64 near-empty buckets of cut machinery)
+    assert(Drift.scanBuckets(0) == 2)
+    assert(Drift.scanBuckets(50) == 2)
+    assert(Drift.scanBuckets(200000) == 49)
     assert(Drift.scanBuckets(1000000) == 64)
     assert(Drift.scanBuckets(100000000L) == 382)
     assert(Drift.scanBuckets(10000000000L) == 4096)
