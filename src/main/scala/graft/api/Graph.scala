@@ -125,11 +125,20 @@ object Graph {
     // subtree (measured: 4.4 s → ~2.5 s for the trigram-Jaccard graph)
     val und = Ckpt(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(pairs.select(col(dstCol).as("u"), col(srcCol).as("v"))))
+    // per-round width for the GRAPH-sized frames (guide §2.1, the
+    // starLabels treatment): derived from the materialized edge count
+    // (one cache-read job), never the conf constant. The label frame is
+    // corpus-sized and keeps the session width; only the post-join
+    // edge-fan-out aggregation and the top-1 window shrink — the
+    // explicit repartition satisfies both the (id, lab) clustering and
+    // the window's id distribution, so it replaces their exchanges 1:1.
+    val n = graft.Par.adaptiveParts(und.count())
     val ids = allIds.select(col(idCol).cast("long").as("id"))
     var labels = ids.withColumn("lab", col("id"))
     for (r <- 1 to rounds) {
       val top = und
         .join(labels.select(col("id").as("v"), col("lab")), "v")
+        .repartition(n, col("u"))
         .groupBy(col("u").as("id"), col("lab")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("id")

@@ -622,6 +622,13 @@ object Similarity {
     // small enough to broadcast — the entire collision fan-out run at
     // the scan's partition count, which the single-row-group fixture
     // pins to 1 (guide §2.5; no-op on an already-parallel scan)
+    // NOT checkpointed (r14 measured it): a localCheckpoint here looks
+    // like §2.4 (sigd is referenced four times) but the LogicalRDD it
+    // leaves behind carries NO size statistics, so the planner stops
+    // BROADCASTING the small band-bucket join sides and the candidate
+    // join degrades to sort-merge over the exploded streams —
+    // q_ann_join measured 1.6 → 9.1 s with the checkpoint. The repeated
+    // signature fold is the cheaper price.
     val sigd = graft.Par
       .spread(corpus.select(col(idCol).as("id"), col(embCol).as("e")), col("id"))
       .withColumn("ks", expr(s"graft_hyperplane_keys(e, $nPlanes, $bands, $dim)"))
@@ -699,7 +706,12 @@ object Similarity {
     reg(corpus)
     // spread (guide §2.5): the probe self-join's map sides and — when a
     // side is broadcast — the in-cell pair fan-out run at the scan's
-    // partition count (1 on the single-row-group fixture)
+    // partition count (1 on the single-row-group fixture).
+    // NOT checkpointed despite the 4 references (r14): a localCheckpoint
+    // strips size statistics, and the planner then stops broadcasting
+    // the small sides of the probe/pair joins (the q_ann_join 1.6→9.1 s
+    // lesson from lshScored) — the sf1.0 routed pair path runs through
+    // here, so the broadcast choice matters more than the re-scans.
     val em = graft.Par.spread(
       corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
         .select(col(idCol).as("id"), col(embCol).as("e")),
@@ -969,11 +981,16 @@ object Similarity {
       targetCell: Int = 128, iterations: Int = 1, nProbe: Int = 3): DataFrame = {
     reg(corpus)
     // spread (guide §2.5): probe streams and candidate fan-out otherwise
-    // run at the scan's partition count (1 on the fixture)
-    val em = graft.Par.spread(
+    // run at the scan's partition count (1 on the fixture).
+    // EAGER checkpoint (r14, guide §2.4): em is consumed SIX times —
+    // the count, the fitIvf Lloyd jobs, BOTH probe branches of the
+    // candidate join (two references in one job — the lzy race case),
+    // and the two pool embedding joins — each reference otherwise
+    // re-runs the scan + spread exchange
+    val em = Ckpt(graft.Par.spread(
       corpus.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
         .select(col(idCol).as("id"), col(embCol).as("e"), sideCol.as("side")),
-      col("id"))
+      col("id")))
     val n = em.count()
     val centers = fitIvf(em, "id", "e", ivfCellsFor(n, targetCell), iterations)
     val cc = typedLit(centers)
